@@ -1,0 +1,119 @@
+"""FOXML 1.1 document parser (stdlib ``xml.etree`` — no external deps).
+
+Replaces the reference's StAX/Woodstox ``FOXMLReader`` DTO parse
+(`ObjectProcessor.java:148-151` + the external ``fcrepo-dto-foxml``
+library). Produces a plain-dict object model with exactly the fields the
+extractor consumes (`ObjectProcessor.java:235-270`):
+
+object:   pid, label, ownerId, state, createdDate, lastModifiedDate
+datastream: id, state, control_group, versions (sorted NEWEST first —
+the reference takes ``versions().first()`` as "current",
+`ObjectProcessor.java:210` / `:261`; verified against the multi-version
+``si-user:10`` fixture whose golden answer carries the newest CREATED)
+version:  id, created, mimetype, content_location, inline_xml (serialized
+          string of the first child element of <foxml:xmlContent>)
+
+This is intentionally *not* a general FOXML DTO; it is the minimal,
+allocation-light model for a vectorized batch parse inside a pandas UDF.
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+from typing import Any
+
+from .terms import parse_instant
+from .vocab import FOXML_NS, MODEL_NS, VIEW_NS
+
+_F = "{%s}" % FOXML_NS
+
+PROP_STATE = MODEL_NS + "state"
+PROP_LABEL = MODEL_NS + "label"
+PROP_OWNER = MODEL_NS + "ownerId"
+PROP_CREATED = MODEL_NS + "createdDate"
+PROP_LASTMOD = VIEW_NS + "lastModifiedDate"
+
+
+class FoxmlError(ValueError):
+    pass
+
+
+def _inline_xml_string(xml_content: ET.Element) -> str | None:
+    """Serialize the first element child of <foxml:xmlContent> back to an
+    XML string (what the reference's DTO keeps as ``inlineXML().bytes()``)."""
+    for child in xml_content:
+        return ET.tostring(child, encoding="unicode")
+    return None
+
+
+def parse_foxml(content: str | bytes) -> dict[str, Any]:
+    """Parse one FOXML document into the minimal object model.
+
+    Raises FoxmlError on malformed XML / missing PID — callers map this
+    to an error row (E1 semantics, `ObjectProcessor.java:172-176`).
+    """
+    try:
+        root = ET.fromstring(content)
+    except ET.ParseError as e:
+        raise FoxmlError(f"XML parse failure: {e}") from e
+
+    if root.tag != _F + "digitalObject":
+        raise FoxmlError(f"not a FOXML digitalObject: {root.tag}")
+    pid = root.get("PID")
+    if not pid:
+        raise FoxmlError("FOXML missing PID attribute")
+
+    props: dict[str, str] = {}
+    props_el = root.find(_F + "objectProperties")
+    if props_el is not None:
+        for p in props_el.findall(_F + "property"):
+            name, value = p.get("NAME"), p.get("VALUE")
+            if name is not None:
+                props[name] = value or ""
+
+    datastreams: list[dict[str, Any]] = []
+    for ds in root.findall(_F + "datastream"):
+        versions = []
+        for v in ds.findall(_F + "datastreamVersion"):
+            created = v.get("CREATED")
+            xml_content = v.find(_F + "xmlContent")
+            loc = v.find(_F + "contentLocation")
+            versions.append(
+                {
+                    "id": v.get("ID"),
+                    "created": created,
+                    # sort key: newest-first like the DTO's SortedSet
+                    "_created_ts": parse_instant(created) if created else None,
+                    "mimetype": v.get("MIMETYPE"),
+                    "content_location": loc.get("REF") if loc is not None else None,
+                    "inline_xml": (
+                        _inline_xml_string(xml_content) if xml_content is not None else None
+                    ),
+                }
+            )
+        # newest CREATED first; versions without CREATED sort last.
+        # Stable sort keeps document order among ties.
+        versions.sort(
+            key=lambda ver: (
+                ver["_created_ts"] is None,
+                -(ver["_created_ts"].timestamp() if ver["_created_ts"] else 0),
+            )
+        )
+        datastreams.append(
+            {
+                "id": ds.get("ID"),
+                "state": ds.get("STATE"),
+                "control_group": ds.get("CONTROL_GROUP"),
+                "versions": versions,
+            }
+        )
+
+    return {
+        "pid": pid,
+        "label": props.get(PROP_LABEL),
+        "owner_id": props.get(PROP_OWNER),
+        "state": props.get(PROP_STATE),
+        "created_date": props.get(PROP_CREATED),
+        "last_modified_date": props.get(PROP_LASTMOD),
+        "datastreams": datastreams,
+    }

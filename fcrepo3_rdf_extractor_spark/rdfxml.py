@@ -1,0 +1,189 @@
+"""Minimal deterministic RDF/XML parser (stdlib ``xml.etree``).
+
+Stands in for Jena RIOT's RDFXML parse of RELS-EXT / RELS-INT datastreams
+(`ObjectProcessor.java:167-169`). Covers the RDF/XML subset Fedora 3
+relationship datastreams actually use (verified across all reference
+fixtures: only ``rdf:Description``+``rdf:about``, object properties via
+``rdf:resource``, and literal-valued property elements appear), plus the
+common constructs a general store can contain:
+
+- typed node elements (emit ``rdf:type``)
+- ``rdf:nodeID`` / anonymous blank nodes — **skolemized deterministically**
+  (the north rule requires stable output across runs/retries; Jena/rdflib
+  fresh-bnode labels are run-dependent)
+- ``rdf:datatype`` typed literals and ``xml:lang`` tagged literals
+  (with inheritance)
+- ``rdf:parseType="Resource"`` (nested anonymous node) and
+  ``rdf:parseType="Literal"`` (XML literal)
+- property attributes on node elements
+- ``rdf:ID`` relative to an optional ``base``
+
+Unsupported (raises RdfXmlError -> error row): rdf:parseType="Collection",
+rdf:li / containers, reification attributes.
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+
+from .terms import Triple, skolemize
+from .vocab import RDF_NS, RDF_XML_LITERAL
+
+_RDF = "{%s}" % RDF_NS
+_XML_LANG = "{http://www.w3.org/XML/1998/namespace}lang"
+_XML_BASE = "{http://www.w3.org/XML/1998/namespace}base"
+
+# rdf: attributes that are syntax, not property attributes
+_SYNTAX_ATTRS = {
+    _RDF + "about",
+    _RDF + "ID",
+    _RDF + "nodeID",
+    _RDF + "resource",
+    _RDF + "datatype",
+    _RDF + "parseType",
+    _XML_LANG,
+    _XML_BASE,
+}
+
+
+class RdfXmlError(ValueError):
+    pass
+
+
+def _split(tag: str) -> tuple[str, str]:
+    if tag.startswith("{"):
+        ns, local = tag[1:].split("}", 1)
+        return ns, local
+    return "", tag
+
+
+class _Parser:
+    def __init__(self, scope: str, base: str | None):
+        self.scope = scope
+        self.base = base or ""
+        self.triples: list[Triple] = []
+        self._anon = 0
+
+    def fresh_bnode(self) -> str:
+        self._anon += 1
+        return skolemize(self.scope, f"anon{self._anon}")
+
+    def named_bnode(self, node_id: str) -> str:
+        return skolemize(self.scope, f"nodeID:{node_id}")
+
+    def node_subject(self, el: ET.Element) -> str:
+        about = el.get(_RDF + "about")
+        if about is not None:
+            return about
+        rid = el.get(_RDF + "ID")
+        if rid is not None:
+            return f"{self.base}#{rid}"
+        node_id = el.get(_RDF + "nodeID")
+        if node_id is not None:
+            return self.named_bnode(node_id)
+        return self.fresh_bnode()
+
+    def parse_node_element(self, el: ET.Element, lang: str | None) -> str:
+        lang = el.get(_XML_LANG, lang)
+        subj = self.node_subject(el)
+        ns, local = _split(el.tag)
+        if not (ns == RDF_NS and local == "Description"):
+            self.triples.append(Triple(subj, RDF_NS + "type", ns + local, False))
+        # property attributes on the node element
+        for attr, value in el.attrib.items():
+            if attr in _SYNTAX_ATTRS:
+                continue
+            ans, alocal = _split(attr)
+            if ans == RDF_NS and alocal == "type":
+                self.triples.append(Triple(subj, RDF_NS + "type", value, False))
+            elif ans:  # unqualified attrs are not properties
+                self.triples.append(
+                    Triple(subj, ans + alocal, value, True, None, lang)
+                )
+        for prop in el:
+            self.parse_property_element(subj, prop, lang)
+        return subj
+
+    def parse_property_element(self, subj: str, el: ET.Element, lang: str | None) -> None:
+        lang = el.get(_XML_LANG, lang)
+        ns, local = _split(el.tag)
+        pred = ns + local
+        parse_type = el.get(_RDF + "parseType")
+        resource = el.get(_RDF + "resource")
+        node_id = el.get(_RDF + "nodeID")
+        datatype = el.get(_RDF + "datatype")
+        children = list(el)
+
+        if parse_type == "Resource":
+            obj = self.fresh_bnode()
+            self.triples.append(Triple(subj, pred, obj, False))
+            for sub in children:
+                self.parse_property_element(obj, sub, lang)
+            return
+        if parse_type == "Literal":
+            xml_text = "".join(ET.tostring(c, encoding="unicode") for c in children)
+            self.triples.append(
+                Triple(subj, pred, (el.text or "") + xml_text, True, RDF_XML_LITERAL, None)
+            )
+            return
+        if parse_type is not None:
+            raise RdfXmlError(f"unsupported rdf:parseType={parse_type!r}")
+
+        if resource is not None:
+            self.triples.append(Triple(subj, pred, resource, False))
+            return
+        if node_id is not None:
+            self.triples.append(Triple(subj, pred, self.named_bnode(node_id), False))
+            return
+        if children:
+            if len(children) != 1:
+                raise RdfXmlError(
+                    f"property element <{pred}> with {len(children)} child node elements"
+                )
+            obj = self.parse_node_element(children[0], lang)
+            self.triples.append(Triple(subj, pred, obj, False))
+            return
+
+        # property attributes shortcut: <p a:x="1"/> => bnode object
+        prop_attrs = [a for a in el.attrib if a not in _SYNTAX_ATTRS]
+        if prop_attrs:
+            obj = self.fresh_bnode()
+            self.triples.append(Triple(subj, pred, obj, False))
+            for attr in prop_attrs:
+                ans, alocal = _split(attr)
+                if ans:
+                    self.triples.append(
+                        Triple(obj, ans + alocal, el.attrib[attr], True, None, lang)
+                    )
+            return
+
+        # plain / typed literal (possibly the empty string — Jena emits
+        # an empty literal for <p></p>, which skipEmptyLiterals then drops)
+        text = el.text or ""
+        if datatype is not None:
+            self.triples.append(Triple(subj, pred, text, True, datatype, None))
+        else:
+            self.triples.append(Triple(subj, pred, text, True, None, lang))
+
+
+def parse_rdfxml(content: str | bytes, scope: str, base: str | None = None) -> list[Triple]:
+    """Parse an RDF/XML document into triples.
+
+    ``scope`` seeds deterministic blank-node skolemization: pass something
+    unique per parse unit, e.g. ``f"{pid}|{ds_id}"``.
+    """
+    try:
+        root = ET.fromstring(content)
+    except ET.ParseError as e:
+        raise RdfXmlError(f"RDF/XML parse failure: {e}") from e
+
+    parser = _Parser(scope, base or root.get(_XML_BASE))
+    ns, local = _split(root.tag)
+    lang = root.get(_XML_LANG)
+    if ns == RDF_NS and local == "RDF":
+        for child in root:
+            parser.parse_node_element(child, lang)
+    else:
+        # document whose root is itself a node element
+        parser.parse_node_element(root, lang)
+    return parser.triples

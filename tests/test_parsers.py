@@ -1,0 +1,227 @@
+"""Unit tests for the FOXML / Dublin Core / RDF-XML parsers, mirroring the
+reference's `DublinCoreContentHandlerTest.java` and
+`SkipEmptyLiteralsStreamRDF`-adjacent behaviours, plus the constructs the
+reference delegates to Jena."""
+
+from __future__ import annotations
+
+import pytest
+
+from fcrepo3_rdf_extractor_spark.dc import DcError, parse_dc
+from fcrepo3_rdf_extractor_spark.extract import extract_object
+from fcrepo3_rdf_extractor_spark.foxml import FoxmlError, parse_foxml
+from fcrepo3_rdf_extractor_spark.rdfxml import RdfXmlError, parse_rdfxml
+from fcrepo3_rdf_extractor_spark.vocab import DC_NAMESPACE, RDF_NS, XSD_DATETIME
+
+DC = DC_NAMESPACE
+
+
+# --- Dublin Core (DublinCoreContentHandlerTest.java:80-102) --------------
+
+DC_DOC = """<oai_dc:dc xmlns:oai_dc="http://www.openarchives.org/OAI/2.0/oai_dc/"
+ xmlns:dc="http://purl.org/dc/elements/1.1/" xmlns:other="urn:other#">
+  <dc:title>Some title</dc:title>
+  <dc:description>line one
+line two</dc:description>
+  <other:ignored>nope</other:ignored>
+  <dc:creator></dc:creator>
+</oai_dc:dc>"""
+
+
+def test_dc_extracts_only_dc_namespace():
+    triples = parse_dc(DC_DOC, "info:fedora/x:1")
+    preds = {t.pred for t in triples}
+    assert preds == {DC + "title", DC + "description", DC + "creator"}
+    assert all(t.subj == "info:fedora/x:1" and t.obj_is_literal for t in triples)
+
+
+def test_dc_preserves_multiline_literal():
+    triples = parse_dc(DC_DOC, "s")
+    desc = next(t for t in triples if t.pred == DC + "description")
+    assert desc.obj_value == "line one\nline two"
+
+
+def test_dc_empty_element_yields_empty_literal():
+    # filtered later by the skip-empty-literals operator, like the reference
+    triples = parse_dc(DC_DOC, "s")
+    creator = next(t for t in triples if t.pred == DC + "creator")
+    assert creator.obj_value == ""
+
+
+def test_dc_malformed_xml_raises():
+    with pytest.raises(DcError):
+        parse_dc("<oai_dc:dc>", "s")
+
+
+# --- RDF/XML ---------------------------------------------------------------
+
+def test_rdfxml_resource_and_literal_properties():
+    doc = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+      xmlns:rel="info:fedora/fedora-system:def/relations-external#">
+      <rdf:Description rdf:about="info:fedora/x:1">
+        <rel:isMemberOfCollection rdf:resource="info:fedora/c:1"/>
+        <rel:note>plain</rel:note>
+      </rdf:Description>
+    </rdf:RDF>"""
+    triples = set(t.key() for t in parse_rdfxml(doc, scope="t"))
+    rel = "info:fedora/fedora-system:def/relations-external#"
+    assert triples == {
+        ("info:fedora/x:1", rel + "isMemberOfCollection", "info:fedora/c:1", False, None, None),
+        ("info:fedora/x:1", rel + "note", "plain", True, None, None),
+    }
+
+
+def test_rdfxml_default_namespace_property_element():
+    # the si-user:10 fixture style: xmlns="..." on the property element
+    doc = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">
+      <rdf:Description rdf:about="info:fedora/x:1">
+        <hasModel xmlns="info:fedora/fedora-system:def/model#"
+                  rdf:resource="info:fedora/si:peopleCModel"/>
+      </rdf:Description>
+    </rdf:RDF>"""
+    (t,) = parse_rdfxml(doc, scope="t")
+    assert t.pred == "info:fedora/fedora-system:def/model#hasModel"
+    assert not t.obj_is_literal
+
+
+def test_rdfxml_typed_node_emits_rdf_type():
+    doc = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+      xmlns:ex="urn:ex#">
+      <ex:Widget rdf:about="urn:w1"><ex:size>3</ex:size></ex:Widget>
+    </rdf:RDF>"""
+    keys = {t.key() for t in parse_rdfxml(doc, scope="t")}
+    assert ("urn:w1", RDF_NS + "type", "urn:ex#Widget", False, None, None) in keys
+
+
+def test_rdfxml_blank_nodes_deterministic():
+    doc = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+      xmlns:ex="urn:ex#">
+      <rdf:Description rdf:about="urn:s">
+        <ex:p><rdf:Description><ex:q>v</ex:q></rdf:Description></ex:p>
+        <ex:r rdf:nodeID="n1"/>
+      </rdf:Description>
+      <rdf:Description rdf:nodeID="n1"><ex:q>w</ex:q></rdf:Description>
+    </rdf:RDF>"""
+    a = sorted(t.key() for t in parse_rdfxml(doc, scope="pid|RELS-EXT"))
+    b = sorted(t.key() for t in parse_rdfxml(doc, scope="pid|RELS-EXT"))
+    assert a == b  # stable across parses
+    bnodes = {t.subj for t in parse_rdfxml(doc, scope="pid|RELS-EXT") if t.subj.startswith("urn:bnode:")}
+    assert len(bnodes) == 2  # one anonymous + one named
+    # nodeID references unify to one skolem
+    named = [t for t in parse_rdfxml(doc, scope="pid|RELS-EXT") if t.pred == "urn:ex#r"]
+    ref = [t for t in parse_rdfxml(doc, scope="pid|RELS-EXT") if t.obj_value == "w"]
+    assert named[0].obj_value == ref[0].subj
+    # different scope -> different skolems (no cross-document collisions)
+    other = {t.subj for t in parse_rdfxml(doc, scope="pid2|RELS-EXT") if t.subj.startswith("urn:bnode:")}
+    assert not (bnodes & other)
+
+
+def test_rdfxml_datatype_and_lang():
+    doc = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+      xmlns:ex="urn:ex#" xml:lang="en">
+      <rdf:Description rdf:about="urn:s">
+        <ex:d rdf:datatype="http://www.w3.org/2001/XMLSchema#dateTime">2020-01-01T00:00:00Z</ex:d>
+        <ex:l>hello</ex:l>
+        <ex:f xml:lang="fr">bonjour</ex:f>
+      </rdf:Description>
+    </rdf:RDF>"""
+    by_pred = {t.pred: t for t in parse_rdfxml(doc, scope="t")}
+    assert by_pred["urn:ex#d"].obj_datatype == XSD_DATETIME
+    assert by_pred["urn:ex#d"].obj_lang is None
+    assert by_pred["urn:ex#l"].obj_lang == "en"   # inherited
+    assert by_pred["urn:ex#f"].obj_lang == "fr"   # overridden
+
+
+def test_rdfxml_parsetype_resource():
+    doc = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+      xmlns:ex="urn:ex#">
+      <rdf:Description rdf:about="urn:s">
+        <ex:p rdf:parseType="Resource"><ex:q>v</ex:q></ex:p>
+      </rdf:Description>
+    </rdf:RDF>"""
+    triples = parse_rdfxml(doc, scope="t")
+    link = next(t for t in triples if t.pred == "urn:ex#p")
+    inner = next(t for t in triples if t.pred == "urn:ex#q")
+    assert link.obj_value == inner.subj and inner.subj.startswith("urn:bnode:")
+
+
+def test_rdfxml_unsupported_collection_raises():
+    doc = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+      xmlns:ex="urn:ex#">
+      <rdf:Description rdf:about="urn:s"><ex:p rdf:parseType="Collection"/></rdf:Description>
+    </rdf:RDF>"""
+    with pytest.raises(RdfXmlError):
+        parse_rdfxml(doc, scope="t")
+
+
+# --- FOXML -----------------------------------------------------------------
+
+FOXML_TWO_VERSIONS = """<foxml:digitalObject VERSION="1.1" PID="t:1"
+  xmlns:foxml="info:fedora/fedora-system:def/foxml#">
+  <foxml:objectProperties>
+    <foxml:property NAME="info:fedora/fedora-system:def/model#state" VALUE="A"/>
+    <foxml:property NAME="info:fedora/fedora-system:def/model#label" VALUE="L"/>
+    <foxml:property NAME="info:fedora/fedora-system:def/model#ownerId" VALUE="O"/>
+    <foxml:property NAME="info:fedora/fedora-system:def/model#createdDate" VALUE="2020-01-01T00:00:00.000Z"/>
+    <foxml:property NAME="info:fedora/fedora-system:def/view#lastModifiedDate" VALUE="2020-01-02T00:00:00.000Z"/>
+  </foxml:objectProperties>
+  <foxml:datastream ID="X1" STATE="A" CONTROL_GROUP="M">
+    <foxml:datastreamVersion ID="X1.0" CREATED="2020-01-01T00:00:00.000Z" MIMETYPE="a/b">
+      <foxml:contentLocation TYPE="INTERNAL_ID" REF="t:1+X1+X1.0"/>
+    </foxml:datastreamVersion>
+    <foxml:datastreamVersion ID="X1.1" CREATED="2020-06-01T00:00:00.000Z" MIMETYPE="c/d">
+      <foxml:contentLocation TYPE="INTERNAL_ID" REF="t:1+X1+X1.1"/>
+    </foxml:datastreamVersion>
+  </foxml:datastream>
+</foxml:digitalObject>"""
+
+
+def test_foxml_newest_version_first():
+    obj = parse_foxml(FOXML_TWO_VERSIONS)
+    versions = obj["datastreams"][0]["versions"]
+    assert [v["id"] for v in versions] == ["X1.1", "X1.0"]
+    assert versions[0]["mimetype"] == "c/d"
+
+
+def test_foxml_missing_pid_raises():
+    with pytest.raises(FoxmlError):
+        parse_foxml("<foxml:digitalObject xmlns:foxml='info:fedora/fedora-system:def/foxml#'/>")
+
+
+def test_foxml_malformed_raises():
+    with pytest.raises(FoxmlError):
+        parse_foxml("not xml at all <")
+
+
+# --- extract-level error isolation (E1) -------------------------------------
+
+def test_extract_missing_dc_and_relsext_counts_errors_keeps_constants():
+    triples, errors = extract_object(FOXML_TWO_VERSIONS)
+    # 6 object + 6 datastream constants survive
+    assert len(triples) == 12
+    stages = sorted(e.stage for e in errors)
+    assert stages == ["dc", "rels_ext"]  # RELS-INT absent -> no error (null-guarded)
+
+
+def test_extract_managed_rels_via_lookup():
+    foxml = FOXML_TWO_VERSIONS.replace('ID="X1"', 'ID="RELS-EXT"')
+    rels = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+      xmlns:ex="urn:ex#">
+      <rdf:Description rdf:about="info:fedora/t:1"><ex:p rdf:resource="urn:o"/></rdf:Description>
+    </rdf:RDF>"""
+    # contentLocation REF is still t:1+X1+X1.1 -> minted blob id keeps X1
+    lookup = {"info:fedora/t:1/X1/X1.1": rels}.get
+    triples, errors = extract_object(foxml, ds_lookup=lookup)
+    assert ("info:fedora/t:1", "urn:ex#p", "urn:o", False, None, None) in {t.key() for t in triples}
+    assert [e.stage for e in errors] == ["dc"]
+
+
+def test_extract_object_level_failure_yields_zero_triples():
+    triples, errors = extract_object("<broken")
+    assert triples == [] and [e.stage for e in errors] == ["object"]
+
+
+def test_extract_bad_state_aborts_object():
+    bad = FOXML_TWO_VERSIONS.replace('VALUE="A"', 'VALUE="Zombie"', 1)
+    triples, errors = extract_object(bad)
+    assert triples == [] and errors[0].stage == "object"
