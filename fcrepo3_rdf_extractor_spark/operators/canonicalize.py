@@ -1,0 +1,92 @@
+"""Entity canonicalization via a broadcast alias dictionary.
+
+Fedora repositories accumulate alias URIs for the same entity (PID
+renames, `fedora.example/` vs `info:fedora/` prefixes, datastream URIs
+minted before/after percent-encoding fixes — the seed of this problem is
+the reference's own token minting, `ObjectProcessor.java:293-341`).
+Canonicalization maps every alias URI in subj/obj position (and
+optionally pred) to its canonical form.
+
+Physical plan: the dictionary is small relative to the triple stream
+(millions of aliases vs trillions of triples), so each mapping is a
+**broadcast hash join** — no shuffle of the triple stream at all. Three
+left joins (subj, obj, pred) all reuse the same broadcast table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ALIAS_SCHEMA = "alias string, canonical string"
+
+
+def canonicalize(
+    triples: DataFrame,
+    aliases: DataFrame,
+    rewrite_predicates: bool = False,
+) -> DataFrame:
+    """Rewrite subj / obj-URI (and optionally pred) through the alias
+    dictionary. ``aliases`` has columns (alias, canonical); unmatched
+    terms pass through unchanged. Literal objects are never rewritten."""
+    dict_df = F.broadcast(aliases.select("alias", "canonical"))
+
+    out = (
+        triples.join(dict_df.withColumnRenamed("canonical", "_c_subj"),
+                     triples["subj"] == dict_df["alias"], "left")
+        .drop("alias")
+        .withColumn("subj", F.coalesce(F.col("_c_subj"), F.col("subj")))
+        .drop("_c_subj")
+    )
+    dict_obj = F.broadcast(aliases.select(
+        F.col("alias").alias("_a_obj"), F.col("canonical").alias("_c_obj")))
+    out = (
+        out.join(
+            dict_obj,
+            (out["obj_value"] == F.col("_a_obj")) & (~out["obj_is_literal"]),
+            "left",
+        )
+        .withColumn("obj_value", F.coalesce(F.col("_c_obj"), F.col("obj_value")))
+        .drop("_a_obj", "_c_obj")
+    )
+    if rewrite_predicates:
+        dict_pred = F.broadcast(aliases.select(
+            F.col("alias").alias("_a_pred"), F.col("canonical").alias("_c_pred")))
+        out = (
+            out.join(dict_pred, out["pred"] == F.col("_a_pred"), "left")
+            .withColumn("pred", F.coalesce(F.col("_c_pred"), F.col("pred")))
+            .drop("_a_pred", "_c_pred")
+        )
+    return out
+
+
+def pid_prefix_aliases(spark, prefixes: list[str]) -> DataFrame:
+    """Helper: build an alias dictionary that rewrites foreign PID
+    prefixes (e.g. ``http://fedora.example/``) to ``info:fedora/`` given
+    the set of known PIDs is not needed — prefix rewriting is expressed
+    as columns instead when the alias set would be unbounded."""
+    rows = [(p, "info:fedora/") for p in prefixes]
+    return spark.createDataFrame(rows, ALIAS_SCHEMA)
+
+
+def canonicalize_prefixes(triples: DataFrame, prefix_map: dict[str, str]) -> DataFrame:
+    """Unbounded-alias variant: rewrite URI *prefixes* purely with column
+    expressions (no join, no broadcast, stays in whole-stage codegen).
+    Applied to subj and non-literal obj."""
+
+    def rewrite(col):
+        expr = col
+        for old, new in prefix_map.items():
+            expr = F.when(
+                col.startswith(F.lit(old)),
+                F.concat(F.lit(new), F.substring(col, len(old) + 1, 2**31 - 1 - len(old))),
+            ).otherwise(expr)
+        return expr
+
+    out = triples.withColumn("subj", rewrite(F.col("subj")))
+    return out.withColumn(
+        "obj_value",
+        F.when(F.col("obj_is_literal"), F.col("obj_value")).otherwise(
+            rewrite(F.col("obj_value"))
+        ),
+    )

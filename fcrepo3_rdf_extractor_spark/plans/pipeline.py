@@ -1,0 +1,208 @@
+"""End-to-end extraction plans.
+
+``extract_plan`` is the declarative hot path (one job, no driver loops):
+
+    scan(repo,path,commit,content)            # pruned parquet/iceberg scan
+      -> [managed-content join]               # only if a ds-store is given
+      -> mapInPandas(extract)                 # the one Python stage
+      -> with_graph -> skip_empty_literals    # codegen'd column ops
+      -> [canonicalize via broadcast dict]    # broadcast hash join
+      -> [dedup_exact]                        # partial agg + 1 shuffle
+
+``run_resumable`` wraps it with chunked, idempotent writes + manifests
+(resume = skip chunks already in the manifest; re-running a chunk
+dynamically overwrites its own partition directory only).
+
+``materialize_graph`` is M5: the subject-hash-bucketed triple table
+(`HashPathIdMapper.java:118-160` is the reference's analog of this
+layout), one shuffle on the bucket key, optional canonical sort for
+byte-stable output.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import subject_bucket
+from ..operators.canonicalize import canonicalize
+from ..operators.dedup import dedup_exact
+from ..operators.extractor import extract_triples, triples_only
+from ..operators.filters import skip_empty_literals, with_graph
+from ..vocab import DEFAULT_GRAPH
+from .checkpoint import (
+    append_manifest,
+    chunk_manifest,
+    read_done_chunks,
+    with_chunk_id,
+)
+
+
+@dataclass
+class ExtractConfig:
+    graph: str = DEFAULT_GRAPH
+    skip_empty: bool = True           # SidoraExamplesIT runs with true
+    dedup: bool = True
+    num_chunks: int = 64              # resume granularity
+    chunks_per_wave: int = 16         # chunks committed per wave job
+    subject_buckets: int = 256
+
+
+def attach_managed_content(source: DataFrame, ds_store: DataFrame) -> DataFrame:
+    """P6's MANAGED branch (`ObjectProcessor.java:214-216`) as a join.
+
+    ``ds_store`` has columns (blob_id, content). Only objects that can
+    possibly need a managed DC/RELS fetch are joined (cheap JVM-side
+    substring prefilter — exact control-group dispatch happens in the
+    UDF), so at 10^12 scale the join input is a sliver of the table.
+    The fetched blobs arrive as a per-object map column."""
+    needs = source.filter(
+        F.col("content").contains('CONTROL_GROUP="M"')
+        & (
+            F.col("content").contains('ID="DC"')
+            | F.col("content").contains('ID="RELS-EXT"')
+            | F.col("content").contains('ID="RELS-INT"')
+        )
+    )
+    # light request pass: object row -> needed blob ids
+    import pandas as pd
+
+    from ..foxml import parse_foxml
+    from ..terms import get_blob_id
+
+    def requests(batches):
+        for pdf in batches:
+            rows = []
+            for i in range(len(pdf)):
+                try:
+                    obj = parse_foxml(pdf["content"].iat[i])
+                except Exception:
+                    continue
+                for ds in obj["datastreams"]:
+                    if ds["id"] in ("DC", "RELS-EXT", "RELS-INT") and ds["control_group"] == "M":
+                        for v in ds["versions"][:1]:
+                            loc = v.get("content_location")
+                            if loc:
+                                rows.append((pdf["repo"].iat[i], pdf["path"].iat[i],
+                                             pdf["commit"].iat[i], get_blob_id(loc)))
+            yield pd.DataFrame(rows, columns=["repo", "path", "commit", "blob_id"])
+
+    req = needs.mapInPandas(
+        requests, "repo string, path string, commit string, blob_id string"
+    )
+    fetched = (
+        req.join(ds_store.select("blob_id", F.col("content").alias("_blob_content")),
+                 "blob_id", "inner")
+        .groupBy("repo", "path", "commit")
+        .agg(
+            F.map_from_arrays(
+                F.collect_list("blob_id"), F.collect_list("_blob_content")
+            ).alias("managed_content")
+        )
+    )
+    return source.join(fetched, ["repo", "path", "commit"], "left")
+
+
+def extract_plan(
+    source: DataFrame,
+    config: ExtractConfig | None = None,
+    aliases: DataFrame | None = None,
+    ds_store: DataFrame | None = None,
+) -> DataFrame:
+    """Full declarative plan: source table -> triples+errors DataFrame."""
+    config = config or ExtractConfig()
+    if ds_store is not None:
+        source = attach_managed_content(source, ds_store)
+    out = extract_triples(source)
+    out = with_graph(out, config.graph)
+    if config.skip_empty:
+        out = skip_empty_literals(out)
+    if aliases is not None:
+        out = canonicalize(out, aliases)
+    if config.dedup:
+        # dedup triple rows only; error rows pass through untouched
+        triple_rows = dedup_exact(out.filter(F.col("error_stage").isNull()))
+        out = triple_rows.unionByName(out.filter(F.col("error_stage").isNotNull()))
+    return out
+
+
+def run_resumable(
+    source: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    config: ExtractConfig | None = None,
+    aliases: DataFrame | None = None,
+    ds_store: DataFrame | None = None,
+) -> dict:
+    """Chunked, idempotent extraction with per-chunk manifests.
+
+    Each wave processes ``chunks_per_wave`` chunks in one distributed job,
+    writes ``out_dir/chunk_id=<k>/`` via dynamic partition overwrite
+    (idempotent under retry/crash: a re-run of a chunk replaces exactly
+    its own directory), then appends the wave's manifest rows. Resume
+    skips every chunk already present in the manifest."""
+    config = config or ExtractConfig()
+    spark = source.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    chunked = with_chunk_id(source, config.num_chunks)
+    done = read_done_chunks(spark, checkpoint_dir)
+    todo = sorted(set(range(config.num_chunks)) - done)
+    waves = [
+        todo[i : i + config.chunks_per_wave]
+        for i in range(0, len(todo), config.chunks_per_wave)
+    ]
+    stats = {"chunks_done_before": len(done), "waves": len(waves), "chunks_run": 0}
+    for wave in waves:
+        wave_src = chunked.filter(F.col("chunk_id").isin(wave))
+        extracted = extract_plan(
+            wave_src.drop("chunk_id"), config, aliases=aliases, ds_store=ds_store
+        )
+        extracted = with_chunk_id(extracted, config.num_chunks)
+        (
+            extracted.write.mode("overwrite")
+            .partitionBy("chunk_id")
+            .parquet(out_dir)
+        )
+        # manifest from the committed files, not the in-flight plan:
+        # a chunk only enters the manifest once its data is durably on disk.
+        # Chunks with zero input rows still get a (zeroed) manifest row —
+        # otherwise resume would re-run them forever.
+        manifest = chunk_manifest(
+            spark.read.parquet(out_dir).filter(F.col("chunk_id").isin(wave))
+        )
+        wave_ids = spark.createDataFrame([(c,) for c in wave], "chunk_id int")
+        manifest = (
+            wave_ids.join(manifest, "chunk_id", "left")
+            .fillna(0, ["n_objects", "n_triples", "n_errors", "content_fingerprint"])
+        )
+        append_manifest(manifest, checkpoint_dir)
+        stats["chunks_run"] += len(wave)
+    return stats
+
+
+def materialize_graph(
+    triples: DataFrame,
+    out_path: str,
+    buckets: int = 256,
+    canonical_sort: bool = False,
+) -> None:
+    """M5 graph materialization: subject-hash-bucketed partitioned table.
+
+    One shuffle, keyed on the bucket: `repartition(bucket)` co-locates
+    each entity's triples; hot *predicates* (hasModel, disseminationType
+    — every object emits them, `ObjectProcessor.java:244,268`) do NOT
+    skew this layout because the key is the subject hash, which is
+    uniform by construction. partitionBy(bucket) then gives partition
+    pruning for per-entity lookups. On a real cluster this becomes an
+    Iceberg `bucket(N, subj)` transform; parquet directories model it
+    here."""
+    bucketed = triples_only(triples).withColumn(
+        "subj_bucket", subject_bucket("subj", buckets)
+    )
+    bucketed = bucketed.repartition(F.col("subj_bucket"))
+    if canonical_sort:
+        bucketed = bucketed.sortWithinPartitions("subj", "pred", "obj_value")
+    bucketed.write.mode("overwrite").partitionBy("subj_bucket").parquet(out_path)

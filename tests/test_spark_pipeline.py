@@ -1,0 +1,259 @@
+"""Spark-layer tests: the vectorized extractor, declarative filters,
+dedup, canonicalization, N-Quads rendering parity, managed-content join,
+resumable checkpointed runs, and graph materialization."""
+
+from __future__ import annotations
+
+import pathlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from fcrepo3_rdf_extractor_spark.functions import nquad_line_col, subject_bucket
+from fcrepo3_rdf_extractor_spark.operators.canonicalize import (
+    canonicalize,
+    canonicalize_prefixes,
+)
+from fcrepo3_rdf_extractor_spark.operators.dedup import dedup_exact, dedup_exact_salted
+from fcrepo3_rdf_extractor_spark.operators.extractor import (
+    error_counts,
+    errors_only,
+    extract_triples,
+    triples_only,
+)
+from fcrepo3_rdf_extractor_spark.operators.filters import (
+    select_objects,
+    skip_empty_literals,
+    with_graph,
+)
+from fcrepo3_rdf_extractor_spark.plans.pipeline import (
+    ExtractConfig,
+    attach_managed_content,
+    extract_plan,
+    materialize_graph,
+    run_resumable,
+)
+from fcrepo3_rdf_extractor_spark.sources.nquads import read_nquads, write_nquads
+from fcrepo3_rdf_extractor_spark.sources.source_table import fixture_source
+from fcrepo3_rdf_extractor_spark.terms import load_nt, sha256_hex
+
+RES = pathlib.Path("/root/reference/src/test/resources")
+ANSWERS = {
+    "ct:85": "ct-85", "ct:86": "ct-86", "ct:88": "ct-88", "ct:90": "ct-90",
+    "si-user:10": "si-user-10", "si:1020": "si-1020", "si:1119": "si-1119",
+}
+
+
+def rows_to_set(rows) -> set[tuple]:
+    return {
+        (r.subj, r.pred, r.obj_value, r.obj_is_literal, r.obj_datatype, r.obj_lang)
+        for r in rows
+    }
+
+
+@pytest.fixture(scope="module")
+def extracted(spark):
+    return extract_plan(
+        fixture_source(spark), ExtractConfig(skip_empty=True, dedup=True)
+    ).cache()
+
+
+def test_golden_parity_on_spark(spark, extracted):
+    got_by_obj: dict[str, set] = {}
+    for r in triples_only(extracted).collect():
+        pid = r.path.removeprefix("info:fedora/")
+        got_by_obj.setdefault(pid, set()).add(
+            (r.subj, r.pred, r.obj_value, r.obj_is_literal, r.obj_datatype, r.obj_lang)
+        )
+    for pid, answer in ANSWERS.items():
+        want = load_nt((RES / "answers" / f"{answer}.nt").read_text())
+        assert got_by_obj[pid] == want, f"mismatch for {pid}"
+
+
+def test_graph_column_assigned(extracted):
+    assert triples_only(extracted).filter(F.col("graph") != "#ri").count() == 0
+
+
+def test_lineage_sha256_invariant(spark):
+    src = fixture_source(spark)
+    out = extract_triples(src).select("path", "content_sha256").distinct().collect()
+    want = {r.path: sha256_hex(r.content) for r in src.collect()}
+    assert {r.path: r.content_sha256 for r in out} == want
+
+
+def test_skip_empty_literals_operator(spark):
+    df = spark.createDataFrame(
+        [("s", "p", "", True, None, None), ("s", "p", "", False, None, None),
+         ("s", "p", "x", True, None, None),
+         (None, None, None, None, None, "err")],
+        "subj string, pred string, obj_value string, obj_is_literal boolean, "
+        "obj_datatype string, obj_lang string",
+    )
+    kept = skip_empty_literals(df).collect()
+    assert len(kept) == 3  # empty URI-value row passes, error row passes
+
+
+def test_select_objects_pushdown(spark):
+    src = fixture_source(spark)
+    two = select_objects(src, ["info:fedora/ct:85", "info:fedora/ct:86"])
+    assert two.count() == 2
+
+
+def test_errors_for_missing_dc_and_relsext(spark):
+    foxml = (RES / "simple-foxml.xml").read_text()
+    # strip the DC datastream -> reference still attempts it -> error
+    src = spark.createDataFrame(
+        [("r", "p1", "c", "foxml", foxml)],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    out = extract_triples(src)
+    errs = {(r.error_stage, r.error_ds_id) for r in errors_only(out).collect()}
+    # CRAZYDS is MANAGED but never consumed; DC+RELS-EXT inline -> no errors
+    assert errs == set()
+    counts = {r.error_stage: r.n_errors for r in error_counts(out).collect()}
+    assert counts == {}
+
+
+def test_error_rows_isolate_bad_objects(spark):
+    good = (RES / "simple-foxml.xml").read_text()
+    src = spark.createDataFrame(
+        [("r", "good", "c", "foxml", good), ("r", "bad", "c", "foxml", "<broken")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    out = extract_triples(src).cache()
+    assert triples_only(out).filter(F.col("path") == "bad").count() == 0
+    assert triples_only(out).filter(F.col("path") == "good").count() == 33
+    errs = errors_only(out).collect()
+    assert [(e.path, e.error_stage) for e in errs] == [("bad", "object")]
+
+
+def test_nquad_rendering_jvm_matches_python(spark, extracted):
+    from fcrepo3_rdf_extractor_spark.terms import Triple, nquad_line
+
+    sample = triples_only(extracted).limit(50)
+    rows = sample.collect()
+    jvm = [r.line for r in sample.select(nquad_line_col().alias("line")).collect()]
+    py = [
+        nquad_line(
+            Triple(r.subj, r.pred, r.obj_value, r.obj_is_literal, r.obj_datatype, r.obj_lang),
+            r.graph,
+        )
+        for r in rows
+    ]
+    assert sorted(jvm) == sorted(py)
+
+
+def test_nquads_roundtrip(spark, extracted, tmp_path):
+    out = str(tmp_path / "quads")
+    write_nquads(triples_only(extracted), out, canonical=True)
+    back = read_nquads(spark, out)
+    assert rows_to_set(back.collect()) == rows_to_set(triples_only(extracted).collect())
+
+
+def test_dedup_exact(spark):
+    df = spark.createDataFrame(
+        [("g", "s", "p", "o", False, None, None, "a"),
+         ("g", "s", "p", "o", False, None, None, "b"),
+         ("g", "s", "p", "o2", False, None, None, "c")],
+        "graph string, subj string, pred string, obj_value string, "
+        "obj_is_literal boolean, obj_datatype string, obj_lang string, path string",
+    )
+    for fn in (dedup_exact, dedup_exact_salted):
+        got = fn(df).collect()
+        assert len(got) == 2
+        witness = {r.obj_value: r.path for r in got}
+        assert witness == {"o": "a", "o2": "c"}  # deterministic min() witness
+
+
+def test_canonicalize_broadcast_dict(spark):
+    triples = spark.createDataFrame(
+        [("info:fedora/old:1", "p", "info:fedora/old:1", False, None, None),
+         ("info:fedora/x:2", "p", "old-literal", True, None, None)],
+        "subj string, pred string, obj_value string, obj_is_literal boolean, "
+        "obj_datatype string, obj_lang string",
+    )
+    aliases = spark.createDataFrame(
+        [("info:fedora/old:1", "info:fedora/new:1"), ("old-literal", "SHOULD-NOT-APPLY")],
+        "alias string, canonical string",
+    )
+    got = {(r.subj, r.obj_value) for r in canonicalize(triples, aliases).collect()}
+    assert got == {("info:fedora/new:1", "info:fedora/new:1"),
+                   ("info:fedora/x:2", "old-literal")}
+
+
+def test_canonicalize_prefixes_column_expr(spark):
+    triples = spark.createDataFrame(
+        [("http://fedora.example/a:1", "p", "http://fedora.example/b:2", False, None, None),
+         ("info:fedora/c:3", "p", "http://fedora.example/keep-literal", True, None, None)],
+        "subj string, pred string, obj_value string, obj_is_literal boolean, "
+        "obj_datatype string, obj_lang string",
+    )
+    got = canonicalize_prefixes(triples, {"http://fedora.example/": "info:fedora/"}).collect()
+    by_subj = {r.subj: r.obj_value for r in got}
+    assert by_subj == {
+        "info:fedora/a:1": "info:fedora/b:2",
+        "info:fedora/c:3": "http://fedora.example/keep-literal",
+    }
+
+
+def test_attach_managed_content_join(spark):
+    foxml = """<foxml:digitalObject VERSION="1.1" PID="m:1"
+      xmlns:foxml="info:fedora/fedora-system:def/foxml#">
+      <foxml:objectProperties>
+        <foxml:property NAME="info:fedora/fedora-system:def/model#state" VALUE="A"/>
+        <foxml:property NAME="info:fedora/fedora-system:def/model#createdDate" VALUE="2020-01-01T00:00:00.000Z"/>
+        <foxml:property NAME="info:fedora/fedora-system:def/view#lastModifiedDate" VALUE="2020-01-01T00:00:00.000Z"/>
+      </foxml:objectProperties>
+      <foxml:datastream ID="RELS-EXT" STATE="A" CONTROL_GROUP="M">
+        <foxml:datastreamVersion ID="RELS-EXT.0" CREATED="2020-01-01T00:00:00.000Z" MIMETYPE="application/rdf+xml">
+          <foxml:contentLocation TYPE="INTERNAL_ID" REF="m:1+RELS-EXT+RELS-EXT.0"/>
+        </foxml:datastreamVersion>
+      </foxml:datastream>
+    </foxml:digitalObject>"""
+    rels = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+      xmlns:ex="urn:ex#">
+      <rdf:Description rdf:about="info:fedora/m:1"><ex:p rdf:resource="urn:o"/></rdf:Description>
+    </rdf:RDF>"""
+    src = spark.createDataFrame(
+        [("r", "info:fedora/m:1", "c", "foxml", foxml)],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    ds_store = spark.createDataFrame(
+        [("info:fedora/m:1/RELS-EXT/RELS-EXT.0", rels)], "blob_id string, content string"
+    )
+    out = extract_triples(attach_managed_content(src, ds_store))
+    keys = rows_to_set(triples_only(out).collect())
+    assert ("info:fedora/m:1", "urn:ex#p", "urn:o", False, None, None) in keys
+    # only the DC error remains (DC datastream absent)
+    errs = [r.error_stage for r in errors_only(out).collect()]
+    assert errs == ["dc"]
+
+
+def test_run_resumable_and_resume(spark, tmp_path):
+    src = fixture_source(spark)
+    out_dir, cp_dir = str(tmp_path / "out"), str(tmp_path / "cp")
+    cfg = ExtractConfig(num_chunks=4, chunks_per_wave=2)
+    stats1 = run_resumable(src, out_dir, cp_dir, cfg)
+    assert stats1["chunks_run"] == 4 and stats1["chunks_done_before"] == 0
+    total = spark.read.parquet(out_dir).filter(F.col("error_stage").isNull()).count()
+    assert total == 365  # sum of the 7 golden answer sets (47+35+76+47+34+54+72)
+    # resume: everything is already committed -> nothing runs
+    stats2 = run_resumable(src, out_dir, cp_dir, cfg)
+    assert stats2["chunks_run"] == 0 and stats2["chunks_done_before"] == 4
+    # manifest counters add up
+    manifest = spark.read.parquet(str(tmp_path / "cp" / "manifest"))
+    agg = manifest.agg(F.sum("n_objects"), F.sum("n_triples")).collect()[0]
+    assert agg[0] == 7 and agg[1] == 365
+
+
+def test_materialize_graph_bucketed(spark, extracted, tmp_path):
+    out = str(tmp_path / "graph")
+    materialize_graph(extracted, out, buckets=8, canonical_sort=True)
+    table = spark.read.parquet(out)
+    assert table.count() == 365
+    # bucket column is consistent with the hash function
+    check = table.withColumn("recomputed", subject_bucket("subj", 8))
+    assert check.filter(F.col("subj_bucket") != F.col("recomputed")).count() == 0
+    # same-subject rows land in the same partition directory
+    assert table.select("subj", "subj_bucket").distinct().groupBy("subj").count() \
+        .filter(F.col("count") > 1).count() == 0
