@@ -1,38 +1,47 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG-extraction pipeline end-to-end on
+sf0.001; ``queries()``/``oracle_sql()`` expose every implemented operator
+(see SURVEY.md §2 and fcrepo3_rdf_extractor_spark/queries.py) for the
+driver's DuckDB cross-check at sf0.01.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: synthesize a FOXML blob table from sf0.001 orders, run the
+    full extraction plan (parse -> triples -> graph -> skip-empty ->
+    dedup), return the triples DataFrame."""
+    from fcrepo3_rdf_extractor_spark.operators.extractor import triples_only
+    from fcrepo3_rdf_extractor_spark.plans.pipeline import ExtractConfig, extract_plan
+    from fcrepo3_rdf_extractor_spark.sources.source_table import (
+        synthesize_foxml_from_orders,
+    )
+
+    source = synthesize_foxml_from_orders(spark, "/root/testdata/sf0.001")
+    out = extract_plan(source, ExtractConfig(skip_empty=True, dedup=True))
+    return triples_only(out).select(
+        "graph", "subj", "pred", "obj_value", "obj_is_literal", "obj_datatype",
+        "repo", "path", "commit", "content_sha256",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from fcrepo3_rdf_extractor_spark import queries as q
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return q.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from fcrepo3_rdf_extractor_spark import queries as q
+
+    return q.oracle_sql()

@@ -1,0 +1,484 @@
+"""Driver-contract query registry: every implemented operator exposed as a
+(spark_query, duckdb_oracle_sql) pair over the shared testdata tables.
+
+Conventions (the driver hash-compares results column-name-sorted):
+- every computed column is aliased identically in Spark and SQL
+- numeric aggregates over doubles are rounded to tame fp ordering
+- counts are cast to BIGINT on both sides
+- NULL columns are explicitly typed in the SQL (CAST(NULL AS VARCHAR))
+
+The KG queries run the *real* extraction pipeline over FOXML synthesized
+deterministically from the ``orders`` table (JVM-side format_string —
+see ``sources/source_table.py``), so the DuckDB oracle can state the
+expected triples directly from the relational columns: an end-to-end
+XML-parse correctness check with no XML in the oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators.dedup import dedup_exact
+from .operators.extractor import extract_triples, triples_only
+from .operators.filters import skip_empty_literals, with_graph
+from .plans.pipeline import ExtractConfig, extract_plan
+from .sources.source_table import synthesize_foxml_from_orders
+from .vocab import (
+    ACTIVE,
+    CREATEDDATE,
+    DC_NAMESPACE,
+    DELETED,
+    DISSEMINATES,
+    DISSEMINATION_TYPE,
+    FEDORA_OBJECT,
+    HAS_MODEL,
+    INACTIVE,
+    IS_VOLATILE,
+    LABEL,
+    LASTMODIFIEDDATE,
+    MIME_TYPE,
+    OWNER,
+    STATE,
+    XSD_DATETIME,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_T = {}   # name -> QueryFn
+_SQL = {}  # name -> oracle SQL (omit => rows-only check)
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _T[name] = fn
+        if sql is not None:
+            _SQL[name] = sql
+        return fn
+
+    return deco
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# =========================================================================
+# KG pipeline end-to-end (FOXML parse -> triples), oracled from relations
+# =========================================================================
+
+_ISO_SQL = "strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ')"
+_STATE_SQL = (
+    f"CASE o_orderstatus WHEN 'O' THEN '{ACTIVE}' "
+    f"WHEN 'F' THEN '{INACTIVE}' ELSE '{DELETED}' END"
+)
+_U = "'info:fedora/order:' || o_orderkey"
+
+
+def _kg_orders_oracle() -> str:
+    rel = "info:fedora/fedora-system:def/relations-external#"
+    lines = []
+
+    def tpl(subj: str, pred: str, obj: str, is_lit: bool, dt: str | None):
+        dtv = f"'{dt}'" if dt else "CAST(NULL AS VARCHAR)"
+        lines.append(
+            f"SELECT '#ri' AS graph, {subj} AS subj, '{pred}' AS pred, "
+            f"{obj} AS obj_value, {str(is_lit).lower()} AS obj_is_literal, "
+            f"{dtv} AS obj_datatype FROM orders"
+        )
+
+    # 6 object constants (ObjectProcessor.java:235-246)
+    tpl(_U, LABEL, "o_orderpriority", True, None)
+    tpl(_U, OWNER, "'cust:' || o_custkey", True, None)
+    tpl(_U, STATE, _STATE_SQL, False, None)
+    tpl(_U, CREATEDDATE, _ISO_SQL, True, XSD_DATETIME)
+    tpl(_U, LASTMODIFIEDDATE, _ISO_SQL, True, XSD_DATETIME)
+    tpl(_U, HAS_MODEL, f"'{FEDORA_OBJECT}'", False, None)
+    # 6 datastream constants each for DC and RELS-EXT; AUDIT emits NOTHING
+    for ds, mime in (("DC", "text/xml"), ("RELS-EXT", "application/rdf+xml")):
+        d = f"{_U} || '/{ds}'"
+        tpl(d, MIME_TYPE, f"'{mime}'", True, None)
+        tpl(d, STATE, f"'{ACTIVE}'", False, None)
+        tpl(d, LASTMODIFIEDDATE, _ISO_SQL, True, XSD_DATETIME)
+        tpl(d, IS_VOLATILE, "'false'", True, None)
+        tpl(_U, DISSEMINATES, d, False, None)
+        tpl(d, DISSEMINATION_TYPE, f"'info:fedora/*/{ds}'", False, None)
+    # DC content (2 triples) + RELS-EXT content (1 triple)
+    tpl(_U, DC_NAMESPACE + "title", "o_orderpriority", True, None)
+    tpl(_U, DC_NAMESPACE + "identifier", "'order:' || o_orderkey", True, None)
+    tpl(_U, rel + "isMemberOfCollection",
+        "'info:fedora/collection:' || (o_custkey % 100)", False, None)
+    return "\nUNION ALL\n".join(lines)
+
+
+@_q("kg_extract_orders", _kg_orders_oracle())
+def kg_extract_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    source = synthesize_foxml_from_orders(spark, sf_dir)
+    out = extract_plan(source, ExtractConfig(skip_empty=True, dedup=False))
+    return triples_only(out).select(
+        "graph", "subj", "pred", "obj_value", "obj_is_literal", "obj_datatype"
+    )
+
+
+@_q(
+    "kg_extract_error_isolation",
+    # orders with o_orderkey % 97 == 0 get corrupted content -> 1 error row
+    # each, zero triples; everything else extracts 21 triples
+    """SELECT CAST(o_orderkey AS VARCHAR) AS path_key,
+              CASE WHEN o_orderkey % 97 = 0 THEN 'object' ELSE 'ok' END AS status,
+              CAST(CASE WHEN o_orderkey % 97 = 0 THEN 0 ELSE 21 END AS BIGINT) AS n_triples
+       FROM orders""",
+)
+def kg_extract_error_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 semantics at scale: corrupt a deterministic slice of the input,
+    assert per-object triple/error accounting."""
+    source = synthesize_foxml_from_orders(spark, sf_dir)
+    okey = F.regexp_extract(F.col("path"), r"order:(\d+)", 1).cast("long")
+    source = source.withColumn(
+        "content",
+        F.when(okey % 97 == 0, F.lit("<broken foxml")).otherwise(F.col("content")),
+    )
+    out = extract_triples(source)
+    return (
+        out.groupBy(F.regexp_extract("path", r"order:(\d+)", 1).alias("path_key"))
+        .agg(
+            F.max(F.coalesce("error_stage", F.lit("ok"))).alias("status"),
+            F.count("subj").cast("long").alias("n_triples"),
+        )
+        .select("path_key", "status", "n_triples")
+    )
+
+
+# =========================================================================
+# individual operators, relational analogs (SURVEY.md §2.2)
+# =========================================================================
+
+@_q(
+    "kg_constant_object_triples",
+    f"""SELECT 'info:fedora/cust:' || c_custkey AS subj, '{LABEL}' AS pred,
+               c_name AS obj_value, true AS obj_is_literal FROM customer
+        UNION ALL
+        SELECT 'info:fedora/cust:' || c_custkey, '{OWNER}', c_mktsegment, true FROM customer
+        UNION ALL
+        SELECT 'info:fedora/cust:' || c_custkey, '{HAS_MODEL}', '{FEDORA_OBJECT}', false FROM customer""",
+)
+def kg_constant_object_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 as a pure-DataFrame explode (no XML): entity rows -> triples."""
+    cust = _read(spark, sf_dir, "customer")
+    subj = F.concat(F.lit("info:fedora/cust:"), F.col("c_custkey").cast("string"))
+    triples = F.array(
+        F.struct(F.lit(LABEL).alias("pred"), F.col("c_name").alias("obj_value"),
+                 F.lit(True).alias("obj_is_literal")),
+        F.struct(F.lit(OWNER).alias("pred"), F.col("c_mktsegment").alias("obj_value"),
+                 F.lit(True).alias("obj_is_literal")),
+        F.struct(F.lit(HAS_MODEL).alias("pred"), F.lit(FEDORA_OBJECT).alias("obj_value"),
+                 F.lit(False).alias("obj_is_literal")),
+    )
+    return (
+        cust.select(subj.alias("subj"), F.explode(triples).alias("t"))
+        .select("subj", "t.pred", "t.obj_value", "t.obj_is_literal")
+    )
+
+
+@_q(
+    "kg_audit_anti_filter",
+    """SELECT event_type AS ds_id, CAST(count(*) AS BIGINT) AS n
+       FROM events WHERE event_type <> 'error' GROUP BY event_type""",
+)
+def kg_audit_anti_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3's AUDIT skip as a predicate + counter (events.error ≅ AUDIT)."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") != "error")
+        .groupBy(F.col("event_type").alias("ds_id"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+@_q(
+    "kg_blobid_minting",
+    """SELECT token,
+              'info:fedora/' || string_split(token, '+')[1] || '/' ||
+              string_split(token, '+')[2] || '/' || string_split(token, '+')[3] AS blob_id
+       FROM (SELECT l_orderkey || ':' || l_linenumber || '+DS' || l_linenumber ||
+                    '+DS' || l_linenumber || '.0' AS token
+             FROM lineitem) t""",
+)
+def kg_blobid_minting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 token -> blob-id minting as pure column expressions
+    (`ObjectProcessor.java:309-327`; encoding-free tokens here, the
+    percent-encoding branch is unit-tested in test_terms.py)."""
+    li = _read(spark, sf_dir, "lineitem")
+    token = F.concat_ws(
+        "+",
+        F.concat(F.col("l_orderkey").cast("string"), F.lit(":"),
+                 F.col("l_linenumber").cast("string")),
+        F.concat(F.lit("DS"), F.col("l_linenumber").cast("string")),
+        F.concat(F.lit("DS"), F.col("l_linenumber").cast("string"), F.lit(".0")),
+    )
+    df = li.select(token.alias("token"))
+    parts = F.split(F.col("token"), r"\+")
+    return df.select(
+        "token",
+        F.concat(F.lit("info:fedora/"), parts[0], F.lit("/"), parts[1],
+                 F.lit("/"), parts[2]).alias("blob_id"),
+    )
+
+
+@_q(
+    "kg_skip_empty_literals",
+    """SELECT 'info:fedora/cust:' || c_custkey AS subj, c_name AS obj_value
+       FROM customer WHERE CASE WHEN c_acctbal < 0 THEN '' ELSE c_name END <> ''""",
+)
+def kg_skip_empty_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 over a derived literal column (negative balances -> empty)."""
+    cust = _read(spark, sf_dir, "customer")
+    df = cust.select(
+        F.concat(F.lit("info:fedora/cust:"), F.col("c_custkey").cast("string")).alias("subj"),
+        F.when(F.col("c_acctbal") < 0, F.lit("")).otherwise(F.col("c_name")).alias("obj_value"),
+        F.lit(True).alias("obj_is_literal"),
+    )
+    return skip_empty_literals(df).select("subj", "obj_value")
+
+
+@_q(
+    "kg_graph_assignment",
+    "SELECT '#ri' AS graph, r_name AS subj FROM region",
+)
+def kg_graph_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8: constant graph column."""
+    df = _read(spark, sf_dir, "region").select(F.col("r_name").alias("subj"))
+    return with_graph(df).select("graph", "subj")
+
+
+@_q(
+    "kg_latest_version_window",
+    """SELECT o_custkey, o_orderkey AS latest_orderkey,
+              strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') AS latest_created
+       FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+             FROM orders) t WHERE rn = 1""",
+)
+def kg_latest_version_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The newest-datastream-version pick (`ObjectProcessor.java:210,:261`)
+    as a window: latest order per customer, deterministic tiebreak."""
+    orders = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("latest_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("latest_created"),
+        )
+    )
+
+
+@_q(
+    "kg_dedup_exact",
+    """SELECT l_orderkey AS subj, l_returnflag AS obj_value,
+              CAST(min(l_linenumber) AS BIGINT) AS witness
+       FROM lineitem GROUP BY l_orderkey, l_returnflag""",
+)
+def kg_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted exact dedup with deterministic min() witness."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("subj"),
+        F.col("l_returnflag").alias("obj_value"),
+        F.col("l_linenumber").cast("long").alias("witness"),
+    )
+    return dedup_exact(li, key=["subj", "obj_value"])
+
+
+@_q(
+    "kg_canonicalize_broadcast",
+    """SELECT o_orderkey, c.c_name AS canonical_owner
+       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""",
+)
+def kg_canonicalize_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-dictionary canonicalization: rewrite the owner alias
+    (custkey) to its canonical name through a broadcast hash join."""
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("o_orderkey", F.col("c_name").alias("canonical_owner"))
+    )
+
+
+@_q(
+    "kg_managed_lookup_join",
+    """SELECT l.l_orderkey, l.l_linenumber, p.p_name AS blob_content
+       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey""",
+)
+def kg_managed_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 MANAGED-content resolution as an equi-join (obj row -> ds store)."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    return li.join(part, li.l_partkey == part.p_partkey).select(
+        "l_orderkey", "l_linenumber", F.col("p_name").alias("blob_content")
+    )
+
+
+@_q(
+    "kg_error_counters",
+    """SELECT o_orderstatus AS error_stage, CAST(count(*) AS BIGINT) AS n_errors
+       FROM orders GROUP BY o_orderstatus""",
+)
+def kg_error_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1/M1 counters as groupBy-count (Extract.java:233-235)."""
+    orders = _read(spark, sf_dir, "orders")
+    return orders.groupBy(F.col("o_orderstatus").alias("error_stage")).agg(
+        F.count("*").cast("long").alias("n_errors")
+    )
+
+
+@_q(
+    "kg_nquads_render",
+    r"""SELECT '<info:fedora/doc:' || doc_id || '> '
+           || '<http://purl.org/dc/elements/1.1/description> '
+           || '"' || replace(replace(replace(replace(replace(text,
+                '\', '\\'), '"', '\"'), chr(10), '\n'), chr(13), '\r'),
+                chr(9), '\t') || '"'
+           || ' <#ri> .' AS line
+        FROM documents""",
+)
+def kg_nquads_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1: deterministic N-Quads serialization as a codegen'd column."""
+    from .functions import nquad_line_col
+
+    docs = _read(spark, sf_dir, "documents")
+    df = docs.select(
+        F.concat(F.lit("info:fedora/doc:"), F.col("doc_id").cast("string")).alias("subj"),
+        F.lit(DC_NAMESPACE + "description").alias("pred"),
+        F.col("text").alias("obj_value"),
+        F.lit(True).alias("obj_is_literal"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+        F.lit(None).cast("string").alias("obj_lang"),
+        F.lit("#ri").alias("graph"),
+    )
+    return df.select(nquad_line_col().alias("line"))
+
+
+@_q(
+    "kg_subject_bucket",
+    """SELECT CAST(strpos('0123456789abcdef', substr(md5('info:fedora/order:' || o_orderkey), 1, 1)) - 1
+              AS BIGINT) AS bucket,
+              CAST(count(*) AS BIGINT) AS n
+       FROM orders GROUP BY 1""",
+)
+def kg_subject_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1 hash-path sharding analog: a 16-way md5 bucket histogram (the
+    production path uses xxhash64, unit-tested separately — md5 is the
+    DuckDB-portable twin)."""
+    orders = _read(spark, sf_dir, "orders")
+    subj = F.concat(F.lit("info:fedora/order:"), F.col("o_orderkey").cast("string"))
+    bucket = (F.instr(F.lit("0123456789abcdef"), F.substring(F.md5(subj), 1, 1)) - 1).cast("long")
+    return orders.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n")
+    )
+
+
+@_q(
+    "kg_set_ops_precision_recall",
+    """WITH got AS (SELECT DISTINCT l_orderkey AS k FROM lineitem WHERE l_discount > 0.05),
+            want AS (SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_totalprice > 100000)
+       SELECT CAST((SELECT count(*) FROM (SELECT k FROM got INTERSECT SELECT k FROM want)) AS BIGINT) AS tp,
+              CAST((SELECT count(*) FROM (SELECT k FROM got EXCEPT SELECT k FROM want)) AS BIGINT) AS fp,
+              CAST((SELECT count(*) FROM (SELECT k FROM want EXCEPT SELECT k FROM got)) AS BIGINT) AS fn""",
+)
+def kg_set_ops_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The P/R harness's set algebra (SidoraExamplesIT.java:97-105 uses
+    model difference the same way): intersect / except counts."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    got = li.filter(F.col("l_discount") > 0.05).select(F.col("l_orderkey").alias("k")).distinct()
+    want = orders.filter(F.col("o_totalprice") > 100000).select(F.col("o_orderkey").alias("k")).distinct()
+    tp = got.intersect(want).count()
+    fp = got.exceptAll(got.intersect(want)).count()
+    fn = want.exceptAll(want.intersect(got)).count()
+    return spark.createDataFrame([(tp, fp, fn)], "tp long, fp long, fn long")
+
+
+# =========================================================================
+# relational breadth: aggregation / sort / top-k
+# =========================================================================
+
+@_q(
+    "tpch_q1_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+              round(sum(l_quantity), 2) AS sum_qty,
+              round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+              round(avg(l_discount), 6) AS avg_disc,
+              CAST(count(*) AS BIGINT) AS count_order
+       FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       GROUP BY l_returnflag, l_linestatus""",
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "topk_orders",
+    """SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
+       FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("totalprice"))
+    )
+
+
+@_q(
+    "star_join_revenue_by_region",
+    """SELECT r.r_name AS region, round(sum(o.o_totalprice), 2) AS revenue,
+              CAST(count(*) AS BIGINT) AS n_orders
+       FROM orders o
+       JOIN customer c ON o.o_custkey = c.c_custkey
+       JOIN nation n ON c.c_nationkey = n.n_nationkey
+       JOIN region r ON n.n_regionkey = r.r_regionkey
+       GROUP BY r.r_name""",
+)
+def star_join_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-dimension star join: fact stream joined to three tiny
+    dims, all broadcast — zero shuffles of the fact side before the agg."""
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation")
+    r = _read(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").cast("long").alias("n_orders"),
+        )
+    )
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_T)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_SQL)

@@ -1,0 +1,108 @@
+"""Local stand-in for the driver's DuckDB cross-check: run every
+queries() entry on Spark and its oracle_sql() on DuckDB over the same
+parquet tables, compare row count, column names, and an order-insensitive
+value hash (columns sorted by name, floats repr'd).
+
+Usage: python tools/check_oracles.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+
+sys.path.insert(0, ".")
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return repr(round(v, 9))
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if v is None:
+        return "\x00null"
+    return str(v)
+
+
+def table_hash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("\x01".join(norm_cell(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode("utf-8"))
+        h.update(b"\n")
+    return h.hexdigest(), lines
+
+
+def main():
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from fcrepo3_rdf_extractor_spark.session import build_session
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = build_session("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            failed.append(name)
+            print(f"FAIL {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            print(f"ok?  {name}: rows-only ({len(s_rows)} rows, no oracle)")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            d_cols = list(rel.columns)
+            d_rows = rel.fetchall()
+        except Exception as e:
+            failed.append(name)
+            print(f"FAIL {name}: duckdb error: {e}")
+            continue
+        problems = []
+        if sorted(s_cols) != sorted(c.lower() for c in d_cols) and sorted(
+            c.lower() for c in s_cols
+        ) != sorted(c.lower() for c in d_cols):
+            problems.append(f"columns {sorted(s_cols)} vs {sorted(d_cols)}")
+        if len(s_rows) != len(d_rows):
+            problems.append(f"rowcount {len(s_rows)} vs {len(d_rows)}")
+        sh, slines = table_hash(s_cols, s_rows)
+        dh, dlines = table_hash(d_cols, d_rows)
+        if sh != dh:
+            sset, dset = set(slines), set(dlines)
+            sample_s = list(sset - dset)[:3]
+            sample_d = list(dset - sset)[:3]
+            problems.append(f"hash mismatch; spark-only={sample_s} duck-only={sample_d}")
+        if problems:
+            failed.append(name)
+            print(f"FAIL {name}: " + " | ".join(problems))
+        else:
+            print(f"OK   {name}: {len(s_rows)} rows")
+    spark.stop()
+    if failed:
+        print("FAILED:", failed)
+        sys.exit(1)
+    print("all oracles match")
+
+
+if __name__ == "__main__":
+    main()
