@@ -1,0 +1,193 @@
+"""Near-duplicate detection for training-data pipelines: exact-hash,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine.
+
+Design for 100 TB:
+- signatures (minhash/simhash/fingerprints) are computed scan-side with
+  pure column expressions — no shuffle, no Python
+- candidate generation shuffles only (band_key, doc_id) pairs — a tiny
+  projection of the corpus — and joins within LSH buckets, never all-pairs
+- verification (exact Jaccard / cosine) runs only on candidate pairs
+- hot buckets (boilerplate-heavy corpora) are bounded by ``max_bucket``:
+  oversized buckets are dropped with a logged count rather than letting
+  one degenerate key quadratically dominate the stage (the skew defense
+  for self-joins; AQE skew-join splits handle the milder cases)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import shingles_col, tokens_col
+
+
+def dedup_exact_docs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup on md5(text): one surviving doc_id (min) per group.
+    groupBy gives map-side partial aggregation; identical boilerplate
+    documents collapse before the shuffle."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_md5"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").cast("long").alias("n_copies"))
+    )
+
+
+# --- MinHash --------------------------------------------------------------
+
+
+def minhash_signature(
+    df: DataFrame, text_col: str = "text", num_hashes: int = 8
+) -> DataFrame:
+    """Per-document MinHash signature: h_i = min over shingles of
+    md5(i || '|' || shingle). String-min over hex digests is a valid
+    min-hash (any total order over a family of independent hashes);
+    md5 keeps the oracle portable. Scan-side only — no shuffle."""
+    sh = shingles_col(F.col(text_col))
+
+    def seeded(i: int):
+        # NB: must be a ONE-argument lambda — a two-parameter lambda would
+        # be interpreted by transform() as (element, index)
+        prefix = f"{i}|"
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    sig = [
+        F.array_min(F.transform(sh, seeded(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return df.select("doc_id", *sig)
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """LSH banding: signature -> ``bands`` band keys; documents sharing any
+    band key become a candidate pair. Output: (doc_a, doc_b) with
+    doc_a < doc_b, distinct across bands.
+
+    The band table is (band_id, band_key, doc_id) — three narrow columns —
+    so the shuffle is tiny relative to the corpus. Buckets larger than
+    ``max_bucket`` are dropped (degenerate boilerplate keys would retain
+    O(n^2) pairs; real pipelines route them to a separate clustering
+    pass)."""
+    hash_cols = [c for c in signatures.columns if c.startswith("h")]
+    assert len(hash_cols) >= bands * rows_per_band
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.concat_ws("|", *[F.col(hash_cols[b * rows_per_band + r])
+                               for r in range(rows_per_band)]).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    exploded = signatures.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_key")
+
+    counts = exploded.groupBy("band_id", "band_key").agg(F.count("*").alias("_n"))
+    bounded = exploded.join(
+        counts.filter(F.col("_n") <= max_bucket), ["band_id", "band_key"]
+    )
+    left = bounded.select("band_id", "band_key", F.col("doc_id").alias("doc_a"))
+    right = bounded.select("band_id", "band_key", F.col("doc_id").alias("doc_b"))
+    return (
+        left.join(right, ["band_id", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    pairs: DataFrame, docs: DataFrame, text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Exact word-k-gram Jaccard for candidate pairs (the verify stage
+    after LSH). Shingle sets are recomputed scan-side and joined twice
+    (the pairs side is small by construction)."""
+    sh = docs.select(
+        "doc_id", F.array_distinct(shingles_col(F.col(text_col), k)).alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    joined = pairs.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return joined.select(
+        "doc_a", "doc_b",
+        F.round(inter / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
+    )
+
+
+def minhash_near_duplicates(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: signature -> banded candidates
+    -> exact-Jaccard verify -> threshold."""
+    sigs = minhash_signature(docs, text_col, num_hashes)
+    cands = minhash_lsh_candidates(sigs, bands=bands, rows_per_band=num_hashes // bands)
+    verified = ngram_jaccard(cands, docs, text_col)
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
+# --- SimHash ----------------------------------------------------------------
+
+
+def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
+    """SimHash over whitespace tokens. Bit j of the signature is the
+    majority vote of bit j across token hashes; we read bit j as "is the
+    j-th hex digit of md5(token) >= 8" (the top bit of each hex digit),
+    which caps bits at 32 and keeps the construction portable to any SQL
+    engine. Hamming-close signatures => similar token multisets."""
+    assert bits <= 32
+    toks = F.array_distinct(tokens_col(F.col(text_col)))
+    n = F.size(toks)
+    hexdigits = list("89abcdef")
+
+    def bit_test(j: int):
+        # one-argument lambda on purpose (see minhash_signature note)
+        return lambda t: F.substring(F.md5(t), j + 1, 1).isin(hexdigits)
+
+    bit_cols = []
+    for j in range(bits):
+        ones = F.size(F.filter(toks, bit_test(j)))
+        bit_cols.append(F.when(ones * 2 > n, F.lit(1 << j)).otherwise(F.lit(0)))
+    sig = sum(bit_cols)
+    return df.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+# --- embedding near-dup -------------------------------------------------------
+
+
+def embedding_near_duplicates(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    sign_bits: int = 4,
+    max_bucket: int = 5000,
+) -> DataFrame:
+    """Embedding-cosine near-dup: LSH by the sign pattern of the first
+    ``sign_bits`` dimensions (a fixed, deterministic hyperplane family),
+    exact cosine within buckets. Vectors whose bucket exceeds
+    ``max_bucket`` fall back to... nothing here — they are dropped, same
+    skew policy as minhash_lsh_candidates."""
+    from .similarity import cosine_col
+
+    key = F.concat_ws(
+        "", *[(F.element_at("embedding", i + 1) > 0).cast("int").cast("string")
+              for i in range(sign_bits)]
+    )
+    with_key = emb.select("vec_id", "embedding", key.alias("bucket"))
+    counts = with_key.groupBy("bucket").agg(F.count("*").alias("_n"))
+    bounded = with_key.join(counts.filter(F.col("_n") <= max_bucket), "bucket")
+    a = bounded.select("bucket", F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"))
+    b = bounded.select("bucket", F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"))
+    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    cos = cosine_col(F.col("e_a"), F.col("e_b"))
+    return (
+        pairs.select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

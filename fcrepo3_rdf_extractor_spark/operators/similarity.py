@@ -1,0 +1,102 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- ``brute_force_topk``: exact cosine top-k — the correctness baseline.
+  The dot product is a JVM-side ``zip_with``+``aggregate`` fold in
+  DOUBLE (sequential, so bit-identical to any engine folding the same
+  list left-to-right); no UDF.
+- ``lsh_topk``: the scale path — sign-bit LSH restricts the scan to the
+  query's bucket (probing neighbors at increasing Hamming radius widens
+  recall). At 10^9+ vectors the bucketed table is what you materialize,
+  bucket id as a partition column => partition pruning turns top-k into
+  a handful-of-partitions scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm_col(a: Column) -> Column:
+    return F.sqrt(dot_col(a, a))
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+def sign_bucket_col(emb: Column, sign_bits: int = 4) -> Column:
+    """Deterministic LSH bucket: concatenated sign bits of the leading
+    dimensions (a fixed axis-aligned hyperplane family)."""
+    return F.concat_ws(
+        "", *[(F.element_at(emb, i + 1) > 0).cast("int").cast("string")
+              for i in range(sign_bits)]
+    )
+
+
+def _query_vector(emb: DataFrame, query_id: int) -> DataFrame:
+    return F.broadcast(
+        emb.filter(F.col("vec_id") == query_id).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        )
+    )
+
+
+def brute_force_topk(emb: DataFrame, query_id: int, k: int = 10) -> DataFrame:
+    """Exact top-k by cosine to the query vector (itself excluded).
+    Broadcast of the single query row; ordering tiebreaks on vec_id so
+    results are total-ordered and reproducible. TakeOrderedAndProject —
+    no full sort materialization."""
+    q = _query_vector(emb, query_id)
+    scored = (
+        emb.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "vec_id",
+            F.round(cosine_col(F.col("embedding"), F.col("q_emb")), 6).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(k)
+
+
+def lsh_topk(emb: DataFrame, query_id: int, k: int = 10, sign_bits: int = 4) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's sign bucket.
+    The bucket predicate prunes the scan before any scoring work."""
+    q = _query_vector(emb, query_id).withColumn(
+        "q_bucket", sign_bucket_col(F.col("q_emb"), sign_bits)
+    )
+    bucketed = emb.withColumn("bucket", sign_bucket_col(F.col("embedding"), sign_bits))
+    scored = (
+        bucketed.join(q, bucketed["bucket"] == q["q_bucket"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "vec_id",
+            F.round(cosine_col(F.col("embedding"), F.col("q_emb")), 6).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(k)
+
+
+def ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest centroid
+    (broadcast the centroid table, argmin over cosine). ``centroids`` has
+    (centroid_id, centroid) columns. At scale, write the output
+    partitioned by centroid_id; queries then scan nprobe partitions."""
+    c = F.broadcast(centroids)
+    scored = emb.crossJoin(c).select(
+        "vec_id", "centroid_id",
+        cosine_col(F.col("embedding"), F.col("centroid")).alias("cos"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "centroid_id", F.round("cos", 6).alias("cosine"))
+    )

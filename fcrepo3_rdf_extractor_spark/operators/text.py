@@ -1,0 +1,147 @@
+"""Text-analysis operators for training-data pipelines: tokenization,
+shingling, language-ID, quality scoring, token counting, fingerprinting.
+
+All pure ``pyspark.sql.functions`` column expressions — JVM-side,
+whole-stage-codegen'd, no Python per row. Each has a DuckDB-mirrorable
+formulation (see queries.py) so correctness is oracle-checked, and each
+streams embarrassingly parallel over document partitions (no shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# tokenization / shingling
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokenization of lowercased trimmed text."""
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def shingles_col(text: Column, k: int = 3) -> Column:
+    """Word k-gram shingles; texts with fewer than k words yield one
+    shingle = the whole (normalized) text."""
+    words = tokens_col(text)
+    n = F.size(words)
+
+    def gram(i: Column) -> Column:
+        parts = [F.element_at(words, i + off) for off in range(k)]
+        return F.concat_ws(" ", *parts)
+
+    return F.when(
+        n >= k, F.transform(F.sequence(F.lit(1), n - (k - 1)), gram)
+    ).otherwise(F.array(F.concat_ws(" ", words)))
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count plus a BPE-ish subword estimate (characters
+    / 3.8 is the classic ~bytes-per-token heuristic, kept integral and
+    deterministic as ceil(chars/4))."""
+    t = F.col(text_col)
+    return df.select(
+        "doc_id",
+        F.size(tokens_col(t)).cast("long").alias("n_tokens"),
+        F.ceil(F.length(t) / 4).cast("long").alias("n_subword_est"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# language identification (marker-token heuristic)
+
+#: marker substrings per language; counting is done with the
+#: replace-length trick so any SQL engine reproduces it exactly
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of "],
+    "es": [" el ", " la ", " de "],
+    "fr": [" le ", " la ", " et "],
+    "de": [" der ", " die ", " und "],
+    "zh": ["的", "是", "了"],
+}
+
+
+def _count_marker(text: Column, marker: str) -> Column:
+    return (F.length(text) - F.length(F.replace(text, F.lit(marker)))) / len(marker)
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    return {
+        lang: sum(_count_marker(padded, m) for m in markers).cast("long")
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic n-gram/marker language ID: argmax of marker counts,
+    ties broken by language code order, 'und' when no marker hits."""
+    scores = lang_scores(F.col(text_col))
+    langs = sorted(scores)  # deterministic tie order
+    best_score = F.greatest(*[scores[lang] for lang in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):  # earliest alphabetical wins ties
+        pred = F.when((scores[lang] > 0) & (scores[lang] == best_score), F.lit(lang)).otherwise(pred)
+    out = df.select(
+        "doc_id",
+        *[scores[lang].alias(f"score_{lang}") for lang in langs],
+        pred.alias("pred_lang"),
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+
+STOPWORDS = [" the ", " a ", " an ", " and ", " or ", " of ", " to ", " in "]
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation-ratio / stopword-ratio quality features with a
+    single blended score in [0,1]. Pure arithmetic, oracle-mirrorable."""
+    t = F.col(text_col)
+    padded = F.concat(F.lit(" "), F.lower(t), F.lit(" "))
+    n_chars = F.length(t)
+    n_words = F.size(tokens_col(t))
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[.,;:!?'\"()\[\]{}]", ""))
+    n_stop = sum(_count_marker(padded, w) for w in STOPWORDS)
+    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4)
+    stop_ratio = F.round(n_stop / F.greatest(n_words, F.lit(1)), 4)
+    mean_word_len = F.round(
+        F.length(F.regexp_replace(t, r"\s+", "")) / F.greatest(n_words, F.lit(1)), 4
+    )
+    length_ok = (n_chars >= 20) & (n_chars <= 100000)
+    score = F.round(
+        (F.when(length_ok, 0.4).otherwise(0.0))
+        + F.when(stop_ratio > 0.01, 0.3).otherwise(0.0)
+        + F.when((mean_word_len >= 2) & (mean_word_len <= 12), 0.3).otherwise(0.0),
+        4,
+    )
+    return df.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        n_words.cast("long").alias("n_words"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        mean_word_len.alias("mean_word_len"),
+        score.alias("quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# fingerprinting
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprints: md5 of whitespace-normalized text (exact
+    identity) + the minimum shingle hash (robust 'winnowing-style' content
+    anchor — equal for documents sharing their rarest shingle)."""
+    t = F.col(text_col)
+    normalized = F.concat_ws(" ", tokens_col(t))
+    min_shingle_hash = F.array_min(F.transform(shingles_col(t), F.md5))
+    return df.select(
+        "doc_id",
+        F.md5(normalized).alias("content_fp"),
+        min_shingle_hash.alias("min_shingle_fp"),
+    )

@@ -476,6 +476,353 @@ def star_join_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =========================================================================
+# training-data pipeline ops: dedup / similarity / text / multimodal
+# =========================================================================
+
+# shared SQL fragments mirroring operators/text.py exactly
+_WORDS = "string_split_regex(trim(lower(text)), '\\s+')"
+_SHINGLES = (
+    f"CASE WHEN len({_WORDS}) >= 3 THEN "
+    f"[w[i] || ' ' || w[i+1] || ' ' || w[i+2] "
+    f" for i in generate_series(1, len(w)-2)] "
+    f"ELSE [array_to_string(w, ' ')] END"
+)
+
+
+@_q(
+    "docs_dedup_exact",
+    """SELECT md5(text) AS content_md5, min(doc_id) AS keep_doc_id,
+              CAST(count(*) AS BIGINT) AS n_copies
+       FROM documents GROUP BY md5(text)""",
+)
+def docs_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup_approx import dedup_exact_docs
+
+    return dedup_exact_docs(_read(spark, sf_dir, "documents"))
+
+
+@_q(
+    "docs_token_count",
+    f"""SELECT doc_id, CAST(len({_WORDS}) AS BIGINT) AS n_tokens,
+               CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subword_est
+        FROM documents""",
+)
+def docs_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import token_count
+
+    return token_count(_read(spark, sf_dir, "documents"))
+
+
+def _lang_score_sql(markers: list[str]) -> str:
+    padded = "(' ' || lower(text) || ' ')"
+    parts = [
+        f"(length({padded}) - length(replace({padded}, '{m}', ''))) / {len(m)}"
+        for m in markers
+    ]
+    return "CAST((" + " + ".join(parts) + ") AS BIGINT)"
+
+
+def _langid_oracle() -> str:
+    from .operators.text import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    scores = {lang: _lang_score_sql(LANG_MARKERS[lang]) for lang in langs}
+    score_cols = ", ".join(f"{scores[l]} AS score_{l}" for l in langs)
+    best = "greatest(" + ", ".join(f"score_{l}" for l in langs) + ")"
+    pred = "'und'"
+    for lang in reversed(langs):
+        pred = (
+            f"CASE WHEN score_{lang} > 0 AND score_{lang} = {best} "
+            f"THEN '{lang}' ELSE {pred} END"
+        )
+    return (
+        f"SELECT doc_id, score_de, score_en, score_es, score_fr, score_zh, "
+        f"{pred} AS pred_lang FROM (SELECT doc_id, {score_cols} FROM documents) t"
+    )
+
+
+@_q("docs_language_id", _langid_oracle())
+def docs_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import language_id
+
+    return language_id(_read(spark, sf_dir, "documents"))
+
+
+@_q(
+    "docs_quality_score",
+    f"""SELECT doc_id,
+          CAST(length(text) AS BIGINT) AS n_chars,
+          CAST(len({_WORDS}) AS BIGINT) AS n_words,
+          round((length(text) - length(regexp_replace(text,
+                '[.,;:!?''"()\\[\\]{{}}]', '', 'g'))) /
+                greatest(length(text), 1), 4) AS punct_ratio,
+          round(stop_n / greatest(len({_WORDS}), 1), 4) AS stopword_ratio,
+          round(length(regexp_replace(text, '\\s+', '', 'g')) /
+                greatest(len({_WORDS}), 1), 4) AS mean_word_len,
+          round((CASE WHEN length(text) BETWEEN 20 AND 100000 THEN 0.4 ELSE 0.0 END)
+              + (CASE WHEN round(stop_n / greatest(len({_WORDS}), 1), 4) > 0.01
+                      THEN 0.3 ELSE 0.0 END)
+              + (CASE WHEN length(regexp_replace(text, '\\s+', '', 'g')) /
+                           greatest(len({_WORDS}), 1)
+                      BETWEEN 2 AND 12 THEN 0.3 ELSE 0.0 END), 4) AS quality
+        FROM (SELECT *, {_lang_score_sql([" the ", " a ", " an ", " and ", " or ", " of ", " to ", " in "])} AS stop_n
+              FROM documents) t""",
+)
+def docs_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import quality_score
+
+    return quality_score(_read(spark, sf_dir, "documents"))
+
+
+@_q(
+    "docs_fingerprint",
+    f"""SELECT doc_id,
+          md5(array_to_string(w, ' ')) AS content_fp,
+          list_min([md5(s) for s in sh]) AS min_shingle_fp
+        FROM (SELECT doc_id, w, {_SHINGLES} AS sh
+              FROM (SELECT doc_id, {_WORDS} AS w, text FROM documents) a) b""",
+)
+def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import fingerprint
+
+    return fingerprint(_read(spark, sf_dir, "documents"))
+
+
+_MINHASH_SQL = ", ".join(
+    f"list_min([md5('{i}|' || s) for s in sh]) AS h{i}" for i in range(8)
+)
+
+
+@_q(
+    "docs_minhash_signature",
+    f"""SELECT doc_id, {_MINHASH_SQL}
+        FROM (SELECT doc_id, {_SHINGLES} AS sh
+              FROM (SELECT doc_id, {_WORDS} AS w, text FROM documents) a) b""",
+)
+def docs_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup_approx import minhash_signature
+
+    return minhash_signature(_read(spark, sf_dir, "documents"))
+
+
+@_q(
+    "docs_minhash_neardup",
+    f"""WITH sig AS (
+          SELECT doc_id, sh, {_MINHASH_SQL}
+          FROM (SELECT doc_id, {_SHINGLES} AS sh
+                FROM (SELECT doc_id, {_WORDS} AS w, text FROM documents) a) b),
+        bands AS (
+          SELECT doc_id, 0 AS band_id, h0 || '|' || h1 AS band_key FROM sig
+          UNION ALL SELECT doc_id, 1, h2 || '|' || h3 FROM sig
+          UNION ALL SELECT doc_id, 2, h4 || '|' || h5 FROM sig
+          UNION ALL SELECT doc_id, 3, h6 || '|' || h7 FROM sig),
+        cands AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id),
+        verified AS (
+          SELECT c.doc_a, c.doc_b,
+                 round(len(list_intersect(list_distinct(sa.sh), list_distinct(sb.sh)))::DOUBLE
+                       / greatest(len(list_distinct(sa.sh || sb.sh)), 1), 6) AS jaccard
+          FROM cands c
+          JOIN sig sa ON sa.doc_id = c.doc_a
+          JOIN sig sb ON sb.doc_id = c.doc_b)
+        SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.5""",
+)
+def docs_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup_approx import minhash_near_duplicates
+
+    return minhash_near_duplicates(
+        _read(spark, sf_dir, "documents"), threshold=0.5, num_hashes=8, bands=4
+    )
+
+
+_SIMHASH_BITS = 16
+_SIMHASH_SQL = " + ".join(
+    f"(CASE WHEN 2 * len(list_filter(toks, t -> substr(md5(t), {j + 1}, 1) IN "
+    f"('8','9','a','b','c','d','e','f'))) > len(toks) THEN {1 << j} ELSE 0 END)"
+    for j in range(_SIMHASH_BITS)
+)
+
+
+@_q(
+    "docs_simhash",
+    f"""SELECT doc_id, CAST({_SIMHASH_SQL} AS BIGINT) AS simhash
+        FROM (SELECT doc_id, list_distinct({_WORDS}) AS toks FROM documents) t""",
+)
+def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup_approx import simhash
+
+    return simhash(_read(spark, sf_dir, "documents"), bits=_SIMHASH_BITS)
+
+
+# --- embeddings -----------------------------------------------------------
+
+_COS_SQL = (
+    "list_sum([x[1]*x[2] for x in list_zip({a}, {b})]) / "
+    "(sqrt(list_sum([x*x for x in {a}])) * sqrt(list_sum([x*x for x in {b}])))"
+)
+
+
+@_q(
+    "emb_cosine_topk",
+    f"""WITH q AS (SELECT embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id = 0),
+        scored AS (
+          SELECT vec_id,
+                 round({_COS_SQL.format(a='embedding::DOUBLE[]', b='q_emb')}, 6) AS cosine
+          FROM embeddings CROSS JOIN q WHERE vec_id <> 0)
+        SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10""",
+)
+def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import brute_force_topk
+
+    return brute_force_topk(_read(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
+_BUCKET_SQL = (
+    "concat(CAST((embedding[1] > 0) AS INT), CAST((embedding[2] > 0) AS INT), "
+    "CAST((embedding[3] > 0) AS INT), CAST((embedding[4] > 0) AS INT))"
+)
+
+
+@_q(
+    "emb_lsh_topk",
+    f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, {_BUCKET_SQL} AS bucket
+                   FROM embeddings),
+        q AS (SELECT emb AS q_emb, bucket AS q_bucket FROM e WHERE vec_id = 0),
+        scored AS (
+          SELECT vec_id, round({_COS_SQL.format(a='emb', b='q_emb')}, 6) AS cosine
+          FROM e JOIN q ON e.bucket = q.q_bucket WHERE vec_id <> 0)
+        SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10""",
+)
+def emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import lsh_topk
+
+    return lsh_topk(_read(spark, sf_dir, "embeddings"), query_id=0, k=10, sign_bits=4)
+
+
+@_q(
+    "emb_near_duplicates",
+    f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, {_BUCKET_SQL} AS bucket
+                   FROM embeddings),
+        pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 round({_COS_SQL.format(a='a.emb', b='b.emb')}, 6) AS cosine
+          FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.45""",
+)
+def emb_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup_approx import embedding_near_duplicates
+
+    return embedding_near_duplicates(
+        _read(spark, sf_dir, "embeddings"), threshold=0.45, sign_bits=4
+    )
+
+
+@_q(
+    "emb_ivf_assign",
+    f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        c AS (SELECT vec_id AS centroid_id, emb AS centroid FROM e WHERE vec_id < 8),
+        scored AS (
+          SELECT vec_id, centroid_id,
+                 {_COS_SQL.format(a='emb', b='centroid')} AS cos
+          FROM e CROSS JOIN c),
+        ranked AS (
+          SELECT vec_id, centroid_id, cos,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY cos DESC, centroid_id) AS rn
+          FROM scored)
+        SELECT vec_id, centroid_id, round(cos, 6) AS cosine FROM ranked WHERE rn = 1""",
+)
+def emb_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ivf_assign
+
+    emb = _read(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+    )
+    return ivf_assign(emb, centroids)
+
+
+# --- multimodal -------------------------------------------------------------
+
+
+@_q(
+    "mm_media_metadata",
+    """SELECT doc_id AS media_id, 'image' AS kind,
+              CAST(strlen(text) AS BIGINT) AS n_bytes,
+              sha256(text) AS payload_sha256
+       FROM documents""",
+)
+def mm_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import documents_as_media
+
+    media = documents_as_media(_read(spark, sf_dir, "documents"))
+    return media.select("media_id", "kind", "n_bytes", "payload_sha256")
+
+
+@_q(
+    "mm_resize_plan",
+    """SELECT media_id, width, height,
+              CAST(round(width * (224.0 / least(width, height))) AS INT) AS out_width,
+              CAST(round(height * (224.0 / least(width, height))) AS INT) AS out_height
+       FROM (SELECT doc_id AS media_id,
+                    64 + (strlen(text) % 1024) AS width,
+                    64 + ((strlen(text) // 7) % 1024) AS height
+             FROM documents) t""",
+)
+def mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exercises the full binary plumbing: text -> payload bytes ->
+    mapInPandas fake-decode (width/height derived from byte length) ->
+    JVM-side resize arithmetic. The oracle restates the fake codec's
+    arithmetic relationally."""
+    from .operators.multimodal import (
+        documents_as_media,
+        extract_media_features,
+        resize_metadata,
+    )
+
+    media = documents_as_media(_read(spark, sf_dir, "documents"))
+    feats = extract_media_features(media, decode_stub="fake")
+    return resize_metadata(feats, target=224)
+
+
+@_q("mm_frame_sampling")  # rows-only: byte-slice oracle is not portable SQL
+def mm_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import documents_as_media, sample_frames
+
+    media = documents_as_media(_read(spark, sf_dir, "documents"))
+    return sample_frames(media, every_n=16, max_frames=8)
+
+
+# --- events (stream-shaped batch analog) ------------------------------------
+
+
+@_q(
+    "events_tumbling_window",
+    """SELECT strftime(date_trunc('day', ts), '%Y-%m-%dT%H:%M:%SZ') AS window_start,
+              event_type, CAST(count(*) AS BIGINT) AS n,
+              round(sum(value), 4) AS total_value
+       FROM events GROUP BY 1, 2""",
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (batch twin of the Structured
+    Streaming plan in streaming/extract_stream.py)."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("DAY", "ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(_T)
 

@@ -1,0 +1,204 @@
+"""Unit tests for the training-data pipeline operators: near-dup
+detection finds planted duplicates, similarity search agrees with a
+NumPy oracle, text analysis and multimodal plumbing behave."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fcrepo3_rdf_extractor_spark.operators.dedup_approx import (
+    dedup_exact_docs,
+    embedding_near_duplicates,
+    minhash_lsh_candidates,
+    minhash_near_duplicates,
+    minhash_signature,
+    ngram_jaccard,
+    simhash,
+)
+from fcrepo3_rdf_extractor_spark.operators.multimodal import (
+    documents_as_media,
+    extract_media_features,
+    resize_metadata,
+    sample_frames,
+)
+from fcrepo3_rdf_extractor_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_assign,
+    lsh_topk,
+)
+from fcrepo3_rdf_extractor_spark.operators.text import (
+    fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+)
+
+BASE = ("the quick brown fox jumps over the lazy dog and then runs far away "
+        "into the deep green forest to find some quiet rest").split()
+
+
+def _docs(spark):
+    texts = {
+        0: " ".join(BASE),
+        1: " ".join(BASE),                                   # exact dup of 0
+        2: " ".join(BASE[:-1] + ["nap"]),                    # near dup of 0
+        3: "completely different content about spark shuffles and parquet readers",
+        4: "el perro corre por la casa de la abuela en el campo",
+    }
+    return spark.createDataFrame(
+        [(k, v) for k, v in sorted(texts.items())], "doc_id long, text string"
+    )
+
+
+def test_dedup_exact_docs(spark):
+    out = {r.keep_doc_id: r.n_copies for r in dedup_exact_docs(_docs(spark)).collect()}
+    assert out[0] == 2  # docs 0 and 1 collapse, min id kept
+    assert sum(out.values()) == 5
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    docs = _docs(spark)
+    pairs = {(r.doc_a, r.doc_b): r.jaccard
+             for r in minhash_near_duplicates(docs, threshold=0.5).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.8
+    assert (1, 2) in pairs
+    assert all(3 not in p and 4 not in p for p in pairs)
+
+
+def test_minhash_signature_deterministic(spark):
+    docs = _docs(spark)
+    a = sorted(map(tuple, minhash_signature(docs).collect()))
+    b = sorted(map(tuple, minhash_signature(docs).collect()))
+    assert a == b
+    # identical docs -> identical signatures
+    sig = {r.doc_id: tuple(r)[1:] for r in minhash_signature(docs).collect()}
+    assert sig[0] == sig[1]
+
+
+def test_lsh_bucket_bound_drops_degenerate_buckets(spark):
+    # 50 identical docs -> one giant bucket; max_bucket=10 must drop it
+    docs = spark.createDataFrame(
+        [(i, "same same same words here") for i in range(50)], "doc_id long, text string"
+    )
+    sigs = minhash_signature(docs)
+    assert minhash_lsh_candidates(sigs, max_bucket=10).count() == 0
+    assert minhash_lsh_candidates(sigs, max_bucket=100).count() == 50 * 49 // 2
+
+
+def test_ngram_jaccard_exact_values(spark):
+    docs = _docs(spark)
+    pairs = spark.createDataFrame([(0, 1), (0, 3)], "doc_a long, doc_b long")
+    j = {(r.doc_a, r.doc_b): r.jaccard for r in ngram_jaccard(pairs, docs).collect()}
+    assert j[(0, 1)] == 1.0
+    assert j[(0, 3)] == 0.0
+
+
+def test_simhash_similar_docs_close(spark):
+    out = {r.doc_id: r.simhash for r in simhash(_docs(spark)).collect()}
+    assert out[0] == out[1]
+    ham_near = bin(out[0] ^ out[2]).count("1")
+    ham_far = bin(out[0] ^ out[3]).count("1")
+    assert ham_near <= ham_far
+
+
+def _emb(spark, n=64, dim=16):
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(n, dim).astype("float32")
+    vecs[1] = vecs[0] * 1.5          # same direction as 0 -> cosine 1
+    vecs[2] = vecs[0] + rng.randn(dim).astype("float32") * 0.05
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+        vecs,
+    )
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    emb, vecs = _emb(spark)
+    got = [(r.vec_id, r.cosine) for r in brute_force_topk(emb, query_id=0, k=5).collect()]
+    v = vecs.astype("float64")
+    cos = (v @ v[0]) / (np.linalg.norm(v, axis=1) * np.linalg.norm(v[0]))
+    order = sorted((i for i in range(len(v)) if i != 0),
+                   key=lambda i: (-round(cos[i], 6), i))[:5]
+    assert [g[0] for g in got] == order
+    assert got[0][0] == 1 and got[0][1] == 1.0  # scaled copy of the query
+    assert got[1][0] == 2                        # noisy copy next
+
+
+def test_lsh_topk_subset_of_bucket(spark):
+    emb, vecs = _emb(spark)
+    got = lsh_topk(emb, query_id=0, k=5, sign_bits=4).collect()
+    # every hit shares the query's sign bucket
+    qsig = tuple(vecs[0][:4] > 0)
+    for r in got:
+        assert tuple(np.array(vecs[r.vec_id][:4]) > 0) == qsig
+    assert got[0].vec_id == 1
+
+
+def test_embedding_near_duplicates(spark):
+    emb, _ = _emb(spark)
+    pairs = {(r.id_a, r.id_b): r.cosine
+             for r in embedding_near_duplicates(emb, threshold=0.95).collect()}
+    assert (0, 1) in pairs and (0, 2) in pairs and (1, 2) in pairs
+    assert len(pairs) == 3
+
+
+def test_ivf_assign_puts_centroid_on_itself(spark):
+    emb, _ = _emb(spark)
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+    )
+    out = {r.vec_id: r.centroid_id for r in ivf_assign(emb, cents).collect()}
+    for c in range(4):
+        assert out[c] == c
+    assert out[1] == 1 and out[2] == 0 or out[2] == 2  # 2 is nearly parallel to 0
+
+
+def test_token_count_and_quality(spark):
+    docs = _docs(spark)
+    tc = {r.doc_id: r.n_tokens for r in token_count(docs).collect()}
+    assert tc[0] == len(BASE)
+    q = {r.doc_id: r for r in quality_score(docs).collect()}
+    assert q[0].quality == 1.0  # long, stopword-rich, sane word length
+    assert 0 <= q[3].punct_ratio <= 1
+
+
+def test_language_id(spark):
+    out = {r.doc_id: r.pred_lang for r in language_id(_docs(spark)).collect()}
+    assert out[0] == "en"
+    assert out[4] == "es"
+
+
+def test_fingerprint_whitespace_invariant(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b  c"), (1, "A   b\tc"), (2, "a b d")], "doc_id long, text string"
+    )
+    fp = {r.doc_id: (r.content_fp, r.min_shingle_fp) for r in fingerprint(docs).collect()}
+    assert fp[0] == fp[1]      # case/whitespace-normalized identity
+    assert fp[0] != fp[2]
+
+
+def test_multimodal_pipeline_fake_decode(spark):
+    docs = _docs(spark)
+    media = documents_as_media(docs)
+    feats = extract_media_features(media, decode_stub="fake")
+    rows = {r.media_id: r for r in feats.collect()}
+    n = {r.media_id: r.n_bytes for r in media.collect()}
+    for mid, r in rows.items():
+        assert r.width == 64 + (n[mid] % 1024)
+        assert len(r.feature) == 16
+        assert abs(sum(r.feature) - 1.0) < 0.01
+    plan = resize_metadata(feats).collect()
+    assert all(min(p.out_width, p.out_height) == 224 for p in plan)
+    frames = sample_frames(media, every_n=16, max_frames=8)
+    per_doc = {r[0]: r[1] for r in frames.groupBy("media_id").count().collect()}
+    assert all(1 <= c <= 8 for c in per_doc.values())
+
+
+def test_multimodal_raise_stub(spark):
+    media = documents_as_media(_docs(spark))
+    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+        extract_media_features(media, decode_stub="raise").collect()
