@@ -1,0 +1,213 @@
+#!/usr/bin/env python
+"""Benchmark harness for the driver and for local iteration.
+
+Default mode: runs the headline queries at ``$SPARK_GRAFT_SF_DIR``
+(default ``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and
+prints ONE JSON line::
+
+    {"metric": "headline_total", "value": <sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "triples_per_sec": ...}
+
+Other modes:
+  --scaling           run the extraction throughput job at two parallelism
+                      levels (8 and 32 cores by default) in fresh
+                      subprocesses (one JVM each) and report scaling
+                      efficiency = (tps_hi / tps_lo) / (hi / lo) — the
+                      sandbox stand-in for the north rule's N vs 4N
+                      executors.
+  --throughput --cores N   internal single-run worker used by --scaling;
+                      prints its own JSON line.
+
+Timing protocol: each query is materialized with a `noop` write (full
+execution, nothing collected to the driver); one warmup pass reads every
+input table so JVM/codegen warmup and OS page cache are amortized out of
+the measured numbers.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: the queries the driver's BENCH_r{N}.json is graded on — a spread over
+#: the engine's surface: full KG pipeline, dedup, similarity, text,
+#: relational agg/join. Names match __spark_entry__.queries().
+HEADLINE = [
+    "kg_extract_orders",
+    "kg_dedup_exact",
+    "docs_dedup_exact",
+    "docs_minhash_neardup",
+    "docs_quality_score",
+    "emb_cosine_topk",
+    "tpch_q1_pricing_summary",
+    "star_join_revenue_by_region",
+]
+
+
+def _materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _warm_python_workers(spark, cores: int) -> None:
+    """Fork + warm one Python worker per core (pandas/pyarrow import and
+    the worker daemon fork dominate first-task latency; a long-lived
+    cluster's executors keep workers warm, so measuring cold forks would
+    misstate steady-state throughput)."""
+    import pandas as pd
+
+    def touch(batches):
+        for pdf in batches:
+            yield pd.DataFrame({"x": [len(pdf)]})
+
+    spark.range(cores * 4, numPartitions=cores).mapInPandas(
+        touch, "x long"
+    ).write.format("noop").mode("overwrite").save()
+
+
+def _sf_label(sf_dir: str) -> float | str:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    if base.startswith("sf"):
+        try:
+            return float(base[2:])
+        except ValueError:
+            pass
+    return base
+
+
+def run_headline(sf_dir: str, cores: int) -> dict:
+    import __spark_entry__ as entrymod
+    from fcrepo3_rdf_extractor_spark.session import build_session
+
+    spark = build_session("bench", cores=cores)
+    qs = entrymod.queries()
+
+    # warmup: touch every parquet input once (page cache + codegen)
+    for t in ("orders", "lineitem", "customer", "nation", "region",
+              "documents", "embeddings", "events", "part", "supplier"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+    _warm_python_workers(spark, cores)
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        # one untimed pass per query: whole-stage codegen compiles (and
+        # caches) on first execution; production jobs pay this once per
+        # long-lived session, so steady state is the honest number
+        _materialize(qs[name](spark, sf_dir))
+        df = qs[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        _materialize(df)
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # flagship triples/sec on the full extraction pipeline
+    n_triples = qs["kg_extract_orders"](spark, sf_dir).count()
+    tps = round(n_triples / timings["kg_extract_orders"], 1)
+
+    spark.stop()
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_label(sf_dir),
+        "cores": cores,
+        "triples": n_triples,
+        "triples_per_sec": tps,
+    }
+
+
+def run_throughput(sf_dir: str, cores: int) -> dict:
+    """One extraction-throughput measurement: synthesize FOXML from
+    orders, run the full plan (parse -> graph -> skip-empty -> dedup),
+    materialize with noop. The source is repartitioned to 4x cores so
+    the measurement reflects UDF throughput, not the accident of the
+    input's file count (at 100 TB, input splits provide this for free)."""
+    from pyspark.sql import functions as F
+
+    from fcrepo3_rdf_extractor_spark.operators.extractor import triples_only
+    from fcrepo3_rdf_extractor_spark.plans.pipeline import ExtractConfig, extract_plan
+    from fcrepo3_rdf_extractor_spark.session import build_session
+    from fcrepo3_rdf_extractor_spark.sources.source_table import (
+        synthesize_foxml_from_orders,
+    )
+
+    spark = build_session(f"bench-throughput-{cores}", cores=cores)
+    _warm_python_workers(spark, cores)
+    source = synthesize_foxml_from_orders(spark, sf_dir).repartition(cores * 4)
+    source = source.persist()
+    n_objects = source.count()  # warmup + pin the synthesized input
+
+    out = extract_plan(source, ExtractConfig(skip_empty=True, dedup=True))
+    _materialize(out)  # untimed codegen-compile pass (see run_headline)
+    t0 = time.perf_counter()
+    _materialize(out)
+    sec = time.perf_counter() - t0
+    n_triples = triples_only(out).count()
+    source.unpersist()
+    spark.stop()
+    return {
+        "cores": cores,
+        "sec": round(sec, 3),
+        "objects": n_objects,
+        "triples": n_triples,
+        "triples_per_sec": round(n_triples / sec, 1),
+        "sf": _sf_label(sf_dir),
+    }
+
+
+def run_scaling(sf_dir: str, lo: int, hi: int) -> dict:
+    """Spawn a fresh interpreter+JVM per parallelism level (a shared JVM
+    would reuse the first master setting) and compute efficiency."""
+    results = {}
+    for cores in (lo, hi):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--throughput", "--cores", str(cores), "--sf-dir", sf_dir],
+            capture_output=True, text=True, check=True,
+        )
+        results[cores] = json.loads(proc.stdout.strip().splitlines()[-1])
+    tps_lo = results[lo]["triples_per_sec"]
+    tps_hi = results[hi]["triples_per_sec"]
+    eff = round((tps_hi / tps_lo) / (hi / lo), 3)
+    return {
+        "metric": "scaling_efficiency",
+        "value": eff,
+        "unit": "ratio",
+        "queries": {f"extract_local[{lo}]": results[lo]["sec"],
+                    f"extract_local[{hi}]": results[hi]["sec"]},
+        "sf": _sf_label(sf_dir),
+        "lo": results[lo],
+        "hi": results[hi],
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ap.add_argument("--cores", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--throughput", action="store_true")
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scale-lo", type=int, default=8)
+    ap.add_argument("--scale-hi", type=int, default=32)
+    args = ap.parse_args()
+
+    if args.throughput:
+        out = run_throughput(args.sf_dir, args.cores)
+    elif args.scaling:
+        out = run_scaling(args.sf_dir, args.scale_lo, args.scale_hi)
+    else:
+        out = run_headline(args.sf_dir, args.cores)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -21,10 +21,17 @@ def tokens_col(text: Column) -> Column:
     return F.split(F.lower(F.trim(text)), r"\s+")
 
 
-def shingles_col(text: Column, k: int = 3) -> Column:
-    """Word k-gram shingles; texts with fewer than k words yield one
-    shingle = the whole (normalized) text."""
-    words = tokens_col(text)
+def shingles_of(words: Column, k: int = 3) -> Column:
+    """Word k-gram shingles from a *materialized* token-array column;
+    fewer than k words yield one shingle = the whole (normalized) text.
+
+    ``words`` must be a bound column (an attribute from a previous
+    projection), NOT an inline ``tokens_col(...)`` expression: Catalyst
+    inlines non-attribute subexpressions once per reference, and each
+    gram references the token array k times — an inline split() would be
+    re-evaluated O(n*k) times per row (measured 25x slowdown at 500
+    docs). CollapseProject keeps the staging projection intact because
+    the alias is non-cheap and referenced more than once."""
     n = F.size(words)
 
     def gram(i: Column) -> Column:
@@ -34,6 +41,13 @@ def shingles_col(text: Column, k: int = 3) -> Column:
     return F.when(
         n >= k, F.transform(F.sequence(F.lit(1), n - (k - 1)), gram)
     ).otherwise(F.array(F.concat_ws(" ", words)))
+
+
+def shingles_col(text: Column, k: int = 3) -> Column:
+    """Convenience single-evaluation form; for anything evaluated more
+    than once per row, stage ``tokens_col`` first and use
+    ``shingles_of``."""
+    return shingles_of(tokens_col(text), k)
 
 
 def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -76,19 +90,24 @@ def lang_scores(text: Column) -> dict[str, Column]:
 
 def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic n-gram/marker language ID: argmax of marker counts,
-    ties broken by language code order, 'und' when no marker hits."""
+    ties broken by language code order, 'und' when no marker hits.
+    Scores are staged as columns so each replace-chain evaluates once per
+    row, not once per downstream reference."""
     scores = lang_scores(F.col(text_col))
     langs = sorted(scores)  # deterministic tie order
-    best_score = F.greatest(*[scores[lang] for lang in langs])
+    staged = df.select(
+        "doc_id", *[scores[lang].alias(f"score_{lang}") for lang in langs]
+    )
+    col = {lang: F.col(f"score_{lang}") for lang in langs}
+    best_score = F.greatest(*[col[lang] for lang in langs])
     pred = F.lit("und")
     for lang in reversed(langs):  # earliest alphabetical wins ties
-        pred = F.when((scores[lang] > 0) & (scores[lang] == best_score), F.lit(lang)).otherwise(pred)
-    out = df.select(
+        pred = F.when((col[lang] > 0) & (col[lang] == best_score), F.lit(lang)).otherwise(pred)
+    return staged.select(
         "doc_id",
-        *[scores[lang].alias(f"score_{lang}") for lang in langs],
+        *[col[lang].alias(f"score_{lang}") for lang in langs],
         pred.alias("pred_lang"),
     )
-    return out
 
 
 # ---------------------------------------------------------------------------
@@ -101,9 +120,10 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation-ratio / stopword-ratio quality features with a
     single blended score in [0,1]. Pure arithmetic, oracle-mirrorable."""
     t = F.col(text_col)
+    df = df.select("doc_id", t, F.size(tokens_col(t)).alias("_n_words"))
     padded = F.concat(F.lit(" "), F.lower(t), F.lit(" "))
     n_chars = F.length(t)
-    n_words = F.size(tokens_col(t))
+    n_words = F.col("_n_words")  # staged: referenced 3x below
     n_punct = n_chars - F.length(F.regexp_replace(t, r"[.,;:!?'\"()\[\]{}]", ""))
     n_stop = sum(_count_marker(padded, w) for w in STOPWORDS)
     punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4)
@@ -137,11 +157,11 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprints: md5 of whitespace-normalized text (exact
     identity) + the minimum shingle hash (robust 'winnowing-style' content
     anchor — equal for documents sharing their rarest shingle)."""
-    t = F.col(text_col)
-    normalized = F.concat_ws(" ", tokens_col(t))
-    min_shingle_hash = F.array_min(F.transform(shingles_col(t), F.md5))
-    return df.select(
+    staged = df.select("doc_id", tokens_col(F.col(text_col)).alias("_w"))
+    return staged.select(
         "doc_id",
-        F.md5(normalized).alias("content_fp"),
-        min_shingle_hash.alias("min_shingle_fp"),
+        F.md5(F.concat_ws(" ", F.col("_w"))).alias("content_fp"),
+        F.array_min(F.transform(shingles_of(F.col("_w")), F.md5)).alias(
+            "min_shingle_fp"
+        ),
     )

@@ -101,8 +101,18 @@ _FOXML_TEMPLATE = (
 
 
 def synthesize_foxml_from_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """orders.parquet -> deterministic FOXML blob source table."""
+    """orders.parquet -> deterministic FOXML blob source table.
+
+    The *narrow* orders scan is repartitioned to the session's default
+    parallelism before synthesis: the local test parquet is one small
+    file (one split -> one task -> one Python worker for the downstream
+    extraction UDF). At production scale, 128 MB input splits provide
+    this for free; here the shuffle moves only the small relational rows
+    and the FOXML strings are generated in parallel after it."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    target = spark.sparkContext.defaultParallelism
+    if orders.rdd.getNumPartitions() < target:
+        orders = orders.repartition(target)
     iso = F.date_format(F.col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
     state = (
         F.when(F.col("o_orderstatus") == "O", F.lit("A"))
