@@ -124,7 +124,7 @@ def run_headline(sf_dir: str, cores: int) -> dict:
     }
 
 
-def run_throughput(sf_dir: str, cores: int) -> dict:
+def run_throughput(sf_dir: str, cores: int, copies: int = 1) -> dict:
     """One extraction-throughput measurement: synthesize FOXML from
     orders, run the full plan (parse -> graph -> skip-empty -> dedup),
     materialize with noop. The source is repartitioned to 4x cores so
@@ -141,7 +141,9 @@ def run_throughput(sf_dir: str, cores: int) -> dict:
 
     spark = build_session(f"bench-throughput-{cores}", cores=cores)
     _warm_python_workers(spark, cores)
-    source = synthesize_foxml_from_orders(spark, sf_dir).repartition(cores * 4)
+    source = synthesize_foxml_from_orders(spark, sf_dir, copies=copies).repartition(
+        cores * 4
+    )
     source = source.persist()
     n_objects = source.count()  # warmup + pin the synthesized input
 
@@ -163,14 +165,15 @@ def run_throughput(sf_dir: str, cores: int) -> dict:
     }
 
 
-def run_scaling(sf_dir: str, lo: int, hi: int) -> dict:
+def run_scaling(sf_dir: str, lo: int, hi: int, copies: int = 1) -> dict:
     """Spawn a fresh interpreter+JVM per parallelism level (a shared JVM
     would reuse the first master setting) and compute efficiency."""
     results = {}
     for cores in (lo, hi):
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__),
-             "--throughput", "--cores", str(cores), "--sf-dir", sf_dir],
+             "--throughput", "--cores", str(cores), "--sf-dir", sf_dir,
+             "--copies", str(copies)],
             capture_output=True, text=True, check=True,
         )
         results[cores] = json.loads(proc.stdout.strip().splitlines()[-1])
@@ -198,12 +201,14 @@ def main() -> None:
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--scale-lo", type=int, default=8)
     ap.add_argument("--scale-hi", type=int, default=32)
+    ap.add_argument("--copies", type=int, default=1,
+                    help="corpus multiplier for throughput/scaling runs")
     args = ap.parse_args()
 
     if args.throughput:
-        out = run_throughput(args.sf_dir, args.cores)
+        out = run_throughput(args.sf_dir, args.cores, args.copies)
     elif args.scaling:
-        out = run_scaling(args.sf_dir, args.scale_lo, args.scale_hi)
+        out = run_scaling(args.sf_dir, args.scale_lo, args.scale_hi, args.copies)
     else:
         out = run_headline(args.sf_dir, args.cores)
     print(json.dumps(out))

@@ -23,19 +23,33 @@ TRIPLE_KEY = ["graph", "subj", "pred", "obj_value", "obj_is_literal", "obj_datat
 
 
 def dedup_exact(df: DataFrame, key: list[str] | None = None) -> DataFrame:
-    """Distinct triples, keeping one lineage witness per triple
-    (min(path) — deterministic, unlike first()).
+    """Distinct triples, keeping one *consistent* witness row per key:
+    the lexicographic min of the passthrough columns as a struct —
+    deterministic (unlike first()) and never a frankenrow (independent
+    per-column mins could pair one doc's path with another doc's
+    sha256, breaking the lineage invariant).
 
-    Physically: partial HashAggregate on each mapper (absorbs hot
+    Physically: partial aggregate on each mapper (absorbs hot
     duplicates before the shuffle) -> exchange on hash(key) -> final
-    HashAggregate. AQE coalesces/splits post-shuffle partitions.
+    aggregate. String-typed agg buffers make this a SortAggregate pair
+    rather than HashAggregate (Spark hash-aggregates only fixed-width
+    buffers); the partial phase still collapses duplicates map-side, so
+    the shuffle carries one row per (partition, key). AQE
+    coalesces/splits post-shuffle partitions.
     """
     key = key or [c for c in TRIPLE_KEY if c in df.columns]
     passthrough = [c for c in df.columns if c not in key]
-    aggs = [F.min(c).alias(c) for c in passthrough]
-    if not aggs:
+    if not passthrough:
+        # no witness needed: plain distinct keeps HashAggregate (empty
+        # agg buffer is fixed-width)
         return df.dropDuplicates(key)
-    return df.groupBy(*key).agg(*aggs).select(*df.columns)
+    witness = F.min(F.struct(*passthrough)).alias("_w")
+    return (
+        df.groupBy(*key)
+        .agg(witness)
+        .select(*key, *[F.col("_w")[c].alias(c) for c in passthrough])
+        .select(*df.columns)
+    )
 
 
 def dedup_exact_salted(df: DataFrame, key: list[str] | None = None, salt_buckets: int = 16) -> DataFrame:

@@ -639,6 +639,40 @@ def docs_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "docs_ngram_jaccard",
+    f"""WITH sh AS (
+          SELECT doc_id, source, list_distinct(sh) AS s
+          FROM (SELECT doc_id, source, {_SHINGLES} AS sh
+                FROM (SELECT doc_id, source, {_WORDS} AS w, text FROM documents) a) b),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
+          FROM sh a JOIN sh b
+            ON a.source = b.source AND a.doc_id < b.doc_id
+           AND b.doc_id - a.doc_id <= 20)
+        SELECT doc_a, doc_b,
+               round(len(list_intersect(sa, sb))::DOUBLE /
+                     greatest(len(list_distinct(sa || sb)), 1), 6) AS jaccard
+        FROM pairs""",
+)
+def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard over blocked candidate pairs (blocking
+    key = source, window of 20 ids — a deterministic stand-in for the
+    LSH candidate stage, exercising ngram_jaccard standalone)."""
+    from .operators.dedup_approx import ngram_jaccard
+
+    docs = _read(spark, sf_dir, "documents")
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("_sa"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("_sb"))
+    pairs = a.join(
+        b,
+        (F.col("_sa") == F.col("_sb"))
+        & (F.col("doc_a") < F.col("doc_b"))
+        & (F.col("doc_b") - F.col("doc_a") <= 20),
+    ).select("doc_a", "doc_b")
+    return ngram_jaccard(pairs, docs).select("doc_a", "doc_b", "jaccard")
+
+
 _SIMHASH_BITS = 16
 _SIMHASH_SQL = " + ".join(
     f"(CASE WHEN 2 * len(list_filter(toks, t -> substr(md5(t), {j + 1}, 1) IN "

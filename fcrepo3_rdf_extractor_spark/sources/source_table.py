@@ -100,7 +100,9 @@ _FOXML_TEMPLATE = (
 )
 
 
-def synthesize_foxml_from_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def synthesize_foxml_from_orders(
+    spark: SparkSession, sf_dir: str, copies: int = 1
+) -> DataFrame:
     """orders.parquet -> deterministic FOXML blob source table.
 
     The *narrow* orders scan is repartitioned to the session's default
@@ -108,11 +110,22 @@ def synthesize_foxml_from_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     file (one split -> one task -> one Python worker for the downstream
     extraction UDF). At production scale, 128 MB input splits provide
     this for free; here the shuffle moves only the small relational rows
-    and the FOXML strings are generated in parallel after it."""
+    and the FOXML strings are generated in parallel after it.
+
+    ``copies`` scales the corpus for throughput measurement: each copy
+    gets a disjoint orderkey range (okey + copy * 10^10) so object PIDs
+    stay unique and downstream dedup/join cardinalities stay realistic."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     target = spark.sparkContext.defaultParallelism
     if orders.rdd.getNumPartitions() < target:
         orders = orders.repartition(target)
+    if copies > 1:
+        orders = orders.withColumn(
+            "_copy", F.explode(F.sequence(F.lit(0), F.lit(copies - 1)))
+        ).withColumn(
+            "o_orderkey",
+            F.col("o_orderkey") + F.col("_copy").cast("long") * F.lit(10_000_000_000),
+        )
     iso = F.date_format(F.col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
     state = (
         F.when(F.col("o_orderstatus") == "O", F.lit("A"))

@@ -1,0 +1,138 @@
+"""Physical-plan regression tests: the properties that make the engine
+scale are asserted on `explain` output so they can't silently rot.
+
+Each test pins one scale-critical plan property:
+- column pruning reaches the parquet scan (narrow ReadSchema)
+- predicate pushdown reaches the scan (PushedFilters)
+- small dims broadcast (BroadcastHashJoin, never SortMergeJoin)
+- dedup aggregates partially before the shuffle (partial_min)
+- exactly one Python stage on the extraction hot path
+- N-Quads rendering stays JVM-side (no Python eval nodes)
+- token/shingle staging isn't re-inlined by CollapseProject (the
+  O(n*k)-splits regression fixed in text.py)
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not pathlib.Path(SF_DIR).exists(), reason="testdata not generated"
+)
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_extraction_scan_is_column_pruned(spark, tmp_path):
+    """The UDF needs (repo, path, commit, content); `lang` must not be
+    read off disk."""
+    from fcrepo3_rdf_extractor_spark.operators.extractor import extract_triples
+    from fcrepo3_rdf_extractor_spark.sources.source_table import (
+        synthesize_foxml_from_orders,
+    )
+
+    src_path = str(tmp_path / "src")
+    synthesize_foxml_from_orders(spark, SF_DIR).write.parquet(src_path)
+    plan = _formatted(extract_triples(spark.read.parquet(src_path)))
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "content" in read_schema and "lang" not in read_schema, read_schema
+
+
+def test_source_filter_pushdown(spark, tmp_path):
+    from fcrepo3_rdf_extractor_spark.sources.source_table import read_source
+
+    src_path = str(tmp_path / "src")
+    spark.createDataFrame(
+        [("r1", "p1", "c1", "foxml", "<x/>")],
+        "repo string, path string, commit string, lang string, content string",
+    ).write.parquet(src_path)
+    df = read_source(spark, src_path).filter(F.col("repo") == "r1")
+    plan = _formatted(df)
+    assert "PushedFilters" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "repo" in pushed, pushed
+
+
+def test_star_join_broadcasts_dims(spark):
+    from fcrepo3_rdf_extractor_spark.queries import star_join_revenue_by_region
+
+    plan = _formatted(star_join_revenue_by_region(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dedup_partial_aggregation(spark):
+    """dedup_exact must combine map-side before its one shuffle."""
+    from fcrepo3_rdf_extractor_spark.queries import kg_dedup_exact
+
+    plan = _formatted(kg_dedup_exact(spark, SF_DIR))
+    assert "partial_min" in plan, plan
+    assert plan.count("Exchange") <= 2  # key shuffle (+AQE reads), no extras
+
+
+def test_extraction_single_python_stage(spark):
+    """One mapInPandas on the hot path; graph/filter/dedup all JVM-side."""
+    from fcrepo3_rdf_extractor_spark.plans.pipeline import ExtractConfig, extract_plan
+    from fcrepo3_rdf_extractor_spark.sources.source_table import (
+        synthesize_foxml_from_orders,
+    )
+
+    src = synthesize_foxml_from_orders(spark, SF_DIR)
+    out = extract_plan(src, ExtractConfig(skip_empty=True, dedup=True))
+    plan = _formatted(out)
+    assert "BatchEvalPython" not in plan
+    # exactly ONE extraction pass: a triples/errors filter-union split
+    # would scan + parse the source once per branch
+    tree = plan.split("\n\n")[0]
+    assert tree.count("MapInPandas") == 1, tree
+    assert tree.count("Scan parquet") == 1, tree
+
+
+def test_nquads_render_stays_jvm_side(spark):
+    from fcrepo3_rdf_extractor_spark.queries import kg_nquads_render
+
+    plan = _formatted(kg_nquads_render(spark, SF_DIR))
+    for node in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
+        assert node not in plan, node
+
+
+def test_minhash_staging_not_reinlined(spark):
+    """Regression: tokens/shingles staged once; CollapseProject must not
+    re-inline the tokenizer split into every signature column."""
+    from fcrepo3_rdf_extractor_spark.operators.dedup_approx import minhash_signature
+
+    plan = _optimized(minhash_signature(_docs(spark)))
+    assert plan.count("split(") == 1, plan.count("split(")
+
+
+def test_simhash_staging_not_reinlined(spark):
+    from fcrepo3_rdf_extractor_spark.operators.dedup_approx import simhash
+
+    plan = _optimized(simhash(_docs(spark)))
+    assert plan.count("split(") == 1, plan.count("split(")
+
+
+def test_language_id_scores_evaluated_once(spark):
+    """5 langs x 3 markers = 15 replace-chains; re-inlining would
+    triple that."""
+    from fcrepo3_rdf_extractor_spark.operators.text import language_id
+
+    plan = _optimized(language_id(_docs(spark)))
+    assert plan.count("replace(") <= 16, plan.count("replace(")
