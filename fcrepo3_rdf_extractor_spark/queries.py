@@ -692,6 +692,74 @@ def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_read(spark, sf_dir, "documents"), bits=_SIMHASH_BITS)
 
 
+_SIMHASH_SIG = f"CAST({_SIMHASH_SQL} AS BIGINT)"
+
+
+@_q(
+    "docs_simhash_neardup",
+    f"""WITH sig AS (
+          SELECT doc_id, {_SIMHASH_SIG} AS simhash
+          FROM (SELECT doc_id, list_distinct({_WORDS}) AS toks FROM documents) t),
+        banded AS (
+          SELECT doc_id, simhash, simhash // 256 AS hi, simhash % 256 AS lo FROM sig),
+        cands AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.simhash AS sig_a, b.simhash AS sig_b
+          FROM banded a JOIN banded b
+            ON (a.hi = b.hi OR a.lo = b.lo) AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+        FROM cands WHERE bit_count(xor(sig_a, sig_b)) <= 3""",
+)
+def docs_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: byte-band LSH candidates (share the high or low
+    signature byte) verified by Hamming distance — the banding bounds the
+    self-join exactly like minhash_lsh_candidates."""
+    from .operators.dedup_approx import simhash
+
+    sigs = simhash(_read(spark, sf_dir, "documents"), bits=_SIMHASH_BITS)
+    banded = sigs.select(
+        "doc_id", "simhash",
+        (F.col("simhash") / 256).cast("long").alias("hi"),
+        F.pmod(F.col("simhash"), F.lit(256)).alias("lo"),
+    )
+    a = banded.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"),
+                      F.col("hi").alias("hi_a"), F.col("lo").alias("lo_a"))
+    b = banded.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"),
+                      F.col("hi").alias("hi_b"), F.col("lo").alias("lo_b"))
+    cands = (
+        a.join(b, ((F.col("hi_a") == F.col("hi_b")) | (F.col("lo_a") == F.col("lo_b")))
+               & (F.col("doc_a") < F.col("doc_b")))
+        .select("doc_a", "doc_b", "sig_a", "sig_b").distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long")
+    return (
+        cands.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+@_q(
+    "kg_dedup_exact_salted",
+    """SELECT l_orderkey AS subj, l_returnflag AS obj_value,
+              CAST(min(l_linenumber) AS BIGINT) AS witness
+       FROM lineitem GROUP BY l_orderkey, l_returnflag""",
+)
+def kg_dedup_exact_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salting invariant, oracle-enforced: two-round salted dedup
+    must produce byte-identical output to the one-round dedup (same SQL
+    oracle as kg_dedup_exact)."""
+    from .operators.dedup import dedup_exact_salted
+
+    li = _read(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("subj"),
+        F.col("l_returnflag").alias("obj_value"),
+        F.col("l_linenumber").cast("long").alias("witness"),
+    )
+    return dedup_exact_salted(li, key=["subj", "obj_value"], salt_buckets=16)
+
+
 # --- embeddings -----------------------------------------------------------
 
 _COS_SQL = (
@@ -853,6 +921,36 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("long").alias("n"),
             F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+@_q(
+    "events_sliding_window",
+    """SELECT strftime(win_start, '%Y-%m-%dT%H:%M:%SZ') AS window_start,
+              event_type, CAST(count(*) AS BIGINT) AS n,
+              round(sum(value), 4) AS total_value
+       FROM (SELECT date_trunc('day', ts) - INTERVAL (k) DAY AS win_start,
+                    event_type, value
+             FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) s
+             WHERE ts >= date_trunc('day', ts) - INTERVAL (k) DAY
+               AND ts < date_trunc('day', ts) - INTERVAL (k) DAY + INTERVAL 2 DAY) t
+       GROUP BY 1, 2""",
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation (2-day windows, 1-day slide): each
+    event lands in 2 windows via Spark's window() expansion; the oracle
+    restates the expansion with an explicit unnest."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 days", "1 day").alias("win"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("window_start"),
+            "event_type", "n", "total_value",
         )
     )
 
