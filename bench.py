@@ -167,15 +167,22 @@ def run_throughput(sf_dir: str, cores: int, copies: int = 1) -> dict:
 
 def run_scaling(sf_dir: str, lo: int, hi: int, copies: int = 1) -> dict:
     """Spawn a fresh interpreter+JVM per parallelism level (a shared JVM
-    would reuse the first master setting) and compute efficiency."""
+    would reuse the first master setting) and compute efficiency.
+
+    Each run is pinned to exactly ``cores`` physical CPUs with taskset:
+    local[8] unpinned would let its 8 Python workers ride on cores the
+    8 JVM threads aren't using — a "quarter-size cluster" quietly
+    consuming up to 2x its share, which deflates measured scaling. A
+    real 8-core executor host timeshares JVM and Python workers on the
+    same 8 cores; the pinning reproduces that."""
     results = {}
     for cores in (lo, hi):
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__),
-             "--throughput", "--cores", str(cores), "--sf-dir", sf_dir,
-             "--copies", str(copies)],
-            capture_output=True, text=True, check=True,
-        )
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--throughput", "--cores", str(cores), "--sf-dir", sf_dir,
+               "--copies", str(copies)]
+        if (os.cpu_count() or 0) >= cores:
+            cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+        proc = subprocess.run(cmd, capture_output=True, text=True, check=True)
         results[cores] = json.loads(proc.stdout.strip().splitlines()[-1])
     tps_lo = results[lo]["triples_per_sec"]
     tps_hi = results[hi]["triples_per_sec"]

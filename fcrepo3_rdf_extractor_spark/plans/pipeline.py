@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from ..functions import subject_bucket
 from ..operators.canonicalize import canonicalize
 from ..operators.dedup import TRIPLE_KEY, dedup_exact
-from ..operators.extractor import extract_triples, triples_only
+from ..operators.extractor import extract_triples
 from ..operators.filters import skip_empty_literals, with_graph
 from ..vocab import DEFAULT_GRAPH
 from .checkpoint import (
@@ -209,10 +209,18 @@ def materialize_graph(
     uniform by construction. partitionBy(bucket) then gives partition
     pruning for per-entity lookups. On a real cluster this becomes an
     Iceberg `bucket(N, subj)` transform; parquet directories model it
-    here."""
-    bucketed = triples_only(triples).withColumn(
-        "subj_bucket", subject_bucket("subj", buckets)
-    )
+    here.
+
+    Error rows (E1) ride along under the reserved bucket -1 — one write
+    materializes both streams (splitting them into two writes would run
+    the whole extraction once per sink)."""
+    if "error_stage" in triples.columns:
+        bucket = F.when(
+            F.col("error_stage").isNotNull(), F.lit(-1)
+        ).otherwise(subject_bucket("subj", buckets))
+    else:
+        bucket = subject_bucket("subj", buckets)
+    bucketed = triples.withColumn("subj_bucket", bucket)
     bucketed = bucketed.repartition(F.col("subj_bucket"))
     if canonical_sort:
         bucketed = bucketed.sortWithinPartitions("subj", "pred", "obj_value")
