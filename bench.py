@@ -124,6 +124,18 @@ def run_headline(sf_dir: str, cores: int) -> dict:
     }
 
 
+def _bench_local_dir() -> str | None:
+    """Shuffle/spill dir for bench runs: tmpfs when available. A single
+    shared virtual disk caps shuffle bandwidth at the same absolute rate
+    for every parallelism level (measured: it binds at 32 cores, not 8,
+    deflating scaling); on a real cluster each node brings its own local
+    SSDs, so per-core shuffle bandwidth is ~constant. tmpfs models that."""
+    override = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if override:
+        return override
+    return "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else None
+
+
 def run_throughput(sf_dir: str, cores: int, copies: int = 1) -> dict:
     """One extraction-throughput measurement: synthesize FOXML from
     orders, run the full plan (parse -> graph -> skip-empty -> dedup),
@@ -139,7 +151,9 @@ def run_throughput(sf_dir: str, cores: int, copies: int = 1) -> dict:
         synthesize_foxml_from_orders,
     )
 
-    spark = build_session(f"bench-throughput-{cores}", cores=cores)
+    local_dir = _bench_local_dir()
+    extra = {"spark.local.dir": local_dir} if local_dir else {}
+    spark = build_session(f"bench-throughput-{cores}", cores=cores, extra_conf=extra)
     _warm_python_workers(spark, cores)
     source = synthesize_foxml_from_orders(spark, sf_dir, copies=copies).repartition(
         cores * 4
@@ -149,15 +163,22 @@ def run_throughput(sf_dir: str, cores: int, copies: int = 1) -> dict:
 
     out = extract_plan(source, ExtractConfig(skip_empty=True, dedup=True))
     _materialize(out)  # untimed codegen-compile pass (see run_headline)
-    t0 = time.perf_counter()
-    _materialize(out)
-    sec = time.perf_counter() - t0
+    # best-of-3: this sandbox is a shared VM with bursty interference
+    # (observed 15s..81s for the identical warm job); min is the honest
+    # steady-state estimator
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _materialize(out)
+        times.append(round(time.perf_counter() - t0, 3))
+    sec = min(times)
     n_triples = triples_only(out).count()
     source.unpersist()
     spark.stop()
     return {
         "cores": cores,
         "sec": round(sec, 3),
+        "times": times,
         "objects": n_objects,
         "triples": n_triples,
         "triples_per_sec": round(n_triples / sec, 1),

@@ -35,11 +35,14 @@ class DcError(ValueError):
     pass
 
 
-def parse_dc(content: str | bytes, subject: str) -> list[Triple]:
-    try:
-        root = ET.fromstring(content)
-    except ET.ParseError as e:
-        raise DcError(f"DC XML parse failure: {e}") from e
+def parse_dc(content: str | bytes | ET.Element, subject: str) -> list[Triple]:
+    if isinstance(content, ET.Element):
+        root = content  # pre-parsed inline XML (no re-serialize round-trip)
+    else:
+        try:
+            root = ET.fromstring(content)
+        except ET.ParseError as e:
+            raise DcError(f"DC XML parse failure: {e}") from e
 
     out: list[Triple] = []
     # SAX-handler state: the current DC predicate (None = ignoring) and

@@ -52,34 +52,64 @@ _OUT_COLS = [f.name for f in TRIPLES_SCHEMA.fields]
 
 
 def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
     for pdf in batches:
         has_managed = "managed_content" in pdf.columns
-        rows: list[tuple] = []
+        # columnar assembly: six term columns appended per triple, lineage
+        # gathered once per batch via np.repeat — cheaper than building
+        # one 13-tuple per output row (measured ~25% of UDF time)
+        subj: list = []; pred: list = []; objv: list = []
+        islit: list = []; dtype_: list = []; lang: list = []
+        n_per_doc = np.zeros(len(pdf), dtype=np.int64)
+        err_rows: list[tuple] = []  # (doc_index, stage, ds_id, message)
         for i in range(len(pdf)):
             content = pdf["content"].iat[i]
-            lineage = (
-                pdf["repo"].iat[i],
-                pdf["path"].iat[i],
-                pdf["commit"].iat[i],
-                pdf["content_sha256"].iat[i],
-            )
             lookup = None
             if has_managed:
                 managed = pdf["managed_content"].iat[i]
                 if managed is not None and len(managed):
                     lookup = dict(managed).get
             triples, errors = extract_object(content, ds_lookup=lookup)
+            n_per_doc[i] = len(triples)
             for t in triples:
-                rows.append(
-                    (t.subj, t.pred, t.obj_value, t.obj_is_literal,
-                     t.obj_datatype, t.obj_lang, *lineage, None, None, None)
-                )
+                subj.append(t.subj); pred.append(t.pred); objv.append(t.obj_value)
+                islit.append(t.obj_is_literal); dtype_.append(t.obj_datatype)
+                lang.append(t.obj_lang)
             for e in errors:
-                rows.append(
-                    (None, None, None, None, None, None, *lineage,
-                     e.stage, e.ds_id, e.message)
-                )
-        yield pd.DataFrame(rows, columns=_OUT_COLS)
+                err_rows.append((i, e.stage, e.ds_id, e.message))
+
+        idx = np.repeat(np.arange(len(pdf)), n_per_doc)
+        lineage = {c: pdf[c].to_numpy()[idx] for c in LINEAGE_COLS}
+        n = len(subj)
+        out = pd.DataFrame(
+            {
+                "subj": subj, "pred": pred, "obj_value": objv,
+                "obj_is_literal": pd.array(islit, dtype="boolean"),
+                "obj_datatype": dtype_, "obj_lang": lang,
+                **lineage,
+                "error_stage": np.full(n, None, dtype=object),
+                "error_ds_id": np.full(n, None, dtype=object),
+                "error_message": np.full(n, None, dtype=object),
+            },
+            columns=_OUT_COLS,
+        )
+        if err_rows:
+            eidx = np.array([r[0] for r in err_rows], dtype=np.int64)
+            edf = pd.DataFrame(
+                {
+                    "subj": None, "pred": None, "obj_value": None,
+                    "obj_is_literal": pd.array([None] * len(err_rows), dtype="boolean"),
+                    "obj_datatype": None, "obj_lang": None,
+                    **{c: pdf[c].to_numpy()[eidx] for c in LINEAGE_COLS},
+                    "error_stage": [r[1] for r in err_rows],
+                    "error_ds_id": [r[2] for r in err_rows],
+                    "error_message": [r[3] for r in err_rows],
+                },
+                columns=_OUT_COLS,
+            )
+            out = pd.concat([out, edf], ignore_index=True)
+        yield out
 
 
 def extract_triples(source: DataFrame) -> DataFrame:

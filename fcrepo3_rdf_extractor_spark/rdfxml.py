@@ -166,16 +166,21 @@ class _Parser:
             self.triples.append(Triple(subj, pred, text, True, None, lang))
 
 
-def parse_rdfxml(content: str | bytes, scope: str, base: str | None = None) -> list[Triple]:
+def parse_rdfxml(
+    content: str | bytes | ET.Element, scope: str, base: str | None = None
+) -> list[Triple]:
     """Parse an RDF/XML document into triples.
 
     ``scope`` seeds deterministic blank-node skolemization: pass something
     unique per parse unit, e.g. ``f"{pid}|{ds_id}"``.
     """
-    try:
-        root = ET.fromstring(content)
-    except ET.ParseError as e:
-        raise RdfXmlError(f"RDF/XML parse failure: {e}") from e
+    if isinstance(content, ET.Element):
+        root = content  # pre-parsed inline XML (no re-serialize round-trip)
+    else:
+        try:
+            root = ET.fromstring(content)
+        except ET.ParseError as e:
+            raise RdfXmlError(f"RDF/XML parse failure: {e}") from e
 
     parser = _Parser(scope, base or root.get(_XML_BASE))
     ns, local = _split(root.tag)
