@@ -18,6 +18,7 @@ import hashlib
 import re
 import urllib.parse
 from dataclasses import dataclass
+from functools import lru_cache
 from datetime import datetime, timezone
 
 from .vocab import FEDORA_URI, XSD_STRING
@@ -175,9 +176,15 @@ _DT_RE = re.compile(
 )
 
 
+@lru_cache(maxsize=8192)
 def parse_instant(value: str) -> datetime:
     """Parse the ISO-8601 timestamps FOXML carries (always UTC 'Z' with
-    optional fractional seconds in the fixtures; offsets tolerated)."""
+    optional fractional seconds in the fixtures; offsets tolerated).
+
+    lru_cached: one object references the same lexical timestamp several
+    times (object dates + every datastream version sort key), and real
+    repositories cluster timestamps heavily; the cache is per Python
+    worker process and value-pure, so task retries are unaffected."""
     m = _DT_RE.match(value.strip())
     if not m:
         raise ValueError(f"unparseable FOXML date: {value!r}")
@@ -209,9 +216,29 @@ def iso_instant(dt: datetime) -> str:
     return f"{base}.{us:06d}Z"
 
 
+@lru_cache(maxsize=8192)
 def iso_reformat(value: str) -> str:
-    """FOXML lexical timestamp -> reference-canonical ISO instant."""
-    return iso_instant(parse_instant(value))
+    """FOXML lexical timestamp -> reference-canonical ISO instant.
+
+    Fast path: a UTC ('Z' or offset-free) lexical value is already
+    zero-padded by the grammar, so the canonical form is pure string
+    surgery on the regex groups — no datetime object. Non-UTC offsets
+    (absent from FOXML in practice) take the full parse+format path."""
+    v = value.strip()
+    m = _DT_RE.match(v)
+    if not m:
+        raise ValueError(f"unparseable FOXML date: {value!r}")
+    off = m.group(8)
+    if off is None or off == "Z":
+        frac = m.group(7) or ""
+        micros = int(frac.ljust(6, "0")[:6]) if frac else 0
+        base = v[:19]
+        if micros == 0:
+            return base + "Z"
+        if micros % 1000 == 0:
+            return f"{base}.{micros // 1000:03d}Z"
+        return f"{base}.{micros:06d}Z"
+    return iso_instant(parse_instant(v))
 
 
 # --- PID / blob-id minting (ObjectProcessor.java:293-341) ----------------
