@@ -104,3 +104,65 @@ def streaming_dedup(triples: DataFrame, watermark: str = "10 minutes") -> DataFr
     return stamped.withWatermark("_ts", watermark).dropDuplicates(
         [c for c in TRIPLE_KEY if c in triples.columns]
     )
+
+
+REPO_TOTALS_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType()),
+        T.StructField("n_objects", T.LongType()),
+        T.StructField("n_triples", T.LongType()),
+        T.StructField("n_errors", T.LongType()),
+        T.StructField("batches_seen", T.LongType()),
+    ]
+)
+
+_REPO_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_objects", T.LongType()),
+        T.StructField("n_triples", T.LongType()),
+        T.StructField("n_errors", T.LongType()),
+        T.StructField("batches_seen", T.LongType()),
+    ]
+)
+
+
+def streaming_repo_totals(triples: DataFrame) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): cumulative
+    per-repo extraction totals that survive across micro-batches —
+    running counts are genuine unbounded state that windowed aggregation
+    can't express. One output row per repo per micro-batch carrying the
+    totals *so far* (the streaming ledger behind M1 progress logs,
+    `Extract.java:224-235`). State is one 4-long tuple per repo —
+    trivially bounded by the repo count, no watermark needed."""
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n_obj = n_tri = n_err = 0
+        paths = set()
+        for pdf in pdfs:
+            n_tri += int(pdf["subj"].notna().sum())
+            n_err += int(pdf["error_stage"].notna().sum())
+            paths.update(pdf["path"].dropna().unique())
+        n_obj = len(paths)
+        if state.exists:
+            (p_obj, p_tri, p_err, p_batches) = state.get
+        else:
+            p_obj = p_tri = p_err = p_batches = 0
+        # NB: object count is additive-approximate across batches (a
+        # repo's object seen in two batches counts twice); exact distinct
+        # would need per-path state, unbounded at 10^12 — documented.
+        totals = (p_obj + n_obj, p_tri + n_tri, p_err + n_err, p_batches + 1)
+        state.update(totals)
+        yield pd.DataFrame(
+            [{"repo": key[0], "n_objects": totals[0], "n_triples": totals[1],
+              "n_errors": totals[2], "batches_seen": totals[3]}]
+        )
+
+    return triples.groupBy("repo").applyInPandasWithState(
+        update,
+        outputStructType=REPO_TOTALS_SCHEMA,
+        stateStructType=_REPO_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

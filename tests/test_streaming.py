@@ -42,3 +42,43 @@ def test_streaming_extract_matches_batch(spark, tmp_path):
         read_blob_stream(spark, src_dir)), out_dir, cp_dir, available_now=True)
     q2.awaitTermination(120)
     assert spark.read.parquet(out_dir).count() == got.count()
+
+
+def test_streaming_repo_totals_stateful(spark, tmp_path):
+    """applyInPandasWithState: totals accumulate ACROSS micro-batches
+    (maxFilesPerTrigger=1 over two files forces >=2 batches)."""
+    from fcrepo3_rdf_extractor_spark.streaming.extract_stream import (
+        streaming_repo_totals,
+    )
+
+    src_dir = str(tmp_path / "ssrc")
+    source = fixture_source(spark)  # 7 objects, all repo='sidora-sample'
+    # two separate files -> two micro-batches (deterministic path split;
+    # limit() would pick arbitrary, possibly overlapping rows)
+    first = source.filter(F.col("path") < "info:fedora/si")
+    second = source.filter(F.col("path") >= "info:fedora/si")
+    assert first.count() > 0 and second.count() > 0
+    first.coalesce(1).write.parquet(src_dir)
+    second.coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream = read_blob_stream(spark, src_dir, max_files_per_trigger=1)
+    totals = streaming_repo_totals(streaming_extract(stream))
+    q = (
+        totals.writeStream.format("memory").queryName("repo_totals")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+
+    rows = spark.sql(
+        "SELECT * FROM repo_totals ORDER BY batches_seen"
+    ).collect()
+    assert len(rows) >= 2, rows  # one update row per micro-batch
+    assert rows[0].repo == "sidora-sample"
+    # cumulative: later batches strictly grow the totals
+    assert rows[-1].batches_seen == len(rows)
+    assert rows[-1].n_triples > rows[0].n_triples
+    assert rows[-1].n_objects == 7
+    # final totals equal the batch pipeline's (same plan incl. skip-empty)
+    want = skip_empty_literals(with_graph(extract_triples(fixture_source(spark))))
+    want_triples = want.filter(F.col("subj").isNotNull()).count()
+    assert rows[-1].n_triples == want_triples
