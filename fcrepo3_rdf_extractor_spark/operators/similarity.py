@@ -82,6 +82,44 @@ def lsh_topk(emb: DataFrame, query_id: int, k: int = 10, sign_bits: int = 4) -> 
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(k)
 
 
+def ivf_topk(
+    emb: DataFrame,
+    centroids: DataFrame,
+    query_id: int,
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF search: probe the query's ``nprobe`` nearest centroids and
+    brute-force only the vectors assigned to them. At scale the
+    assignment table is precomputed and partitioned by centroid_id, so
+    the candidate fetch is partition-pruned to nprobe partitions; here
+    the assignment is computed inline for self-containedness."""
+    assign = ivf_assign(emb, centroids).select("vec_id", "centroid_id")
+    q = _query_vector(emb, query_id)
+    probe = (
+        F.broadcast(centroids)
+        .crossJoin(q)
+        .select(
+            "centroid_id",
+            cosine_col(F.col("centroid"), F.col("q_emb")).alias("_qc"),
+        )
+        .orderBy(F.col("_qc").desc(), F.col("centroid_id"))
+        .limit(nprobe)
+        .select("centroid_id")
+    )
+    cands = assign.join(F.broadcast(probe), "centroid_id").select("vec_id")
+    scored = (
+        emb.join(cands, "vec_id")
+        .crossJoin(q)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "vec_id",
+            F.round(cosine_col(F.col("embedding"), F.col("q_emb")), 6).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(k)
+
+
 def ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     """IVF coarse quantization: assign each vector to its nearest centroid
     (broadcast the centroid table, argmin over cosine). ``centroids`` has

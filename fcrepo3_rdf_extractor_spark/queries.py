@@ -312,6 +312,31 @@ def kg_canonicalize_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "kg_canonicalize_prefixes",
+    """SELECT CASE WHEN starts_with(subj, 'http://alias.example/')
+                   THEN 'info:fedora/' || substr(subj, length('http://alias.example/') + 1)
+                   ELSE subj END AS subj,
+              obj_value
+       FROM (SELECT 'http://alias.example/nation:' || n_nationkey AS subj,
+                    n_name AS obj_value FROM nation)""",
+)
+def kg_canonicalize_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbounded-alias canonicalization: URI *prefix* rewrite as pure
+    column expressions (no join, no broadcast — stays in codegen)."""
+    from .operators.canonicalize import canonicalize_prefixes
+
+    nation = _read(spark, sf_dir, "nation")
+    df = nation.select(
+        F.concat(F.lit("http://alias.example/nation:"),
+                 F.col("n_nationkey").cast("string")).alias("subj"),
+        F.col("n_name").alias("obj_value"),
+        F.lit(True).alias("obj_is_literal"),
+    )
+    out = canonicalize_prefixes(df, {"http://alias.example/": "info:fedora/"})
+    return out.select("subj", "obj_value")
+
+
+@_q(
     "kg_managed_lookup_join",
     """SELECT l.l_orderkey, l.l_linenumber, p.p_name AS blob_content
        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey""",
@@ -846,6 +871,47 @@ def emb_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
     )
     return ivf_assign(emb, centroids)
+
+
+@_q(
+    "emb_ivf_topk",
+    f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        c AS (SELECT vec_id AS centroid_id, emb AS centroid FROM e WHERE vec_id < 8),
+        q AS (SELECT emb AS q_emb FROM e WHERE vec_id = 0),
+        assign AS (
+          SELECT vec_id, centroid_id FROM (
+            SELECT e.vec_id, c.centroid_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY {_COS_SQL.format(a='e.emb', b='c.centroid')} DESC,
+                              c.centroid_id) AS rn
+            FROM e CROSS JOIN c) t WHERE rn = 1),
+        probe AS (
+          SELECT centroid_id FROM (
+            SELECT c.centroid_id,
+                   row_number() OVER (
+                     ORDER BY {_COS_SQL.format(a='c.centroid', b='q.q_emb')} DESC,
+                              c.centroid_id) AS rn
+            FROM c CROSS JOIN q) t WHERE rn <= 2),
+        scored AS (
+          SELECT e.vec_id,
+                 round({_COS_SQL.format(a='e.emb', b='q.q_emb')}, 6) AS cosine
+          FROM e
+          JOIN assign a ON e.vec_id = a.vec_id
+          JOIN probe p ON a.centroid_id = p.centroid_id
+          CROSS JOIN q
+          WHERE e.vec_id <> 0)
+        SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10""",
+)
+def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF search path: nprobe=2 centroid pruning + in-cluster
+    brute force (assignment inline; partitioned-by-centroid at scale)."""
+    from .operators.similarity import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+    )
+    return ivf_topk(emb, centroids, query_id=0, k=10, nprobe=2)
 
 
 # --- multimodal -------------------------------------------------------------
