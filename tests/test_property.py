@@ -1,0 +1,99 @@
+"""Property-based tests (hypothesis) for the parity-critical pure layer:
+term escaping, N-Quads roundtrips, ISO-instant canonicalization, blob-id
+minting. These guard exactly the byte-fidelity surfaces the golden
+answers depend on (SURVEY.md §7.3 'hard parts')."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from fcrepo3_rdf_extractor_spark.terms import (
+    Triple,
+    escape_literal,
+    get_blob_id,
+    iso_instant,
+    iso_reformat,
+    nquad_line,
+    parse_instant,
+    parse_nt_line,
+    unescape_literal,
+)
+
+# text incl. the escape-relevant characters and general unicode
+_literal_text = st.text(
+    alphabet=st.characters(blacklist_categories=["Cs"]), max_size=200
+)
+
+
+@given(_literal_text)
+def test_escape_roundtrip(s):
+    assert unescape_literal(escape_literal(s)) == s
+
+
+@given(_literal_text)
+def test_escaped_literal_is_single_line(s):
+    esc = escape_literal(s)
+    assert "\n" not in esc and "\r" not in esc and "\t" not in esc
+
+
+_uri = st.from_regex(r"[a-z]+:[A-Za-z0-9._/#%-]{1,40}", fullmatch=True)
+
+
+@given(_uri, _uri, _literal_text, st.booleans(),
+       st.none() | _uri, st.none() | st.from_regex(r"[a-z]{2}", fullmatch=True))
+def test_nquad_line_roundtrip(subj, pred, obj, is_lit, dt, lang):
+    if not is_lit:
+        dt = lang = None
+    if lang is not None:
+        dt = None
+    t = Triple(subj, pred, obj, is_lit, dt, lang)
+    parsed = parse_nt_line(nquad_line(t, "#g"))
+    assert parsed == (subj, pred, obj, is_lit, dt, lang, "#g")
+
+
+_instant = st.datetimes(
+    min_value=datetime(1900, 1, 1), max_value=datetime(2200, 1, 1)
+).map(lambda d: d.replace(tzinfo=timezone.utc))
+
+
+@given(_instant)
+def test_iso_instant_parse_roundtrip(dt):
+    assert parse_instant(iso_instant(dt)) == dt
+
+
+@given(_instant)
+@settings(max_examples=200)
+def test_iso_reformat_fast_path_matches_datetime_path(dt):
+    """The string-surgery fast path must agree with the full
+    parse+format path on every UTC lexical form."""
+    lexical = iso_instant(dt)
+    assert iso_reformat(lexical) == iso_instant(parse_instant(lexical))
+    # and variants with explicit .000 / trailing zeros canonicalize the same
+    noisy = lexical.replace("Z", ".000Z") if "." not in lexical else lexical
+    assert iso_reformat(noisy) == lexical
+
+
+@given(st.from_regex(r"[a-z]{1,8}:[A-Za-z0-9]{1,12}", fullmatch=True))
+def test_blob_id_idempotent_for_objects(token):
+    once = get_blob_id(token)
+    assert once == get_blob_id(once)
+    assert once.startswith("info:fedora/")
+
+
+@given(st.from_regex(r"[a-z]{1,6}:[0-9]{1,6}", fullmatch=True),
+       st.from_regex(r"[A-Za-z0-9 .~-]{1,12}", fullmatch=True),
+       st.from_regex(r"[A-Za-z0-9 .~-]{1,12}", fullmatch=True))
+def test_blob_id_datastream_tokens_reversible(ns, ds, dsv):
+    """Datastream token minting percent-encodes reversibly
+    (ObjectProcessor.java:309-341 contract)."""
+    import urllib.parse
+
+    blob_id = get_blob_id(f"{ns}+{ds}+{dsv}")
+    prefix, rest = blob_id.split("info:fedora/", 1)
+    got_ns, got_ds, got_dsv = rest.split("/")
+    assert got_ns == ns
+    assert urllib.parse.unquote_plus(got_ds) == ds
+    assert urllib.parse.unquote_plus(got_dsv) == dsv
