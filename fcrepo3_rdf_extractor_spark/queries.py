@@ -957,7 +957,16 @@ def mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_metadata(feats, target=224)
 
 
-@_q("mm_frame_sampling")  # rows-only: byte-slice oracle is not portable SQL
+@_q(
+    "mm_frame_sampling",
+    # byte-slice md5 == char-slice md5 because the testdata documents are
+    # pure ASCII (strlen == length verified); DuckDB md5 hashes UTF-8 bytes
+    """SELECT doc_id AS media_id, CAST(f AS INT) AS frame_no,
+              md5(substr(text, CAST(f*16+1 AS INT), 16)) AS frame_fp
+       FROM (SELECT doc_id, text,
+                    unnest(generate_series(0, least((strlen(text)-1)//16, 7))) AS f
+             FROM documents WHERE strlen(text) > 0)""",
+)
 def mm_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.multimodal import documents_as_media, sample_frames
 
