@@ -1,0 +1,81 @@
+"""Relational operators Spark lacks natively, composed from built-ins.
+
+``asof_join``: for each left row, attach the right row with the greatest
+``on`` <= left.``on`` within the same ``by`` group — the classic
+time-series as-of join. Implemented as union + sort + carry-forward
+(``last(..., ignorenulls=True)`` over an unbounded-preceding window)
+rather than a range join: a range-condition join explodes to
+O(|L|x|R|) pairs per key before filtering, while the union form is one
+shuffle on ``by`` and a linear pass per partition — the only scalable
+shape at 10^9+ rows per side. Skewed ``by`` keys are AQE's problem
+(single window partition per key); for pathological keys pre-split by
+time range.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str],
+    right_values: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Left as-of join: every left row, plus the latest (by ``on``)
+    right row at-or-before it within the ``by`` group; right value
+    columns arrive suffixed, NULL when no prior right row exists.
+
+    Ties (right.on == left.on) match, right-before-left — DuckDB/kdb
+    ``<=`` semantics. The right row's values travel as ONE struct, so
+    the match is always a single consistent right row even when some of
+    its columns are NULL (independent per-column carry-forward could
+    stitch values from different rows). Among right rows sharing
+    (by, on), the struct-greatest one wins deterministically;
+    pre-aggregate the right side if that tiebreak is not the one you
+    want.
+    """
+    lcols = left.columns
+    rv_type = T.StructType([
+        T.StructField(c, right.schema[c].dataType) for c in right_values
+    ])
+
+    l_tagged = left.select(
+        *lcols,
+        F.lit(None).cast(rv_type).alias("_rv"),
+        F.lit(1).alias("_src"),
+    )
+    r_tagged = right.select(
+        *[
+            F.col(c) if c in (by + [on])
+            else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+        ],
+        F.struct(*right_values).alias("_rv"),
+        F.lit(0).alias("_src"),
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+
+    # right rows sort before left rows at equal `on` so <= ties match;
+    # struct order makes same-instant right rows deterministic
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).asc(), F.col("_src").asc(), F.col("_rv").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *lcols, "_src",
+        F.last("_rv", ignorenulls=True).over(w).alias("_rv"),
+    )
+    return (
+        carried.filter(F.col("_src") == 1)
+        .select(
+            *lcols,
+            *[F.col("_rv")[c].alias(c + suffix) for c in right_values],
+        )
+    )

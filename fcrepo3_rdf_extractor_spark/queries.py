@@ -1030,6 +1030,121 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "events_asof_join",
+    """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+            views AS (SELECT user_id, ts, max(value) AS view_value
+                      FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+       SELECT c.event_id, c.user_id,
+              strftime(v.ts, '%Y-%m-%dT%H:%M:%S.%f') AS view_ts_asof,
+              round(v.view_value, 4) AS view_value_asof
+       FROM clicks c ASOF LEFT JOIN views v
+         ON c.user_id = v.user_id AND v.ts <= c.ts""",
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom operator): each click matched to the latest
+    at-or-before view of the same user. Spark side is the union +
+    carry-forward composition (operators/relational.py); the oracle is
+    DuckDB's native ASOF JOIN — two independent implementations."""
+    from .operators.relational import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+        .withColumn("view_ts", F.col("ts"))
+    )
+    out = asof_join(clicks, views, on="ts", by=["user_id"],
+                    right_values=["view_ts", "view_value"])
+    return out.select(
+        "event_id", "user_id",
+        F.date_format("view_ts_asof", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("view_ts_asof"),
+        F.round("view_value_asof", 4).alias("view_value_asof"),
+    )
+
+
+@_q(
+    "events_session_window",
+    """SELECT user_id,
+              strftime(min(ts), '%Y-%m-%dT%H:%M:%S.%f') AS session_start,
+              CAST(count(*) AS BIGINT) AS n_events,
+              round(sum(value), 4) AS total_value
+       FROM (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS session_id
+             FROM (SELECT user_id, ts, value,
+                          -- gap == 30min MERGES in Spark's session_window
+                          -- (verified empirically: two events exactly 30:00
+                          -- apart land in one session), hence <= not <
+                          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                    <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS is_new
+                   FROM events))
+       GROUP BY user_id, session_id""",
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap): Spark's session_window vs the
+    gaps-and-islands SQL formulation."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("session_start"),
+            "n_events", "total_value",
+        )
+    )
+
+
+@_q(
+    "events_json_props",
+    """SELECT CAST(props->>'k' AS BIGINT) AS k_bucket,
+              CAST(count(*) AS BIGINT) AS n, round(avg(value), 4) AS avg_value
+       FROM events GROUP BY 1""",
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction (get_json_object) + aggregate."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.select(F.get_json_object("props", "$.k").cast("long").alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(F.count("*").cast("long").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+@_q(
+    "agg_rollup_orders",
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+              coalesce(o_orderpriority, 'ALL') AS priority,
+              CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+              CAST(count(*) AS BIGINT) AS n,
+              round(sum(o_totalprice), 2) AS revenue
+       FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""",
+)
+def agg_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals with grouping ids (the cube/rollup
+    category SURVEY marks N/A in the reference, exercised here)."""
+    orders = _read(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority"))
+            .cast("long").alias("gid"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "gid", "n", "revenue",
+        )
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(_T)
 
