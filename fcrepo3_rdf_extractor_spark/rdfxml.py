@@ -18,8 +18,12 @@ common constructs a general store can contain:
 - property attributes on node elements
 - ``rdf:ID`` relative to an optional ``base``
 
-Unsupported (raises RdfXmlError -> error row): rdf:parseType="Collection",
-rdf:li / containers, reification attributes.
+- containers (``rdf:Seq``/``Bag``/``Alt``) with ``rdf:li`` numbered to
+  ``rdf:_1, _2, ...`` (counter per enclosing node element, per spec)
+- ``rdf:parseType="Collection"`` (RDF list: first/rest/nil chain over
+  deterministic blank nodes)
+
+Unsupported (raises RdfXmlError -> error row): reification attributes.
 """
 
 from __future__ import annotations
@@ -100,14 +104,28 @@ class _Parser:
                 self.triples.append(
                     Triple(subj, ans + alocal, value, True, None, lang)
                 )
+        li_counter = 0
         for prop in el:
-            self.parse_property_element(subj, prop, lang)
+            pns, plocal = _split(prop.tag)
+            if pns == RDF_NS and plocal == "li":
+                li_counter += 1
+                self.parse_property_element(
+                    subj, prop, lang, pred_override=f"{RDF_NS}_{li_counter}"
+                )
+            else:
+                self.parse_property_element(subj, prop, lang)
         return subj
 
-    def parse_property_element(self, subj: str, el: ET.Element, lang: str | None) -> None:
+    def parse_property_element(
+        self,
+        subj: str,
+        el: ET.Element,
+        lang: str | None,
+        pred_override: str | None = None,
+    ) -> None:
         lang = el.get(_XML_LANG, lang)
         ns, local = _split(el.tag)
-        pred = ns + local
+        pred = pred_override or (ns + local)
         parse_type = el.get(_RDF + "parseType")
         resource = el.get(_RDF + "resource")
         node_id = el.get(_RDF + "nodeID")
@@ -117,8 +135,27 @@ class _Parser:
         if parse_type == "Resource":
             obj = self.fresh_bnode()
             self.triples.append(Triple(subj, pred, obj, False))
+            li_counter = 0
             for sub in children:
-                self.parse_property_element(obj, sub, lang)
+                sns, slocal = _split(sub.tag)
+                if sns == RDF_NS and slocal == "li":
+                    li_counter += 1
+                    self.parse_property_element(
+                        obj, sub, lang, pred_override=f"{RDF_NS}_{li_counter}"
+                    )
+                else:
+                    self.parse_property_element(obj, sub, lang)
+            return
+        if parse_type == "Collection":
+            # RDF list: one deterministic cell bnode per member
+            cells = [self.fresh_bnode() for _ in children]
+            head = cells[0] if cells else RDF_NS + "nil"
+            self.triples.append(Triple(subj, pred, head, False))
+            for i, (cell, child) in enumerate(zip(cells, children)):
+                item = self.parse_node_element(child, lang)
+                self.triples.append(Triple(cell, RDF_NS + "first", item, False))
+                rest = cells[i + 1] if i + 1 < len(cells) else RDF_NS + "nil"
+                self.triples.append(Triple(cell, RDF_NS + "rest", rest, False))
             return
         if parse_type == "Literal":
             xml_text = "".join(ET.tostring(c, encoding="unicode") for c in children)

@@ -145,10 +145,10 @@ def test_rdfxml_parsetype_resource():
     assert link.obj_value == inner.subj and inner.subj.startswith("urn:bnode:")
 
 
-def test_rdfxml_unsupported_collection_raises():
+def test_rdfxml_unknown_parsetype_raises():
     doc = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
       xmlns:ex="urn:ex#">
-      <rdf:Description rdf:about="urn:s"><ex:p rdf:parseType="Collection"/></rdf:Description>
+      <rdf:Description rdf:about="urn:s"><ex:p rdf:parseType="Mystery"/></rdf:Description>
     </rdf:RDF>"""
     with pytest.raises(RdfXmlError):
         parse_rdfxml(doc, scope="t")
@@ -225,3 +225,56 @@ def test_extract_bad_state_aborts_object():
     bad = FOXML_TWO_VERSIONS.replace('VALUE="A"', 'VALUE="Zombie"', 1)
     triples, errors = extract_object(bad)
     assert triples == [] and errors[0].stage == "object"
+
+
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+
+def test_rdfxml_container_li_numbering():
+    doc = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+      xmlns:ex="urn:ex#">
+      <rdf:Description rdf:about="urn:s">
+        <ex:members><rdf:Bag>
+          <rdf:li rdf:resource="urn:a"/>
+          <rdf:li rdf:resource="urn:b"/>
+          <rdf:li>text</rdf:li>
+        </rdf:Bag></ex:members>
+      </rdf:Description>
+    </rdf:RDF>"""
+    keys = {t.key() for t in parse_rdfxml(doc, scope="t")}
+    bag = next(k[0] for k in keys if k[1] == RDF_NS + "type" and k[2] == RDF_NS + "Bag")
+    assert (bag, RDF_NS + "_1", "urn:a", False, None, None) in keys
+    assert (bag, RDF_NS + "_2", "urn:b", False, None, None) in keys
+    assert (bag, RDF_NS + "_3", "text", True, None, None) in keys
+    assert ("urn:s", "urn:ex#members", bag, False, None, None) in keys
+
+
+def test_rdfxml_parsetype_collection():
+    doc = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+      xmlns:ex="urn:ex#">
+      <rdf:Description rdf:about="urn:s">
+        <ex:list rdf:parseType="Collection">
+          <rdf:Description rdf:about="urn:a"/>
+          <rdf:Description rdf:about="urn:b"/>
+        </ex:list>
+      </rdf:Description>
+    </rdf:RDF>"""
+    keys = {t.key() for t in parse_rdfxml(doc, scope="t")}
+    head = next(k[2] for k in keys if k[1] == "urn:ex#list")
+    first = {k[0]: k[2] for k in keys if k[1] == RDF_NS + "first"}
+    rest = {k[0]: k[2] for k in keys if k[1] == RDF_NS + "rest"}
+    assert first[head] == "urn:a"
+    assert first[rest[head]] == "urn:b"
+    assert rest[rest[head]] == RDF_NS + "nil"
+    # deterministic across parses
+    again = {t.key() for t in parse_rdfxml(doc, scope="t")}
+    assert keys == again
+
+
+def test_rdfxml_empty_collection_is_nil():
+    doc = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+      xmlns:ex="urn:ex#">
+      <rdf:Description rdf:about="urn:s"><ex:list rdf:parseType="Collection"/></rdf:Description>
+    </rdf:RDF>"""
+    keys = {t.key() for t in parse_rdfxml(doc, scope="t")}
+    assert ("urn:s", "urn:ex#list", RDF_NS + "nil", False, None, None) in keys
