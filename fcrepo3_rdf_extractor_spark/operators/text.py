@@ -62,6 +62,56 @@ def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: BPE-ish pre-tokenization: letter runs, digit runs, single punctuation —
+#: the shape of GPT-style pre-tokenizers, portable to any regex engine
+BPE_PIECE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_piece_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Subword-piece count via the BPE-ish pre-tokenizer regex (an upper
+    bound on BPE token count: merges only reduce pieces)."""
+    t = F.col(text_col)
+    return df.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(BPE_PIECE_RE), 0)).cast("long")
+        .alias("n_pieces"),
+    )
+
+
+def winnow_fingerprint(
+    df: DataFrame, text_col: str = "text", k: int = 8, window: int = 16
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al.'s rolling-hash
+    scheme): hash every character k-gram, slide a ``window`` over the
+    hash sequence, keep each window's minimum — near-identical documents
+    share most selected hashes regardless of alignment. All scan-side
+    column expressions over staged arrays; the fingerprint set is the
+    distinct selected hashes."""
+    t = F.lower(F.trim(F.col(text_col)))
+    staged = df.select("doc_id", t.alias("_t"))
+    n = F.length(F.col("_t"))
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.md5(F.substring(F.col("_t"), i.cast("int"), k)),
+        ),
+    ).otherwise(F.array(F.md5(F.col("_t"))))
+    staged = staged.select("doc_id", grams.alias("_h"))
+    m = F.size(F.col("_h"))
+    selected = F.when(
+        m >= window,
+        F.transform(
+            F.sequence(F.lit(1), m - (window - 1)),
+            lambda i: F.array_min(F.slice(F.col("_h"), i.cast("int"), window)),
+        ),
+    ).otherwise(F.array(F.array_min(F.col("_h"))))
+    return staged.select(
+        "doc_id",
+        F.array_sort(F.array_distinct(selected)).alias("fingerprints"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # language identification (marker-token heuristic)
 

@@ -539,6 +539,42 @@ def docs_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_count(_read(spark, sf_dir, "documents"))
 
 
+@_q(
+    "docs_bpe_piece_count",
+    r"""SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+                 AS n_pieces
+        FROM documents""",
+)
+def docs_bpe_piece_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import bpe_piece_count
+
+    return bpe_piece_count(_read(spark, sf_dir, "documents"))
+
+
+@_q(
+    "docs_winnow_fingerprint",
+    """WITH s AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+        g AS (SELECT doc_id,
+                     CASE WHEN length(t) >= 8
+                          THEN [md5(substr(t, CAST(i AS INT), 8))
+                                for i in generate_series(1, length(t) - 7)]
+                          ELSE [md5(t)] END AS h
+              FROM s),
+        sel AS (SELECT doc_id,
+                       CASE WHEN len(h) >= 16
+                            THEN [list_min(h[i:i+15])
+                                  for i in generate_series(1, len(h) - 15)]
+                            ELSE [list_min(h)] END AS w
+                FROM g)
+        SELECT doc_id, list_sort(list_distinct(w)) AS fingerprints FROM sel""",
+)
+def docs_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import winnow_fingerprint
+
+    return winnow_fingerprint(_read(spark, sf_dir, "documents"))
+
+
 def _lang_score_sql(markers: list[str]) -> str:
     padded = "(' ' || lower(text) || ' ')"
     parts = [

@@ -202,3 +202,25 @@ def test_multimodal_raise_stub(spark):
     media = documents_as_media(_docs(spark))
     with pytest.raises(Exception, match="NotImplementedError|codecs"):
         extract_media_features(media, decode_stub="raise").collect()
+
+
+def test_winnow_fingerprint_alignment_robust(spark):
+    """Winnowing's point: an insertion shifts k-gram positions but most
+    selected (window-min) hashes survive — unlike head-anchored hashes."""
+    from fcrepo3_rdf_extractor_spark.operators.text import winnow_fingerprint
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away " * 4
+    shifted = "PREFIX INSERTED " + base
+    df = spark.createDataFrame(
+        [(1, base), (2, shifted)], "doc_id long, text string"
+    )
+    fps = {r.doc_id: set(r.fingerprints) for r in winnow_fingerprint(df).collect()}
+    overlap = len(fps[1] & fps[2]) / len(fps[1] | fps[2])
+    assert overlap > 0.7, overlap
+    # and a genuinely different doc shares almost nothing
+    other = spark.createDataFrame(
+        [(3, "completely unrelated content about spark physical plans " * 5)],
+        "doc_id long, text string",
+    )
+    fps3 = set(winnow_fingerprint(other).collect()[0].fingerprints)
+    assert len(fps[1] & fps3) / len(fps[1] | fps3) < 0.05
