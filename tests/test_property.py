@@ -97,3 +97,13 @@ def test_blob_id_datastream_tokens_reversible(ns, ds, dsv):
     assert got_ns == ns
     assert urllib.parse.unquote_plus(got_ds) == ds
     assert urllib.parse.unquote_plus(got_dsv) == dsv
+
+
+@given(st.text(max_size=40), st.text(max_size=40))
+def test_skolemize_deterministic_and_scope_separated(scope, label):
+    from fcrepo3_rdf_extractor_spark.terms import skolemize
+
+    a = skolemize(scope, label)
+    assert a == skolemize(scope, label)          # pure function
+    assert skolemize(scope + "x", label) != a    # scope isolation
+    assert a.startswith("urn:")                  # a real, stable URI
