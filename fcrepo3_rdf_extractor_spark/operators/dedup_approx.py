@@ -92,9 +92,17 @@ def minhash_lsh_candidates(
         "doc_id", F.explode(F.array(*band_structs)).alias("band")
     ).select("doc_id", "band.band_id", "band.band_key")
 
-    counts = exploded.groupBy("band_id", "band_key").agg(F.count("*").alias("_n"))
-    bounded = exploded.join(
-        counts.filter(F.col("_n") <= max_bucket), ["band_id", "band_key"]
+    # bucket-size bound as a window count over the SAME shuffle the
+    # self-join needs: the band table is exchanged once on
+    # (band_id, band_key) and the join's two sides reuse that exchange —
+    # the agg+join formulation shuffled the exploded table three times
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_id", "band_key")
+    bounded = (
+        exploded.withColumn("_n", F.count("*").over(w))
+        .filter(F.col("_n") <= max_bucket)
+        .drop("_n")
     )
     left = bounded.select("band_id", "band_key", F.col("doc_id").alias("doc_a"))
     right = bounded.select("band_id", "band_key", F.col("doc_id").alias("doc_b"))
