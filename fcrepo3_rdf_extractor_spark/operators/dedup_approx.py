@@ -210,9 +210,16 @@ def embedding_near_duplicates(
         "", *[(F.element_at("embedding", i + 1) > 0).cast("int").cast("string")
               for i in range(sign_bits)]
     )
+    from pyspark.sql import Window
+
     with_key = emb.select("vec_id", "embedding", key.alias("bucket"))
-    counts = with_key.groupBy("bucket").agg(F.count("*").alias("_n"))
-    bounded = with_key.join(counts.filter(F.col("_n") <= max_bucket), "bucket")
+    # bucket bound as a window count on the self-join's own shuffle
+    # (same one-exchange shape as minhash_lsh_candidates)
+    bounded = (
+        with_key.withColumn("_n", F.count("*").over(Window.partitionBy("bucket")))
+        .filter(F.col("_n") <= max_bucket)
+        .drop("_n")
+    )
     a = bounded.select("bucket", F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"))
     b = bounded.select("bucket", F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"))
     pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
