@@ -1181,6 +1181,35 @@ def agg_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "agg_quantile_sketch",
+    """SELECT l_returnflag,
+              round(quantile_disc(l_extendedprice, 0.5), 2) AS p50,
+              round(quantile_disc(l_extendedprice, 0.9), 2) AS p90,
+              round(quantile_disc(l_extendedprice, 0.99), 2) AS p99
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketch (Greenwald-Khanna via percentile_approx): the
+    sketch merges across partitions — the only distributed-quantile
+    shape at 10^12 rows. Accuracy here exceeds the row count so the
+    result is exact and DuckDB-oracleable; production lowers accuracy
+    for O(1) state. (HLL distinct-count sketches are tested with an
+    error-bound assertion instead — cross-engine sketch states differ.)"""
+    li = _read(spark, sf_dir, "lineitem")
+    q = F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 1000000)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(q.alias("_q"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("_q")[0], 2).alias("p50"),
+            F.round(F.col("_q")[1], 2).alias("p90"),
+            F.round(F.col("_q")[2], 2).alias("p99"),
+        )
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(_T)
 

@@ -224,3 +224,21 @@ def test_winnow_fingerprint_alignment_robust(spark):
     )
     fps3 = set(winnow_fingerprint(other).collect()[0].fingerprints)
     assert len(fps[1] & fps3) / len(fps[1] | fps3) < 0.05
+
+
+def test_hll_sketch_distinct_error_bound(spark):
+    """approx_count_distinct (HyperLogLog++): mergeable distributed
+    sketch; rsd=0.02 must land within 5% of exact on every grouping."""
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    got = {
+        r.l_returnflag: (r.approx, r.exact)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", 0.02).alias("approx"),
+            F.countDistinct("l_orderkey").alias("exact"),
+        )
+        .collect()
+    }
+    assert got
+    for flag, (approx, exact) in got.items():
+        assert abs(approx - exact) / exact < 0.05, (flag, approx, exact)
