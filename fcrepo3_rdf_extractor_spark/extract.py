@@ -162,13 +162,18 @@ def extract_object(
     triples: list[Triple] = []
     errors: list[ExtractError] = []
 
+    if content is None:
+        # NULL content rows must become error rows, not task failures —
+        # one bad row at 10^12 scale must never kill the job (E1)
+        return [], [ExtractError("object", None, "missing content")]
+
     try:
         obj = parse_foxml(content)
         obj_uri = object_uri(obj["pid"])
         triples.extend(constant_object_triples(obj, obj_uri))
         for ds in obj["datastreams"]:
             triples.extend(constant_datastream_triples(obj_uri, ds))
-    except (FoxmlError, ValueError) as e:
+    except (FoxmlError, ValueError, TypeError) as e:
         # object-level abort: reference rethrows out of the triple loops,
         # losing the not-yet-sunk triples of THIS object only
         return [], [ExtractError("object", None, str(e))]

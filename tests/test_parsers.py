@@ -278,3 +278,12 @@ def test_rdfxml_empty_collection_is_nil():
     </rdf:RDF>"""
     keys = {t.key() for t in parse_rdfxml(doc, scope="t")}
     assert ("urn:s", "urn:ex#list", RDF_NS + "nil", False, None, None) in keys
+
+
+def test_extract_null_and_wrong_type_content_become_error_rows():
+    """NULL/garbage content rows must yield error rows, never raise —
+    one bad row at 10^12 scale must not kill the job."""
+    for bad in (None, 123, b"\xff\xfe"):
+        triples, errors = extract_object(bad)
+        assert triples == []
+        assert len(errors) == 1 and errors[0].stage == "object"
