@@ -91,6 +91,10 @@ def extract_media_features(media: DataFrame, decode_stub: str = "fake") -> DataF
                         "media codecs not available in this environment; "
                         "install Pillow/pyav and call the real decoder here"
                     )
+                if payload is None:
+                    # NULL payloads yield NULL features, not task failures
+                    rows.append((media_id, None, None, None, None))
+                    continue
                 w, h, nf, feat = _fake_decode(bytes(payload))
                 rows.append((media_id, w, h, nf, feat))
             yield pd.DataFrame(

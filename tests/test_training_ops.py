@@ -242,3 +242,19 @@ def test_hll_sketch_distinct_error_bound(spark):
     assert got
     for flag, (approx, exact) in got.items():
         assert abs(approx - exact) / exact < 0.05, (flag, approx, exact)
+
+
+def test_media_features_null_payload_survives(spark):
+    from fcrepo3_rdf_extractor_spark.operators.multimodal import (
+        documents_as_media,
+        extract_media_features,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "real text", "en", "s", 9), (2, None, "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    feats = {r.media_id: r for r in
+             extract_media_features(documents_as_media(docs)).collect()}
+    assert feats[1].width is not None
+    assert feats[2].width is None and feats[2].feature is None
