@@ -151,6 +151,72 @@ def kg_extract_error_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "kg_graph_two_hop",
+    # object --isMemberOfCollection--> collection, counted per collection,
+    # restated straight from orders (collection = custkey % 100)
+    """SELECT 'info:fedora/collection:' || (o_custkey % 100) AS collection,
+              CAST(count(*) AS BIGINT) AS n_members,
+              CAST(count(DISTINCT 'cust:' || o_custkey) AS BIGINT) AS n_owners
+       FROM orders GROUP BY 1""",
+)
+def kg_graph_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query over the CONSTRUCTED graph: self-join the extracted triple
+    set — membership edges joined to ownership literals of the same
+    subject (subject-hash bucketing co-locates these at scale, making
+    this a partition-local join on the materialized table)."""
+    rel = "info:fedora/fedora-system:def/relations-external#isMemberOfCollection"
+    source = synthesize_foxml_from_orders(spark, sf_dir)
+    triples = triples_only(extract_triples(source))
+    members = triples.filter(F.col("pred") == rel).select(
+        F.col("subj").alias("obj_uri"), F.col("obj_value").alias("collection")
+    )
+    owners = triples.filter(F.col("pred") == OWNER).select(
+        F.col("subj").alias("obj_uri"), F.col("obj_value").alias("owner")
+    )
+    return (
+        members.join(owners, "obj_uri")
+        .groupBy("collection")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.countDistinct("owner").cast("long").alias("n_owners"),
+        )
+    )
+
+
+@_q(
+    "kg_graph_predicate_stats",
+    """SELECT pred, CAST(n_per_obj * (SELECT count(*) FROM orders) AS BIGINT) AS n,
+              CAST(is_literal AS BOOLEAN) AS obj_is_literal
+       FROM (VALUES
+         ('info:fedora/fedora-system:def/model#label', 1, true),
+         ('info:fedora/fedora-system:def/model#ownerId', 1, true),
+         ('info:fedora/fedora-system:def/model#state', 3, false),
+         ('info:fedora/fedora-system:def/view#lastModifiedDate', 3, true),
+         ('info:fedora/fedora-system:def/model#createdDate', 1, true),
+         ('info:fedora/fedora-system:def/model#hasModel', 1, false),
+         ('info:fedora/fedora-system:def/view#mimeType', 2, true),
+         ('info:fedora/fedora-system:def/view#isVolatile', 2, true),
+         ('info:fedora/fedora-system:def/view#disseminates', 2, false),
+         ('info:fedora/fedora-system:def/view#disseminationType', 2, false),
+         ('http://purl.org/dc/elements/1.1/title', 1, true),
+         ('http://purl.org/dc/elements/1.1/identifier', 1, true),
+         ('info:fedora/fedora-system:def/relations-external#isMemberOfCollection', 1, false)
+       ) t(pred, n_per_obj, is_literal)""",
+)
+def kg_graph_predicate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate histogram of the constructed graph — the profile a
+    downstream triplestore loader plans storage from (hot predicates
+    like hasModel appear once per object: exactly why the materialized
+    layout buckets by SUBJECT hash, never by predicate)."""
+    source = synthesize_foxml_from_orders(spark, sf_dir)
+    triples = triples_only(extract_triples(source))
+    return triples.groupBy("pred").agg(
+        F.count("*").cast("long").alias("n"),
+        F.first("obj_is_literal").alias("obj_is_literal"),
+    )
+
+
 # =========================================================================
 # individual operators, relational analogs (SURVEY.md §2.2)
 # =========================================================================
