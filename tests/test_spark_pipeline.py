@@ -257,3 +257,45 @@ def test_materialize_graph_bucketed(spark, extracted, tmp_path):
     # same-subject rows land in the same partition directory
     assert table.select("subj", "subj_bucket").distinct().groupBy("subj").count() \
         .filter(F.col("count") > 1).count() == 0
+
+
+def test_extract_incremental_reuses_unchanged(spark):
+    """v2 = v1 with one doc edited, one deleted, one added. Incremental
+    must (a) re-extract only the 2 changed/new docs, (b) produce exactly
+    the same graph as a full v2 extraction."""
+    from fcrepo3_rdf_extractor_spark.plans.pipeline import (
+        ExtractConfig,
+        extract_incremental,
+        extract_plan,
+    )
+    from fcrepo3_rdf_extractor_spark.sources.source_table import fixture_source
+
+    cfg = ExtractConfig(skip_empty=True, dedup=False)
+    v1 = fixture_source(spark)  # 7 objects
+    prev = extract_plan(v1, cfg)
+
+    edited = v1.filter(F.col("path") == "info:fedora/ct:85").withColumn(
+        "content", F.regexp_replace("content", "Active", "Inactive")
+    )
+    added = v1.filter(F.col("path") == "info:fedora/ct:86").withColumn(
+        "path", F.lit("info:fedora/ct:9999")
+    )
+    v2 = (
+        v1.filter(~F.col("path").isin("info:fedora/ct:85", "info:fedora/ct:88"))
+        .union(edited)
+        .union(added)
+    )  # ct:88 deleted, ct:85 edited, ct:9999 added
+
+    plan = extract_incremental(v2, prev, cfg)
+    assert plan.changed.count() == 2  # only the edited + added docs re-parse
+    reused_paths = {r.path for r in plan.reused.select("path").distinct().collect()}
+    assert "info:fedora/ct:88" not in reused_paths       # deleted gone
+    assert "info:fedora/ct:85" not in reused_paths       # edited not reused
+
+    full = extract_plan(v2, cfg)
+    key = ["subj", "pred", "obj_value", "obj_is_literal", "path", "content_sha256"]
+    inc_t = plan.output.filter(F.col("error_stage").isNull()).select(key)
+    full_t = full.filter(F.col("error_stage").isNull()).select(key)
+    assert inc_t.count() == full_t.count()
+    assert inc_t.exceptAll(full_t).count() == 0
+    assert full_t.exceptAll(inc_t).count() == 0
