@@ -177,8 +177,10 @@ def extract_incremental(
         .join(prev_ids, ident, "left_anti")
         .drop("content_sha256")
     )
-    reused = previous.join(cur_ids, ident, "left_semi")
     fresh = extract_plan(changed, config, aliases=aliases, ds_store=ds_store)
+    # a previous MATERIALIZED table carries layout columns (subj_bucket);
+    # project onto the pipeline schema before the union
+    reused = previous.select(*fresh.columns).join(cur_ids, ident, "left_semi")
     output = reused.unionByName(fresh)
     return IncrementalPlan(changed=changed, reused=reused, output=output)
 

@@ -74,6 +74,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="subject-hash buckets for the triple table layout")
     ap.add_argument("--canonical-sort", action="store_true",
                     help="byte-stable output order (extra within-partition sort)")
+    ap.add_argument("--previous", default=None,
+                    help="prior run's triples output; enables incremental "
+                         "refresh (only new/changed rows re-extract)")
     ap.add_argument("--local", type=int, default=None,
                     help="run on local[N] instead of the submitted master")
     args = ap.parse_args(argv)
@@ -87,6 +90,7 @@ def main(argv: list[str] | None = None) -> int:
     )
     from fcrepo3_rdf_extractor_spark.plans.pipeline import (
         ExtractConfig,
+        extract_incremental,
         extract_plan,
         materialize_graph,
         run_resumable,
@@ -106,7 +110,18 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     summary: dict = {"out": args.out}
-    if args.checkpoint:
+    if args.previous:
+        prev = spark.read.parquet(args.previous)
+        plan = extract_incremental(
+            source, prev, config, aliases=aliases, ds_store=ds_store
+        )
+        summary["n_changed_docs"] = plan.changed.count()
+        materialize_graph(
+            plan.output, args.out, buckets=args.buckets,
+            canonical_sort=args.canonical_sort,
+        )
+        extracted = spark.read.parquet(args.out)
+    elif args.checkpoint:
         stats = run_resumable(
             source, args.out, args.checkpoint, config,
             aliases=aliases, ds_store=ds_store,
