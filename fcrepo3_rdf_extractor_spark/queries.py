@@ -1248,6 +1248,41 @@ def agg_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "events_time_rollup",
+    """SELECT coalesce(strftime(date_trunc('month', ts), '%Y-%m'), 'ALL') AS month,
+              coalesce(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL') AS day,
+              CAST(grouping(date_trunc('month', ts)) * 2
+                   + grouping(date_trunc('day', ts)) AS BIGINT) AS gid,
+              CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS total_value
+       FROM events GROUP BY ROLLUP(date_trunc('month', ts), date_trunc('day', ts))""",
+)
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time-hierarchy rollup: day aggregates nested in
+    month aggregates nested in a grand total, one pass (the batch twin
+    of a continuous aggregate; at scale this is the precomputed table
+    dashboards read instead of re-scanning raw events)."""
+    ev = _read(spark, sf_dir, "events")
+    staged = ev.select(
+        F.date_trunc("month", "ts").alias("_m"),
+        F.date_trunc("day", "ts").alias("_d"),
+        "value",
+    )
+    return (
+        staged.rollup("_m", "_d")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            (F.grouping("_m") * 2 + F.grouping("_d")).cast("long").alias("gid"),
+        )
+        .select(
+            F.coalesce(F.date_format("_m", "yyyy-MM"), F.lit("ALL")).alias("month"),
+            F.coalesce(F.date_format("_d", "yyyy-MM-dd"), F.lit("ALL")).alias("day"),
+            "gid", "n", "total_value",
+        )
+    )
+
+
+@_q(
     "agg_quantile_sketch",
     """SELECT l_returnflag,
               round(quantile_disc(l_extendedprice, 0.5), 2) AS p50,
