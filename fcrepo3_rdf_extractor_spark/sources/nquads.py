@@ -24,7 +24,14 @@ def write_nquads(
 ) -> None:
     lines = triples.select(nquad_line_col().alias("value"))
     if num_files:
-        lines = lines.repartition(num_files)
+        if canonical:
+            # hash-partition by the line itself: row->file assignment is a
+            # pure function of content, so output bytes are identical
+            # across runs/retries regardless of input order (round-robin
+            # depends on partition enumeration order)
+            lines = lines.repartition(num_files, F.col("value"))
+        else:
+            lines = lines.repartition(num_files)
     if canonical:
         lines = lines.sortWithinPartitions("value")
     writer = lines.write.mode("overwrite")

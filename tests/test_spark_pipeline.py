@@ -299,3 +299,25 @@ def test_extract_incremental_reuses_unchanged(spark):
     assert inc_t.count() == full_t.count()
     assert inc_t.exceptAll(full_t).count() == 0
     assert full_t.exceptAll(inc_t).count() == 0
+
+
+def test_canonical_nquads_byte_deterministic(spark, extracted, tmp_path):
+    """canonical=True must produce byte-identical files across two
+    independent writes of the same data (retry/rerun safety for diffing
+    and content-addressed storage)."""
+    import hashlib
+    import pathlib
+
+    from fcrepo3_rdf_extractor_spark.sources.nquads import write_nquads
+
+    triples = extracted.filter(F.col("error_stage").isNull())
+
+    def digest(path: str) -> list[str]:
+        files = sorted(pathlib.Path(path).glob("part-*"))
+        return [hashlib.sha256(f.read_bytes()).hexdigest() for f in files]
+
+    a, b = str(tmp_path / "nq_a"), str(tmp_path / "nq_b")
+    write_nquads(triples, a, canonical=True, num_files=4)
+    write_nquads(triples, b, canonical=True, num_files=4)
+    da, db = digest(a), digest(b)
+    assert da and da == db
