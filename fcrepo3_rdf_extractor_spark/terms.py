@@ -75,6 +75,31 @@ def escape_literal(value: str) -> str:
     return "".join(out)
 
 
+# N-Triples IRIREF legality: `IRIREF ::= '<' ([^#x00-#x20<>"{}|^`\] | UCHAR)* '>'`.
+# Jena's writer guarantees emitted terms parse back because its IRI layer
+# rejects/normalizes illegal characters (`TripleDump.java:51-66` via
+# WriterStreamRDFPlain); we enforce the same contract at serialization by
+# \uXXXX-escaping (UCHAR) every IRIREF-illegal character. All of them are
+# BMP, so 4-digit escapes always suffice.
+_URI_ESCAPE_RE = re.compile(r'[\x00-\x20<>"{}|^`\\]')
+
+
+def escape_uri(value: str) -> str:
+    """Escape IRIREF-illegal characters (controls, space, ``<>"{}|^`\\``)
+    as ``\\uXXXX`` so every emitted ``<...>`` term is a parseable
+    N-Triples IRIREF. Legal URIs pass through byte-identical."""
+    return _URI_ESCAPE_RE.sub(lambda m: "\\u%04X" % ord(m.group()), value)
+
+
+_UCHAR_RE = re.compile(r"\\u([0-9A-Fa-f]{4})|\\U([0-9A-Fa-f]{8})")
+
+
+def unescape_uri(value: str) -> str:
+    """Inverse of :func:`escape_uri`: resolve UCHAR escapes (the only
+    escapes legal inside IRIREF)."""
+    return _UCHAR_RE.sub(lambda m: chr(int(m.group(1) or m.group(2), 16)), value)
+
+
 _UNESCAPE_RE = re.compile(r"\\(?:u([0-9A-Fa-f]{4})|U([0-9A-Fa-f]{8})|([tbnrf\"'\\]))")
 _UNESCAPE_MAP = {"t": "\t", "b": "\b", "n": "\n", "r": "\r", "f": "\f", '"': '"', "'": "'", "\\": "\\"}
 
@@ -94,12 +119,12 @@ def serialize_term(
     value: str, is_literal: bool, datatype: str | None = None, lang: str | None = None
 ) -> str:
     if not is_literal:
-        return f"<{value}>"
+        return f"<{escape_uri(value)}>"
     lex = f'"{escape_literal(value)}"'
     if lang:
         return f"{lex}@{lang}"
     if datatype and datatype != XSD_STRING:
-        return f"{lex}^^<{datatype}>"
+        return f"{lex}^^<{escape_uri(datatype)}>"
     return lex
 
 
@@ -108,7 +133,7 @@ def nquad_line(t: Triple, graph: str | None) -> str:
     p = serialize_term(t.pred, False)
     o = serialize_term(t.obj_value, t.obj_is_literal, t.obj_datatype, t.obj_lang)
     if graph:
-        return f"{s} {p} {o} <{graph}> ."
+        return f"{s} {p} {o} <{escape_uri(graph)}> ."
     return f"{s} {p} {o} ."
 
 
@@ -143,11 +168,13 @@ def parse_nt_line(line: str) -> tuple | None:
             raise ValueError(f"unparseable N-Triples line at {pos}: {line!r}")
         pos = m.end()
         if m.group("uri") is not None:
-            terms.append((m.group("uri"), False, None, None))
+            terms.append((unescape_uri(m.group("uri")), False, None, None))
         elif m.group("bnode") is not None:
             terms.append(("_:" + m.group("bnode"), False, None, None))
         else:
             dt = m.group("dt")
+            if dt is not None:
+                dt = unescape_uri(dt)
             if dt == XSD_STRING:
                 dt = None
             terms.append((unescape_literal(m.group("lit")), True, dt, m.group("lang")))

@@ -7,12 +7,13 @@ from __future__ import annotations
 
 from datetime import datetime, timezone
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from fcrepo3_rdf_extractor_spark.terms import (
     Triple,
     escape_literal,
+    escape_uri,
     get_blob_id,
     iso_instant,
     iso_reformat,
@@ -20,6 +21,7 @@ from fcrepo3_rdf_extractor_spark.terms import (
     parse_instant,
     parse_nt_line,
     unescape_literal,
+    unescape_uri,
 )
 
 # text incl. the escape-relevant characters and general unicode
@@ -39,11 +41,38 @@ def test_escaped_literal_is_single_line(s):
     assert "\n" not in esc and "\r" not in esc and "\t" not in esc
 
 
-_uri = st.from_regex(r"[a-z]+:[A-Za-z0-9._/#%-]{1,40}", fullmatch=True)
+# a well-formed-looking URI body, deliberately including the characters
+# RELS-EXT can actually carry in a garbage rdf:resource: space, angle
+# brackets, quotes, braces, backslash, backtick, controls, non-ASCII —
+# the serializer must UCHAR-escape these into a legal IRIREF
+_uri_scheme = st.from_regex(r"[a-z]{1,8}", fullmatch=True)
+_uri_body = st.text(
+    alphabet=st.characters(blacklist_categories=["Cs"]), max_size=40
+)
+_uri = st.builds(lambda s, b: f"{s}:{b}", _uri_scheme, _uri_body)
+
+
+@given(_uri)
+@example(">")
+@example("a b<c>d\\e`f\"g{h}i|j^k\x00\x1f")
+def test_escape_uri_roundtrip_and_legality(u):
+    esc = escape_uri(u)
+    # escaped form must be a legal IRIREF body: none of the illegal chars
+    for ch in '<>"{}|^`' + "".join(chr(c) for c in range(0x21)):
+        assert ch not in esc, repr(ch)
+    assert unescape_uri(esc) == u
 
 
 @given(_uri, _uri, _literal_text, st.booleans(),
        st.none() | _uri, st.none() | st.from_regex(r"[a-z]{2}", fullmatch=True))
+@example(
+    subj='a:0',
+    pred='a:0',
+    obj='>',
+    is_lit=False,
+    dt=None,
+    lang=None,
+)
 def test_nquad_line_roundtrip(subj, pred, obj, is_lit, dt, lang):
     if not is_lit:
         dt = lang = None

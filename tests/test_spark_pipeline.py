@@ -143,6 +143,31 @@ def test_nquad_rendering_jvm_matches_python(spark, extracted):
     assert sorted(jvm) == sorted(py)
 
 
+def test_nquad_rendering_jvm_matches_python_on_illegal_uris(spark):
+    """URI escaping must be byte-identical across the JVM column chain and
+    the pure-Python serializer for IRIREF-illegal characters (the round-1
+    hypothesis regression: '>' in an rdf:resource value)."""
+    from fcrepo3_rdf_extractor_spark.terms import Triple, nquad_line, parse_nt_line
+
+    nasty = [
+        ("a:0", "p:x", ">", False, None, None, "#g"),
+        ("s: p", "p:<", "o:a b\\c`d", False, None, None, "#g h"),
+        ('q:"{}|^', "p:1", "lit\twith\nctl\x01", True, 'd:t<>"', None, "#g"),
+        ("u:\x00\x1f", "p:2", "o:\u00e9\u4e2d", False, None, None, "#g"),
+    ]
+    df = spark.createDataFrame(
+        nasty,
+        "subj string, pred string, obj_value string, obj_is_literal boolean, "
+        "obj_datatype string, obj_lang string, graph string",
+    )
+    jvm = [r.line for r in df.select(nquad_line_col().alias("line")).collect()]
+    py = [nquad_line(Triple(*row[:6]), row[6]) for row in nasty]
+    assert sorted(jvm) == sorted(py)
+    # and every emitted line parses back to the original terms
+    for row, line in zip(nasty, py):
+        assert parse_nt_line(line) == row
+
+
 def test_nquads_roundtrip(spark, extracted, tmp_path):
     out = str(tmp_path / "quads")
     write_nquads(triples_only(extracted), out, canonical=True)
