@@ -190,6 +190,67 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
     return df.select("doc_id", sig.cast("long").alias("simhash"))
 
 
+def simhash_near_duplicates(
+    docs: DataFrame,
+    text_col: str = "text",
+    bits: int = 16,
+    band_bits: int = 8,
+    max_hamming: int = 3,
+    max_bucket: int = 10000,
+) -> DataFrame:
+    """SimHash near-dup via banded LSH over signature chunks.
+
+    The signature is split into ``bits / band_bits`` disjoint bit-bands;
+    documents sharing ANY band value become candidates (for
+    bits=16/band_bits=8 that is exactly "same high byte OR same low
+    byte"). Crucially the OR is expressed by EXPLODING one row per band
+    and equi-joining on (band_id, band_key) — an OR of equalities in a
+    join condition cannot hash-partition and planner-degrades to
+    BroadcastNestedLoopJoin, O(n^2) compares at scale (pinned against in
+    tests/test_plans.py). Buckets over ``max_bucket`` are dropped via a
+    window count riding the join's own shuffle, same skew policy as
+    minhash_lsh_candidates. Hamming distance verifies candidates."""
+    assert bits % band_bits == 0
+    sigs = simhash(docs, text_col, bits)
+    mask = (1 << band_bits) - 1
+    bands = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.shiftright(F.col("simhash"), b * band_bits)
+            .bitwiseAND(F.lit(mask)).alias("band_key"),
+        )
+        for b in range(bits // band_bits)
+    ]
+    exploded = sigs.select(
+        "doc_id", "simhash", F.explode(F.array(*bands)).alias("band")
+    ).select("doc_id", "simhash", "band.band_id", "band.band_key")
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_id", "band_key")
+    bounded = (
+        exploded.withColumn("_n", F.count("*").over(w))
+        .filter(F.col("_n") <= max_bucket)
+        .drop("_n")
+    )
+    a = bounded.select("band_id", "band_key",
+                       F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
+    b = bounded.select("band_id", "band_key",
+                       F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
+    pairs = (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long")
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 # --- embedding near-dup -------------------------------------------------------
 
 

@@ -161,26 +161,30 @@ def kg_extract_error_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
        FROM orders GROUP BY 1""",
 )
 def kg_graph_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Query over the CONSTRUCTED graph: self-join the extracted triple
-    set — membership edges joined to ownership literals of the same
-    subject (subject-hash bucketing co-locates these at scale, making
-    this a partition-local join on the materialized table)."""
+    """Query over the CONSTRUCTED graph: membership edges combined with
+    ownership literals of the same subject. Both hops share the subject,
+    so instead of a triples self-join — which re-ran the whole
+    scan+parse once per branch (2x MapInPandas, the filter/union-split
+    failure mode) — the subject's edges are gathered in ONE pass with
+    conditional aggregation: one extraction, one shuffle on subj, then
+    the per-collection rollup. The general non-shared-subject traversal
+    runs as a partition-local self-join on the ``materialize_graph``
+    subject-bucketed table instead (see plans/pipeline.py)."""
     rel = "info:fedora/fedora-system:def/relations-external#isMemberOfCollection"
     source = synthesize_foxml_from_orders(spark, sf_dir)
     triples = triples_only(extract_triples(source))
-    members = triples.filter(F.col("pred") == rel).select(
-        F.col("subj").alias("obj_uri"), F.col("obj_value").alias("collection")
-    )
-    owners = triples.filter(F.col("pred") == OWNER).select(
-        F.col("subj").alias("obj_uri"), F.col("obj_value").alias("owner")
-    )
-    return (
-        members.join(owners, "obj_uri")
-        .groupBy("collection")
+    per_subj = (
+        triples.filter(F.col("pred").isin(rel, OWNER))
+        .groupBy("subj")
         .agg(
-            F.count("*").cast("long").alias("n_members"),
-            F.countDistinct("owner").cast("long").alias("n_owners"),
+            F.max(F.when(F.col("pred") == rel, F.col("obj_value"))).alias("collection"),
+            F.max(F.when(F.col("pred") == OWNER, F.col("obj_value"))).alias("owner"),
         )
+        .filter(F.col("collection").isNotNull() & F.col("owner").isNotNull())
+    )
+    return per_subj.groupBy("collection").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.countDistinct("owner").cast("long").alias("n_owners"),
     )
 
 
@@ -633,12 +637,20 @@ def docs_bpe_piece_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   for i in generate_series(1, len(h) - 15)]
                             ELSE [list_min(h)] END AS w
                 FROM g)
-        SELECT doc_id, list_sort(list_distinct(w)) AS fingerprints FROM sel""",
+        SELECT doc_id, array_to_string(list_sort(list_distinct(w)), '|') AS fingerprints
+        FROM sel""",
 )
 def docs_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query contract note: the operator returns array<string>; the
+    driver's hash canonicalization cannot sort array cells, so the
+    registry entry flattens to a '|'-joined string on BOTH sides (the
+    array itself is covered by tests/test_training_ops.py)."""
     from .operators.text import winnow_fingerprint
 
-    return winnow_fingerprint(_read(spark, sf_dir, "documents"))
+    out = winnow_fingerprint(_read(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", F.array_join("fingerprints", "|").alias("fingerprints")
+    )
 
 
 def _lang_score_sql(markers: list[str]) -> str:
@@ -840,30 +852,14 @@ _SIMHASH_SIG = f"CAST({_SIMHASH_SQL} AS BIGINT)"
 )
 def docs_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: byte-band LSH candidates (share the high or low
-    signature byte) verified by Hamming distance — the banding bounds the
-    self-join exactly like minhash_lsh_candidates."""
-    from .operators.dedup_approx import simhash
+    signature byte) verified by Hamming distance. The OR-of-bands is an
+    EXPLODED equi-join inside the operator — the naive OR-join condition
+    planned a BroadcastNestedLoopJoin (pinned in tests/test_plans.py)."""
+    from .operators.dedup_approx import simhash_near_duplicates
 
-    sigs = simhash(_read(spark, sf_dir, "documents"), bits=_SIMHASH_BITS)
-    banded = sigs.select(
-        "doc_id", "simhash",
-        (F.col("simhash") / 256).cast("long").alias("hi"),
-        F.pmod(F.col("simhash"), F.lit(256)).alias("lo"),
-    )
-    a = banded.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"),
-                      F.col("hi").alias("hi_a"), F.col("lo").alias("lo_a"))
-    b = banded.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"),
-                      F.col("hi").alias("hi_b"), F.col("lo").alias("lo_b"))
-    cands = (
-        a.join(b, ((F.col("hi_a") == F.col("hi_b")) | (F.col("lo_a") == F.col("lo_b")))
-               & (F.col("doc_a") < F.col("doc_b")))
-        .select("doc_a", "doc_b", "sig_a", "sig_b").distinct()
-    )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long")
-    return (
-        cands.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= 3)
-        .select("doc_a", "doc_b", "hamming")
+    return simhash_near_duplicates(
+        _read(spark, sf_dir, "documents"),
+        bits=_SIMHASH_BITS, band_bits=8, max_hamming=3,
     )
 
 

@@ -129,6 +129,27 @@ def test_simhash_staging_not_reinlined(spark):
     assert plan.count("split(") == 1, plan.count("split(")
 
 
+def test_simhash_neardup_no_nested_loop_join(spark):
+    """Regression: the OR-of-band-equalities join condition planned a
+    BroadcastNestedLoopJoin (O(n^2) compares, no bucket bound). The
+    banded-explode equi-join must hash-partition."""
+    from fcrepo3_rdf_extractor_spark.queries import docs_simhash_neardup
+
+    plan = _formatted(docs_simhash_neardup(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan, "OR-join degeneration"
+    assert "CartesianProduct" not in plan
+
+
+def test_graph_two_hop_single_extraction(spark):
+    """Regression: the members/owners self-join re-ran scan+parse once
+    per branch (MapInPandas appeared twice in the executed plan)."""
+    from fcrepo3_rdf_extractor_spark.queries import kg_graph_two_hop
+
+    plan = _formatted(kg_graph_two_hop(spark, SF_DIR))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("MapInPandas") == 1, tree
+
+
 def test_language_id_scores_evaluated_once(spark):
     """5 langs x 3 markers = 15 replace-chains; re-inlining would
     triple that."""
