@@ -105,6 +105,23 @@ def attach_managed_content(source: DataFrame, ds_store: DataFrame) -> DataFrame:
     return source.join(fetched, ["repo", "path", "commit"], "left")
 
 
+def dedup_mixed(out: DataFrame) -> DataFrame:
+    """Single-pass dedup over the mixed triples+errors frame: a
+    filter/union split would re-run the whole upstream plan once per
+    branch (two scans, two MapInPandas — 2x the work at 100 TB).
+    Triple rows dedup on the triple key (error cols NULL, guard "");
+    error rows get a per-document guard key so they pass through
+    un-collapsed across documents while identical re-runs of the same
+    document still dedup."""
+    guard = F.when(
+        F.col("error_stage").isNotNull(),
+        F.concat_ws("\x01", "repo", "path", "commit"),
+    ).otherwise(F.lit(""))
+    key = [c for c in TRIPLE_KEY if c in out.columns]
+    key += ["error_stage", "error_ds_id", "_guard"]
+    return dedup_exact(out.withColumn("_guard", guard), key=key).drop("_guard")
+
+
 def extract_plan(
     source: DataFrame,
     config: ExtractConfig | None = None,
@@ -122,28 +139,17 @@ def extract_plan(
     if aliases is not None:
         out = canonicalize(out, aliases)
     if config.dedup:
-        # single-pass dedup over the mixed triples+errors frame: a
-        # filter/union split would re-run the whole extraction once per
-        # branch (two scans, two MapInPandas — 2x the work at 100 TB).
-        # Triple rows dedup on the triple key (error cols NULL, guard
-        # ""); error rows get a per-document guard key so they pass
-        # through un-collapsed across documents while identical re-runs
-        # of the same document still dedup.
-        guard = F.when(
-            F.col("error_stage").isNotNull(),
-            F.concat_ws("\x01", "repo", "path", "commit"),
-        ).otherwise(F.lit(""))
-        key = [c for c in TRIPLE_KEY if c in out.columns]
-        key += ["error_stage", "error_ds_id", "_guard"]
-        out = dedup_exact(out.withColumn("_guard", guard), key=key).drop("_guard")
+        out = dedup_mixed(out)
     return out
 
 
 @dataclass
 class IncrementalPlan:
     changed: DataFrame   # source rows that will be (re-)extracted
-    reused: DataFrame    # prior output rows carried forward unchanged
-    output: DataFrame    # reused ∪ freshly-extracted = the new graph
+    reused: DataFrame    # prior per-document rows carried forward unchanged
+    state: DataFrame     # reused ∪ fresh, PER-DOCUMENT (pre-dedup) — feed
+                         # this table to the next run's ``previous``
+    output: DataFrame    # state, with dedup applied iff config.dedup
 
 
 def extract_incremental(
@@ -159,11 +165,23 @@ def extract_incremental(
     only new/changed rows run the extraction UDF; rows absent from the
     new source (deleted or superseded versions) drop out.
 
+    ``previous`` MUST be a per-document (pre-dedup) table — the prior
+    run's ``IncrementalPlan.state`` or an ``extract_plan`` output with
+    ``dedup=False``. A deduped previous is unsound for incremental
+    maintenance: dedup keeps one witness row per triple, so (a) a fresh
+    doc re-asserting an already-witnessed triple would duplicate it and
+    (b) deleting/editing the witness doc would drop the triple even when
+    an unchanged live doc still asserts it. Dedup is therefore applied
+    HERE, once, over the reused∪fresh union (``output``), while
+    ``state`` stays per-document for the next refresh.
+
     Both membership checks are semi/anti joins on the 4-column identity
     — at 10^12 rows that is a narrow shuffle of ids, not content, and
     the daily-changed slice (typically <<1%) is all the Python work
     that runs. The content_sha256 in the key means a same-path edit
     re-extracts and its stale triples vanish via the semi-join."""
+    from dataclasses import replace
+
     config = config or ExtractConfig()
     ident = ["repo", "path", "commit", "content_sha256"]
     cur_ids = (
@@ -177,12 +195,17 @@ def extract_incremental(
         .join(prev_ids, ident, "left_anti")
         .drop("content_sha256")
     )
-    fresh = extract_plan(changed, config, aliases=aliases, ds_store=ds_store)
+    # the per-document layer is always built dedup-free; dedup collapses
+    # cross-document witnesses and is applied once at the output layer
+    fresh = extract_plan(
+        changed, replace(config, dedup=False), aliases=aliases, ds_store=ds_store
+    )
     # a previous MATERIALIZED table carries layout columns (subj_bucket);
     # project onto the pipeline schema before the union
     reused = previous.select(*fresh.columns).join(cur_ids, ident, "left_semi")
-    output = reused.unionByName(fresh)
-    return IncrementalPlan(changed=changed, reused=reused, output=output)
+    state = reused.unionByName(fresh)
+    output = dedup_mixed(state) if config.dedup else state
+    return IncrementalPlan(changed=changed, reused=reused, state=state, output=output)
 
 
 def run_resumable(

@@ -75,8 +75,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--canonical-sort", action="store_true",
                     help="byte-stable output order (extra within-partition sort)")
     ap.add_argument("--previous", default=None,
-                    help="prior run's triples output; enables incremental "
-                         "refresh (only new/changed rows re-extract)")
+                    help="prior run's PER-DOCUMENT triples table; enables "
+                         "incremental refresh (only new/changed rows "
+                         "re-extract). Must be a prior incremental --out or "
+                         "a fresh run with --no-dedup: a deduped table keeps "
+                         "one witness per triple and cannot be maintained "
+                         "incrementally")
     ap.add_argument("--local", type=int, default=None,
                     help="run on local[N] instead of the submitted master")
     args = ap.parse_args(argv)
@@ -90,6 +94,7 @@ def main(argv: list[str] | None = None) -> int:
     )
     from fcrepo3_rdf_extractor_spark.plans.pipeline import (
         ExtractConfig,
+        dedup_mixed,
         extract_incremental,
         extract_plan,
         materialize_graph,
@@ -116,11 +121,17 @@ def main(argv: list[str] | None = None) -> int:
             source, prev, config, aliases=aliases, ds_store=ds_store
         )
         summary["n_changed_docs"] = plan.changed.count()
+        # materialize the PER-DOCUMENT state: it is the only sound
+        # --previous for the next refresh (dedup keeps one witness per
+        # triple and loses the other asserting documents). Dedup, when
+        # requested, is applied on the read-back view for counts/export.
         materialize_graph(
-            plan.output, args.out, buckets=args.buckets,
+            plan.state, args.out, buckets=args.buckets,
             canonical_sort=args.canonical_sort,
         )
-        extracted = spark.read.parquet(args.out)
+        summary["layout"] = "per_document"
+        stored = spark.read.parquet(args.out)
+        extracted = dedup_mixed(stored) if config.dedup else stored
     elif args.checkpoint:
         stats = run_resumable(
             source, args.out, args.checkpoint, config,

@@ -326,6 +326,60 @@ def test_extract_incremental_reuses_unchanged(spark):
     assert full_t.exceptAll(inc_t).count() == 0
 
 
+def test_extract_incremental_with_dedup_matches_full_rebuild(spark):
+    """Incremental refresh under dedup=True (the default). The prior
+    round collapsed duplicates BEFORE the semi/anti joins, which (a)
+    duplicated triples when a fresh doc re-asserted an already-witnessed
+    triple and (b) silently dropped triples when the witness doc was
+    deleted while another live doc still asserted them. The fix keeps a
+    per-document ``state`` and dedups once at the output layer."""
+    from dataclasses import replace
+
+    from fcrepo3_rdf_extractor_spark.plans.pipeline import (
+        ExtractConfig,
+        extract_incremental,
+        extract_plan,
+    )
+    from fcrepo3_rdf_extractor_spark.sources.source_table import fixture_source
+
+    cfg = ExtractConfig(skip_empty=True, dedup=True)
+    base = fixture_source(spark)
+    # two extra docs with IDENTICAL content (same pid inside) -> they
+    # assert the exact same triples as each other
+    dup_a = base.filter(F.col("path") == "info:fedora/ct:86").withColumn(
+        "path", F.lit("info:fedora/dup:a")
+    )
+    dup_b = base.filter(F.col("path") == "info:fedora/ct:86").withColumn(
+        "path", F.lit("info:fedora/dup:b")
+    )
+    v1 = base.union(dup_a).union(dup_b)
+    # previous must be the per-document table (state); dedup=False here
+    prev_state = extract_plan(v1, replace(cfg, dedup=False))
+
+    # v2: delete dup:a (a witness candidate for the shared triples) and
+    # add dup:c re-asserting triples that already exist in `previous`
+    dup_c = base.filter(F.col("path") == "info:fedora/ct:86").withColumn(
+        "path", F.lit("info:fedora/dup:c")
+    )
+    v2 = v1.filter(F.col("path") != "info:fedora/dup:a").union(dup_c)
+
+    plan = extract_incremental(v2, prev_state, cfg)
+    assert plan.changed.count() == 1  # only dup:c re-parses
+
+    full = extract_plan(v2, cfg)
+    key = ["graph", "subj", "pred", "obj_value", "obj_is_literal"]
+    inc_t = plan.output.filter(F.col("error_stage").isNull()).select(key)
+    full_t = full.filter(F.col("error_stage").isNull()).select(key)
+    # (a) no duplicated triples in the incremental output
+    assert inc_t.count() == inc_t.distinct().count()
+    # (b) the deleted witness's triples survive via the live asserting doc
+    assert inc_t.exceptAll(full_t).count() == 0
+    assert full_t.exceptAll(inc_t).count() == 0
+    # state stays per-document: next refresh can chain on it
+    assert plan.state.filter(F.col("path") == "info:fedora/dup:b").count() > 0
+    assert plan.state.filter(F.col("path") == "info:fedora/dup:c").count() > 0
+
+
 def test_canonical_nquads_byte_deterministic(spark, extracted, tmp_path):
     """canonical=True must produce byte-identical files across two
     independent writes of the same data (retry/rerun safety for diffing
