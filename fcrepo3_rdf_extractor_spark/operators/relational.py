@@ -50,6 +50,11 @@ def asof_join(
         F.lit(None).cast(rv_type).alias("_rv"),
         F.lit(1).alias("_src"),
     )
+    # a NULL `on` can never satisfy "greatest right.on <= left.on"
+    # (ASOF semantics; DuckDB's v.ts <= c.ts never matches NULL) — but
+    # nulls-first ascending ordering would carry such rows forward as
+    # spurious matches for left rows with no genuine prior right row
+    right = right.filter(F.col(on).isNotNull())
     r_tagged = right.select(
         *[
             F.col(c) if c in (by + [on])

@@ -243,13 +243,34 @@ def iso_instant(dt: datetime) -> str:
     return f"{base}.{us:06d}Z"
 
 
+_DAYS_IN_MONTH = (31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31)
+
+
+def _validate_date_fields(value: str, y: int, mo: int, d: int, h: int, mi: int, s: int) -> None:
+    """Calendar-validate grammar-matching fields, mirroring what
+    ``datetime()`` enforces on the slow path: a lexically well-formed
+    but impossible instant (month 13, day 40, hour 25) must raise — the
+    reference's parse turns these into E1 error rows, not canonical-
+    looking literals."""
+    if not 1 <= mo <= 12:
+        raise ValueError(f"month out of range in FOXML date: {value!r}")
+    dim = _DAYS_IN_MONTH[mo - 1]
+    if mo == 2 and y % 4 == 0 and (y % 100 != 0 or y % 400 == 0):
+        dim = 29
+    if not 1 <= d <= dim:
+        raise ValueError(f"day out of range in FOXML date: {value!r}")
+    if h > 23 or mi > 59 or s > 59:
+        raise ValueError(f"time out of range in FOXML date: {value!r}")
+
+
 @lru_cache(maxsize=8192)
 def iso_reformat(value: str) -> str:
     """FOXML lexical timestamp -> reference-canonical ISO instant.
 
     Fast path: a UTC ('Z' or offset-free) lexical value is already
     zero-padded by the grammar, so the canonical form is pure string
-    surgery on the regex groups — no datetime object. Non-UTC offsets
+    surgery on the regex groups — no datetime object, but the SAME
+    field-range validation the datetime path applies. Non-UTC offsets
     (absent from FOXML in practice) take the full parse+format path."""
     v = value.strip()
     m = _DT_RE.match(v)
@@ -257,6 +278,7 @@ def iso_reformat(value: str) -> str:
         raise ValueError(f"unparseable FOXML date: {value!r}")
     off = m.group(8)
     if off is None or off == "Z":
+        _validate_date_fields(value, *(int(m.group(i)) for i in range(1, 7)))
         frac = m.group(7) or ""
         micros = int(frac.ljust(6, "0")[:6]) if frac else 0
         base = v[:19]

@@ -32,6 +32,24 @@ def test_asof_join_basic_tie_and_missing(spark):
     assert out[4].v_asof is None   # group isolation
 
 
+def test_asof_join_null_on_right_never_matches(spark):
+    """A right row with a NULL `on` value can never be an as-of match
+    (DuckDB's ASOF `v.ts <= c.ts` never matches NULL); without the
+    filter, nulls-first ascending sort carried it forward as a spurious
+    match for left rows with no genuine prior right row."""
+    left = spark.createDataFrame(
+        [(1, "u", _ts("2024-01-01T10:00:00"))],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u", None, 9.0)],  # NULL ts: must not match anything
+        "user_id string, ts timestamp, v double",
+    )
+    row = asof_join(left, right, on="ts", by=["user_id"],
+                    right_values=["v"]).collect()[0]
+    assert row.v_asof is None
+
+
 def test_asof_join_null_in_right_values_stays_coherent(spark):
     """A right row with a NULL column must still win as a whole row —
     per-column carry-forward would reach back to the older row for the

@@ -76,6 +76,25 @@ def test_iso_no_fraction_input():
     assert iso_reformat("2005-01-20T22:46:07Z") == "2005-01-20T22:46:07Z"
 
 
+@pytest.mark.parametrize("bad", [
+    "2004-13-01T00:00:00Z",   # month 13
+    "2004-02-30T00:00:00Z",   # Feb 30
+    "1900-02-29T00:00:00Z",   # not a leap year (century rule)
+    "2004-01-40T00:00:00Z",   # day 40
+    "2004-01-01T25:00:00Z",   # hour 25
+    "2004-01-01T00:61:00Z",   # minute 61
+])
+def test_iso_reformat_rejects_impossible_instants(bad):
+    """Grammar-matching but calendar-impossible timestamps must raise
+    (-> E1 error rows), matching the datetime()-backed slow path."""
+    with pytest.raises(ValueError):
+        iso_reformat(bad)
+
+
+def test_iso_reformat_accepts_leap_day():
+    assert iso_reformat("2000-02-29T12:00:00Z") == "2000-02-29T12:00:00Z"
+
+
 def test_iso_offset_normalized_to_utc():
     assert iso_reformat("2005-01-20T23:46:07+01:00") == "2005-01-20T22:46:07Z"
 
