@@ -16,7 +16,9 @@ common constructs a general store can contain:
 - ``rdf:parseType="Resource"`` (nested anonymous node) and
   ``rdf:parseType="Literal"`` (XML literal)
 - property attributes on node elements
-- ``rdf:ID`` relative to an optional ``base``
+- ``xml:base`` (document + nested scopes): ``rdf:about``/``rdf:resource``/
+  ``rdf:ID``/``rdf:datatype`` resolve against the in-scope base per
+  RFC 3986 §5.2, matching Jena RIOT's resolution
 
 - containers (``rdf:Seq``/``Bag``/``Alt``) with ``rdf:li`` numbered to
   ``rdf:_1, _2, ...`` (counter per enclosing node element, per spec)
@@ -28,10 +30,80 @@ Unsupported (raises RdfXmlError -> error row): reification attributes.
 
 from __future__ import annotations
 
+import re
 import xml.etree.ElementTree as ET
 
 from .terms import Triple, skolemize
 from .vocab import RDF_NS, RDF_XML_LITERAL
+
+# --- RFC 3986 relative-reference resolution --------------------------------
+# RDF/XML resolves rdf:about / rdf:resource / rdf:ID / rdf:datatype against
+# the in-scope base URI (xml:base, inheriting and nesting per XML Base).
+# Jena RIOT does this through its IRI layer (`ObjectProcessor.java:167-169`
+# inherits it); round 1 only applied base to rdf:ID. Implemented directly
+# (urllib.parse.urljoin special-cases known schemes and mishandles e.g.
+# ``info:``): the strict algorithm of RFC 3986 §5.2.
+
+_URI_SPLIT_RE = re.compile(
+    r"^(?:([A-Za-z][A-Za-z0-9+.\-]*):)?(?://([^/?#]*))?([^?#]*)(?:\?([^#]*))?(?:#(.*))?$"
+)
+
+
+def _split_uri(uri: str):
+    return _URI_SPLIT_RE.match(uri).groups()  # scheme, auth, path, query, frag
+
+
+def _remove_dot_segments(path: str) -> str:
+    out: list[str] = []
+    for seg in path.split("/"):
+        if seg == ".":
+            continue
+        if seg == "..":
+            if out and out[-1] != "":
+                out.pop()
+                if not out:
+                    out = [""]
+        else:
+            out.append(seg)
+    # preserve a trailing slash implied by ./.. at the end
+    if path.endswith(("/.", "/..")) and (not out or out[-1] != ""):
+        out.append("")
+    return "/".join(out)
+
+
+def resolve_uri(base: str, ref: str) -> str:
+    """Resolve ``ref`` against ``base`` per RFC 3986 §5.2 (strict).
+    With an empty base the reference passes through verbatim — the
+    pre-base behavior for absolute-URI-only documents."""
+    if not base:
+        return ref
+    r_scheme, r_auth, r_path, r_query, r_frag = _split_uri(ref)
+    if r_scheme is not None:
+        return ref  # already absolute
+    b_scheme, b_auth, b_path, b_query, _ = _split_uri(base)
+    if r_auth is not None:
+        t_auth, t_path, t_query = r_auth, _remove_dot_segments(r_path), r_query
+    elif not r_path:
+        t_auth, t_path = b_auth, b_path
+        t_query = r_query if r_query is not None else b_query
+    else:
+        if r_path.startswith("/"):
+            t_path = _remove_dot_segments(r_path)
+        elif b_auth is not None and not b_path:
+            t_path = _remove_dot_segments("/" + r_path)
+        else:
+            merged = b_path[: b_path.rfind("/") + 1] + r_path if "/" in b_path else r_path
+            t_path = _remove_dot_segments(merged)
+        t_auth, t_query = b_auth, r_query
+    out = f"{b_scheme}:" if b_scheme is not None else ""
+    if t_auth is not None:
+        out += "//" + t_auth
+    out += t_path
+    if t_query is not None:
+        out += "?" + t_query
+    if r_frag is not None:
+        out += "#" + r_frag
+    return out
 
 _RDF = "{%s}" % RDF_NS
 _XML_LANG = "{http://www.w3.org/XML/1998/namespace}lang"
@@ -75,21 +147,33 @@ class _Parser:
     def named_bnode(self, node_id: str) -> str:
         return skolemize(self.scope, f"nodeID:{node_id}")
 
-    def node_subject(self, el: ET.Element) -> str:
+    def _scoped_base(self, el: ET.Element, base: str) -> str:
+        """xml:base on any element rebinds the in-scope base for its
+        subtree; a relative xml:base resolves against the outer base
+        (XML Base §4.3)."""
+        own = el.get(_XML_BASE)
+        if own is None:
+            return base
+        return resolve_uri(base, own)
+
+    def node_subject(self, el: ET.Element, base: str) -> str:
         about = el.get(_RDF + "about")
         if about is not None:
-            return about
+            return resolve_uri(base, about)
         rid = el.get(_RDF + "ID")
         if rid is not None:
-            return f"{self.base}#{rid}"
+            return resolve_uri(base, "#" + rid) if base else f"#{rid}"
         node_id = el.get(_RDF + "nodeID")
         if node_id is not None:
             return self.named_bnode(node_id)
         return self.fresh_bnode()
 
-    def parse_node_element(self, el: ET.Element, lang: str | None) -> str:
+    def parse_node_element(
+        self, el: ET.Element, lang: str | None, base: str | None = None
+    ) -> str:
+        base = self._scoped_base(el, self.base if base is None else base)
         lang = el.get(_XML_LANG, lang)
-        subj = self.node_subject(el)
+        subj = self.node_subject(el, base)
         ns, local = _split(el.tag)
         if not (ns == RDF_NS and local == "Description"):
             self.triples.append(Triple(subj, RDF_NS + "type", ns + local, False))
@@ -110,10 +194,10 @@ class _Parser:
             if pns == RDF_NS and plocal == "li":
                 li_counter += 1
                 self.parse_property_element(
-                    subj, prop, lang, pred_override=f"{RDF_NS}_{li_counter}"
+                    subj, prop, lang, base, pred_override=f"{RDF_NS}_{li_counter}"
                 )
             else:
-                self.parse_property_element(subj, prop, lang)
+                self.parse_property_element(subj, prop, lang, base)
         return subj
 
     def parse_property_element(
@@ -121,8 +205,10 @@ class _Parser:
         subj: str,
         el: ET.Element,
         lang: str | None,
+        base: str | None = None,
         pred_override: str | None = None,
     ) -> None:
+        base = self._scoped_base(el, self.base if base is None else base)
         lang = el.get(_XML_LANG, lang)
         ns, local = _split(el.tag)
         pred = pred_override or (ns + local)
@@ -141,10 +227,10 @@ class _Parser:
                 if sns == RDF_NS and slocal == "li":
                     li_counter += 1
                     self.parse_property_element(
-                        obj, sub, lang, pred_override=f"{RDF_NS}_{li_counter}"
+                        obj, sub, lang, base, pred_override=f"{RDF_NS}_{li_counter}"
                     )
                 else:
-                    self.parse_property_element(obj, sub, lang)
+                    self.parse_property_element(obj, sub, lang, base)
             return
         if parse_type == "Collection":
             # RDF list: one deterministic cell bnode per member
@@ -152,7 +238,7 @@ class _Parser:
             head = cells[0] if cells else RDF_NS + "nil"
             self.triples.append(Triple(subj, pred, head, False))
             for i, (cell, child) in enumerate(zip(cells, children)):
-                item = self.parse_node_element(child, lang)
+                item = self.parse_node_element(child, lang, base)
                 self.triples.append(Triple(cell, RDF_NS + "first", item, False))
                 rest = cells[i + 1] if i + 1 < len(cells) else RDF_NS + "nil"
                 self.triples.append(Triple(cell, RDF_NS + "rest", rest, False))
@@ -167,7 +253,7 @@ class _Parser:
             raise RdfXmlError(f"unsupported rdf:parseType={parse_type!r}")
 
         if resource is not None:
-            self.triples.append(Triple(subj, pred, resource, False))
+            self.triples.append(Triple(subj, pred, resolve_uri(base, resource), False))
             return
         if node_id is not None:
             self.triples.append(Triple(subj, pred, self.named_bnode(node_id), False))
@@ -177,7 +263,7 @@ class _Parser:
                 raise RdfXmlError(
                     f"property element <{pred}> with {len(children)} child node elements"
                 )
-            obj = self.parse_node_element(children[0], lang)
+            obj = self.parse_node_element(children[0], lang, base)
             self.triples.append(Triple(subj, pred, obj, False))
             return
 
@@ -198,7 +284,10 @@ class _Parser:
         # an empty literal for <p></p>, which skipEmptyLiterals then drops)
         text = el.text or ""
         if datatype is not None:
-            self.triples.append(Triple(subj, pred, text, True, datatype, None))
+            # rdf:datatype is a URI reference, resolved like the others
+            self.triples.append(
+                Triple(subj, pred, text, True, resolve_uri(base, datatype), None)
+            )
         else:
             self.triples.append(Triple(subj, pred, text, True, None, lang))
 
@@ -219,7 +308,13 @@ def parse_rdfxml(
         except ET.ParseError as e:
             raise RdfXmlError(f"RDF/XML parse failure: {e}") from e
 
-    parser = _Parser(scope, base or root.get(_XML_BASE))
+    doc_base = base or ""
+    root_base = root.get(_XML_BASE)
+    if root_base is not None:
+        # a (possibly relative) xml:base on the root resolves against the
+        # externally supplied base (XML Base §4.3)
+        doc_base = resolve_uri(doc_base, root_base)
+    parser = _Parser(scope, doc_base)
     ns, local = _split(root.tag)
     lang = root.get(_XML_LANG)
     if ns == RDF_NS and local == "RDF":

@@ -287,3 +287,102 @@ def test_extract_null_and_wrong_type_content_become_error_rows():
         triples, errors = extract_object(bad)
         assert triples == []
         assert len(errors) == 1 and errors[0].stage == "object"
+
+
+# --- xml:base resolution (RFC 3986 / XML Base, mirroring Jena RIOT) --------
+
+
+def test_resolve_uri_matches_urljoin_for_http():
+    """Our strict RFC 3986 resolver must agree with urllib's urljoin on
+    schemes urllib handles (it special-cases known schemes; we need the
+    same algebra for info:/urn: too, which urljoin mangles)."""
+    from urllib.parse import urljoin
+
+    from fcrepo3_rdf_extractor_spark.rdfxml import resolve_uri
+
+    base = "http://ex.org/a/b?q=1"
+    for ref in ["c", "/c", "../c", "./c", "c/d/../e", "#f", "", "?x=2",
+                "//other.org/p", "mailto:x@y", "c#f", "../../../up"]:
+        assert resolve_uri(base, ref) == urljoin(base, ref), ref
+
+
+def test_rdfxml_base_resolves_about_and_resource():
+    doc = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+                      xmlns:ex="http://ex.org/ns#"
+                      xml:base="http://ex.org/dir/doc">
+      <rdf:Description rdf:about="item1">
+        <ex:rel rdf:resource="item2"/>
+        <ex:abs rdf:resource="info:fedora/x:1"/>
+        <ex:lit rdf:datatype="types#int">5</ex:lit>
+      </rdf:Description>
+    </rdf:RDF>"""
+    keys = {t.key() for t in parse_rdfxml(doc, scope="t")}
+    assert ("http://ex.org/dir/item1", "http://ex.org/ns#rel",
+            "http://ex.org/dir/item2", False, None, None) in keys
+    # absolute URIs pass through untouched
+    assert ("http://ex.org/dir/item1", "http://ex.org/ns#abs",
+            "info:fedora/x:1", False, None, None) in keys
+    # rdf:datatype resolves too
+    assert ("http://ex.org/dir/item1", "http://ex.org/ns#lit",
+            "5", True, "http://ex.org/dir/types#int", None) in keys
+
+
+def test_rdfxml_base_nested_scope_overrides():
+    doc = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+                      xmlns:ex="http://ex.org/ns#"
+                      xml:base="http://ex.org/outer/">
+      <rdf:Description rdf:about="a" xml:base="http://other.org/inner/">
+        <ex:p rdf:resource="b"/>
+      </rdf:Description>
+      <rdf:Description rdf:about="c">
+        <ex:p rdf:resource="d"/>
+      </rdf:Description>
+    </rdf:RDF>"""
+    keys = {t.key() for t in parse_rdfxml(doc, scope="t")}
+    assert ("http://other.org/inner/a", "http://ex.org/ns#p",
+            "http://other.org/inner/b", False, None, None) in keys
+    assert ("http://ex.org/outer/c", "http://ex.org/ns#p",
+            "http://ex.org/outer/d", False, None, None) in keys
+
+
+def test_rdfxml_base_applies_to_rdf_id_and_empty_about():
+    doc = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+                      xmlns:ex="http://ex.org/ns#"
+                      xml:base="http://ex.org/doc">
+      <rdf:Description rdf:ID="frag"><ex:p>v</ex:p></rdf:Description>
+      <rdf:Description rdf:about=""><ex:q>w</ex:q></rdf:Description>
+    </rdf:RDF>"""
+    keys = {t.key() for t in parse_rdfxml(doc, scope="t")}
+    assert ("http://ex.org/doc#frag", "http://ex.org/ns#p", "v", True, None, None) in keys
+    # rdf:about="" denotes the base document itself
+    assert ("http://ex.org/doc", "http://ex.org/ns#q", "w", True, None, None) in keys
+
+
+def test_rdfxml_base_info_scheme():
+    """Fedora URIs are info: scheme — no authority component; relative
+    refs must merge on the path (urljoin would refuse)."""
+    doc = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+                      xmlns:ex="http://ex.org/ns#"
+                      xml:base="info:fedora/obj:1/RELS-EXT">
+      <rdf:Description rdf:about="">
+        <ex:p rdf:resource="DC"/>
+      </rdf:Description>
+    </rdf:RDF>"""
+    keys = {t.key() for t in parse_rdfxml(doc, scope="t")}
+    assert ("info:fedora/obj:1/RELS-EXT", "http://ex.org/ns#p",
+            "info:fedora/obj:1/DC", False, None, None) in keys
+
+
+def test_rdfxml_no_base_passes_relative_through():
+    """Without any base the parser keeps references verbatim (the
+    pre-existing behavior for the reference corpus, which is
+    absolute-URI-only)."""
+    doc = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+                      xmlns:ex="http://ex.org/ns#">
+      <rdf:Description rdf:about="info:fedora/o:1">
+        <ex:p rdf:resource="relative/thing"/>
+      </rdf:Description>
+    </rdf:RDF>"""
+    keys = {t.key() for t in parse_rdfxml(doc, scope="t")}
+    assert ("info:fedora/o:1", "http://ex.org/ns#p",
+            "relative/thing", False, None, None) in keys
