@@ -50,14 +50,23 @@ class ExtractConfig:
     subject_buckets: int = 256
 
 
-def attach_managed_content(source: DataFrame, ds_store: DataFrame) -> DataFrame:
-    """P6's MANAGED branch (`ObjectProcessor.java:214-216`) as a join.
+def managed_content_requests(source: DataFrame) -> DataFrame:
+    """The managed-content *request* pass: object row -> the blob ids of
+    the newest DC/RELS-EXT/RELS-INT MANAGED datastream versions, as pure
+    JVM column expressions (regex block extraction + ``url_encode``
+    minting). Round 1 ran a second full FOXML parse in Python here; the
+    request pass only needs three attributes per datastream block, so a
+    regex sweep costs a scan instead of a mapInPandas fork + XML parse —
+    and the extraction hot path keeps exactly ONE Python stage (pinned).
 
-    ``ds_store`` has columns (blob_id, content). Only objects that can
-    possibly need a managed DC/RELS fetch are joined (cheap JVM-side
-    substring prefilter — exact control-group dispatch happens in the
-    UDF), so at 10^12 scale the join input is a sliver of the table.
-    The fetched blobs arrive as a per-object map column."""
+    Version choice mirrors ``foxml.parse_foxml``: newest CREATED wins,
+    document order breaks ties/absent-CREATED (lexicographic max is
+    CREATED-order for FOXML's zero-padded UTC instants). Blob-id minting
+    mirrors ``terms.get_blob_id`` (`ObjectProcessor.java:293-341`):
+    3-token ``ns:id+dsId+dsvId`` -> ``info:fedora/ns:id/<enc>/<enc>``
+    with Java-URLEncoder form encoding (= Spark ``url_encode``);
+    malformed tokens yield no request row, so the extraction UDF emits
+    the per-datastream error row instead of the job dying."""
     needs = source.filter(
         F.col("content").contains('CONTROL_GROUP="M"')
         & (
@@ -66,32 +75,66 @@ def attach_managed_content(source: DataFrame, ds_store: DataFrame) -> DataFrame:
             | F.col("content").contains('ID="RELS-INT"')
         )
     )
-    # light request pass: object row -> needed blob ids
-    import pandas as pd
-
-    from ..foxml import parse_foxml
-    from ..terms import get_blob_id
-
-    def requests(batches):
-        for pdf in batches:
-            rows = []
-            for i in range(len(pdf)):
-                try:
-                    obj = parse_foxml(pdf["content"].iat[i])
-                except Exception:
-                    continue
-                for ds in obj["datastreams"]:
-                    if ds["id"] in ("DC", "RELS-EXT", "RELS-INT") and ds["control_group"] == "M":
-                        for v in ds["versions"][:1]:
-                            loc = v.get("content_location")
-                            if loc:
-                                rows.append((pdf["repo"].iat[i], pdf["path"].iat[i],
-                                             pdf["commit"].iat[i], get_blob_id(loc)))
-            yield pd.DataFrame(rows, columns=["repo", "path", "commit", "blob_id"])
-
-    req = needs.mapInPandas(
-        requests, "repo string, path string, commit string, blob_id string"
+    ds_block = r"(?s)<foxml:datastream\b.*?</foxml:datastream>"
+    v_block = r"(?s)<foxml:datastreamVersion\b.*?</foxml:datastreamVersion>"
+    exploded = needs.select(
+        "repo", "path", "commit",
+        F.explode(F.regexp_extract_all("content", F.lit(ds_block), 0)).alias("_ds"),
+    ).filter(
+        F.col("_ds").rlike(r'^<foxml:datastream\b[^>]*\bCONTROL_GROUP="M"')
+        & F.col("_ds").rlike(r'^<foxml:datastream\b[^>]*\bID="(DC|RELS-EXT|RELS-INT)"')
     )
+    versions = F.transform(
+        F.regexp_extract_all("_ds", F.lit(v_block), 0),
+        lambda v: F.struct(
+            F.regexp_extract(v, r'\bCREATED="([^"]*)"', 1).alias("c"),
+            F.regexp_extract(
+                v, r'(?s)<foxml:contentLocation\b[^>]*\bREF="([^"]*)"', 1
+            ).alias("r"),
+        ),
+    )
+    staged = exploded.select("repo", "path", "commit", versions.alias("_vs"))
+    maxc = F.array_max(F.transform(F.col("_vs"), lambda x: x["c"]))
+    newest_ref = F.element_at(F.filter(F.col("_vs"), lambda x: x["c"] == maxc), 1)["r"]
+    tokens = staged.select(
+        "repo", "path", "commit", newest_ref.alias("_token")
+    ).filter(F.col("_token").isNotNull() & (F.col("_token") != ""))
+    # stage the split: referenced 4x below (CollapseProject would
+    # re-inline the split per reference otherwise)
+    parts = tokens.select(
+        "repo", "path", "commit", "_token",
+        F.split("_token", r"\+").alias("_p"),
+    )
+    p = F.col("_p")
+    mint3 = F.concat(
+        p[0], F.lit("/"), F.url_encode(p[1]), F.lit("/"), F.url_encode(p[2])
+    )
+    blob = F.when(
+        F.size(p) == 1,
+        F.when(F.col("_token").startswith("info:fedora/"), F.col("_token"))
+        .otherwise(F.concat(F.lit("info:fedora/"), F.col("_token"))),
+    ).when(
+        F.size(p) == 3,
+        F.when(p[0].startswith("info:fedora/"), mint3)
+        .otherwise(F.concat(F.lit("info:fedora/"), mint3)),
+    )
+    return (
+        parts.select("repo", "path", "commit", blob.alias("blob_id"))
+        .filter(F.col("blob_id").isNotNull())
+    )
+
+
+def attach_managed_content(source: DataFrame, ds_store: DataFrame) -> DataFrame:
+    """P6's MANAGED branch (`ObjectProcessor.java:214-216`) as a join.
+
+    ``ds_store`` has columns (blob_id, content). Only objects that can
+    possibly need a managed DC/RELS fetch are joined (cheap JVM-side
+    substring prefilter — exact control-group dispatch happens in the
+    UDF), so at 10^12 scale the join input is a sliver of the table.
+    The fetched blobs arrive as a per-object map column. The request
+    pass is pure column expressions (``managed_content_requests``), so
+    FOXML parses exactly once per object — in the extraction UDF."""
+    req = managed_content_requests(source)
     fetched = (
         req.join(ds_store.select("blob_id", F.col("content").alias("_blob_content")),
                  "blob_id", "inner")

@@ -129,6 +129,26 @@ def test_simhash_staging_not_reinlined(spark):
     assert plan.count("split(") == 1, plan.count("split(")
 
 
+def test_managed_content_plan_single_python_stage(spark):
+    """The managed-content request pass must be pure column expressions:
+    with a ds_store attached, the whole extraction plan still contains
+    exactly ONE MapInPandas (round 1 parsed FOXML twice — a second
+    Python request pass before the extraction UDF)."""
+    from fcrepo3_rdf_extractor_spark.plans.pipeline import ExtractConfig, extract_plan
+    from fcrepo3_rdf_extractor_spark.sources.source_table import (
+        synthesize_foxml_from_orders,
+    )
+
+    src = synthesize_foxml_from_orders(spark, SF_DIR)
+    ds_store = spark.createDataFrame(
+        [("info:fedora/x:1/DC/DC.0", "<x/>")], "blob_id string, content string"
+    )
+    plan = _formatted(extract_plan(src, ExtractConfig(), ds_store=ds_store))
+    tree = plan.split("\n\n")[0]
+    assert "BatchEvalPython" not in tree
+    assert tree.count("MapInPandas") == 1, tree
+
+
 def test_simhash_neardup_no_nested_loop_join(spark):
     """Regression: the OR-of-band-equalities join condition planned a
     BroadcastNestedLoopJoin (O(n^2) compares, no bucket bound). The

@@ -254,6 +254,64 @@ def test_attach_managed_content_join(spark):
     assert errs == ["dc"]
 
 
+def test_managed_content_requests_version_pick_and_minting(spark):
+    """The JVM request pass must mirror the Python semantics it
+    replaced: newest-CREATED version wins (not document order), blob-id
+    minting matches terms.get_blob_id including percent-encoding, and a
+    malformed token yields no request row (extraction will emit the
+    error row) instead of failing the pass."""
+    from fcrepo3_rdf_extractor_spark.plans.pipeline import managed_content_requests
+    from fcrepo3_rdf_extractor_spark.terms import get_blob_id
+
+    def foxml(ds: str) -> str:
+        return (
+            '<foxml:digitalObject PID="m:1" '
+            'xmlns:foxml="info:fedora/fedora-system:def/foxml#">'
+            + ds + "</foxml:digitalObject>"
+        )
+
+    multi_version = foxml(
+        '<foxml:datastream ID="DC" STATE="A" CONTROL_GROUP="M">'
+        '<foxml:datastreamVersion ID="DC.1" CREATED="2021-05-05T00:00:00.000Z">'
+        '<foxml:contentLocation TYPE="INTERNAL_ID" REF="m:1+DC+DC.1"/>'
+        "</foxml:datastreamVersion>"
+        '<foxml:datastreamVersion ID="DC.0" CREATED="2022-01-01T00:00:00.000Z">'
+        '<foxml:contentLocation TYPE="INTERNAL_ID" REF="m:1+DC+DC.0"/>'
+        "</foxml:datastreamVersion>"
+        "</foxml:datastream>"
+    )  # newest (DC.0) is listed SECOND: CREATED order must win
+    encoded = foxml(
+        '<foxml:datastream ID="RELS-EXT" STATE="A" CONTROL_GROUP="M">'
+        '<foxml:datastreamVersion ID="R.0" CREATED="2020-01-01T00:00:00.000Z">'
+        '<foxml:contentLocation TYPE="INTERNAL_ID" REF="ns:1+my ds/x+v 1"/>'
+        "</foxml:datastreamVersion></foxml:datastream>"
+    )
+    malformed = foxml(
+        '<foxml:datastream ID="RELS-INT" STATE="A" CONTROL_GROUP="M">'
+        '<foxml:datastreamVersion ID="B.0" CREATED="2020-01-01T00:00:00.000Z">'
+        '<foxml:contentLocation TYPE="INTERNAL_ID" REF="a+b"/>'
+        "</foxml:datastreamVersion></foxml:datastream>"
+    )
+    unmanaged = foxml(
+        '<foxml:datastream ID="DC" STATE="A" CONTROL_GROUP="X">'
+        '<foxml:datastreamVersion ID="DC.0" CREATED="2020-01-01T00:00:00.000Z">'
+        '<foxml:contentLocation TYPE="INTERNAL_ID" REF="m:9+DC+DC.0"/>'
+        "</foxml:datastreamVersion></foxml:datastream>"
+    )
+    src = spark.createDataFrame(
+        [("r", "p1", "c", "foxml", multi_version),
+         ("r", "p2", "c", "foxml", encoded),
+         ("r", "p3", "c", "foxml", malformed),
+         ("r", "p4", "c", "foxml", unmanaged)],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    got = {(r.path, r.blob_id) for r in managed_content_requests(src).collect()}
+    assert got == {
+        ("p1", get_blob_id("m:1+DC+DC.0")),          # newest CREATED, not doc order
+        ("p2", get_blob_id("ns:1+my ds/x+v 1")),     # percent-encoding parity
+    }
+
+
 def test_run_resumable_and_resume(spark, tmp_path):
     src = fixture_source(spark)
     out_dir, cp_dir = str(tmp_path / "out"), str(tmp_path / "cp")
