@@ -82,6 +82,54 @@ def lsh_topk(emb: DataFrame, query_id: int, k: int = 10, sign_bits: int = 4) -> 
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(k)
 
 
+def lsh_topk_multiprobe(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    sign_bits: int = 4,
+    radius: int = 1,
+) -> DataFrame:
+    """Multi-probe LSH top-k: score the query's own sign bucket PLUS
+    every bucket within Hamming distance ``radius`` of it (radius 1 =
+    ``sign_bits`` one-bit flips). Single-bucket probing has a hard
+    recall ceiling — a true neighbor on the other side of one
+    hyperplane is invisible; radius-1 probing recovers exactly those,
+    multiplying the scanned fraction by ``1 + sign_bits`` (still
+    ``(1+b)/2^b`` of the corpus). The probe set is a handful of bucket
+    ids broadcast against the bucketed table, so at scale this is a
+    partition-pruned scan of 1+b partitions, not a shuffle."""
+    assert radius in (0, 1), "only radius 0/1 probing implemented"
+    q = _query_vector(emb, query_id).withColumn(
+        "q_bucket", sign_bucket_col(F.col("q_emb"), sign_bits)
+    )
+    probes = [F.col("q_bucket")]
+    if radius >= 1:
+        for i in range(sign_bits):
+            flipped = F.when(
+                F.substring("q_bucket", i + 1, 1) == "1", F.lit("0")
+            ).otherwise(F.lit("1"))
+            probes.append(
+                F.concat(
+                    F.substring("q_bucket", 1, i),
+                    flipped,
+                    F.substring("q_bucket", i + 2, sign_bits),
+                )
+            )
+    probe_tbl = q.select(
+        "q_id", "q_emb", F.explode(F.array(*probes)).alias("bucket")
+    )
+    bucketed = emb.withColumn("bucket", sign_bucket_col(F.col("embedding"), sign_bits))
+    scored = (
+        bucketed.join(F.broadcast(probe_tbl), "bucket")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "vec_id",
+            F.round(cosine_col(F.col("embedding"), F.col("q_emb")), 6).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(k)
+
+
 def ivf_topk(
     emb: DataFrame,
     centroids: DataFrame,

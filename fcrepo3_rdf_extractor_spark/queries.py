@@ -928,6 +928,41 @@ def emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(_read(spark, sf_dir, "embeddings"), query_id=0, k=10, sign_bits=4)
 
 
+def _multiprobe_flips_sql(sign_bits: int = 4) -> str:
+    rows = ["SELECT q_bucket AS b FROM q"]
+    for i in range(sign_bits):
+        rows.append(
+            f"SELECT substr(q_bucket, 1, {i}) || "
+            f"(CASE substr(q_bucket, {i + 1}, 1) WHEN '1' THEN '0' ELSE '1' END) || "
+            f"substr(q_bucket, {i + 2}) FROM q"
+        )
+    return "\n          UNION ALL ".join(rows)
+
+
+@_q(
+    "emb_lsh_topk_multiprobe",
+    f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, {_BUCKET_SQL} AS bucket
+                   FROM embeddings),
+        q AS (SELECT emb AS q_emb, bucket AS q_bucket FROM e WHERE vec_id = 0),
+        probes AS (
+          {_multiprobe_flips_sql(4)}),
+        scored AS (
+          SELECT e.vec_id, round({_COS_SQL.format(a='e.emb', b='q.q_emb')}, 6) AS cosine
+          FROM e JOIN probes ON e.bucket = probes.b CROSS JOIN q
+          WHERE e.vec_id <> 0)
+        SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10""",
+)
+def emb_lsh_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: query bucket + all Hamming-radius-1 buckets
+    (the recall path past single-bucket LSH's ceiling; probes broadcast,
+    scan partition-prunable by bucket at scale)."""
+    from .operators.similarity import lsh_topk_multiprobe
+
+    return lsh_topk_multiprobe(
+        _read(spark, sf_dir, "embeddings"), query_id=0, k=10, sign_bits=4, radius=1
+    )
+
+
 @_q(
     "emb_near_duplicates",
     f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, {_BUCKET_SQL} AS bucket

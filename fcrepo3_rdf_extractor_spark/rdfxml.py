@@ -24,8 +24,9 @@ common constructs a general store can contain:
   ``rdf:_1, _2, ...`` (counter per enclosing node element, per spec)
 - ``rdf:parseType="Collection"`` (RDF list: first/rest/nil chain over
   deterministic blank nodes)
-
-Unsupported (raises RdfXmlError -> error row): reification attributes.
+- reification: ``rdf:ID`` on a property element emits the statement plus
+  the four ``rdf:Statement``/``subject``/``predicate``/``object``
+  triples about ``<base#ID>`` (RDF/XML §7.3)
 """
 
 from __future__ import annotations
@@ -217,10 +218,27 @@ class _Parser:
         node_id = el.get(_RDF + "nodeID")
         datatype = el.get(_RDF + "datatype")
         children = list(el)
+        # rdf:ID on a PROPERTY element reifies the statement (RDF/XML
+        # §7.3): besides the statement itself, emit the four reification
+        # triples about <base#ID>. (On a NODE element rdf:ID names the
+        # subject instead — handled in node_subject.)
+        reify_id = el.get(_RDF + "ID")
+
+        def emit(o_value: str, o_lit: bool, o_dt: str | None = None,
+                 o_lang: str | None = None) -> None:
+            self.triples.append(Triple(subj, pred, o_value, o_lit, o_dt, o_lang))
+            if reify_id is not None:
+                stmt = resolve_uri(base, "#" + reify_id) if base else f"#{reify_id}"
+                self.triples.append(
+                    Triple(stmt, RDF_NS + "type", RDF_NS + "Statement", False))
+                self.triples.append(Triple(stmt, RDF_NS + "subject", subj, False))
+                self.triples.append(Triple(stmt, RDF_NS + "predicate", pred, False))
+                self.triples.append(
+                    Triple(stmt, RDF_NS + "object", o_value, o_lit, o_dt, o_lang))
 
         if parse_type == "Resource":
             obj = self.fresh_bnode()
-            self.triples.append(Triple(subj, pred, obj, False))
+            emit(obj, False)
             li_counter = 0
             for sub in children:
                 sns, slocal = _split(sub.tag)
@@ -236,7 +254,7 @@ class _Parser:
             # RDF list: one deterministic cell bnode per member
             cells = [self.fresh_bnode() for _ in children]
             head = cells[0] if cells else RDF_NS + "nil"
-            self.triples.append(Triple(subj, pred, head, False))
+            emit(head, False)
             for i, (cell, child) in enumerate(zip(cells, children)):
                 item = self.parse_node_element(child, lang, base)
                 self.triples.append(Triple(cell, RDF_NS + "first", item, False))
@@ -245,18 +263,16 @@ class _Parser:
             return
         if parse_type == "Literal":
             xml_text = "".join(ET.tostring(c, encoding="unicode") for c in children)
-            self.triples.append(
-                Triple(subj, pred, (el.text or "") + xml_text, True, RDF_XML_LITERAL, None)
-            )
+            emit((el.text or "") + xml_text, True, RDF_XML_LITERAL, None)
             return
         if parse_type is not None:
             raise RdfXmlError(f"unsupported rdf:parseType={parse_type!r}")
 
         if resource is not None:
-            self.triples.append(Triple(subj, pred, resolve_uri(base, resource), False))
+            emit(resolve_uri(base, resource), False)
             return
         if node_id is not None:
-            self.triples.append(Triple(subj, pred, self.named_bnode(node_id), False))
+            emit(self.named_bnode(node_id), False)
             return
         if children:
             if len(children) != 1:
@@ -264,14 +280,14 @@ class _Parser:
                     f"property element <{pred}> with {len(children)} child node elements"
                 )
             obj = self.parse_node_element(children[0], lang, base)
-            self.triples.append(Triple(subj, pred, obj, False))
+            emit(obj, False)
             return
 
         # property attributes shortcut: <p a:x="1"/> => bnode object
         prop_attrs = [a for a in el.attrib if a not in _SYNTAX_ATTRS]
         if prop_attrs:
             obj = self.fresh_bnode()
-            self.triples.append(Triple(subj, pred, obj, False))
+            emit(obj, False)
             for attr in prop_attrs:
                 ans, alocal = _split(attr)
                 if ans:
@@ -285,11 +301,9 @@ class _Parser:
         text = el.text or ""
         if datatype is not None:
             # rdf:datatype is a URI reference, resolved like the others
-            self.triples.append(
-                Triple(subj, pred, text, True, resolve_uri(base, datatype), None)
-            )
+            emit(text, True, resolve_uri(base, datatype), None)
         else:
-            self.triples.append(Triple(subj, pred, text, True, None, lang))
+            emit(text, True, None, lang)
 
 
 def parse_rdfxml(

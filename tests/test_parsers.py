@@ -386,3 +386,36 @@ def test_rdfxml_no_base_passes_relative_through():
     keys = {t.key() for t in parse_rdfxml(doc, scope="t")}
     assert ("info:fedora/o:1", "http://ex.org/ns#p",
             "relative/thing", False, None, None) in keys
+
+
+def test_rdfxml_reification_property_id():
+    """rdf:ID on a property element reifies the statement: the base
+    statement plus four triples about <base#ID> (RDF/XML §7.3)."""
+    doc = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+                      xmlns:ex="http://ex.org/ns#"
+                      xml:base="http://ex.org/doc">
+      <rdf:Description rdf:about="info:fedora/o:1">
+        <ex:p rdf:ID="st1" rdf:resource="urn:obj"/>
+        <ex:q rdf:ID="st2">lit</ex:q>
+      </rdf:Description>
+    </rdf:RDF>"""
+    keys = {t.key() for t in parse_rdfxml(doc, scope="t")}
+    s, stmt1, stmt2 = "info:fedora/o:1", "http://ex.org/doc#st1", "http://ex.org/doc#st2"
+    assert (s, "http://ex.org/ns#p", "urn:obj", False, None, None) in keys
+    assert (stmt1, RDF_NS + "type", RDF_NS + "Statement", False, None, None) in keys
+    assert (stmt1, RDF_NS + "subject", s, False, None, None) in keys
+    assert (stmt1, RDF_NS + "predicate", "http://ex.org/ns#p", False, None, None) in keys
+    assert (stmt1, RDF_NS + "object", "urn:obj", False, None, None) in keys
+    # literal statement reified with the literal as rdf:object
+    assert (stmt2, RDF_NS + "object", "lit", True, None, None) in keys
+    assert len(keys) == 2 + 4 + 4
+
+
+def test_rdfxml_no_reification_without_property_id():
+    doc = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+                      xmlns:ex="http://ex.org/ns#">
+      <rdf:Description rdf:about="info:fedora/o:1">
+        <ex:p rdf:resource="urn:obj"/>
+      </rdf:Description>
+    </rdf:RDF>"""
+    assert len(parse_rdfxml(doc, scope="t")) == 1

@@ -138,6 +138,25 @@ def test_lsh_topk_subset_of_bucket(spark):
     assert got[0].vec_id == 1
 
 
+def test_lsh_multiprobe_improves_recall_over_single_bucket(spark):
+    """Radius-1 probing scans a candidate SUPERSET of the single bucket,
+    so its top-k cosines dominate pointwise; every hit must be within
+    Hamming distance 1 of the query bucket; radius=0 degenerates to
+    plain lsh_topk."""
+    from fcrepo3_rdf_extractor_spark.operators.similarity import lsh_topk_multiprobe
+
+    emb, vecs = _emb(spark)
+    single = lsh_topk(emb, query_id=0, k=5, sign_bits=4).collect()
+    multi = lsh_topk_multiprobe(emb, query_id=0, k=5, sign_bits=4, radius=1).collect()
+    for s, m in zip(single, multi):
+        assert m.cosine >= s.cosine
+    qsig = np.array(vecs[0][:4]) > 0
+    for r in multi:
+        assert (qsig != (np.array(vecs[r.vec_id][:4]) > 0)).sum() <= 1
+    r0 = lsh_topk_multiprobe(emb, query_id=0, k=5, sign_bits=4, radius=0).collect()
+    assert [(r.vec_id, r.cosine) for r in r0] == [(r.vec_id, r.cosine) for r in single]
+
+
 def test_embedding_near_duplicates(spark):
     emb, _ = _emb(spark)
     pairs = {(r.id_a, r.id_b): r.cosine
