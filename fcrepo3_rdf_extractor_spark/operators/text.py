@@ -112,6 +112,36 @@ def winnow_fingerprint(
     )
 
 
+def tfidf_top_terms(df: DataFrame, text_col: str = "text", k: int = 1) -> DataFrame:
+    """Per-document top-k terms by tf-idf (idf = ln(N/df), the classic
+    unsmoothed form). Shape at scale: one explode + two hash aggregations
+    (term counts shuffle on (doc_id, term); document frequencies shuffle
+    on term — the df table is vocabulary-sized, broadcastable) + a
+    per-document window top-k. Ties break on the rounded score, then
+    term order, so the pick is engine-independent."""
+    from pyspark.sql import Window
+
+    toks = df.select("doc_id", F.explode(tokens_col(F.col(text_col))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = df.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id", "term",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6)
+            .alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("doc_id", "term", "tfidf", F.col("rn").cast("long").alias("rank"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # language identification (marker-token heuristic)
 

@@ -745,9 +745,7 @@ def docs_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signature(_read(spark, sf_dir, "documents"))
 
 
-@_q(
-    "docs_minhash_neardup",
-    f"""WITH sig AS (
+_MINHASH_NEARDUP_SQL = f"""WITH sig AS (
           SELECT doc_id, sh, {_MINHASH_SQL}
           FROM (SELECT doc_id, {_SHINGLES} AS sh
                 FROM (SELECT doc_id, {_WORDS} AS w, text FROM documents) a) b),
@@ -768,8 +766,10 @@ def docs_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM cands c
           JOIN sig sa ON sa.doc_id = c.doc_a
           JOIN sig sb ON sb.doc_id = c.doc_b)
-        SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.5""",
-)
+        SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.5"""
+
+
+@_q("docs_minhash_neardup", _MINHASH_NEARDUP_SQL)
 def docs_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup_approx import minhash_near_duplicates
 
@@ -861,6 +861,59 @@ def docs_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _read(spark, sf_dir, "documents"),
         bits=_SIMHASH_BITS, band_bits=8, max_hamming=3,
     )
+
+
+@_q(
+    "docs_dup_clusters",
+    f"""WITH RECURSIVE
+        prs AS (SELECT doc_a, doc_b FROM ({_MINHASH_NEARDUP_SQL}) mm),
+        e AS (SELECT doc_a AS a, doc_b AS b FROM prs
+              UNION SELECT doc_b, doc_a FROM prs),
+        r(id, lab) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.b, r.lab FROM r JOIN e ON e.a = r.id)
+        SELECT id AS doc_id, min(lab) AS cluster_id, (id = min(lab)) AS keep
+        FROM r GROUP BY id""",
+)
+def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS resolved into per-document CLUSTERS (what a dedup
+    pipeline actually drops against): connected components over the
+    MinHash near-dup graph via iterative min-label propagation, with a
+    deterministic min-id canonical pick. The DuckDB oracle states the
+    same fixpoint as a recursive CTE (min reachable id) — two
+    independent formulations of the component labeling."""
+    from .operators.dedup_approx import minhash_near_duplicates
+    from .operators.graph import dedup_clusters
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(docs, threshold=0.5, num_hashes=8, bands=4)
+    return dedup_clusters(pairs, docs)
+
+
+@_q(
+    "docs_tfidf_top_term",
+    f"""WITH toks AS (SELECT doc_id, unnest({_WORDS}) AS term FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        scored AS (
+          SELECT doc_id, tf.term,
+                 round(tf * ln(n_docs::DOUBLE / df), 6) AS tfidf
+          FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+                      ORDER BY tfidf DESC, term ASC) AS rn
+          FROM scored)
+        SELECT doc_id, term, tfidf, CAST(rn AS BIGINT) AS rank
+        FROM ranked WHERE rn <= 1""",
+)
+def docs_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top tf-idf term (explode -> two hash aggs -> window
+    top-k; the vocabulary-sized df table broadcasts)."""
+    from .operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(_read(spark, sf_dir, "documents"), k=1)
 
 
 @_q(

@@ -277,3 +277,43 @@ def test_media_features_null_payload_survives(spark):
              extract_media_features(documents_as_media(docs)).collect()}
     assert feats[1].width is not None
     assert feats[2].width is None and feats[2].feature is None
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """A 5-node chain (diameter > 1 propagation round), a separate
+    2-clique, and isolated vertices supplied via `vertices`."""
+    from fcrepo3_rdf_extractor_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "doc_a long, doc_b long"
+    )
+    verts = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 10, 11, 99]],
+                                  "doc_id long")
+    got = {r.id: r.cluster_id
+           for r in connected_components(pairs, vertices=verts).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_dedup_clusters_keep_is_min_id(spark):
+    from fcrepo3_rdf_extractor_spark.operators.graph import dedup_clusters
+
+    pairs = spark.createDataFrame([(7, 3), (3, 9)], "doc_a long, doc_b long")
+    docs = spark.createDataFrame([(i,) for i in [3, 7, 9, 42]], "doc_id long")
+    rows = {r.doc_id: (r.cluster_id, r.keep)
+            for r in dedup_clusters(pairs, docs).collect()}
+    assert rows == {3: (3, True), 7: (3, False), 9: (3, False), 42: (42, True)}
+
+
+def test_tfidf_top_term_prefers_rare_term(spark):
+    from fcrepo3_rdf_extractor_spark.operators.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "common common zebra"), (2, "common common common"),
+         (3, "common yak yak")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.term for r in tfidf_top_terms(docs, k=1).collect()}
+    # 'common' appears in every doc -> idf 0; rare terms win where present
+    assert got[1] == "zebra" and got[3] == "yak"
+    # doc 2 has only zero-idf terms; deterministic pick still emitted
+    assert got[2] == "common"
