@@ -84,3 +84,47 @@ def asof_join(
             *[F.col("_rv")[c].alias(c + suffix) for c in right_values],
         )
     )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    start: str,
+    end: str,
+    by: list[str] | None = None,
+    granularity_sec: int = 3600,
+) -> DataFrame:
+    """Interval (range) join: each left row matched to every right
+    interval with ``start <= left.on < end`` (half-open), optionally
+    within the same ``by`` group.
+
+    A theta join on the range condition cannot hash-partition and plans
+    BroadcastNestedLoopJoin — O(|L|x|R|) compares (pinned against in
+    tests/test_plans.py). Instead each interval EXPLODES into the
+    ``granularity_sec`` time buckets it covers, the join is an equi-join
+    on (by..., bucket) — a left row lives in exactly one bucket, so the
+    explosion duplicates intervals, never matches — and the exact range
+    predicate filters after. Pick the granularity near the typical
+    interval length: per-interval blowup is len/granularity + 1, and at
+    scale the bucket key spreads the shuffle uniformly over time.
+    """
+    by = by or []
+    g = granularity_sec
+    l_bucket = F.floor(F.unix_timestamp(F.col(on)) / g)
+    r_buckets = F.sequence(
+        F.floor(F.unix_timestamp(F.col(start)) / g),
+        F.floor(F.unix_timestamp(F.col(end)) / g),
+    )
+    l_tagged = left.withColumn("_bucket", l_bucket)
+    r_tagged = right.withColumn("_bucket", F.explode(r_buckets))
+    cond = [l_tagged["_bucket"] == r_tagged["_bucket"]] + [
+        l_tagged[c] == r_tagged[c] for c in by
+    ]
+    joined = l_tagged.join(r_tagged, cond).filter(
+        (l_tagged[on] >= r_tagged[start]) & (l_tagged[on] < r_tagged[end])
+    )
+    keep = [l_tagged[c] for c in left.columns] + [
+        r_tagged[c] for c in right.columns if c not in by
+    ]
+    return joined.select(*keep)

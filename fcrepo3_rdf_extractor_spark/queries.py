@@ -891,6 +891,41 @@ def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs, docs)
 
 
+_SAMPLE_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.1}
+_SAMPLE_DEFAULT = 0.25
+
+
+def _stratified_sample_oracle() -> str:
+    from .operators.sampling import rate_threshold
+
+    vals = ", ".join(
+        f"('{s}', '{rate_threshold(r)}')" for s, r in sorted(_SAMPLE_RATES.items())
+    )
+    return f"""WITH rates(source, thr) AS (VALUES {vals}),
+        j AS (SELECT d.doc_id, d.source,
+                     coalesce(r.thr, '{rate_threshold(_SAMPLE_DEFAULT)}') AS thr
+              FROM documents d LEFT JOIN rates r USING (source))
+        SELECT doc_id, source FROM j
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < thr"""
+
+
+@_q("docs_stratified_sample", _stratified_sample_oracle())
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (the corpus data-mixing knob):
+    keep-decision is a pure function of md5(doc_id) vs a per-source
+    threshold, so the sample is identical under any partitioning, retry,
+    or engine — df.sample() can guarantee none of that. Rates join as a
+    broadcast dimension; the corpus never shuffles."""
+    from .operators.sampling import stratified_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs, key_col="doc_id", strata_col="source",
+        rates=_SAMPLE_RATES, default_rate=_SAMPLE_DEFAULT,
+    )
+    return out.select("doc_id", "source")
+
+
 @_q(
     "docs_tfidf_top_term",
     f"""WITH toks AS (SELECT doc_id, unnest({_WORDS}) AS term FROM documents),
@@ -1249,6 +1284,39 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("view_ts_asof", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("view_ts_asof"),
         F.round("view_value_asof", 4).alias("view_value_asof"),
     )
+
+
+@_q(
+    "events_range_join",
+    """WITH w AS (SELECT user_id, ts AS ws, ts + INTERVAL 30 MINUTE AS we
+                  FROM events WHERE event_type = 'error'),
+            c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+       SELECT w.user_id, strftime(w.ws, '%Y-%m-%dT%H:%M:%S.%f') AS window_start,
+              CAST(count(*) AS BIGINT) AS n_clicks
+       FROM w JOIN c ON c.user_id = w.user_id AND c.ts >= w.ws AND c.ts < w.we
+       GROUP BY 1, 2""",
+)
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join as a custom operator: clicks attributed to
+    the 30-minute incident windows that contain them, per user. Spark
+    side is the bucketed-explode equi-join (operators/relational.py
+    range_join — a raw range theta-join would plan a
+    BroadcastNestedLoopJoin, pinned against in test_plans); the oracle
+    is DuckDB's native theta join — two independent formulations."""
+    from .operators.relational import range_join
+
+    ev = _read(spark, sf_dir, "events")
+    windows = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("ws"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("we"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    out = range_join(clicks, windows, on="ts", start="ws", end="we",
+                     by=["user_id"], granularity_sec=1800)
+    return out.groupBy(
+        "user_id",
+        F.date_format("ws", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("window_start"),
+    ).agg(F.count("*").cast("long").alias("n_clicks"))
 
 
 @_q(

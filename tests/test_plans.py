@@ -160,6 +160,16 @@ def test_simhash_neardup_no_nested_loop_join(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_range_join_no_nested_loop_join(spark):
+    """The bucketed-explode range join must hash-partition; a raw range
+    theta-join would plan BroadcastNestedLoopJoin."""
+    from fcrepo3_rdf_extractor_spark.queries import events_range_join
+
+    plan = _formatted(events_range_join(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_graph_two_hop_single_extraction(spark):
     """Regression: the members/owners self-join re-ran scan+parse once
     per branch (MapInPandas appeared twice in the executed plan)."""

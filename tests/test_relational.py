@@ -67,3 +67,43 @@ def test_asof_join_null_in_right_values_stays_coherent(spark):
                     right_values=["name", "v"]).collect()[0]
     assert row.v_asof == 2.0
     assert row.name_asof is None   # NOT "old" — the matched row's own NULL
+
+
+def test_range_join_matches_containment_and_group(spark):
+    """Half-open containment, by-group isolation, and intervals that
+    span multiple buckets (granularity smaller than the interval)."""
+    from fcrepo3_rdf_extractor_spark.operators.relational import range_join
+
+    left = spark.createDataFrame(
+        [(1, "u1", _ts("2024-01-01T10:30:00")),   # inside w1
+         (2, "u1", _ts("2024-01-01T11:00:00")),   # == w1.end -> excluded
+         (3, "u1", _ts("2024-01-01T10:00:00")),   # == w1.start -> included
+         (4, "u2", _ts("2024-01-01T10:30:00")),   # other group
+         (5, "u1", _ts("2024-01-03T00:00:00"))],  # no window
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u1", "w1", _ts("2024-01-01T10:00:00"), _ts("2024-01-01T11:00:00"))],
+        "user_id string, win string, ws timestamp, we timestamp",
+    )
+    out = range_join(left, right, on="ts", start="ws", end="we",
+                     by=["user_id"], granularity_sec=600)  # 6 buckets/window
+    got = sorted((r.event_id, r.win) for r in out.collect())
+    assert got == [(1, "w1"), (3, "w1")]
+
+
+def test_range_join_multi_bucket_no_duplicate_matches(spark):
+    """An interval exploded over many buckets must still match each
+    contained left row exactly once."""
+    from fcrepo3_rdf_extractor_spark.operators.relational import range_join
+
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T05:00:00"))], "event_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("big", _ts("2024-01-01T00:00:00"), _ts("2024-01-02T00:00:00"))],
+        "win string, ws timestamp, we timestamp",
+    )
+    out = range_join(left, right, on="ts", start="ws", end="we",
+                     granularity_sec=3600)  # 25 buckets
+    assert out.count() == 1

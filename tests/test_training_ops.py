@@ -317,3 +317,33 @@ def test_tfidf_top_term_prefers_rare_term(spark):
     assert got[1] == "zebra" and got[3] == "yak"
     # doc 2 has only zero-idf terms; deterministic pick still emitted
     assert got[2] == "common"
+
+
+def test_deterministic_sample_stable_under_repartition(spark):
+    from fcrepo3_rdf_extractor_spark.operators.sampling import deterministic_sample
+
+    df = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    a = {r.doc_id for r in deterministic_sample(df, "doc_id", 0.3).collect()}
+    b = {r.doc_id for r in
+         deterministic_sample(df.repartition(17), "doc_id", 0.3).collect()}
+    assert a == b                       # pure function of the key
+    assert 0.25 < len(a) / 2000 < 0.35  # ~rate
+
+
+def test_deterministic_sample_rate_edges(spark):
+    from fcrepo3_rdf_extractor_spark.operators.sampling import deterministic_sample
+
+    df = spark.range(0, 100).select(F.col("id").alias("doc_id"))
+    assert deterministic_sample(df, "doc_id", 0.0).count() == 0
+    assert deterministic_sample(df, "doc_id", 1.0).count() == 100
+
+
+def test_stratified_sample_respects_per_stratum_rates(spark):
+    from fcrepo3_rdf_extractor_spark.operators.sampling import stratified_sample
+
+    rows = [(i, "keep_all" if i % 2 == 0 else "drop_all") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = stratified_sample(df, key_col="doc_id", strata_col="source",
+                            rates={"keep_all": 1.0, "drop_all": 0.0})
+    got = [r.source for r in out.collect()]
+    assert len(got) == 200 and set(got) == {"keep_all"}
