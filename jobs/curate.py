@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Corpus curation job — the training-data pipeline end to end.
+
+    python jobs/curate.py --docs /data/documents.parquet --out /data/curated \
+        --quality-min 0.5 --langs en,es --neardup-threshold 0.7 \
+        --rates '{"wikipedia": 1.0, "commoncrawl": 0.03}' --default-rate 0.1 \
+        --local 8
+
+Stages (each a narrow semi/anti join on doc_id — the corpus text shuffles
+at most once, in the near-dup signature stage):
+
+  1. exact dedup           keep the min-id witness per identical text
+  2. near-dup clustering   MinHash+LSH pairs -> connected components ->
+                           keep one canonical doc per cluster
+  3. quality filter        length/stopword/word-shape score >= threshold
+  4. language filter       deterministic marker-based language ID
+  5. stratified sampling   per-source keep rates, md5-deterministic
+  6. annotation            token counts stamped on the surviving rows
+
+Exit contract: ONE JSON summary line (per-stage survivor counts + output
+path) on stdout; the curated parquet carries the original columns plus
+pred_lang, quality, n_tokens.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--docs", required=True, help="documents parquet path")
+    ap.add_argument("--out", required=True, help="curated corpus output path")
+    ap.add_argument("--quality-min", type=float, default=0.5)
+    ap.add_argument("--langs", default=None,
+                    help="comma-separated language allowlist (default: keep all)")
+    ap.add_argument("--neardup-threshold", type=float, default=0.7,
+                    help="Jaccard threshold for near-dup clustering; "
+                         "<=0 disables the stage")
+    ap.add_argument("--rates", default=None,
+                    help='JSON dict of per-source keep rates, e.g. {"src0": 1.0}')
+    ap.add_argument("--default-rate", type=float, default=1.0,
+                    help="keep rate for sources not listed in --rates")
+    ap.add_argument("--local", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    if args.local:
+        from fcrepo3_rdf_extractor_spark.session import build_session
+
+        spark = build_session("curate", cores=args.local)
+    else:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("curate")
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.sql.session.timeZone", "UTC")
+            .getOrCreate()
+        )
+
+    from fcrepo3_rdf_extractor_spark.operators.dedup_approx import (
+        dedup_exact_docs,
+        minhash_near_duplicates,
+    )
+    from fcrepo3_rdf_extractor_spark.operators.graph import dedup_clusters
+    from fcrepo3_rdf_extractor_spark.operators.sampling import stratified_sample
+    from fcrepo3_rdf_extractor_spark.operators.text import (
+        language_id,
+        quality_score,
+        token_count,
+    )
+
+    docs = spark.read.parquet(args.docs)
+    stages: dict[str, int] = {"input": docs.count()}
+
+    # 1. exact dedup: keep one witness per identical text
+    keep_exact = dedup_exact_docs(docs).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    docs = docs.join(keep_exact, "doc_id", "left_semi")
+    stages["after_exact_dedup"] = docs.count()
+
+    # 2. near-dup clustering on the exact-deduped survivors
+    if args.neardup_threshold > 0:
+        pairs = minhash_near_duplicates(docs, threshold=args.neardup_threshold)
+        clusters = dedup_clusters(pairs, docs)
+        keep_near = clusters.filter(F.col("keep")).select("doc_id")
+        docs = docs.join(keep_near, "doc_id", "left_semi")
+        stages["after_neardup"] = docs.count()
+
+    # 3+4. quality + language annotations, filtered in one pass
+    q = quality_score(docs).select("doc_id", "quality")
+    l = language_id(docs).select("doc_id", "pred_lang")
+    annotated = docs.join(q, "doc_id").join(l, "doc_id")
+    annotated = annotated.filter(F.col("quality") >= args.quality_min)
+    if args.langs:
+        allow = [s.strip() for s in args.langs.split(",") if s.strip()]
+        annotated = annotated.filter(F.col("pred_lang").isin(allow))
+    stages["after_quality_lang"] = annotated.count()
+
+    # 5. deterministic stratified sampling by source
+    rates = json.loads(args.rates) if args.rates else {}
+    if rates or args.default_rate < 1.0:
+        annotated = stratified_sample(
+            annotated, key_col="doc_id", strata_col="source",
+            rates=rates, default_rate=args.default_rate,
+        )
+        stages["after_sampling"] = annotated.count()
+
+    # 6. token counts stamped on the survivors
+    toks = token_count(annotated).select("doc_id", "n_tokens")
+    curated = annotated.join(toks, "doc_id")
+    curated.write.mode("overwrite").parquet(args.out)
+
+    written = spark.read.parquet(args.out)
+    summary = {
+        "out": args.out,
+        "stages": stages,
+        "n_docs": written.count(),
+        "n_tokens": written.agg(F.sum("n_tokens")).collect()[0][0],
+    }
+    print(json.dumps(summary))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

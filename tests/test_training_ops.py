@@ -347,3 +347,47 @@ def test_stratified_sample_respects_per_stratum_rates(spark):
                             rates={"keep_all": 1.0, "drop_all": 0.0})
     got = [r.source for r in out.collect()]
     assert len(got) == 200 and set(got) == {"keep_all"}
+
+
+def test_curate_job_end_to_end(spark, tmp_path):
+    """jobs/curate.py composes the training-data operators: exact dedup
+    drops the identical copy, near-dup clustering drops the almost-
+    identical copy, quality/language filters and deterministic sampling
+    apply, and the summary JSON accounts for every stage."""
+    import json
+    import subprocess
+    import sys
+
+    base = ("the quick brown fox jumps over the lazy dog and runs into the "
+            "deep green forest to find some quiet rest for the long night "
+            "while the moon rises over the hills and the river")
+    rows = [
+        (0, base, "en", "srcA", len(base)),
+        (1, base, "en", "srcA", len(base)),                      # exact dup of 0
+        (2, base.replace("quiet", "calm"), "en", "srcA", 1),     # near dup of 0
+        (3, "x", "und", "srcB", 1),                              # fails quality
+        (4, "el perro corre por la casa de la abuela en el campo "
+            "mientras el gato duerme en la silla junto a la puerta grande",
+         "es", "srcB", 1),
+    ]
+    docs_path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(docs_path)
+
+    out = str(tmp_path / "curated")
+    r = subprocess.run(
+        [sys.executable, "jobs/curate.py", "--docs", docs_path, "--out", out,
+         "--quality-min", "0.5", "--neardup-threshold", "0.5", "--local", "4"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["stages"]["input"] == 5
+    assert summary["stages"]["after_exact_dedup"] == 4   # doc 1 dropped
+    assert summary["stages"]["after_neardup"] == 3       # doc 2 dropped
+    assert summary["stages"]["after_quality_lang"] == 2  # doc 3 dropped
+    kept = {r_.doc_id for r_ in spark.read.parquet(out).collect()}
+    assert kept == {0, 4}
+    cols = set(spark.read.parquet(out).columns)
+    assert {"pred_lang", "quality", "n_tokens"} <= cols
