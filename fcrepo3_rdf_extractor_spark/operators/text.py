@@ -112,6 +112,31 @@ def winnow_fingerprint(
     )
 
 
+def unigram_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document unigram log-likelihood under the corpus's own
+    unigram distribution: sum over tokens of ln(count(term)/total) — the
+    classic LM-based quality signal (gibberish and boilerplate-outlier
+    documents score far from the per-token mean). Two aggregations: term
+    counts (vocabulary-sized, broadcast back) and the per-document sum;
+    the corpus shuffles once, on (doc_id, term)."""
+    toks = df.select("doc_id", F.explode(tokens_col(F.col(text_col))).alias("term"))
+    counts = toks.groupBy("term").agg(F.count("*").alias("term_n"))
+    total = toks.select(F.count("*").alias("total_n"))
+    return (
+        toks.join(F.broadcast(counts), "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(F.sum(F.log(F.col("term_n") / F.col("total_n"))), 4)
+            .alias("logprob"),
+            F.round(
+                F.sum(F.log(F.col("term_n") / F.col("total_n"))) / F.count("*"), 6
+            ).alias("per_token_logprob"),
+        )
+    )
+
+
 def tfidf_top_terms(df: DataFrame, text_col: str = "text", k: int = 1) -> DataFrame:
     """Per-document top-k terms by tf-idf (idf = ln(N/df), the classic
     unsmoothed form). Shape at scale: one explode + two hash aggregations

@@ -891,6 +891,49 @@ def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs, docs)
 
 
+@_q(
+    "docs_unigram_logprob",
+    f"""WITH toks AS (SELECT doc_id, unnest({_WORDS}) AS term FROM documents),
+        counts AS (SELECT term, count(*) AS term_n FROM toks GROUP BY 1),
+        total AS (SELECT count(*) AS total_n FROM toks)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               round(sum(ln(term_n::DOUBLE / total_n)), 4) AS logprob,
+               round(sum(ln(term_n::DOUBLE / total_n)) / count(*), 6)
+                 AS per_token_logprob
+        FROM toks JOIN counts USING (term) CROSS JOIN total
+        GROUP BY doc_id""",
+)
+def docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM document scoring (the model-based quality signal):
+    log-likelihood of each doc under the corpus's own unigram
+    distribution. Vocabulary broadcasts; the corpus shuffles once."""
+    from .operators.text import unigram_logprob
+
+    return unigram_logprob(_read(spark, sf_dir, "documents"))
+
+
+@_q(
+    "docs_corpus_stats",
+    f"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len({_WORDS})) AS BIGINT) AS n_tokens,
+               round(avg(n_chars), 4) AS avg_chars,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM documents GROUP BY source""",
+)
+def docs_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus profile (the mixing report a curation run
+    prints): doc/token counts, mean length, language spread."""
+    from .operators.text import tokens_col
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(tokens_col(F.col("text")))).cast("long").alias("n_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+    )
+
+
 _SAMPLE_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.1}
 _SAMPLE_DEFAULT = 0.25
 

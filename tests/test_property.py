@@ -136,3 +136,31 @@ def test_skolemize_deterministic_and_scope_separated(scope, label):
     assert a == skolemize(scope, label)          # pure function
     assert skolemize(scope + "x", label) != a    # scope isolation
     assert a.startswith("urn:")                  # a real, stable URI
+
+
+# http refs where urljoin is authoritative; our resolver must agree on
+# every shape (segments, dot-segments, absolute paths, fragments, queries)
+_ref = st.one_of(
+    st.from_regex(r"([A-Za-z0-9]{1,6}/){0,3}[A-Za-z0-9]{0,6}", fullmatch=True),
+    st.from_regex(r"/([A-Za-z0-9]{1,6}/){0,2}[A-Za-z0-9]{0,6}", fullmatch=True),
+    st.from_regex(r"(\.\./){1,3}[A-Za-z0-9]{0,6}", fullmatch=True),
+    # NB: refs ending in a bare '#' are excluded — urljoin NORMALIZES the
+    # empty fragment away while RFC 3986 strict recomposition (and our
+    # resolver) keeps it; both readings are defensible, ours is strict
+    st.from_regex(r"[A-Za-z0-9]{0,6}#[A-Za-z0-9]{1,6}", fullmatch=True),
+    st.from_regex(r"[A-Za-z0-9]{0,6}\?[A-Za-z0-9]{1,6}", fullmatch=True),
+    st.just(""),
+)
+_base = st.from_regex(
+    r"http://ex\.org(/[A-Za-z0-9]{1,6}){0,3}(\?[A-Za-z0-9]{1,6})?", fullmatch=True
+)
+
+
+@given(_base, _ref)
+@settings(max_examples=300)
+def test_resolve_uri_agrees_with_urljoin_on_http(base, ref):
+    from urllib.parse import urljoin
+
+    from fcrepo3_rdf_extractor_spark.rdfxml import resolve_uri
+
+    assert resolve_uri(base, ref) == urljoin(base, ref), (base, ref)

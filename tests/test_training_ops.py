@@ -391,3 +391,19 @@ def test_curate_job_end_to_end(spark, tmp_path):
     assert kept == {0, 4}
     cols = set(spark.read.parquet(out).columns)
     assert {"pred_lang", "quality", "n_tokens"} <= cols
+
+
+def test_unigram_logprob_flags_rare_content(spark):
+    from math import isclose, log
+
+    from fcrepo3_rdf_extractor_spark.operators.text import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(0, "a a a"), (1, "a a b")], "doc_id long, text string"
+    )
+    # corpus: a x5, b x1, total 6
+    got = {r.doc_id: r for r in unigram_logprob(docs).collect()}
+    assert isclose(got[0].logprob, round(3 * log(5 / 6), 4))
+    assert isclose(got[1].logprob, round(2 * log(5 / 6) + log(1 / 6), 4))
+    # the doc containing the rare token scores lower per token
+    assert got[1].per_token_logprob < got[0].per_token_logprob
