@@ -261,6 +261,14 @@ def run_resumable(
 ) -> dict:
     """Chunked, idempotent extraction with per-chunk manifests.
 
+    Dedup scope note: with ``config.dedup`` the dedup runs PER WAVE —
+    identical triples asserted by documents that land in different waves
+    both survive in the materialized table (collapsing them would break
+    chunk idempotency: a chunk's output must be a pure function of that
+    chunk's input). Treat the resumable table as per-document-ish and
+    apply ``dedup_mixed`` at export when global set semantics are needed
+    — the same layering the incremental plan uses.
+
     Each wave processes ``chunks_per_wave`` chunks in one distributed job,
     writes ``out_dir/chunk_id=<k>/`` via dynamic partition overwrite
     (idempotent under retry/crash: a re-run of a chunk replaces exactly
