@@ -19,10 +19,14 @@ its helpers:
   datastream still count one error each (the reference null-guards only
   RELS-INT) while keeping the constant triples already emitted.
 
-Divergence (documented): EXTERNAL/REDIRECT datastream content is *not*
-fetched over HTTP (side-effecting network IO has no place in a
-deterministic 10^12-row batch job); such DC/RELS datastreams produce an
-error row instead. The reference fixtures never exercise that path.
+EXTERNAL/REDIRECT (E/R) datastreams: the reference fetches their content
+over HTTP at extract time (`ObjectProcessor.java:217-222`). Side-effecting
+network IO has no place in a deterministic 10^12-row batch job, so this
+engine resolves E/R content through the SAME pre-fetched lookup table as
+MANAGED blobs, keyed by the verbatim content-location URL (a separate
+crawl job materializes (url, content) upstream — the batch-at-scale shape
+of the reference's inline fetch). An E/R datastream whose URL is absent
+from the table yields an error row, exactly like a missing managed blob.
 """
 
 from __future__ import annotations
@@ -58,7 +62,8 @@ from .vocab import (
     XSD_DATETIME,
 )
 
-#: content fetcher for MANAGED datastreams: blob_id -> content or None
+#: content fetcher for MANAGED (key = blob_id) and EXTERNAL/REDIRECT
+#: (key = verbatim URL) datastreams: key -> content or None
 DsLookup = Callable[[str], "str | None"]
 
 
@@ -144,9 +149,18 @@ def _datastream_content(ds: dict, ds_lookup: DsLookup | None) -> str:
             raise KeyError(f"missing managed blob: {blob_id}")
         return content
     if group in ("E", "R"):
-        raise ValueError(
-            f"external/redirect datastream {ds['id']} content fetch is disabled"
-        )
+        # `ObjectProcessor.java:217-222` fetches the URL inline; here the
+        # content comes from the pre-fetched table, keyed by the verbatim
+        # URL (no blob-id minting — external locations are not Akubra ids)
+        loc = latest.get("content_location")
+        if loc is None:
+            raise ValueError(
+                f"external datastream {ds['id']} has no contentLocation"
+            )
+        content = ds_lookup(loc) if ds_lookup is not None else None
+        if content is None:
+            raise KeyError(f"missing external content: {loc}")
+        return content
     raise ValueError(f"Unknown datastream control group value: {group!r}")
 
 

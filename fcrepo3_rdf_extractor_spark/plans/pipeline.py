@@ -51,10 +51,15 @@ class ExtractConfig:
 
 
 def managed_content_requests(source: DataFrame) -> DataFrame:
-    """The managed-content *request* pass: object row -> the blob ids of
-    the newest DC/RELS-EXT/RELS-INT MANAGED datastream versions, as pure
-    JVM column expressions (regex block extraction + ``url_encode``
-    minting). Round 1 ran a second full FOXML parse in Python here; the
+    """The content *request* pass: object row -> the fetch keys of the
+    newest DC/RELS-EXT/RELS-INT MANAGED (M) and EXTERNAL/REDIRECT (E/R)
+    datastream versions, as pure JVM column expressions (regex block
+    extraction + ``url_encode`` minting). M locations mint to Akubra
+    blob ids; E/R locations stay verbatim URLs — the key of the
+    pre-crawled (url, content) table that replaces the reference's
+    inline HTTP fetch (`ObjectProcessor.java:217-222`).
+
+    Round 1 ran a second full FOXML parse in Python here; the
     request pass only needs three attributes per datastream block, so a
     regex sweep costs a scan instead of a mapInPandas fork + XML parse —
     and the extraction hot path keeps exactly ONE Python stage (pinned).
@@ -68,7 +73,11 @@ def managed_content_requests(source: DataFrame) -> DataFrame:
     malformed tokens yield no request row, so the extraction UDF emits
     the per-datastream error row instead of the job dying."""
     needs = source.filter(
-        F.col("content").contains('CONTROL_GROUP="M"')
+        (
+            F.col("content").contains('CONTROL_GROUP="M"')
+            | F.col("content").contains('CONTROL_GROUP="E"')
+            | F.col("content").contains('CONTROL_GROUP="R"')
+        )
         & (
             F.col("content").contains('ID="DC"')
             | F.col("content").contains('ID="RELS-EXT"')
@@ -81,8 +90,11 @@ def managed_content_requests(source: DataFrame) -> DataFrame:
         "repo", "path", "commit",
         F.explode(F.regexp_extract_all("content", F.lit(ds_block), 0)).alias("_ds"),
     ).filter(
-        F.col("_ds").rlike(r'^<foxml:datastream\b[^>]*\bCONTROL_GROUP="M"')
+        F.col("_ds").rlike(r'^<foxml:datastream\b[^>]*\bCONTROL_GROUP="[MER]"')
         & F.col("_ds").rlike(r'^<foxml:datastream\b[^>]*\bID="(DC|RELS-EXT|RELS-INT)"')
+    ).withColumn(
+        "_group",
+        F.regexp_extract("_ds", r'\bCONTROL_GROUP="([MER])"', 1),
     )
     versions = F.transform(
         F.regexp_extract_all("_ds", F.lit(v_block), 0),
@@ -93,23 +105,23 @@ def managed_content_requests(source: DataFrame) -> DataFrame:
             ).alias("r"),
         ),
     )
-    staged = exploded.select("repo", "path", "commit", versions.alias("_vs"))
+    staged = exploded.select("repo", "path", "commit", "_group", versions.alias("_vs"))
     maxc = F.array_max(F.transform(F.col("_vs"), lambda x: x["c"]))
     newest_ref = F.element_at(F.filter(F.col("_vs"), lambda x: x["c"] == maxc), 1)["r"]
     tokens = staged.select(
-        "repo", "path", "commit", newest_ref.alias("_token")
+        "repo", "path", "commit", "_group", newest_ref.alias("_token")
     ).filter(F.col("_token").isNotNull() & (F.col("_token") != ""))
     # stage the split: referenced 4x below (CollapseProject would
     # re-inline the split per reference otherwise)
     parts = tokens.select(
-        "repo", "path", "commit", "_token",
+        "repo", "path", "commit", "_group", "_token",
         F.split("_token", r"\+").alias("_p"),
     )
     p = F.col("_p")
     mint3 = F.concat(
         p[0], F.lit("/"), F.url_encode(p[1]), F.lit("/"), F.url_encode(p[2])
     )
-    blob = F.when(
+    minted = F.when(
         F.size(p) == 1,
         F.when(F.col("_token").startswith("info:fedora/"), F.col("_token"))
         .otherwise(F.concat(F.lit("info:fedora/"), F.col("_token"))),
@@ -118,6 +130,9 @@ def managed_content_requests(source: DataFrame) -> DataFrame:
         F.when(p[0].startswith("info:fedora/"), mint3)
         .otherwise(F.concat(F.lit("info:fedora/"), mint3)),
     )
+    # MANAGED locations mint to Akubra blob ids; EXTERNAL/REDIRECT
+    # locations are verbatim URLs — the fetch key the crawler table uses
+    blob = F.when(F.col("_group") == "M", minted).otherwise(F.col("_token"))
     return (
         parts.select("repo", "path", "commit", blob.alias("blob_id"))
         .filter(F.col("blob_id").isNotNull())
@@ -127,8 +142,10 @@ def managed_content_requests(source: DataFrame) -> DataFrame:
 def attach_managed_content(source: DataFrame, ds_store: DataFrame) -> DataFrame:
     """P6's MANAGED branch (`ObjectProcessor.java:214-216`) as a join.
 
-    ``ds_store`` has columns (blob_id, content). Only objects that can
-    possibly need a managed DC/RELS fetch are joined (cheap JVM-side
+    ``ds_store`` has columns (blob_id, content) — Akubra blob ids for
+    MANAGED datastreams and verbatim URLs for EXTERNAL/REDIRECT ones
+    (one table, one key column). Only objects that can
+    possibly need a managed/external DC/RELS fetch are joined (cheap JVM-side
     substring prefilter — exact control-group dispatch happens in the
     UDF), so at 10^12 scale the join input is a sliver of the table.
     The fetched blobs arrive as a per-object map column. The request

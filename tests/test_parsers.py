@@ -419,3 +419,39 @@ def test_rdfxml_no_reification_without_property_id():
       </rdf:Description>
     </rdf:RDF>"""
     assert len(parse_rdfxml(doc, scope="t")) == 1
+
+
+def test_extract_external_datastream_via_lookup():
+    """E/R datastream content resolves through the pre-fetched table
+    keyed by the verbatim URL (the batch shape of the reference's inline
+    HTTP fetch, ObjectProcessor.java:217-222); a missing URL is an error
+    row, not a crash."""
+    foxml = """<foxml:digitalObject VERSION="1.1" PID="e:1"
+      xmlns:foxml="info:fedora/fedora-system:def/foxml#">
+      <foxml:objectProperties>
+        <foxml:property NAME="info:fedora/fedora-system:def/model#state" VALUE="A"/>
+        <foxml:property NAME="info:fedora/fedora-system:def/model#createdDate" VALUE="2020-01-01T00:00:00.000Z"/>
+        <foxml:property NAME="info:fedora/fedora-system:def/view#lastModifiedDate" VALUE="2020-01-01T00:00:00.000Z"/>
+      </foxml:objectProperties>
+      <foxml:datastream ID="RELS-EXT" STATE="A" CONTROL_GROUP="E">
+        <foxml:datastreamVersion ID="RELS-EXT.0" CREATED="2020-01-01T00:00:00.000Z" MIMETYPE="application/rdf+xml">
+          <foxml:contentLocation TYPE="URL" REF="http://ex.org/rels/e1.rdf"/>
+        </foxml:datastreamVersion>
+      </foxml:datastream>
+    </foxml:digitalObject>"""
+    rels = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+      xmlns:ex="urn:ex#">
+      <rdf:Description rdf:about="info:fedora/e:1"><ex:p rdf:resource="urn:o"/></rdf:Description>
+    </rdf:RDF>"""
+    table = {"http://ex.org/rels/e1.rdf": rels}
+    triples, errors = extract_object(foxml, ds_lookup=table.get)
+    assert ("info:fedora/e:1", "urn:ex#p", "urn:o", False, None, None) in {
+        t.key() for t in triples
+    }
+    assert [e.stage for e in errors] == ["dc"]  # only the absent DC errors
+
+    # URL absent from the table -> per-datastream error, constants kept
+    triples2, errors2 = extract_object(foxml, ds_lookup={}.get)
+    assert {e.stage for e in errors2} == {"dc", "rels_ext"}
+    assert any("missing external content" in e.message for e in errors2)
+    assert len(triples2) == 12  # 6 object + 6 datastream constants survive

@@ -458,3 +458,44 @@ def test_canonical_nquads_byte_deterministic(spark, extracted, tmp_path):
     write_nquads(triples, b, canonical=True, num_files=4)
     da, db = digest(a), digest(b)
     assert da and da == db
+
+
+def test_attach_external_content_via_url_table(spark):
+    """EXTERNAL (E) datastreams resolve through the same ds_store,
+    keyed by the verbatim URL (the pre-crawled fetch table replacing the
+    reference's inline HTTP fetch)."""
+    from fcrepo3_rdf_extractor_spark.plans.pipeline import managed_content_requests
+
+    foxml = """<foxml:digitalObject VERSION="1.1" PID="e:2"
+      xmlns:foxml="info:fedora/fedora-system:def/foxml#">
+      <foxml:objectProperties>
+        <foxml:property NAME="info:fedora/fedora-system:def/model#state" VALUE="A"/>
+        <foxml:property NAME="info:fedora/fedora-system:def/model#createdDate" VALUE="2020-01-01T00:00:00.000Z"/>
+        <foxml:property NAME="info:fedora/fedora-system:def/view#lastModifiedDate" VALUE="2020-01-01T00:00:00.000Z"/>
+      </foxml:objectProperties>
+      <foxml:datastream ID="RELS-EXT" STATE="A" CONTROL_GROUP="E">
+        <foxml:datastreamVersion ID="RELS-EXT.0" CREATED="2020-01-01T00:00:00.000Z" MIMETYPE="application/rdf+xml">
+          <foxml:contentLocation TYPE="URL" REF="http://ex.org/rels/e2.rdf"/>
+        </foxml:datastreamVersion>
+      </foxml:datastream>
+    </foxml:digitalObject>"""
+    rels = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+      xmlns:ex="urn:ex#">
+      <rdf:Description rdf:about="info:fedora/e:2"><ex:p rdf:resource="urn:o2"/></rdf:Description>
+    </rdf:RDF>"""
+    src = spark.createDataFrame(
+        [("r", "info:fedora/e:2", "c", "foxml", foxml)],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    # request pass emits the VERBATIM url (no blob minting for E/R)
+    reqs = {r.blob_id for r in managed_content_requests(src).collect()}
+    assert reqs == {"http://ex.org/rels/e2.rdf"}
+
+    ds_store = spark.createDataFrame(
+        [("http://ex.org/rels/e2.rdf", rels)], "blob_id string, content string"
+    )
+    out = extract_triples(attach_managed_content(src, ds_store))
+    keys = rows_to_set(triples_only(out).collect())
+    assert ("info:fedora/e:2", "urn:ex#p", "urn:o2", False, None, None) in keys
+    errs = [r.error_stage for r in errors_only(out).collect()]
+    assert errs == ["dc"]  # only the absent DC errors
