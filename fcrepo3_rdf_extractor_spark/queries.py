@@ -1397,6 +1397,34 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@_q(
+    "events_pivot_type_by_day",
+    f"""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        {", ".join(f'''CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS n_{t}'''
+                   for t in _EVENT_TYPES)}
+        FROM events GROUP BY 1""",
+)
+def events_pivot_type_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (wide counts per day x event type). The pivot values are
+    supplied explicitly — Spark otherwise runs an extra distinct pass to
+    discover them, and explicit values keep the output schema stable
+    (a streaming/append requirement and a 100-TB nicety: one pass)."""
+    ev = _read(spark, sf_dir, "events")
+    out = (
+        ev.groupBy(F.date_format(F.date_trunc("DAY", "ts"), "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+    )
+    return out.select(
+        "day",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+          for t in _EVENT_TYPES],
+    )
+
+
 @_q(
     "events_json_props",
     """SELECT CAST(props->>'k' AS BIGINT) AS k_bucket,

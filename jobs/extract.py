@@ -69,7 +69,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--aliases", default=None,
                     help="parquet path of (alias, canonical) dictionary")
     ap.add_argument("--ds-store", default=None,
-                    help="parquet path of MANAGED datastream blobs (blob_id, content)")
+                    help="parquet path of pre-fetched datastream content "
+                         "(blob_id, content): Akubra blob ids for MANAGED, "
+                         "verbatim URLs for EXTERNAL/REDIRECT")
     ap.add_argument("--buckets", type=int, default=256,
                     help="subject-hash buckets for the triple table layout")
     ap.add_argument("--canonical-sort", action="store_true",
