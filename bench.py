@@ -153,6 +153,10 @@ def run_throughput(sf_dir: str, cores: int, copies: int = 1) -> dict:
 
     local_dir = _bench_local_dir()
     extra = {"spark.local.dir": local_dir} if local_dir else {}
+    if copies >= 8 and "SPARK_GRAFT_DRIVER_MEM" not in os.environ:
+        # the persisted big-copies corpus (deserialized strings) needs
+        # heap room in single-JVM local mode; the 8g default OOMs at 40x
+        extra["spark.driver.memory"] = "48g"
     spark = build_session(f"bench-throughput-{cores}", cores=cores, extra_conf=extra)
     _warm_python_workers(spark, cores)
     source = synthesize_foxml_from_orders(spark, sf_dir, copies=copies).repartition(
