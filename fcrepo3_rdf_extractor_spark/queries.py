@@ -505,6 +505,32 @@ def kg_set_ops_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =========================================================================
 
 @_q(
+    "join_semi_anti_customers",
+    """SELECT
+         CAST((SELECT count(*) FROM customer c
+               WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+              AS BIGINT) AS n_with_orders,
+         CAST((SELECT count(*) FROM customer c
+               WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+              AS BIGINT) AS n_without_orders""",
+)
+def join_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti joins as first-class plans (the shapes incremental
+    refresh runs on its identity keys): customers with vs without
+    orders. left_semi/left_anti never materialize the probe side's
+    payload — the build side reduces to its join key."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    n_with = cust.join(orders, "c_custkey", "left_semi").count()
+    n_without = cust.join(orders, "c_custkey", "left_anti").count()
+    return spark.createDataFrame(
+        [(n_with, n_without)], "n_with_orders long, n_without_orders long"
+    )
+
+
+@_q(
     "tpch_q1_pricing_summary",
     """SELECT l_returnflag, l_linestatus,
               round(sum(l_quantity), 2) AS sum_qty,
