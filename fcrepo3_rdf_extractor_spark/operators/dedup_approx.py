@@ -147,12 +147,15 @@ def minhash_near_duplicates(
 
     cache_signatures persists the signature table (doc_id + num_hashes
     hex digests, ~300 B/doc) for callers that reuse it across several
-    downstream pipelines. It is OFF for a single pass: the band
-    self-join's two sides shuffle on identical keys, so Spark's
-    ReuseExchange already computes the signature scan once — an A/B at
-    sf0.1 measured the eager persist *slower* (7.3 s vs 4.2 s) because
-    it forces synchronous materialization ahead of a plan that would
-    otherwise pipeline."""
+    downstream pipelines. It is OFF for a single pass: the self-join's
+    two sides each re-evaluate the signature columns (exchange reuse
+    does not canonicalize across the aliased sides — verified on Spark
+    4.1), but that re-evaluation is pure scan-side column math, and an
+    A/B at sf0.1 measured the eager persist *slower* (7.3 s vs 4.2 s)
+    because it forces synchronous materialization ahead of a plan that
+    otherwise pipelines. Persist only pays when the upstream is
+    expensive (e.g. a Python UDF — see
+    queries.kg_graph_shared_collection_pairs)."""
     sigs = minhash_signature(docs, text_col, num_hashes)
     if cache_signatures:
         sigs = sigs.persist()

@@ -189,6 +189,42 @@ def kg_graph_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "kg_graph_shared_collection_pairs",
+    """SELECT 'info:fedora/collection:' || (o_custkey % 100) AS collection,
+              CAST(count(*) * (count(*) - 1) / 2 AS BIGINT) AS n_pairs
+       FROM orders GROUP BY 1""",
+)
+def kg_graph_shared_collection_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A true cross-subject two-hop over the constructed graph: pairs of
+    distinct objects connected through a shared collection node
+    (object -memberOf-> collection <-memberOf- object), via a staged
+    self-join of the edge projection."""
+    rel = "info:fedora/fedora-system:def/relations-external#isMemberOfCollection"
+    source = synthesize_foxml_from_orders(spark, sf_dir)
+    # persist the edge projection: a self-join evaluates its child once
+    # PER SIDE (exchange reuse does not canonicalize across the two
+    # aliased sides — verified empirically on Spark 4.1), and here the
+    # child contains the extraction UDF, the most expensive stage in the
+    # engine. The cached edge table is two narrow string columns — tiny
+    # relative to re-parsing the corpus. In production this staging IS
+    # the materialized graph table; the persist models reading it.
+    members = (
+        triples_only(extract_triples(source))
+        .filter(F.col("pred") == rel)
+        .select(F.col("subj").alias("member"), F.col("obj_value").alias("collection"))
+        .persist()
+    )
+    a = members.select("collection", F.col("member").alias("m_a"))
+    b = members.select("collection", F.col("member").alias("m_b"))
+    return (
+        a.join(b, "collection")
+        .filter(F.col("m_a") < F.col("m_b"))
+        .groupBy("collection")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )
+
+
+@_q(
     "kg_graph_predicate_stats",
     """SELECT pred, CAST(n_per_obj * (SELECT count(*) FROM orders) AS BIGINT) AS n,
               CAST(is_literal AS BOOLEAN) AS obj_is_literal
