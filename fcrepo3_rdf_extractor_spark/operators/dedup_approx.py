@@ -92,10 +92,10 @@ def minhash_lsh_candidates(
         "doc_id", F.explode(F.array(*band_structs)).alias("band")
     ).select("doc_id", "band.band_id", "band.band_key")
 
-    # bucket-size bound as a window count over the SAME shuffle the
-    # self-join needs: the band table is exchanged once on
-    # (band_id, band_key) and the join's two sides reuse that exchange —
-    # the agg+join formulation shuffled the exploded table three times
+    # bucket-size bound as a window count on the SAME key the self-join
+    # shuffles on: within each lineage the window's exchange doubles as
+    # the join-side exchange (no extra shuffle between them) — the
+    # agg+join formulation shuffled the exploded table three times
     from pyspark.sql import Window
 
     w = Window.partitionBy("band_id", "band_key")
