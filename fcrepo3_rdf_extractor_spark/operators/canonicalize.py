@@ -60,6 +60,31 @@ def canonicalize(
     return out
 
 
+def sameas_closure(sameas: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """owl:sameAs closure -> alias dictionary: connected components over
+    the (undirected, possibly chained/cyclic) sameAs edge set, each
+    entity mapped to its component's lexicographic-min URI. Raw sameAs
+    assertions are NOT directly usable as a rewrite dictionary — they
+    chain (x=y, y=z) and cycle; the closure is the fixpoint, computed by
+    the same min-label propagation as doc dedup clustering (iterations
+    bounded by chain length). Output: (alias, canonical), non-identity
+    rows only — drop-in input for :func:`canonicalize`."""
+    from .graph import connected_components
+
+    comps = connected_components(sameas, src=a, dst=b)
+    return comps.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias("alias"), F.col("cluster_id").alias("canonical")
+    )
+
+
+def canonicalize_sameas(triples: DataFrame, sameas: DataFrame) -> DataFrame:
+    """Entity resolution for the constructed graph: resolve the sameAs
+    closure, then rewrite subj/obj through the resulting broadcast
+    dictionary (two broadcast hash joins; the triple stream never
+    shuffles)."""
+    return canonicalize(triples, sameas_closure(sameas))
+
+
 def pid_prefix_aliases(spark, prefixes: list[str]) -> DataFrame:
     """Helper: build an alias dictionary that rewrites foreign PID
     prefixes (e.g. ``http://fedora.example/``) to ``info:fedora/`` given

@@ -443,6 +443,34 @@ def kg_canonicalize_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "kg_canonicalize_sameas",
+    "SELECT 'urn:a1:' || n_nationkey AS subj, n_name AS obj_value FROM nation",
+)
+def kg_canonicalize_sameas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution via owl:sameAs closure: sameAs assertions CHAIN
+    (n=a2, a2=a1 — the canonical URI is two hops away), so the rewrite
+    dictionary is the connected-component fixpoint (min URI per
+    component), then a broadcast rewrite of the triple stream. The
+    oracle states the closed form directly."""
+    from .operators.canonicalize import canonicalize_sameas
+
+    nation = _read(spark, sf_dir, "nation")
+    key = F.col("n_nationkey").cast("string")
+    triples = nation.select(
+        F.concat(F.lit("urn:n:"), key).alias("subj"),
+        F.lit(LABEL).alias("pred"),
+        F.col("n_name").alias("obj_value"),
+        F.lit(True).alias("obj_is_literal"),
+    )
+    e1 = nation.select(F.concat(F.lit("urn:n:"), key).alias("a"),
+                       F.concat(F.lit("urn:a2:"), key).alias("b"))
+    e2 = nation.select(F.concat(F.lit("urn:a2:"), key).alias("a"),
+                       F.concat(F.lit("urn:a1:"), key).alias("b"))
+    out = canonicalize_sameas(triples, e1.union(e2))
+    return out.select("subj", "obj_value")
+
+
+@_q(
     "kg_managed_lookup_join",
     """SELECT l.l_orderkey, l.l_linenumber, p.p_name AS blob_content
        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey""",

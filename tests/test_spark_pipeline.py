@@ -499,3 +499,36 @@ def test_attach_external_content_via_url_table(spark):
     assert ("info:fedora/e:2", "urn:ex#p", "urn:o2", False, None, None) in keys
     errs = [r.error_stage for r in errors_only(out).collect()]
     assert errs == ["dc"]  # only the absent DC errors
+
+
+def test_sameas_closure_chains_and_cycles(spark):
+    """The sameAs fixpoint must resolve chains (x=y=z) and cycles to one
+    canonical (lexicographic-min) URI per component, and the rewrite
+    must leave literals and unrelated URIs untouched."""
+    from fcrepo3_rdf_extractor_spark.operators.canonicalize import (
+        canonicalize_sameas,
+        sameas_closure,
+    )
+
+    sameas = spark.createDataFrame(
+        [("urn:x", "urn:y"), ("urn:y", "urn:z"),   # chain
+         ("urn:p", "urn:q"), ("urn:q", "urn:p")],  # cycle
+        "a string, b string",
+    )
+    aliases = {r.alias: r.canonical for r in sameas_closure(sameas).collect()}
+    assert aliases == {"urn:y": "urn:x", "urn:z": "urn:x", "urn:q": "urn:p"}
+
+    triples = spark.createDataFrame(
+        [("urn:z", "p:1", "urn:q", False, None, None),
+         ("urn:z", "p:2", "urn:y", True, None, None),    # literal: no rewrite
+         ("urn:other", "p:3", "urn:none", False, None, None)],
+        "subj string, pred string, obj_value string, "
+        "obj_is_literal boolean, obj_datatype string, obj_lang string",
+    )
+    got = {(r.subj, r.pred, r.obj_value)
+           for r in canonicalize_sameas(triples, sameas).collect()}
+    assert got == {
+        ("urn:x", "p:1", "urn:p"),        # both positions rewritten via closure
+        ("urn:x", "p:2", "urn:y"),        # literal obj untouched
+        ("urn:other", "p:3", "urn:none"), # unrelated URIs untouched
+    }
