@@ -80,20 +80,36 @@ def main(argv: list[str] | None = None) -> int:
     docs = spark.read.parquet(args.docs)
     stages: dict[str, int] = {"input": docs.count()}
 
+    def staged(df, label):
+        """Persist each stage boundary before counting: every stage's
+        count is an action, and without the persist each one (and the
+        final write) would RE-RUN the whole upstream pipeline — the
+        near-dup clustering alone is several jobs. One cache per
+        boundary, previous boundary released immediately."""
+        df = df.persist()
+        stages[label] = df.count()
+        prev = staged._prev
+        if prev is not None:
+            prev.unpersist()
+        staged._prev = df
+        return df
+
+    staged._prev = None
+
     # 1. exact dedup: keep one witness per identical text
     keep_exact = dedup_exact_docs(docs).select(
         F.col("keep_doc_id").alias("doc_id")
     )
-    docs = docs.join(keep_exact, "doc_id", "left_semi")
-    stages["after_exact_dedup"] = docs.count()
+    docs = staged(docs.join(keep_exact, "doc_id", "left_semi"),
+                  "after_exact_dedup")
 
     # 2. near-dup clustering on the exact-deduped survivors
     if args.neardup_threshold > 0:
         pairs = minhash_near_duplicates(docs, threshold=args.neardup_threshold)
         clusters = dedup_clusters(pairs, docs)
         keep_near = clusters.filter(F.col("keep")).select("doc_id")
-        docs = docs.join(keep_near, "doc_id", "left_semi")
-        stages["after_neardup"] = docs.count()
+        docs = staged(docs.join(keep_near, "doc_id", "left_semi"),
+                      "after_neardup")
 
     # 3+4. quality + language annotations, filtered in one pass
     q = quality_score(docs).select("doc_id", "quality")
@@ -103,16 +119,18 @@ def main(argv: list[str] | None = None) -> int:
     if args.langs:
         allow = [s.strip() for s in args.langs.split(",") if s.strip()]
         annotated = annotated.filter(F.col("pred_lang").isin(allow))
-    stages["after_quality_lang"] = annotated.count()
+    annotated = staged(annotated, "after_quality_lang")
 
     # 5. deterministic stratified sampling by source
     rates = json.loads(args.rates) if args.rates else {}
     if rates or args.default_rate < 1.0:
-        annotated = stratified_sample(
-            annotated, key_col="doc_id", strata_col="source",
-            rates=rates, default_rate=args.default_rate,
+        annotated = staged(
+            stratified_sample(
+                annotated, key_col="doc_id", strata_col="source",
+                rates=rates, default_rate=args.default_rate,
+            ),
+            "after_sampling",
         )
-        stages["after_sampling"] = annotated.count()
 
     # 6. token counts stamped on the survivors
     toks = token_count(annotated).select("doc_id", "n_tokens")
