@@ -35,7 +35,7 @@ def connected_components(
     vertices: DataFrame | None = None,
     src: str = "doc_a",
     dst: str = "doc_b",
-    max_iter: int = 25,
+    max_iter: int = 50,
 ) -> DataFrame:
     """Label each vertex with the minimum vertex id reachable from it
     (the component id). ``pairs`` is an undirected edge list; isolated
@@ -43,7 +43,18 @@ def connected_components(
     come back as their own singleton component.
 
     Returns (id, cluster_id). Deterministic: min-id labels do not depend
-    on join or partition order.
+    on join or partition order. Raises RuntimeError if the fixpoint is
+    not reached within ``max_iter`` rounds (a component whose diameter
+    exceeds the bound) — silently returning partial labels would split
+    one logical cluster into several, which downstream canonical-pick
+    logic cannot detect.
+
+    Cache ownership: the returned labels DataFrame is persisted (the
+    iteration requires it — unpersisted lineage doubles per round).
+    Spark's cache manager keys entries by analyzed plan, so repeated
+    invocations over the same input reuse one entry rather than
+    accumulating; callers that are done with the result may
+    ``.unpersist()`` it.
     """
     edges = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -57,6 +68,7 @@ def connected_components(
     labels.count()  # materialize before the loop
     edges = edges.persist()
 
+    converged = False
     for _ in range(max_iter):
         # candidate labels arriving over edges, merged with current labels
         prop = labels.join(edges, labels["id"] == edges["a"]).select(
@@ -76,8 +88,17 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} "
+            "iterations — a component's diameter exceeds the bound; "
+            "raise max_iter (or switch the propagation step to "
+            "large-star/small-star for long-chain graphs)"
+        )
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 

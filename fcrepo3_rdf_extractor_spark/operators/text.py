@@ -121,7 +121,10 @@ def unigram_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
     the corpus shuffles once, on (doc_id, term)."""
     toks = df.select("doc_id", F.explode(tokens_col(F.col(text_col))).alias("term"))
     counts = toks.groupBy("term").agg(F.count("*").alias("term_n"))
-    total = toks.select(F.count("*").alias("total_n"))
+    # total tokens derived from the vocabulary aggregate — summing the
+    # term counts is a vocabulary-sized scan, not a third full pass over
+    # the exploded corpus
+    total = counts.agg(F.sum("term_n").alias("total_n"))
     return (
         toks.join(F.broadcast(counts), "term")
         .crossJoin(F.broadcast(total))

@@ -64,9 +64,10 @@ def managed_content_requests(source: DataFrame) -> DataFrame:
     regex sweep costs a scan instead of a mapInPandas fork + XML parse —
     and the extraction hot path keeps exactly ONE Python stage (pinned).
 
-    Version choice mirrors ``foxml.parse_foxml``: newest CREATED wins,
-    document order breaks ties/absent-CREATED (lexicographic max is
-    CREATED-order for FOXML's zero-padded UTC instants). Blob-id minting
+    Version choice mirrors ``foxml.parse_foxml``: newest CREATED wins by
+    PARSED-timestamp order (try_to_timestamp — lexicographic comparison
+    breaks on variable-length fractions and offsets), document order
+    breaks ties/absent-CREATED. Blob-id minting
     mirrors ``terms.get_blob_id`` (`ObjectProcessor.java:293-341`):
     3-token ``ns:id+dsId+dsvId`` -> ``info:fedora/ns:id/<enc>/<enc>``
     with Java-URLEncoder form encoding (= Spark ``url_encode``);
@@ -96,18 +97,50 @@ def managed_content_requests(source: DataFrame) -> DataFrame:
         "_group",
         F.regexp_extract("_ds", r'\bCONTROL_GROUP="([MER])"', 1),
     )
+    def xml_unescape(col):
+        # regex extraction reads RAW attribute text; decode the five
+        # predefined XML entities so fetch keys match what the
+        # ElementTree-backed extraction UDF will look up ('&' MUST be
+        # entity-escaped in well-formed attributes, so URLs with query
+        # strings carry '&amp;'). '&amp;' decodes LAST so '&amp;lt;'
+        # correctly becomes the literal '&lt;'. Numeric character
+        # references are not handled (absent from FOXML in practice);
+        # such a location simply misses the fetch and surfaces as the
+        # per-datastream error row.
+        out = F.replace(col, F.lit("&lt;"), F.lit("<"))
+        out = F.replace(out, F.lit("&gt;"), F.lit(">"))
+        out = F.replace(out, F.lit("&quot;"), F.lit('"'))
+        out = F.replace(out, F.lit("&apos;"), F.lit("'"))
+        return F.replace(out, F.lit("&amp;"), F.lit("&"))
+
     versions = F.transform(
         F.regexp_extract_all("_ds", F.lit(v_block), 0),
         lambda v: F.struct(
-            F.regexp_extract(v, r'\bCREATED="([^"]*)"', 1).alias("c"),
-            F.regexp_extract(
-                v, r'(?s)<foxml:contentLocation\b[^>]*\bREF="([^"]*)"', 1
+            # PARSED timestamp as the ordering key: lexicographic max
+            # diverges for variable-length fractions ('..0.1Z' > '..0.15Z'
+            # because 'Z' > '5') and non-Z offsets, both of which the
+            # engine's date grammar accepts; try_to_timestamp matches
+            # parse_foxml's parse_instant ordering and yields NULL for
+            # absent/garbage CREATED (sorted last, like the parser)
+            F.try_to_timestamp(
+                F.regexp_extract(v, r'\bCREATED="([^"]*)"', 1)
+            ).alias("k"),
+            xml_unescape(
+                F.regexp_extract(
+                    v, r'(?s)<foxml:contentLocation\b[^>]*\bREF="([^"]*)"', 1
+                )
             ).alias("r"),
         ),
     )
     staged = exploded.select("repo", "path", "commit", "_group", versions.alias("_vs"))
-    maxc = F.array_max(F.transform(F.col("_vs"), lambda x: x["c"]))
-    newest_ref = F.element_at(F.filter(F.col("_vs"), lambda x: x["c"] == maxc), 1)["r"]
+    maxk = F.array_max(F.transform(F.col("_vs"), lambda x: x["k"]))
+    newest_ref = F.when(
+        # no version has a parseable CREATED -> document order, like the
+        # parser's stable sort
+        maxk.isNull(), F.element_at(F.col("_vs"), 1)["r"]
+    ).otherwise(
+        F.element_at(F.filter(F.col("_vs"), lambda x: x["k"] == maxk), 1)["r"]
+    )
     tokens = staged.select(
         "repo", "path", "commit", "_group", newest_ref.alias("_token")
     ).filter(F.col("_token").isNotNull() & (F.col("_token") != ""))

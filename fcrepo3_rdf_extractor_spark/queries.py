@@ -497,13 +497,30 @@ def kg_error_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _nquads_literal_escape_sql(col: str = "text") -> str:
+    """DuckDB twin of terms.escape_literal: the 5 ECHARs plus \\uXXXX for
+    every remaining C0 control — generated so the oracle stays
+    byte-identical to the engine even for control-carrying text (the
+    synthesized corpus is clean, but the invariant is identical twins,
+    not accidentally-identical twins). chr(1)..chr(31); NUL is excluded
+    (DuckDB VARCHARs cannot hold it, so it cannot occur in the input)."""
+    expr = rf"replace({col}, '\', '\\')"
+    expr = f"replace({expr}, '\"', '\\\"')"
+    expr = rf"replace({expr}, chr(10), '\n')"
+    expr = rf"replace({expr}, chr(13), '\r')"
+    expr = rf"replace({expr}, chr(9), '\t')"
+    for c in range(1, 0x20):
+        if chr(c) in "\t\n\r":
+            continue
+        expr = f"replace({expr}, chr({c}), '\\u{c:04X}')"
+    return expr
+
+
 @_q(
     "kg_nquads_render",
-    r"""SELECT '<info:fedora/doc:' || doc_id || '> '
+    f"""SELECT '<info:fedora/doc:' || doc_id || '> '
            || '<http://purl.org/dc/elements/1.1/description> '
-           || '"' || replace(replace(replace(replace(replace(text,
-                '\', '\\'), '"', '\"'), chr(10), '\n'), chr(13), '\r'),
-                chr(9), '\t') || '"'
+           || '"' || {_nquads_literal_escape_sql()} || '"'
            || ' <#ri> .' AS line
         FROM documents""",
 )

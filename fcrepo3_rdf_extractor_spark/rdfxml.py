@@ -69,7 +69,12 @@ def _remove_dot_segments(path: str) -> str:
     # preserve a trailing slash implied by ./.. at the end
     if path.endswith(("/.", "/..")) and (not out or out[-1] != ""):
         out.append("")
-    return "/".join(out)
+    res = "/".join(out)
+    # '..' that empties an absolute path resolves to the root, not ''
+    # (RFC 3986 §5.2.4: '/a/..' -> '/')
+    if path.startswith("/") and not res.startswith("/"):
+        res = "/" + res
+    return res
 
 
 def resolve_uri(base: str, ref: str) -> str:
@@ -322,19 +327,23 @@ def parse_rdfxml(
         except ET.ParseError as e:
             raise RdfXmlError(f"RDF/XML parse failure: {e}") from e
 
-    doc_base = base or ""
-    root_base = root.get(_XML_BASE)
-    if root_base is not None:
-        # a (possibly relative) xml:base on the root resolves against the
-        # externally supplied base (XML Base §4.3)
-        doc_base = resolve_uri(doc_base, root_base)
-    parser = _Parser(scope, doc_base)
     ns, local = _split(root.tag)
     lang = root.get(_XML_LANG)
     if ns == RDF_NS and local == "RDF":
+        # fold a (possibly relative) xml:base on the rdf:RDF wrapper into
+        # the document base (XML Base §4.3) — the wrapper itself is not a
+        # node element, so this is the only place it gets applied
+        doc_base = base or ""
+        root_base = root.get(_XML_BASE)
+        if root_base is not None:
+            doc_base = resolve_uri(doc_base, root_base)
+        parser = _Parser(scope, doc_base)
         for child in root:
             parser.parse_node_element(child, lang)
     else:
-        # document whose root is itself a node element
+        # document whose root is itself a node element: its own xml:base
+        # is applied exactly once, by parse_node_element's scoping —
+        # folding it here too would resolve a relative base twice
+        parser = _Parser(scope, base or "")
         parser.parse_node_element(root, lang)
     return parser.triples

@@ -293,8 +293,12 @@ def iso_reformat(value: str) -> str:
 
 def uri_encode(s: str) -> str:
     """``URLEncoder.encode(s, "UTF-8")``: form-encoding, i.e. '*' and
-    '-._' kept, space becomes '+', everything else percent-encoded."""
-    return urllib.parse.quote_plus(s, safe="*-._")
+    '-._' kept, space becomes '+', everything else percent-encoded.
+    quote_plus treats '~' as always-safe (RFC 3986 unreserved, cannot be
+    un-safed since Python 3.7) but Java's URLEncoder — and therefore
+    Spark's ``url_encode``, which the JVM request pass uses — emits
+    ``%7E``; the post-replace keeps the two minting paths byte-equal."""
+    return urllib.parse.quote_plus(s, safe="*-._").replace("~", "%7E")
 
 
 def get_blob_id(token: str) -> str:

@@ -116,8 +116,42 @@ def main(argv: list[str] | None = None) -> int:
         subject_buckets=args.buckets,
     )
 
+    def write_layout_marker(out_dir: str, layout: str) -> None:
+        """Record the table layout next to the data so --previous can be
+        validated (local-path best effort; object-store URIs skip)."""
+        try:
+            with open(os.path.join(out_dir, "_LAYOUT.json"), "w") as fh:
+                json.dump({"layout": layout}, fh)
+        except OSError:
+            pass
+
+    def read_layout_marker(out_dir: str) -> str | None:
+        try:
+            with open(os.path.join(out_dir, "_LAYOUT.json")) as fh:
+                return json.load(fh).get("layout")
+        except OSError:
+            return None
+
     summary: dict = {"out": args.out}
     if args.previous:
+        prev_layout = read_layout_marker(args.previous)
+        if prev_layout is not None and prev_layout != "per_document":
+            print(
+                f"error: --previous table has layout '{prev_layout}'; "
+                "incremental refresh requires a per-document table (a prior "
+                "incremental --out, or a fresh run with --no-dedup) — a "
+                "deduped table keeps one witness per triple and cannot be "
+                "maintained incrementally",
+                file=sys.stderr,
+            )
+            spark.stop()
+            return 2
+        if prev_layout is None:
+            print(
+                "warning: --previous has no _LAYOUT.json marker; proceeding "
+                "on the assumption it is a per-document table",
+                file=sys.stderr,
+            )
         prev = spark.read.parquet(args.previous)
         plan = extract_incremental(
             source, prev, config, aliases=aliases, ds_store=ds_store
@@ -132,6 +166,7 @@ def main(argv: list[str] | None = None) -> int:
             canonical_sort=args.canonical_sort,
         )
         summary["layout"] = "per_document"
+        write_layout_marker(args.out, "per_document")
         stored = spark.read.parquet(args.out)
         extracted = dedup_mixed(stored) if config.dedup else stored
     elif args.checkpoint:
@@ -142,11 +177,19 @@ def main(argv: list[str] | None = None) -> int:
         extracted = spark.read.parquet(args.out)
         summary.update(stats)
         summary["checkpoint"] = args.checkpoint
+        # per-wave dedup keeps per-document semantics only without dedup;
+        # a wave-deduped table is NOT a valid --previous
+        write_layout_marker(
+            args.out, "per_document" if args.no_dedup else "wave_deduped"
+        )
     else:
         extracted = extract_plan(source, config, aliases=aliases, ds_store=ds_store)
         materialize_graph(
             extracted, args.out, buckets=args.buckets,
             canonical_sort=args.canonical_sort,
+        )
+        write_layout_marker(
+            args.out, "per_document" if args.no_dedup else "deduped"
         )
         extracted = spark.read.parquet(args.out)
 

@@ -455,3 +455,26 @@ def test_extract_external_datastream_via_lookup():
     assert {e.stage for e in errors2} == {"dc", "rels_ext"}
     assert any("missing external content" in e.message for e in errors2)
     assert len(triples2) == 12  # 6 object + 6 datastream constants survive
+
+
+def test_rdfxml_relative_base_on_node_root_applied_once():
+    """Regression: a relative xml:base on a non-rdf:RDF root was folded
+    into the document base AND re-applied by the node element's own
+    scoping, doubling the segment."""
+    doc = ('<ex:Thing xmlns:ex="urn:ex#" '
+           'xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+           'xml:base="sub/" rdf:about="x"/>')
+    subjects = {t.subj for t in parse_rdfxml(doc, scope="t", base="http://ex.org/dir/")}
+    assert subjects == {"http://ex.org/dir/sub/x"}
+
+
+def test_resolve_uri_dotdot_to_root():
+    """Regression: '..' emptying an absolute path must resolve to the
+    root '/', matching RFC 3986 §5.2.4 and urljoin."""
+    from urllib.parse import urljoin
+
+    from fcrepo3_rdf_extractor_spark.rdfxml import resolve_uri
+
+    for base, ref in [("http://ex/a", ".."), ("http://ex/a/b", "../.."),
+                      ("http://ex.org", ".."), ("http://ex/a", "../..")]:
+        assert resolve_uri(base, ref) == urljoin(base, ref), (base, ref)

@@ -286,6 +286,14 @@ def test_managed_content_requests_version_pick_and_minting(spark):
         '<foxml:contentLocation TYPE="INTERNAL_ID" REF="ns:1+my ds/x+v 1"/>'
         "</foxml:datastreamVersion></foxml:datastream>"
     )
+    tilde = foxml(
+        # '~': quote_plus keeps it, Java URLEncoder/url_encode emits %7E —
+        # both minting paths must agree (terms.uri_encode post-replace)
+        '<foxml:datastream ID="DC" STATE="A" CONTROL_GROUP="M">'
+        '<foxml:datastreamVersion ID="D.0" CREATED="2020-01-01T00:00:00.000Z">'
+        '<foxml:contentLocation TYPE="INTERNAL_ID" REF="ns:2+a~b+c~d"/>'
+        "</foxml:datastreamVersion></foxml:datastream>"
+    )
     malformed = foxml(
         '<foxml:datastream ID="RELS-INT" STATE="A" CONTROL_GROUP="M">'
         '<foxml:datastreamVersion ID="B.0" CREATED="2020-01-01T00:00:00.000Z">'
@@ -298,17 +306,44 @@ def test_managed_content_requests_version_pick_and_minting(spark):
         '<foxml:contentLocation TYPE="INTERNAL_ID" REF="m:9+DC+DC.0"/>'
         "</foxml:datastreamVersion></foxml:datastream>"
     )
+    entity_url = foxml(
+        # '&' is entity-escaped in well-formed XML attributes; the
+        # request key must be the DECODED url (what ElementTree gives
+        # the extraction UDF), not the raw '&amp;' text
+        '<foxml:datastream ID="RELS-EXT" STATE="A" CONTROL_GROUP="E">'
+        '<foxml:datastreamVersion ID="E.0" CREATED="2020-01-01T00:00:00.000Z">'
+        '<foxml:contentLocation TYPE="URL" REF="http://ex.org/ds?a=1&amp;b=2"/>'
+        "</foxml:datastreamVersion></foxml:datastream>"
+    )
+    frac = foxml(
+        # variable-length fractions: '..0.15Z' is NEWER than '..0.1Z'
+        # numerically but smaller lexicographically ('5' < 'Z') — the
+        # pick must use parsed-timestamp order
+        '<foxml:datastream ID="DC" STATE="A" CONTROL_GROUP="M">'
+        '<foxml:datastreamVersion ID="F.1" CREATED="2021-05-05T10:00:00.1Z">'
+        '<foxml:contentLocation TYPE="INTERNAL_ID" REF="f:1+DC+OLD"/>'
+        "</foxml:datastreamVersion>"
+        '<foxml:datastreamVersion ID="F.0" CREATED="2021-05-05T10:00:00.15Z">'
+        '<foxml:contentLocation TYPE="INTERNAL_ID" REF="f:1+DC+NEW"/>'
+        "</foxml:datastreamVersion></foxml:datastream>"
+    )
     src = spark.createDataFrame(
         [("r", "p1", "c", "foxml", multi_version),
          ("r", "p2", "c", "foxml", encoded),
          ("r", "p3", "c", "foxml", malformed),
-         ("r", "p4", "c", "foxml", unmanaged)],
+         ("r", "p4", "c", "foxml", unmanaged),
+         ("r", "p5", "c", "foxml", tilde),
+         ("r", "p6", "c", "foxml", entity_url),
+         ("r", "p7", "c", "foxml", frac)],
         "repo string, path string, commit string, lang string, content string",
     )
     got = {(r.path, r.blob_id) for r in managed_content_requests(src).collect()}
     assert got == {
         ("p1", get_blob_id("m:1+DC+DC.0")),          # newest CREATED, not doc order
         ("p2", get_blob_id("ns:1+my ds/x+v 1")),     # percent-encoding parity
+        ("p5", get_blob_id("ns:2+a~b+c~d")),         # '~' -> %7E on both paths
+        ("p6", "http://ex.org/ds?a=1&b=2"),          # XML entities decoded
+        ("p7", get_blob_id("f:1+DC+NEW")),           # parsed-timestamp order
     }
 
 

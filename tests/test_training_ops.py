@@ -407,3 +407,18 @@ def test_unigram_logprob_flags_rare_content(spark):
     assert isclose(got[1].logprob, round(2 * log(5 / 6) + log(1 / 6), 4))
     # the doc containing the rare token scores lower per token
     assert got[1].per_token_logprob < got[0].per_token_logprob
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    """Exceeding max_iter must raise, not silently return split
+    clusters (partial labels would make the canonical pick wrong with
+    no downstream signal)."""
+    import pytest as _pytest
+
+    from fcrepo3_rdf_extractor_spark.operators.graph import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "doc_a long, doc_b long"
+    )  # diameter 7 > max_iter=2
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
