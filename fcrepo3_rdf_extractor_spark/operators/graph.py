@@ -43,11 +43,15 @@ def connected_components(
     come back as their own singleton component.
 
     Returns (id, cluster_id). Deterministic: min-id labels do not depend
-    on join or partition order. Raises RuntimeError if the fixpoint is
-    not reached within ``max_iter`` rounds (a component whose diameter
-    exceeds the bound) — silently returning partial labels would split
-    one logical cluster into several, which downstream canonical-pick
-    logic cannot detect.
+    on join or partition order. Raises RuntimeError if a fixpoint is not
+    OBSERVED within ``max_iter`` rounds — silently returning partial
+    labels would split one logical cluster into several, which
+    downstream canonical-pick logic cannot detect. Convergence detection
+    costs one confirming round (changed == 0), so the largest component
+    diameter guaranteed to pass is ``max_iter - 1``; a diameter of
+    exactly ``max_iter`` raises even though the final labels happen to
+    be complete (raise ``max_iter`` rather than reasoning about that
+    edge).
 
     Cache ownership: the returned labels DataFrame is persisted (the
     iteration requires it — unpersisted lineage doubles per round).
@@ -94,10 +98,10 @@ def connected_components(
     if not converged:
         labels.unpersist()
         raise RuntimeError(
-            f"connected_components did not converge within {max_iter} "
-            "iterations — a component's diameter exceeds the bound; "
-            "raise max_iter (or switch the propagation step to "
-            "large-star/small-star for long-chain graphs)"
+            f"connected_components observed no fixpoint within {max_iter} "
+            f"rounds (guaranteed-supported component diameter is "
+            f"{max_iter - 1}); raise max_iter, or switch the propagation "
+            "step to large-star/small-star for long-chain graphs"
         )
     return labels.select("id", F.col("label").alias("cluster_id"))
 

@@ -134,12 +134,18 @@ def managed_content_requests(source: DataFrame) -> DataFrame:
     )
     staged = exploded.select("repo", "path", "commit", "_group", versions.alias("_vs"))
     maxk = F.array_max(F.transform(F.col("_vs"), lambda x: x["k"]))
+    # try_element_at, NOT element_at: a version-less datastream block
+    # yields an empty _vs, and under ANSI mode (Spark 4 default)
+    # element_at on an empty array ABORTS THE JOB — a malformed object
+    # must cost an error row, never the job (E1)
     newest_ref = F.when(
         # no version has a parseable CREATED -> document order, like the
         # parser's stable sort
-        maxk.isNull(), F.element_at(F.col("_vs"), 1)["r"]
+        maxk.isNull(), F.try_element_at(F.col("_vs"), F.lit(1))["r"]
     ).otherwise(
-        F.element_at(F.filter(F.col("_vs"), lambda x: x["k"] == maxk), 1)["r"]
+        F.try_element_at(
+            F.filter(F.col("_vs"), lambda x: x["k"] == maxk), F.lit(1)
+        )["r"]
     )
     tokens = staged.select(
         "repo", "path", "commit", "_group", newest_ref.alias("_token")

@@ -216,11 +216,25 @@ def kg_graph_shared_collection_pairs(spark: SparkSession, sf_dir: str) -> DataFr
     )
     a = members.select("collection", F.col("member").alias("m_a"))
     b = members.select("collection", F.col("member").alias("m_b"))
-    return (
+    pair_counts = (
         a.join(b, "collection")
         .filter(F.col("m_a") < F.col("m_b"))
         .groupBy("collection")
         .agg(F.count("*").cast("long").alias("n_pairs"))
+    )
+    # single-member collections produce zero join rows but the oracle
+    # (n*(n-1)/2 over all collections) emits them with n_pairs = 0 —
+    # join back to the full collection set so the twins stay identical
+    # even when a bucket has one member (the persisted `members` is the
+    # only cached table; its cache entry is plan-keyed, so repeated
+    # invocations reuse one copy — see connected_components docstring)
+    return (
+        members.select("collection").distinct()
+        .join(pair_counts, "collection", "left")
+        .select(
+            "collection",
+            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
+        )
     )
 
 

@@ -129,7 +129,9 @@ def main(argv: list[str] | None = None) -> int:
         try:
             with open(os.path.join(out_dir, "_LAYOUT.json")) as fh:
                 return json.load(fh).get("layout")
-        except OSError:
+        except (OSError, ValueError):
+            # absent OR corrupt/truncated marker (non-atomic write, e.g.
+            # killed mid-dump) both degrade to the warn-and-proceed path
             return None
 
     summary: dict = {"out": args.out}

@@ -567,3 +567,23 @@ def test_sameas_closure_chains_and_cycles(spark):
         ("urn:x", "p:2", "urn:y"),        # literal obj untouched
         ("urn:other", "p:3", "urn:none"), # unrelated URIs untouched
     }
+
+
+def test_managed_content_requests_versionless_block_is_dropped(spark):
+    """Regression: a MANAGED datastream block with zero datastreamVersion
+    children produced an empty version array, and under ANSI mode
+    element_at on it aborted the whole job; it must simply yield no
+    request row (the UDF reports the per-datastream error)."""
+    from fcrepo3_rdf_extractor_spark.plans.pipeline import managed_content_requests
+
+    foxml = (
+        '<foxml:digitalObject PID="v:0" '
+        'xmlns:foxml="info:fedora/fedora-system:def/foxml#">'
+        '<foxml:datastream ID="DC" STATE="A" CONTROL_GROUP="M">'
+        "</foxml:datastream></foxml:digitalObject>"
+    )
+    src = spark.createDataFrame(
+        [("r", "p", "c", "foxml", foxml)],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    assert managed_content_requests(src).collect() == []
