@@ -420,5 +420,5 @@ def test_connected_components_raises_on_non_convergence(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 8)], "doc_a long, doc_b long"
     )  # diameter 7 > max_iter=2
-    with _pytest.raises(RuntimeError, match="did not converge"):
+    with _pytest.raises(RuntimeError, match="no fixpoint"):
         connected_components(chain, max_iter=2)
