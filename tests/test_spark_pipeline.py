@@ -587,3 +587,84 @@ def test_managed_content_requests_versionless_block_is_dropped(spark):
         "repo string, path string, commit string, lang string, content string",
     )
     assert managed_content_requests(src).collect() == []
+
+
+def test_managed_content_requests_differential_random(spark):
+    """Differential test: the JVM regex request pass must agree with a
+    pure-Python reference built on parse_foxml (newest version's
+    location, entity decoding, blob minting) over a randomized corpus of
+    datastream shapes — groups X/M/E/R, entity-escaped URLs, spaces,
+    tildes, multi-version orderings with variable-length fractions,
+    missing CREATED, version-less blocks."""
+    import random
+    from xml.sax.saxutils import escape as xml_escape
+
+    from fcrepo3_rdf_extractor_spark.foxml import parse_foxml
+    from fcrepo3_rdf_extractor_spark.plans.pipeline import managed_content_requests
+    from fcrepo3_rdf_extractor_spark.terms import get_blob_id
+
+    rng = random.Random(20260817)
+    ids = ["DC", "RELS-EXT", "RELS-INT", "OTHER"]
+    groups = ["X", "M", "E", "R"]
+    locs = [
+        "ns:1+DC+DC.0", "ns:2+a b+c d", "ns:3+x~y+z.0",
+        "http://ex.org/a?p=1&q=2", "http://ex.org/plain", "info:fedora/pre:1",
+        "", None,
+    ]
+    created = [
+        "2020-01-01T00:00:00.000Z", "2021-05-05T10:00:00.1Z",
+        "2021-05-05T10:00:00.15Z", "2022-03-03T03:03:03Z", None,
+    ]
+
+    def ds_xml(ds_id, group, versions):
+        vs = []
+        for c, loc in versions:
+            attrs = f'ID="{ds_id}.{len(vs)}"'
+            if c:
+                attrs += f' CREATED="{c}"'
+            body = (f'<foxml:contentLocation TYPE="X" REF="{xml_escape(loc, {chr(34): "&quot;"})}"/>'
+                    if loc is not None else "")
+            vs.append(f"<foxml:datastreamVersion {attrs}>{body}</foxml:datastreamVersion>")
+        return (f'<foxml:datastream ID="{ds_id}" STATE="A" CONTROL_GROUP="{group}">'
+                + "".join(vs) + "</foxml:datastream>")
+
+    rows, want = [], set()
+    for i in range(40):
+        n_ds = rng.randint(0, 3)
+        parts = []
+        for _ in range(n_ds):
+            ds_id = rng.choice(ids)
+            group = rng.choice(groups)
+            versions = [(rng.choice(created), rng.choice(locs))
+                        for _ in range(rng.randint(0, 3))]
+            parts.append(ds_xml(ds_id, group, versions))
+        content = (f'<foxml:digitalObject PID="r:{i}" '
+                   'xmlns:foxml="info:fedora/fedora-system:def/foxml#">'
+                   + "".join(parts) + "</foxml:digitalObject>")
+        rows.append(("r", f"p{i}", "c", "foxml", content))
+
+        # pure-Python reference: same dispatch the extraction UDF uses
+        obj = parse_foxml(content)
+        for ds in obj["datastreams"]:
+            if ds["id"] not in ("DC", "RELS-EXT", "RELS-INT"):
+                continue
+            if ds["control_group"] not in ("M", "E", "R"):
+                continue
+            for v in ds["versions"][:1]:
+                loc = v.get("content_location")
+                if not loc:
+                    continue
+                if ds["control_group"] == "M":
+                    try:
+                        key = get_blob_id(loc)
+                    except ValueError:
+                        continue  # malformed token -> no request row
+                else:
+                    key = loc
+                want.add((f"p{i}", key))
+
+    src = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    got = {(r.path, r.blob_id) for r in managed_content_requests(src).collect()}
+    assert got == want, (sorted(got - want)[:5], sorted(want - got)[:5])
