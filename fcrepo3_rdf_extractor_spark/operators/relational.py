@@ -128,3 +128,43 @@ def range_join(
         r_tagged[c] for c in right.columns if c not in by
     ]
     return joined.select(*keep)
+
+
+def grouped_trend(
+    left: DataFrame,
+    by: str,
+    ts_col: str,
+    value_col: str,
+    unit_sec: float = 86400.0,
+) -> DataFrame:
+    """Per-group least-squares trend slope (value per ``unit_sec``, days
+    by default) — the grouped-map (``applyInPandas``) surface: a
+    whole-group vectorized computation that per-row column expressions
+    can't express cleanly. Each group arrives as one pandas DataFrame;
+    the x axis is centered on the group's first timestamp so the
+    regression arithmetic stays well-conditioned (raw epoch seconds are
+    ~1.7e9 and would cancel catastrophically). Groups with zero time
+    variance yield a NULL slope — the same contract as SQL's
+    ``regr_slope`` (the DuckDB oracle).
+
+    Skew note: one Python worker handles one group at a time; a
+    pathologically hot group key serializes onto one task, which is
+    inherent to grouped-map semantics — pre-aggregate or sub-bucket such
+    keys upstream."""
+    import pandas as pd
+
+    by_type = left.schema[by].dataType.simpleString()
+
+    def slope(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = (pdf[ts_col] - pdf[ts_col].min()).dt.total_seconds() / unit_sec
+        y = pdf[value_col].astype("float64")
+        xc, yc = x - x.mean(), y - y.mean()
+        vx = float((xc * xc).sum())
+        s = round(float((xc * yc).sum() / vx), 6) if vx > 0 else None
+        return pd.DataFrame(
+            [[pdf[by].iloc[0], s, len(pdf)]], columns=[by, "slope", "n"]
+        )
+
+    return left.groupBy(by).applyInPandas(
+        slope, f"{by} {by_type}, slope double, n long"
+    )

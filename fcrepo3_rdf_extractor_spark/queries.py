@@ -1484,6 +1484,25 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "events_user_trend",
+    """SELECT user_id, round(regr_slope(value, x), 6) AS slope,
+              CAST(count(*) AS BIGINT) AS n
+       FROM (SELECT user_id, value,
+                    epoch(ts - min(ts) OVER (PARTITION BY user_id)) / 86400.0 AS x
+             FROM events)
+       GROUP BY user_id""",
+)
+def events_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user value trend (slope per day) via the grouped-map
+    applyInPandas surface; the oracle is SQL's regr_slope — two
+    independent formulations of the same regression."""
+    from .operators.relational import grouped_trend
+
+    ev = _read(spark, sf_dir, "events")
+    return grouped_trend(ev, by="user_id", ts_col="ts", value_col="value")
+
+
+@_q(
     "events_session_window",
     """SELECT user_id,
               strftime(min(ts), '%Y-%m-%dT%H:%M:%S.%f') AS session_start,

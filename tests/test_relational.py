@@ -107,3 +107,27 @@ def test_range_join_multi_bucket_no_duplicate_matches(spark):
     out = range_join(left, right, on="ts", start="ws", end="we",
                      granularity_sec=3600)  # 25 buckets
     assert out.count() == 1
+
+
+def test_grouped_trend_slope_and_degenerate_groups(spark):
+    from math import isclose
+
+    from fcrepo3_rdf_extractor_spark.operators.relational import grouped_trend
+
+    rows = [
+        # u1: value rises exactly 2.0/day over 3 days -> slope 2.0
+        ("u1", _ts("2024-01-01T00:00:00"), 1.0),
+        ("u1", _ts("2024-01-02T00:00:00"), 3.0),
+        ("u1", _ts("2024-01-03T00:00:00"), 5.0),
+        # u2: single event -> zero time variance -> NULL slope
+        ("u2", _ts("2024-01-01T00:00:00"), 9.0),
+        # u3: two events at the SAME instant -> NULL slope too
+        ("u3", _ts("2024-01-01T00:00:00"), 1.0),
+        ("u3", _ts("2024-01-01T00:00:00"), 2.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, value double")
+    got = {r.user_id: (r.slope, r.n)
+           for r in grouped_trend(df, "user_id", "ts", "value").collect()}
+    assert isclose(got["u1"][0], 2.0) and got["u1"][1] == 3
+    assert got["u2"] == (None, 1)
+    assert got["u3"] == (None, 2)
