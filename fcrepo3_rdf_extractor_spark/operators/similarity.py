@@ -66,7 +66,17 @@ def brute_force_topk(emb: DataFrame, query_id: int, k: int = 10) -> DataFrame:
 
 def lsh_topk(emb: DataFrame, query_id: int, k: int = 10, sign_bits: int = 4) -> DataFrame:
     """Approximate top-k: score only vectors in the query's sign bucket.
-    The bucket predicate prunes the scan before any scoring work."""
+    The bucket predicate prunes the scan before any scoring work.
+
+    Recall bound (random-hyperplane LSH analysis, which axis-aligned
+    sign bits approximate for roughly isotropic embeddings): a neighbor
+    at angle theta from the query agrees with one sign bit w.p.
+    ``1 - theta/pi``, so it shares the full b-bit bucket w.p.
+    ``(1 - theta/pi)^b`` — e.g. ~0.54 for cosine 0.9 (theta~0.45 rad)
+    at b=4, decaying fast for weaker matches. Radius-1 multi-probe
+    (:func:`lsh_topk_multiprobe`) adds every single-bit-disagreement
+    case: recall rises to ``p^b + b*p^(b-1)*(1-p)`` (~0.90 for the same
+    example) at ``(1+b)/2^b`` of the scan."""
     q = _query_vector(emb, query_id).withColumn(
         "q_bucket", sign_bucket_col(F.col("q_emb"), sign_bits)
     )
