@@ -187,3 +187,13 @@ def test_language_id_scores_evaluated_once(spark):
 
     plan = _optimized(language_id(_docs(spark)))
     assert plan.count("replace(") <= 16, plan.count("replace(")
+
+
+def test_stratified_sample_broadcasts_rates(spark):
+    """The per-stratum rates dimension must broadcast — the corpus never
+    shuffles for sampling."""
+    from fcrepo3_rdf_extractor_spark.queries import docs_stratified_sample
+
+    plan = _formatted(docs_stratified_sample(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan

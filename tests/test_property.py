@@ -164,3 +164,25 @@ def test_resolve_uri_agrees_with_urljoin_on_http(base, ref):
     from fcrepo3_rdf_extractor_spark.rdfxml import resolve_uri
 
     assert resolve_uri(base, ref) == urljoin(base, ref), (base, ref)
+
+
+# the E1 contract: extract_object NEVER raises — any garbage content
+# becomes error rows (one bad row at 10^12 scale must not kill a task)
+_garbage = st.one_of(
+    st.text(max_size=300),
+    st.text(alphabet="<>/\"'=& \nfoxml:digitalObjectdatastream", max_size=200),
+    st.just(None),
+    st.binary(max_size=50).map(lambda b: b.decode("latin-1")),
+)
+
+
+@given(_garbage)
+@settings(max_examples=300)
+def test_extract_object_never_raises(content):
+    from fcrepo3_rdf_extractor_spark.extract import extract_object
+
+    triples, errors = extract_object(content)
+    assert isinstance(triples, list) and isinstance(errors, list)
+    # garbage that yields no triples must yield at least one error
+    if not triples:
+        assert errors
