@@ -156,10 +156,14 @@ def grouped_trend(
     by_type = left.schema[by].dataType.simpleString()
 
     def slope(pdf: pd.DataFrame) -> pd.DataFrame:
-        x = (pdf[ts_col] - pdf[ts_col].min()).dt.total_seconds() / unit_sec
-        y = pdf[value_col].astype("float64")
+        # regr_slope semantics: a pair with a NULL on EITHER side is
+        # excluded from BOTH statistics (pandas skipna would mix
+        # all-row x-stats with non-null-row covariance — wrong slope)
+        sub = pdf[pdf[value_col].notna() & pdf[ts_col].notna()]
+        x = (sub[ts_col] - sub[ts_col].min()).dt.total_seconds() / unit_sec
+        y = sub[value_col].astype("float64")
         xc, yc = x - x.mean(), y - y.mean()
-        vx = float((xc * xc).sum())
+        vx = float((xc * xc).sum()) if len(sub) else 0.0
         s = round(float((xc * yc).sum() / vx), 6) if vx > 0 else None
         return pd.DataFrame(
             [[pdf[by].iloc[0], s, len(pdf)]], columns=[by, "slope", "n"]

@@ -77,19 +77,9 @@ def lsh_topk(emb: DataFrame, query_id: int, k: int = 10, sign_bits: int = 4) -> 
     (:func:`lsh_topk_multiprobe`) adds every single-bit-disagreement
     case: recall rises to ``p^b + b*p^(b-1)*(1-p)`` (~0.90 for the same
     example) at ``(1+b)/2^b`` of the scan."""
-    q = _query_vector(emb, query_id).withColumn(
-        "q_bucket", sign_bucket_col(F.col("q_emb"), sign_bits)
-    )
-    bucketed = emb.withColumn("bucket", sign_bucket_col(F.col("embedding"), sign_bits))
-    scored = (
-        bucketed.join(q, bucketed["bucket"] == q["q_bucket"])
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select(
-            "vec_id",
-            F.round(cosine_col(F.col("embedding"), F.col("q_emb")), 6).alias("cosine"),
-        )
-    )
-    return scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(k)
+    # single-bucket probing IS multi-probe at radius 0 — one scoring
+    # pipeline to keep byte-aligned with the oracles, not two
+    return lsh_topk_multiprobe(emb, query_id, k, sign_bits, radius=0)
 
 
 def lsh_topk_multiprobe(

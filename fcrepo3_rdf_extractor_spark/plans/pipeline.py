@@ -73,17 +73,21 @@ def managed_content_requests(source: DataFrame) -> DataFrame:
     with Java-URLEncoder form encoding (= Spark ``url_encode``);
     malformed tokens yield no request row, so the extraction UDF emits
     the per-datastream error row instead of the job dying."""
+    def attr_val(col, name: str):
+        """Extract an XML attribute value accepting EITHER quote style —
+        well-formed XML allows single quotes too, and the ElementTree-
+        backed UDF accepts them, so the regex pass must as well. Each
+        branch excludes only its own quote character, so an apostrophe
+        inside a double-quoted value (or vice versa) survives."""
+        dq = F.regexp_extract(col, f'(?s){name}="([^"]*)"', 1)
+        sq = F.regexp_extract(col, f"(?s){name}='([^']*)'", 1)
+        return F.when(dq != "", dq).otherwise(sq)
+
+    # prefilter: one regex scan replacing the per-literal contains chain
+    # (both quote styles)
     needs = source.filter(
-        (
-            F.col("content").contains('CONTROL_GROUP="M"')
-            | F.col("content").contains('CONTROL_GROUP="E"')
-            | F.col("content").contains('CONTROL_GROUP="R"')
-        )
-        & (
-            F.col("content").contains('ID="DC"')
-            | F.col("content").contains('ID="RELS-EXT"')
-            | F.col("content").contains('ID="RELS-INT"')
-        )
+        F.col("content").rlike("CONTROL_GROUP=[\"'][MER][\"']")
+        & F.col("content").rlike("ID=[\"'](DC|RELS-EXT|RELS-INT)[\"']")
     )
     ds_block = r"(?s)<foxml:datastream\b.*?</foxml:datastream>"
     v_block = r"(?s)<foxml:datastreamVersion\b.*?</foxml:datastreamVersion>"
@@ -91,11 +95,11 @@ def managed_content_requests(source: DataFrame) -> DataFrame:
         "repo", "path", "commit",
         F.explode(F.regexp_extract_all("content", F.lit(ds_block), 0)).alias("_ds"),
     ).filter(
-        F.col("_ds").rlike(r'^<foxml:datastream\b[^>]*\bCONTROL_GROUP="[MER]"')
-        & F.col("_ds").rlike(r'^<foxml:datastream\b[^>]*\bID="(DC|RELS-EXT|RELS-INT)"')
+        F.col("_ds").rlike("^<foxml:datastream\\b[^>]*\\bCONTROL_GROUP=[\"'][MER][\"']")
+        & F.col("_ds").rlike("^<foxml:datastream\\b[^>]*\\bID=[\"'](DC|RELS-EXT|RELS-INT)[\"']")
     ).withColumn(
         "_group",
-        F.regexp_extract("_ds", r'\bCONTROL_GROUP="([MER])"', 1),
+        F.regexp_extract("_ds", "\\bCONTROL_GROUP=[\"']([MER])[\"']", 1),
     )
     def xml_unescape(col):
         # regex extraction reads RAW attribute text; decode the five
@@ -122,13 +126,9 @@ def managed_content_requests(source: DataFrame) -> DataFrame:
             # engine's date grammar accepts; try_to_timestamp matches
             # parse_foxml's parse_instant ordering and yields NULL for
             # absent/garbage CREATED (sorted last, like the parser)
-            F.try_to_timestamp(
-                F.regexp_extract(v, r'\bCREATED="([^"]*)"', 1)
-            ).alias("k"),
+            F.try_to_timestamp(attr_val(v, r"\bCREATED")).alias("k"),
             xml_unescape(
-                F.regexp_extract(
-                    v, r'(?s)<foxml:contentLocation\b[^>]*\bREF="([^"]*)"', 1
-                )
+                attr_val(v, r"<foxml:contentLocation\b[^>]*?\bREF")
             ).alias("r"),
         ),
     )

@@ -875,9 +875,15 @@ _MINHASH_NEARDUP_SQL = f"""WITH sig AS (
           UNION ALL SELECT doc_id, 1, h2 || '|' || h3 FROM sig
           UNION ALL SELECT doc_id, 2, h4 || '|' || h5 FROM sig
           UNION ALL SELECT doc_id, 3, h6 || '|' || h7 FROM sig),
+        bounded AS (
+          -- mirrors the engine's max_bucket=1000 skew bound: both twins
+          -- drop degenerate buckets, not just the Spark side
+          SELECT doc_id, band_id, band_key FROM (
+            SELECT *, count(*) OVER (PARTITION BY band_id, band_key) AS _n
+            FROM bands) WHERE _n <= 1000),
         cands AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM bands a JOIN bands b
+          FROM bounded a JOIN bounded b
             ON a.band_id = b.band_id AND a.band_key = b.band_key
            AND a.doc_id < b.doc_id),
         verified AS (
@@ -960,13 +966,21 @@ _SIMHASH_SIG = f"CAST({_SIMHASH_SQL} AS BIGINT)"
     f"""WITH sig AS (
           SELECT doc_id, {_SIMHASH_SIG} AS simhash
           FROM (SELECT doc_id, list_distinct({_WORDS}) AS toks FROM documents) t),
-        banded AS (
-          SELECT doc_id, simhash, simhash // 256 AS hi, simhash % 256 AS lo FROM sig),
+        bands AS (
+          SELECT doc_id, simhash, 0 AS band_id, simhash % 256 AS band_key FROM sig
+          UNION ALL
+          SELECT doc_id, simhash, 1, simhash // 256 FROM sig),
+        bounded AS (
+          -- mirrors the engine's max_bucket=10000 skew bound
+          SELECT doc_id, simhash, band_id, band_key FROM (
+            SELECT *, count(*) OVER (PARTITION BY band_id, band_key) AS _n
+            FROM bands) WHERE _n <= 10000),
         cands AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                  a.simhash AS sig_a, b.simhash AS sig_b
-          FROM banded a JOIN banded b
-            ON (a.hi = b.hi OR a.lo = b.lo) AND a.doc_id < b.doc_id)
+          FROM bounded a JOIN bounded b
+            ON a.band_id = b.band_id AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id)
         SELECT doc_a, doc_b,
                CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
         FROM cands WHERE bit_count(xor(sig_a, sig_b)) <= 3""",

@@ -85,7 +85,19 @@ def resolve_uri(base: str, ref: str) -> str:
         return ref
     r_scheme, r_auth, r_path, r_query, r_frag = _split_uri(ref)
     if r_scheme is not None:
-        return ref  # already absolute
+        # already absolute — but strict resolution (§5.2.2) still
+        # normalizes dot segments in its path, as Jena's IRI layer does:
+        # <http://ex/a/../b> and <http://ex/b> must denote one node
+        t_path = _remove_dot_segments(r_path)
+        out = f"{r_scheme}:"
+        if r_auth is not None:
+            out += "//" + r_auth
+        out += t_path
+        if r_query is not None:
+            out += "?" + r_query
+        if r_frag is not None:
+            out += "#" + r_frag
+        return out
     b_scheme, b_auth, b_path, b_query, _ = _split_uri(base)
     if r_auth is not None:
         t_auth, t_path, t_query = r_auth, _remove_dot_segments(r_path), r_query
@@ -189,7 +201,11 @@ class _Parser:
                 continue
             ans, alocal = _split(attr)
             if ans == RDF_NS and alocal == "type":
-                self.triples.append(Triple(subj, RDF_NS + "type", value, False))
+                # rdf:type attribute values are URI references, resolved
+                # against the in-scope base like rdf:resource
+                self.triples.append(
+                    Triple(subj, RDF_NS + "type", resolve_uri(base, value), False)
+                )
             elif ans:  # unqualified attrs are not properties
                 self.triples.append(
                     Triple(subj, ans + alocal, value, True, None, lang)

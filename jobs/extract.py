@@ -176,7 +176,6 @@ def main(argv: list[str] | None = None) -> int:
             source, args.out, args.checkpoint, config,
             aliases=aliases, ds_store=ds_store,
         )
-        extracted = spark.read.parquet(args.out)
         summary.update(stats)
         summary["checkpoint"] = args.checkpoint
         # per-wave dedup keeps per-document semantics only without dedup;
@@ -184,6 +183,12 @@ def main(argv: list[str] | None = None) -> int:
         write_layout_marker(
             args.out, "per_document" if args.no_dedup else "wave_deduped"
         )
+        # export layer: waves dedup independently (chunk idempotency), so
+        # cross-wave duplicate triples survive in the materialized table;
+        # counts and N-Quads apply the global dedup here, matching the
+        # plain (non-checkpoint) run of the same source
+        stored = spark.read.parquet(args.out)
+        extracted = dedup_mixed(stored) if config.dedup else stored
     else:
         extracted = extract_plan(source, config, aliases=aliases, ds_store=ds_store)
         materialize_graph(

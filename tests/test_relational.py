@@ -131,3 +131,25 @@ def test_grouped_trend_slope_and_degenerate_groups(spark):
     assert isclose(got["u1"][0], 2.0) and got["u1"][1] == 3
     assert got["u2"] == (None, 1)
     assert got["u3"] == (None, 2)
+
+
+def test_grouped_trend_null_pairs_excluded_like_regr_slope(spark):
+    """A NULL value (or ts) excludes the PAIR from both regression
+    statistics — pandas skipna mixing all-row x-stats with non-null
+    covariance gave a wrong slope; n still counts all rows (count(*))."""
+    from math import isclose
+
+    rows = [
+        ("u1", _ts("2024-01-01T00:00:00"), 1.0),
+        ("u1", _ts("2024-01-02T00:00:00"), 3.0),
+        ("u1", _ts("2024-01-05T00:00:00"), None),   # dropped pair
+        ("u2", _ts("2024-01-01T00:00:00"), None),   # all-NULL -> NULL slope
+        ("u2", _ts("2024-01-02T00:00:00"), None),
+    ]
+    from fcrepo3_rdf_extractor_spark.operators.relational import grouped_trend
+
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, value double")
+    got = {r.user_id: (r.slope, r.n)
+           for r in grouped_trend(df, "user_id", "ts", "value").collect()}
+    assert isclose(got["u1"][0], 2.0) and got["u1"][1] == 3
+    assert got["u2"] == (None, 2)

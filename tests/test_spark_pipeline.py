@@ -327,6 +327,14 @@ def test_managed_content_requests_version_pick_and_minting(spark):
         '<foxml:contentLocation TYPE="INTERNAL_ID" REF="f:1+DC+NEW"/>'
         "</foxml:datastreamVersion></foxml:datastream>"
     )
+    single_quoted = foxml(
+        # legal XML, single-quoted attributes — ElementTree accepts them,
+        # so the regex request pass must too
+        "<foxml:datastream ID='DC' STATE='A' CONTROL_GROUP='M'>"
+        "<foxml:datastreamVersion ID='S.0' CREATED='2020-01-01T00:00:00.000Z'>"
+        "<foxml:contentLocation TYPE='INTERNAL_ID' REF='sq:1+DC+DC.0'/>"
+        "</foxml:datastreamVersion></foxml:datastream>"
+    )
     src = spark.createDataFrame(
         [("r", "p1", "c", "foxml", multi_version),
          ("r", "p2", "c", "foxml", encoded),
@@ -334,7 +342,8 @@ def test_managed_content_requests_version_pick_and_minting(spark):
          ("r", "p4", "c", "foxml", unmanaged),
          ("r", "p5", "c", "foxml", tilde),
          ("r", "p6", "c", "foxml", entity_url),
-         ("r", "p7", "c", "foxml", frac)],
+         ("r", "p7", "c", "foxml", frac),
+         ("r", "p8", "c", "foxml", single_quoted)],
         "repo string, path string, commit string, lang string, content string",
     )
     got = {(r.path, r.blob_id) for r in managed_content_requests(src).collect()}
@@ -344,6 +353,7 @@ def test_managed_content_requests_version_pick_and_minting(spark):
         ("p5", get_blob_id("ns:2+a~b+c~d")),         # '~' -> %7E on both paths
         ("p6", "http://ex.org/ds?a=1&b=2"),          # XML entities decoded
         ("p7", get_blob_id("f:1+DC+NEW")),           # parsed-timestamp order
+        ("p8", get_blob_id("sq:1+DC+DC.0")),         # single-quoted attributes
     }
 
 

@@ -379,7 +379,8 @@ def test_curate_job_end_to_end(spark, tmp_path):
     r = subprocess.run(
         [sys.executable, "jobs/curate.py", "--docs", docs_path, "--out", out,
          "--quality-min", "0.5", "--neardup-threshold", "0.5", "--local", "4"],
-        capture_output=True, text=True, cwd="/root/repo",
+        capture_output=True, text=True,
+        cwd=str(__import__("pathlib").Path(__file__).resolve().parents[1]),
     )
     assert r.returncode == 0, r.stderr[-2000:]
     summary = json.loads(r.stdout.strip().splitlines()[-1])
