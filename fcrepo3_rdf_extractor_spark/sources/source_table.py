@@ -25,9 +25,12 @@ _FIXTURE_PIDS = ["ct:85", "ct:86", "ct:88", "ct:90", "si-user:10", "si:1020", "s
 
 
 def read_source(spark: SparkSession, location: str, fmt: str = "parquet") -> DataFrame:
-    """Open the blob source table. ``fmt`` may be ``iceberg`` (table name)
-    or ``parquet``/``orc`` (path). The projection is narrowed immediately
-    so Catalyst prunes the scan to the five contract columns."""
+    """Open the blob source table. ``fmt`` may be ``iceberg`` (table
+    name) or a path-based format: ``parquet``/``orc`` (self-describing)
+    or ``json``/``csv`` (schema ENFORCED from the contract — inference
+    would scan the data twice and could mistype a numeric-looking
+    ``commit``). The projection is narrowed immediately so Catalyst
+    prunes columnar scans to the five contract columns."""
     if fmt == "iceberg":
         try:
             df = spark.read.format("iceberg").load(location)
@@ -35,6 +38,22 @@ def read_source(spark: SparkSession, location: str, fmt: str = "parquet") -> Dat
             raise RuntimeError(
                 "Iceberg runtime not available; pass fmt='parquet'"
             ) from e
+    elif fmt in ("json", "csv"):
+        schema = ", ".join(f"{c} string" for c in SOURCE_COLUMNS)
+        reader = spark.read.schema(schema)
+        if fmt == "csv":
+            # FOXML content embeds quotes/newlines: require proper
+            # quoting, and disable the parser's whitespace trimming —
+            # it silently strips a content-final newline, breaking the
+            # sha256(content) lineage invariant
+            reader = (
+                reader.option("header", "true")
+                .option("multiLine", "true")
+                .option("escape", '"')
+                .option("ignoreLeadingWhiteSpace", "false")
+                .option("ignoreTrailingWhiteSpace", "false")
+            )
+        df = reader.format(fmt).load(location)
     else:
         df = spark.read.format(fmt).load(location)
     return df.select(*[c for c in SOURCE_COLUMNS if c in df.columns])

@@ -56,7 +56,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--source", required=True,
                     help="blob table: parquet/orc path or iceberg table name")
     ap.add_argument("--format", default="parquet",
-                    choices=["parquet", "orc", "iceberg"])
+                    choices=["parquet", "orc", "iceberg", "json", "csv"])
     ap.add_argument("--out", required=True, help="triples table output path")
     ap.add_argument("--nquads-out", default=None,
                     help="optional N-Quads text output path")

@@ -678,3 +678,19 @@ def test_managed_content_requests_differential_random(spark):
     )
     got = {(r.path, r.blob_id) for r in managed_content_requests(src).collect()}
     assert got == want, (sorted(got - want)[:5], sorted(want - got)[:5])
+
+
+def test_read_source_json_and_csv(spark, tmp_path):
+    """json/csv blob sources read with the ENFORCED contract schema and
+    survive content with quotes and newlines (multiLine csv)."""
+    from fcrepo3_rdf_extractor_spark.sources.source_table import read_source
+
+    src = fixture_source(spark)  # FOXML content: quotes + newlines
+    jdir, cdir = str(tmp_path / "j"), str(tmp_path / "c")
+    src.write.json(jdir)
+    src.write.option("header", "true").option("escape", '"').csv(cdir)
+    want = {(r.path, r.content) for r in src.collect()}
+    for fmt, loc in (("json", jdir), ("csv", cdir)):
+        got = read_source(spark, loc, fmt=fmt)
+        assert got.columns == ["repo", "path", "commit", "lang", "content"]
+        assert {(r.path, r.content) for r in got.collect()} == want, fmt
