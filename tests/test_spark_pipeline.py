@@ -688,7 +688,11 @@ def test_read_source_json_and_csv(spark, tmp_path):
     src = fixture_source(spark)  # FOXML content: quotes + newlines
     jdir, cdir = str(tmp_path / "j"), str(tmp_path / "c")
     src.write.json(jdir)
-    src.write.option("header", "true").option("escape", '"').csv(cdir)
+    (src.write.option("header", "true").option("escape", '"')
+     # the CSV WRITER also trims trailing whitespace by default —
+     # disable, or a content-final newline is lost before it ever lands
+     .option("ignoreLeadingWhiteSpace", "false")
+     .option("ignoreTrailingWhiteSpace", "false").csv(cdir))
     want = {(r.path, r.content) for r in src.collect()}
     for fmt, loc in (("json", jdir), ("csv", cdir)):
         got = read_source(spark, loc, fmt=fmt)
