@@ -45,6 +45,67 @@ def deterministic_sample(df: DataFrame, key_col: str, rate: float) -> DataFrame:
     return df.filter(_hash_slot(F.col(key_col)) < F.lit(rate_threshold(rate)))
 
 
+def pack_shards(
+    df: DataFrame,
+    weight_col: str,
+    budget: int,
+    order_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign rows to fixed-budget shards: shard k holds the rows whose
+    running ``weight_col`` total (in deterministic ``order_col`` order)
+    falls in ``[k*budget, (k+1)*budget)`` — how training corpora are cut
+    into ~equal-token files. Adds (cum_weight, shard) columns.
+
+    The global running sum is the classic two-level distributed prefix
+    sum: a naive ``Window.orderBy(order_col)`` has ONE unbounded
+    partition — a single-task serial pass at 100 TB. Instead:
+    range-partition by ``order_col``, local cumsum per partition (each
+    partition is an independent window), then add per-partition offsets.
+    The offsets are one row per partition — the only driver-side data —
+    broadcast back as a join. Result is a pure function of the data
+    (partition boundaries cancel out of the final sums)."""
+    from pyspark.sql import Window
+
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n_parts, order_col).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    # local prefix sums: window partitioned by the physical partition id,
+    # so no single-reducer global sort
+    w = Window.partitionBy("_pid").orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local = ranged.withColumn("_local_cum", F.sum(weight_col).over(w)).persist()
+    # per-partition totals -> exclusive offsets (tiny: one row/partition)
+    totals = (
+        local.groupBy("_pid").agg(F.max("_local_cum").alias("_total"))
+        .orderBy("_pid")
+        .collect()
+    )
+    offsets, running = {}, 0
+    for r in totals:
+        offsets[r["_pid"]] = running
+        running += r["_total"]
+    spark = df.sparkSession
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(pid, off) for pid, off in sorted(offsets.items())],
+            "_pid int, _offset long",
+        )
+    )
+    out = (
+        local.join(off_df, "_pid")
+        .withColumn("cum_weight", (F.col("_local_cum") + F.col("_offset")).cast("long"))
+        .withColumn(
+            "shard",
+            F.floor((F.col("cum_weight") - F.col(weight_col)) / budget).cast("long"),
+        )
+        .drop("_pid", "_local_cum", "_offset")
+    )
+    return out
+
+
 def stratified_sample(
     df: DataFrame, key_col: str, strata_col: str, rates: dict[str, float],
     default_rate: float = 0.0,

@@ -1069,6 +1069,34 @@ def docs_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "docs_pack_shards",
+    f"""WITH t AS (SELECT doc_id, CAST(len({_WORDS}) AS BIGINT) AS n_tokens
+                   FROM documents)
+        SELECT doc_id, n_tokens,
+               CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_weight,
+               CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) - n_tokens) / 1000.0)
+                    AS BIGINT) AS shard
+        FROM t""",
+)
+def docs_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing (how corpora become ~equal-token
+    training files): global running token total in doc_id order via the
+    two-level distributed prefix sum — the oracle states the same thing
+    as a single SQL window, which at scale would be a one-task serial
+    sort; the operator's range-partition + offsets shape is the
+    distributed equivalent."""
+    from .operators.sampling import pack_shards
+    from .operators.text import token_count
+
+    docs = _read(spark, sf_dir, "documents")
+    weighted = token_count(docs).select("doc_id", "n_tokens")
+    out = pack_shards(weighted, weight_col="n_tokens", budget=1000)
+    return out.select("doc_id", "n_tokens", "cum_weight", "shard")
+
+
 _SAMPLE_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.1}
 _SAMPLE_DEFAULT = 0.25
 

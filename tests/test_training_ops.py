@@ -423,3 +423,26 @@ def test_connected_components_raises_on_non_convergence(spark):
     )  # diameter 7 > max_iter=2
     with _pytest.raises(RuntimeError, match="no fixpoint"):
         connected_components(chain, max_iter=2)
+
+
+def test_pack_shards_prefix_sum_partition_invariant(spark):
+    """The two-level prefix sum must equal the naive global cumsum
+    regardless of partition count, and each shard's weight must respect
+    the budget (no shard exceeds budget + its last row's weight)."""
+    from fcrepo3_rdf_extractor_spark.operators.sampling import pack_shards
+
+    rows = [(i, (i * 37) % 90 + 10) for i in range(200)]  # weights 10..99
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    want_cum, run = {}, 0
+    for i, w in rows:
+        run += w
+        want_cum[i] = run
+
+    for parts in (1, 3, 16):
+        out = {r.doc_id: (r.cum_weight, r.shard)
+               for r in pack_shards(df, "n_tokens", budget=500,
+                                    num_partitions=parts).collect()}
+        assert {k: v[0] for k, v in out.items()} == want_cum, parts
+        # shard id = floor(exclusive-cumsum / budget)
+        for i, w in rows:
+            assert out[i][1] == (want_cum[i] - w) // 500, (parts, i)
