@@ -106,6 +106,54 @@ def connected_components(
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 
+def shared_neighbor_pairs(
+    edges: DataFrame,
+    hub: str = "hub",
+    member: str = "member",
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Enumerate pairs of distinct members that share a hub vertex
+    (member -edge-> hub <-edge- member): the generic two-hop
+    pair-ENUMERATION shape (co-collection objects, co-author pairs,
+    co-citation). Output (hub, member_a, member_b) with
+    member_a < member_b.
+
+    A hub with n members materializes n(n-1)/2 join rows, so an
+    unbounded self-join is the same O(n^2) failure mode LSH banding
+    guards against (dedup_approx.minhash_lsh_candidates): one
+    10^6-member hub is 5*10^11 intermediate rows. Hubs larger than
+    ``max_bucket`` are therefore DROPPED before the join — counted as a
+    window on the same (hub) key the self-join shuffles on, so the
+    bound rides the join's own exchange instead of adding one. Real
+    pipelines route oversized hubs to a dedicated pass (or, when only
+    pair COUNTS are needed, skip enumeration entirely:
+    ``groupBy(hub).count()`` then n*(n-1)/2 — zero joins; see
+    queries.kg_graph_shared_collection_pairs).
+
+    Callers whose ``edges`` lineage contains a Python UDF should
+    persist it first — the self-join's two sides do not share
+    exchanges (verified on Spark 4.1), so each side re-evaluates the
+    child."""
+    from pyspark.sql import Window
+
+    dedup = edges.select(
+        F.col(hub).alias("hub"), F.col(member).alias("member")
+    ).distinct()
+    w = Window.partitionBy("hub")
+    bounded = (
+        dedup.withColumn("_n", F.count("*").over(w))
+        .filter(F.col("_n") <= max_bucket)
+        .drop("_n")
+    )
+    a = bounded.select("hub", F.col("member").alias("member_a"))
+    b = bounded.select("hub", F.col("member").alias("member_b"))
+    return (
+        a.join(b, "hub")
+        .filter(F.col("member_a") < F.col("member_b"))
+        .select("hub", "member_a", "member_b")
+    )
+
+
 def dedup_clusters(
     pairs: DataFrame,
     docs: DataFrame,

@@ -195,47 +195,70 @@ def kg_graph_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
        FROM orders GROUP BY 1""",
 )
 def kg_graph_shared_collection_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A true cross-subject two-hop over the constructed graph: pairs of
-    distinct objects connected through a shared collection node
-    (object -memberOf-> collection <-memberOf- object), via a staged
-    self-join of the edge projection."""
+    """How many pairs of distinct objects share each collection node
+    (object -memberOf-> collection <-memberOf- object), COUNTED. For a
+    count the pair self-join is pure waste — and worse, unbounded: a
+    collection with n members materializes n(n-1)/2 intermediate rows
+    (one 10^6-member collection at 100x scale is 5*10^11 rows). The
+    count is a closed form of the membership histogram, so this is ONE
+    aggregation, zero joins: groupBy(collection).count() -> n(n-1)/2.
+    Genuine pair ENUMERATION goes through
+    operators.graph.shared_neighbor_pairs, which bounds bucket size
+    (see kg_graph_shared_pairs_enum)."""
     rel = "info:fedora/fedora-system:def/relations-external#isMemberOfCollection"
     source = synthesize_foxml_from_orders(spark, sf_dir)
-    # persist the edge projection: a self-join evaluates its child once
-    # PER SIDE (exchange reuse does not canonicalize across the two
-    # aliased sides — verified empirically on Spark 4.1), and here the
-    # child contains the extraction UDF, the most expensive stage in the
-    # engine. The cached edge table is two narrow string columns — tiny
-    # relative to re-parsing the corpus. In production this staging IS
-    # the materialized graph table; the persist models reading it.
     members = (
         triples_only(extract_triples(source))
         .filter(F.col("pred") == rel)
-        .select(F.col("subj").alias("member"), F.col("obj_value").alias("collection"))
+        .select(F.col("obj_value").alias("collection"))
+    )
+    n = F.count("*")
+    return members.groupBy("collection").agg(
+        (n * (n - F.lit(1)) / F.lit(2)).cast("long").alias("n_pairs")
+    )
+
+
+@_q(
+    "kg_graph_shared_pairs_enum",
+    # mirror of shared_neighbor_pairs(max_bucket=200): the skew bound is
+    # part of the operator's CONTRACT, so the oracle restates it — a
+    # collection with more than 200 members enumerates nothing
+    """WITH m AS (SELECT DISTINCT
+                    'info:fedora/collection:' || (o_custkey % 100) AS hub,
+                    'info:fedora/order:' || o_orderkey AS member
+                  FROM orders WHERE (o_custkey % 100) < 10),
+         b AS (SELECT hub, member, count(*) OVER (PARTITION BY hub) AS _n
+               FROM m)
+       SELECT a.hub, a.member AS member_a, c.member AS member_b
+       FROM (SELECT hub, member FROM b WHERE _n <= 200) a
+       JOIN (SELECT hub, member FROM b WHERE _n <= 200) c
+         ON a.hub = c.hub AND a.member < c.member""",
+)
+def kg_graph_shared_pairs_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True cross-subject pair ENUMERATION over the constructed graph,
+    via the bounded shared_neighbor_pairs operator. The edge projection
+    is persisted before the self-join because its lineage contains the
+    extraction UDF — the self-join's two sides each re-evaluate their
+    child (no cross-side exchange reuse on Spark 4.1), and re-parsing
+    the corpus twice is the expensive half of the engine. In production
+    this staging IS the materialized graph table; the persist models
+    reading it (plan-keyed cache entry — repeated invocations reuse one
+    copy, see connected_components docstring)."""
+    from .operators.graph import shared_neighbor_pairs
+
+    rel = "info:fedora/fedora-system:def/relations-external#isMemberOfCollection"
+    source = synthesize_foxml_from_orders(spark, sf_dir)
+    members = (
+        triples_only(extract_triples(source))
+        .filter(F.col("pred") == rel)
+        # keep the driver-side oracle comparison light: 10 of the 100
+        # collections (the operator's window bound + join shape is
+        # identical; only the output volume shrinks)
+        .filter(F.regexp_extract("obj_value", r"collection:(\d+)$", 1).cast("int") < 10)
+        .select(F.col("obj_value").alias("hub"), F.col("subj").alias("member"))
         .persist()
     )
-    a = members.select("collection", F.col("member").alias("m_a"))
-    b = members.select("collection", F.col("member").alias("m_b"))
-    pair_counts = (
-        a.join(b, "collection")
-        .filter(F.col("m_a") < F.col("m_b"))
-        .groupBy("collection")
-        .agg(F.count("*").cast("long").alias("n_pairs"))
-    )
-    # single-member collections produce zero join rows but the oracle
-    # (n*(n-1)/2 over all collections) emits them with n_pairs = 0 —
-    # join back to the full collection set so the twins stay identical
-    # even when a bucket has one member (the persisted `members` is the
-    # only cached table; its cache entry is plan-keyed, so repeated
-    # invocations reuse one copy — see connected_components docstring)
-    return (
-        members.select("collection").distinct()
-        .join(pair_counts, "collection", "left")
-        .select(
-            "collection",
-            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
-        )
-    )
+    return shared_neighbor_pairs(members, max_bucket=200)
 
 
 @_q(

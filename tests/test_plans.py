@@ -180,6 +180,34 @@ def test_graph_two_hop_single_extraction(spark):
     assert tree.count("MapInPandas") == 1, tree
 
 
+def test_shared_pair_counts_have_no_join(spark):
+    """Regression: the pair-COUNT query ran an unbounded n^2 self-join
+    where groupBy(collection).count() -> n(n-1)/2 is a closed form. The
+    plan must contain one extraction and zero joins."""
+    from fcrepo3_rdf_extractor_spark.queries import kg_graph_shared_collection_pairs
+
+    plan = _formatted(kg_graph_shared_collection_pairs(spark, SF_DIR))
+    tree = plan.split("\n\n")[0]
+    assert "Join" not in tree, tree
+    assert tree.count("MapInPandas") == 1, tree
+
+
+def test_shared_pair_enum_is_bucket_bounded(spark):
+    """Pair ENUMERATION must carry the max_bucket window bound riding the
+    self-join's own hub exchange (the minhash_lsh_candidates shape), and
+    must hash-partition — never BroadcastNestedLoopJoin/Cartesian."""
+    from fcrepo3_rdf_extractor_spark.operators.graph import shared_neighbor_pairs
+
+    edges = _docs(spark).select(
+        F.col("source").alias("hub"), F.col("doc_id").alias("member")
+    )
+    plan = _formatted(shared_neighbor_pairs(edges, max_bucket=7))
+    assert "Window" in plan, plan
+    assert "count(1)" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_language_id_scores_evaluated_once(spark):
     """5 langs x 3 markers = 15 replace-chains; re-inlining would
     triple that."""

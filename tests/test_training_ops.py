@@ -294,6 +294,22 @@ def test_connected_components_chain_and_singletons(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 99: 99}
 
 
+def test_shared_neighbor_pairs_bound_and_dedup(spark):
+    """Hub h1 (3 members) enumerates its 3 pairs; hub h2 exceeds
+    max_bucket and enumerates nothing; duplicate edges collapse before
+    pairing."""
+    from fcrepo3_rdf_extractor_spark.operators.graph import shared_neighbor_pairs
+
+    edges = spark.createDataFrame(
+        [("h1", "a"), ("h1", "b"), ("h1", "c"), ("h1", "a"),
+         ("h2", "x"), ("h2", "y"), ("h2", "z"), ("h2", "w")],
+        "hub string, member string",
+    )
+    got = {(r.hub, r.member_a, r.member_b)
+           for r in shared_neighbor_pairs(edges, max_bucket=3).collect()}
+    assert got == {("h1", "a", "b"), ("h1", "a", "c"), ("h1", "b", "c")}
+
+
 def test_dedup_clusters_keep_is_min_id(spark):
     from fcrepo3_rdf_extractor_spark.operators.graph import dedup_clusters
 
