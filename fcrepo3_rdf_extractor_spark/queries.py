@@ -1633,16 +1633,30 @@ def events_pivot_type_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "events_json_props",
     """SELECT CAST(props->>'k' AS BIGINT) AS k_bucket,
-              CAST(count(*) AS BIGINT) AS n, round(avg(value), 4) AS avg_value
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_value
        FROM events GROUP BY 1""",
 )
 def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON scalar extraction (get_json_object) + aggregate."""
+    """JSON scalar extraction (get_json_object) + aggregate.
+
+    avg is computed as exact-decimal sum / count, NOT avg(double):
+    double summation is order-dependent, so two engines (or two cluster
+    layouts) legitimately disagree in the last ulp — and a final
+    round() AMPLIFIES that ulp into a 4th-decimal flip when the true
+    value sits on a rounding boundary (caught by the sf0.001 full-oracle
+    sweep; the sf0.01 driver sample never hit a boundary). The decimal
+    sum is exact and order-independent; the decimal->double conversion
+    and the division are single IEEE ops, identical on any engine."""
     ev = _read(spark, sf_dir, "events")
     return (
         ev.select(F.get_json_object("props", "$.k").cast("long").alias("k_bucket"), "value")
         .groupBy("k_bucket")
-        .agg(F.count("*").cast("long").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            (F.sum(F.col("value").cast("decimal(18,6)")).cast("double") / F.count("*"))
+            .alias("avg_value"),
+        )
     )
 
 

@@ -40,16 +40,18 @@ def table_hash(cols, rows):
     return h.hexdigest(), lines
 
 
-def main():
+def run_checks(spark, sf_dir: str, only=(), log=print) -> list[str]:
+    """Run every (or the named subset of) registered queries() entry on
+    ``spark`` and its oracle_sql() on DuckDB over the ``sf_dir`` parquet
+    tables; return the list of failing query names. This is the same
+    three-way signal (rowcount / columns / value-hash) the driver
+    records — importable so a pytest can sweep ALL registered queries
+    (the driver samples a subset)."""
     import duckdb
 
     import __spark_entry__ as entrymod
-    from fcrepo3_rdf_extractor_spark.session import build_session
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-
-    spark = build_session("oracle-check")
+    only = set(only)
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
@@ -65,10 +67,10 @@ def main():
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             failed.append(name)
-            print(f"FAIL {name}: spark error: {e}")
+            log(f"FAIL {name}: spark error: {e}")
             continue
         if name not in oracles:
-            print(f"ok?  {name}: rows-only ({len(s_rows)} rows, no oracle)")
+            log(f"ok?  {name}: rows-only ({len(s_rows)} rows, no oracle)")
             continue
         try:
             rel = con.sql(oracles[name])
@@ -76,7 +78,7 @@ def main():
             d_rows = rel.fetchall()
         except Exception as e:
             failed.append(name)
-            print(f"FAIL {name}: duckdb error: {e}")
+            log(f"FAIL {name}: duckdb error: {e}")
             continue
         problems = []
         if sorted(s_cols) != sorted(c.lower() for c in d_cols) and sorted(
@@ -94,9 +96,19 @@ def main():
             problems.append(f"hash mismatch; spark-only={sample_s} duck-only={sample_d}")
         if problems:
             failed.append(name)
-            print(f"FAIL {name}: " + " | ".join(problems))
+            log(f"FAIL {name}: " + " | ".join(problems))
         else:
-            print(f"OK   {name}: {len(s_rows)} rows")
+            log(f"OK   {name}: {len(s_rows)} rows")
+    con.close()
+    return failed
+
+
+def main():
+    from fcrepo3_rdf_extractor_spark.session import build_session
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = build_session("oracle-check")
+    failed = run_checks(spark, sf_dir, only=sys.argv[2:])
     spark.stop()
     if failed:
         print("FAILED:", failed)
