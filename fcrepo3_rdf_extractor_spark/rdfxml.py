@@ -282,12 +282,15 @@ class _Parser:
                 rest = cells[i + 1] if i + 1 < len(cells) else RDF_NS + "nil"
                 self.triples.append(Triple(cell, RDF_NS + "rest", rest, False))
             return
-        if parse_type == "Literal":
+        if parse_type is not None:
+            # "Literal" — and, per RDF/XML syntax §7.2.20, ANY value other
+            # than Resource/Collection MUST be treated as "Literal" (Jena
+            # behaves this way, inherited by ObjectProcessor.java:167-169;
+            # raising here produced an error row where the reference
+            # produces an XMLLiteral triple)
             xml_text = "".join(ET.tostring(c, encoding="unicode") for c in children)
             emit((el.text or "") + xml_text, True, RDF_XML_LITERAL, None)
             return
-        if parse_type is not None:
-            raise RdfXmlError(f"unsupported rdf:parseType={parse_type!r}")
 
         if resource is not None:
             emit(resolve_uri(base, resource), False)

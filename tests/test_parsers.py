@@ -10,7 +10,7 @@ import pytest
 from fcrepo3_rdf_extractor_spark.dc import DcError, parse_dc
 from fcrepo3_rdf_extractor_spark.extract import extract_object
 from fcrepo3_rdf_extractor_spark.foxml import FoxmlError, parse_foxml
-from fcrepo3_rdf_extractor_spark.rdfxml import RdfXmlError, parse_rdfxml
+from fcrepo3_rdf_extractor_spark.rdfxml import parse_rdfxml
 from fcrepo3_rdf_extractor_spark.vocab import DC_NAMESPACE, RDF_NS, XSD_DATETIME
 
 DC = DC_NAMESPACE
@@ -145,13 +145,22 @@ def test_rdfxml_parsetype_resource():
     assert link.obj_value == inner.subj and inner.subj.startswith("urn:bnode:")
 
 
-def test_rdfxml_unknown_parsetype_raises():
+def test_rdfxml_unknown_parsetype_falls_back_to_literal():
+    """RDF/XML syntax §7.2.20: any parseType value other than
+    Resource/Collection is processed as "Literal" (Jena does this;
+    inherited by ObjectProcessor.java:167-169). Raising instead produced
+    an error row where the reference produces an XMLLiteral triple."""
     doc = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
       xmlns:ex="urn:ex#">
-      <rdf:Description rdf:about="urn:s"><ex:p rdf:parseType="Mystery"/></rdf:Description>
+      <rdf:Description rdf:about="urn:s">
+        <ex:p rdf:parseType="Other">text<ex:q>v</ex:q></ex:p>
+      </rdf:Description>
     </rdf:RDF>"""
-    with pytest.raises(RdfXmlError):
-        parse_rdfxml(doc, scope="t")
+    (t,) = parse_rdfxml(doc, scope="t")
+    assert t.pred == "urn:ex#p"
+    assert t.obj_is_literal
+    assert t.obj_datatype == "http://www.w3.org/1999/02/22-rdf-syntax-ns#XMLLiteral"
+    assert t.obj_value.startswith("text") and "v" in t.obj_value
 
 
 # --- FOXML -----------------------------------------------------------------
