@@ -178,11 +178,26 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
         "vec_id", "centroid_id",
         cosine_col(F.col("embedding"), F.col("centroid")).alias("cos"),
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("centroid_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "centroid_id", F.round("cos", 6).alias("cosine"))
+    # argmin per vector as min(struct(-cos, centroid_id, cos)): the
+    # aggregate combines MAP-SIDE before the one vec_id shuffle and
+    # needs no per-partition sort — a row_number window over
+    # partitionBy(vec_id) shuffles ALL k candidate rows per vector and
+    # sorts each partition, measurably worse at 10^9 vectors x k
+    # centroids. Tie-break matches the window formulation: highest cos,
+    # then smallest centroid_id (struct comparison is field-order
+    # lexicographic; min(struct(...)) keeps fields from ONE row — the
+    # min-per-column frankenrow trap dedup.py documents).
+    best = scored.groupBy("vec_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("cos")).alias("_neg_cos"),
+                F.col("centroid_id").alias("centroid_id"),
+                F.col("cos").alias("cos"),
+            )
+        ).alias("_w")
+    )
+    return best.select(
+        "vec_id",
+        F.col("_w.centroid_id").alias("centroid_id"),
+        F.round("_w.cos", 6).alias("cosine"),
     )

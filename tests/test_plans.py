@@ -208,6 +208,16 @@ def test_shared_pair_enum_is_bucket_bounded(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_ivf_assign_partial_aggregation(spark):
+    """Argmin-per-vector must map-side combine (min(struct(...))), not
+    shuffle+sort all candidate rows through a row_number window."""
+    from fcrepo3_rdf_extractor_spark.queries import emb_ivf_assign
+
+    plan = _formatted(emb_ivf_assign(spark, SF_DIR))
+    assert "partial_min" in plan, plan
+    assert "row_number" not in plan, plan
+
+
 def test_language_id_scores_evaluated_once(spark):
     """5 langs x 3 markers = 15 replace-chains; re-inlining would
     triple that."""
