@@ -14,14 +14,30 @@ data loop; each iteration is one shuffle join + one aggregation, and the
 per-iteration ``count()`` action only reads a 1-row convergence metric).
 Iterations are bounded by the component diameter, which for near-dup
 graphs is tiny (clusters are cliques-ish: every member collides with
-most others in some LSH band). Each iteration's labels are persisted and
-the previous iteration unpersisted, so lineage stays O(1) instead of
-growing a 2^iter plan.
+most others in some LSH band). Each iteration's state is
+``localCheckpoint``-ed: persist alone caches DATA but leaves the
+LOGICAL plan growing — each round references the previous frame twice
+(union + convergence compare), so the analyzed plan doubles per round
+and ~10 rounds OOM the driver just generating plan strings.
+Checkpointing truncates lineage to the materialized blocks (the
+GraphFrames pattern); the cost is that a lost executor fails the job
+instead of recomputing — the right trade for a loop whose recompute
+would cascade through every round anyway.
 
-At 10^9+ edges you would switch the propagation step to the
-large-star/small-star formulation (alternating, skew-resistant — each
-round connects every node to its component minimum faster than plain
-propagation) — same driver-loop skeleton, different join step.
+Two propagation steps are provided. Plain min-label propagation
+(``algorithm="propagation"``) advances labels one hop per round — rounds
+scale with component DIAMETER, ideal for near-dup graphs (clusters are
+cliques-ish, diameter ~2) but pathological on chains, and every round
+funnels hot labels through their component's vertices. The
+large-star/small-star formulation (``algorithm="star"``, Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) rewrites the
+EDGE set instead: alternating rounds hang every vertex directly off a
+local minimum, so the edge graph collapses to a star forest in
+O(log^2 n) rounds regardless of diameter, and each round is one
+window-aggregation + explode over the edge table — no label table join,
+naturally skew-resistant (a hot minimum gains edges, never a wider
+shuffle key). Same driver-loop skeleton, different distributed step;
+pick "star" for 10^9-edge or long-chain graphs.
 """
 
 from __future__ import annotations
@@ -36,6 +52,7 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 50,
+    algorithm: str = "propagation",
 ) -> DataFrame:
     """Label each vertex with the minimum vertex id reachable from it
     (the component id). ``pairs`` is an undirected edge list; isolated
@@ -53,13 +70,22 @@ def connected_components(
     be complete (raise ``max_iter`` rather than reasoning about that
     edge).
 
-    Cache ownership: the returned labels DataFrame is persisted (the
-    iteration requires it — unpersisted lineage doubles per round).
-    Spark's cache manager keys entries by analyzed plan, so repeated
-    invocations over the same input reuse one entry rather than
-    accumulating; callers that are done with the result may
-    ``.unpersist()`` it.
+    Cache ownership: the returned labels DataFrame is localCheckpoint-ed
+    (materialized, lineage truncated — the iteration requires it; see
+    module docstring). Superseded per-round blocks are released by
+    Spark's ContextCleaner once unreferenced; the loop runs O(diameter)
+    or O(log^2 n) rounds, so the transient footprint is a few copies of
+    the (narrow) state table.
+
+    ``algorithm``: "propagation" (default — fewest shuffles on the
+    small-diameter clique-ish graphs near-dup detection emits) or
+    "star" (large-star/small-star — O(log^2 n) rounds independent of
+    diameter; use for long chains or 10^9-edge graphs).
     """
+    if algorithm == "star":
+        return _cc_star(pairs, vertices, src, dst, max_iter)
+    if algorithm != "propagation":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     edges = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -68,9 +94,11 @@ def connected_components(
     labels = edges.select(F.col("a").alias("id")).distinct()
     if vertices is not None:
         labels = labels.union(vertices.select(F.col(vertices.columns[0]).alias("id"))).distinct()
-    labels = labels.select("id", F.col("id").alias("label")).persist()
-    labels.count()  # materialize before the loop
-    edges = edges.persist()
+    # localCheckpoint (eager), NOT persist: each round references the
+    # previous labels frame twice, so an un-truncated logical plan
+    # doubles per round — ~10 rounds OOMs the driver on plan strings
+    labels = labels.select("id", F.col("id").alias("label")).localCheckpoint()
+    edges = edges.localCheckpoint()
 
     converged = False
     for _ in range(max_iter):
@@ -82,21 +110,18 @@ def connected_components(
             labels.select("id", "label").union(prop)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new_labels.join(labels.withColumnRenamed("label", "_old"), "id")
             .filter(F.col("label") != F.col("_old"))
             .count()
         )
-        labels.unpersist()
-        labels = new_labels
+        labels = new_labels  # superseded blocks released by ContextCleaner
         if changed == 0:
             converged = True
             break
-    edges.unpersist()
     if not converged:
-        labels.unpersist()
         raise RuntimeError(
             f"connected_components observed no fixpoint within {max_iter} "
             f"rounds (guaranteed-supported component diameter is "
@@ -104,6 +129,110 @@ def connected_components(
             "step to large-star/small-star for long-chain graphs"
         )
     return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def _cc_star(
+    pairs: DataFrame,
+    vertices: DataFrame | None,
+    src: str,
+    dst: str,
+    max_iter: int,
+) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.,
+    SoCC'14). The state is the EDGE table, kept canonical as
+    (u, v) with u > v; alternating rounds rewrite it until it is a star
+    forest whose centers are the component minima:
+
+    - large-star (run per CENTER over the bidirected adjacency): every
+      neighbor LARGER than the center re-hangs onto the minimum of the
+      center's closed neighborhood. Long tails fold in half each round.
+    - small-star: every neighbor of a center (all smaller, post-
+      canonicalization) plus the center itself re-hangs onto the
+      neighborhood minimum — flattening local trees into stars.
+
+    Each half-round is one window-min riding the groupBy key's own
+    exchange + an explode; there is no label-table join anywhere, and a
+    hot component minimum only GAINS edge rows (the shuffle key stays
+    the center, never the minimum), which is what makes the formulation
+    skew-resistant at 10^9 edges. Convergence is detected EXACTLY —
+    edge-set equality as a union-parity check (both sides are distinct
+    sets, so any symmetric difference surfaces as a group of size 1) —
+    never via a hashed signature, because a false early stop would
+    silently split clusters. Two actions per round: the eager
+    checkpoint materialization and the parity probe.
+    """
+    # localCheckpoint per round (see module docstring): every round
+    # references the previous edge frame three times (bidir union +
+    # parity check), so an un-truncated plan grows exponentially
+    e0 = (
+        pairs.select(
+            F.greatest(F.col(src), F.col(dst)).alias("u"),
+            F.least(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    from pyspark.sql import Window
+
+    w_center = Window.partitionBy("u")
+    edges = e0
+    converged = e0.isEmpty()  # no edges: nothing to iterate
+    for _ in range(max_iter):
+        # large-star over the bidirected adjacency
+        bidir = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        lstar = (
+            bidir.withColumn("_m", F.least(F.min("v").over(w_center), F.col("u")))
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("_m").alias("v"))
+            .distinct()
+        )
+        # small-star over canonical (u > v) edges: re-hang Γ(u) ∪ {u}
+        # onto min(Γ(u)); explode, NOT a filter/union split (which would
+        # re-run the upstream plan once per branch)
+        sstar = (
+            lstar.withColumn("_m", F.min("v").over(w_center))
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("u").alias("a"), F.col("_m").alias("b")),
+                        F.struct(F.col("v").alias("a"), F.col("_m").alias("b")),
+                    )
+                ).alias("e")
+            )
+            .select(F.col("e.a").alias("u"), F.col("e.b").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # exact set equality in ONE job over the two (checkpointed)
+        # sets: edges changed iff some (u, v) appears in exactly one.
+        same = (
+            sstar.union(edges)
+            .groupBy("u", "v").count()
+            .filter(F.col("count") == 1)
+            .isEmpty()
+        )
+        edges = sstar  # superseded blocks released by ContextCleaner
+        if same:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"star connected-components observed no fixpoint within "
+            f"{max_iter} rounds (expected O(log^2 n)); raise max_iter"
+        )
+    # star forest: children -> root; roots and isolated vertices -> self
+    nodes = e0.select(F.col("u").alias("id")).union(e0.select(F.col("v").alias("id")))
+    if vertices is not None:
+        nodes = nodes.union(vertices.select(F.col(vertices.columns[0]).alias("id")))
+    nodes = nodes.distinct()
+    child_labels = edges.groupBy(F.col("u").alias("id")).agg(F.min("v").alias("label"))
+    return (
+        nodes.join(child_labels, "id", "left")
+        .select("id", F.coalesce("label", F.col("id")).alias("cluster_id"))
+        .localCheckpoint()
+    )
 
 
 def shared_neighbor_pairs(
@@ -158,6 +287,7 @@ def dedup_clusters(
     pairs: DataFrame,
     docs: DataFrame,
     id_col: str = "doc_id",
+    algorithm: str = "propagation",
 ) -> DataFrame:
     """Resolve near-dup PAIRS into per-document cluster assignments over
     the full corpus: every document gets (doc_id, cluster_id, keep) where
@@ -166,7 +296,8 @@ def dedup_clusters(
     cluster — the deterministic min-id pick a dedup pipeline drops
     against."""
     comps = connected_components(
-        pairs, vertices=docs.select(id_col), src="doc_a", dst="doc_b"
+        pairs, vertices=docs.select(id_col), src="doc_a", dst="doc_b",
+        algorithm=algorithm,
     )
     return (
         comps.select(F.col("id").alias(id_col), "cluster_id")

@@ -14,6 +14,8 @@ time range.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -116,16 +118,21 @@ def range_join(
         F.floor(F.unix_timestamp(F.col(start)) / g),
         F.floor(F.unix_timestamp(F.col(end)) / g),
     )
-    l_tagged = left.withColumn("_bucket", l_bucket)
-    r_tagged = right.withColumn("_bucket", F.explode(r_buckets))
-    cond = [l_tagged["_bucket"] == r_tagged["_bucket"]] + [
-        l_tagged[c] == r_tagged[c] for c in by
-    ]
-    joined = l_tagged.join(r_tagged, cond).filter(
-        (l_tagged[on] >= r_tagged[start]) & (l_tagged[on] < r_tagged[end])
+    # explicit side aliases: when both sides derive from the same parent
+    # DataFrame (a self-range-join), dataset-id disambiguation of
+    # l_tagged[c] == r_tagged[c] resolves correctly but emits Spark's
+    # "trivially true equals predicate" warning and is fragile under
+    # plan rewrites — alias-qualified references are unambiguous
+    l_tagged = left.withColumn("_bucket", l_bucket).alias("_rj_l")
+    r_tagged = right.withColumn("_bucket", F.explode(r_buckets)).alias("_rj_r")
+    lcol = lambda c: F.col(f"_rj_l.{c}")  # noqa: E731
+    rcol = lambda c: F.col(f"_rj_r.{c}")  # noqa: E731
+    cond = [lcol("_bucket") == rcol("_bucket")] + [lcol(c) == rcol(c) for c in by]
+    joined = l_tagged.join(r_tagged, functools.reduce(lambda a, b: a & b, cond)).filter(
+        (lcol(on) >= rcol(start)) & (lcol(on) < rcol(end))
     )
-    keep = [l_tagged[c] for c in left.columns] + [
-        r_tagged[c] for c in right.columns if c not in by
+    keep = [lcol(c) for c in left.columns] + [
+        rcol(c) for c in right.columns if c not in by
     ]
     return joined.select(*keep)
 

@@ -102,20 +102,43 @@ def managed_content_requests(source: DataFrame) -> DataFrame:
         F.regexp_extract("_ds", "\\bCONTROL_GROUP=[\"']([MER])[\"']", 1),
     )
     def xml_unescape(col):
-        # regex extraction reads RAW attribute text; decode the five
-        # predefined XML entities so fetch keys match what the
-        # ElementTree-backed extraction UDF will look up ('&' MUST be
-        # entity-escaped in well-formed attributes, so URLs with query
-        # strings carry '&amp;'). '&amp;' decodes LAST so '&amp;lt;'
-        # correctly becomes the literal '&lt;'. Numeric character
-        # references are not handled (absent from FOXML in practice);
-        # such a location simply misses the fetch and surfaces as the
-        # per-datastream error row.
-        out = F.replace(col, F.lit("&lt;"), F.lit("<"))
-        out = F.replace(out, F.lit("&gt;"), F.lit(">"))
-        out = F.replace(out, F.lit("&quot;"), F.lit('"'))
-        out = F.replace(out, F.lit("&apos;"), F.lit("'"))
-        return F.replace(out, F.lit("&amp;"), F.lit("&"))
+        # regex extraction reads RAW attribute text; decode character
+        # references so fetch keys match what the ElementTree-backed
+        # extraction UDF will look up ('&' MUST be entity-escaped in
+        # well-formed attributes, so URLs with query strings carry
+        # '&amp;' or '&#38;'). ONE tokenizer pass — the five named
+        # entities plus decimal/hex numeric refs — so decoded output is
+        # never re-scanned (chained replaces turn the raw literal
+        # '&#38;amp;' into '&' instead of '&amp;'). Numeric refs decode
+        # over printable ASCII (32-126) — the URL-legal alphabet a
+        # contentLocation can carry; anything outside stays undecoded
+        # and surfaces as the per-datastream error row (same contract
+        # as before, now a far smaller surface).
+        toks = F.regexp_extract_all(
+            col,
+            F.lit("&#[0-9]+;|&#x[0-9a-fA-F]+;|&(?:amp|lt|gt|quot|apos);|&|[^&]+"),
+            0,
+        )
+
+        def dec(t):
+            dec_code = F.regexp_replace(t, "[^0-9]", "").try_cast("int")
+            hex_code = F.conv(F.regexp_replace(t, "&#x|;", ""), 16, 10).try_cast("int")
+            code = F.when(t.rlike("^&#x"), hex_code).otherwise(dec_code)
+            return (
+                F.when(t == "&amp;", F.lit("&"))
+                .when(t == "&lt;", F.lit("<"))
+                .when(t == "&gt;", F.lit(">"))
+                .when(t == "&quot;", F.lit('"'))
+                .when(t == "&apos;", F.lit("'"))
+                .when(
+                    t.rlike("^&#")
+                    & code.isNotNull() & (code >= 32) & (code <= 126),
+                    F.char(code),
+                )
+                .otherwise(t)
+            )
+
+        return F.array_join(F.transform(toks, dec), "")
 
     versions = F.transform(
         F.regexp_extract_all("_ds", F.lit(v_block), 0),

@@ -612,10 +612,12 @@ def kg_set_ops_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _read(spark, sf_dir, "orders")
     got = li.filter(F.col("l_discount") > 0.05).select(F.col("l_orderkey").alias("k")).distinct()
     want = orders.filter(F.col("o_totalprice") > 100000).select(F.col("o_orderkey").alias("k")).distinct()
-    tp = got.intersect(want).count()
-    fp = got.exceptAll(got.intersect(want)).count()
-    fn = want.exceptAll(want.intersect(got)).count()
-    return spark.createDataFrame([(tp, fp, fn)], "tp long, fp long, fn long")
+    # one lazy plan (1-row aggregate subplans crossJoined), not eager
+    # .count() actions — see join_semi_anti_customers
+    tp = got.intersect(want).agg(F.count("*").cast("long").alias("tp"))
+    fp = got.exceptAll(got.intersect(want)).agg(F.count("*").cast("long").alias("fp"))
+    fn = want.exceptAll(want.intersect(got)).agg(F.count("*").cast("long").alias("fn"))
+    return tp.crossJoin(fp).crossJoin(fn)
 
 
 # =========================================================================
@@ -641,11 +643,20 @@ def join_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _read(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("c_custkey")
     )
-    n_with = cust.join(orders, "c_custkey", "left_semi").count()
-    n_without = cust.join(orders, "c_custkey", "left_anti").count()
-    return spark.createDataFrame(
-        [(n_with, n_without)], "n_with_orders long, n_without_orders long"
+    # ONE lazy plan (two 1-row aggregate subplans crossJoined — the
+    # documented-fine scalar BNLJ), not eager .count() actions at
+    # query-construction time: an eager version returns a precomputed
+    # 1-row frame whose materialization measures ~0s and whose real
+    # work escapes plan inspection and benchmarks
+    n_with = (
+        cust.join(orders, "c_custkey", "left_semi")
+        .agg(F.count("*").cast("long").alias("n_with_orders"))
     )
+    n_without = (
+        cust.join(orders, "c_custkey", "left_anti")
+        .agg(F.count("*").cast("long").alias("n_without_orders"))
+    )
+    return n_with.crossJoin(n_without)
 
 
 @_q(

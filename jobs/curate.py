@@ -142,7 +142,10 @@ def main(argv: list[str] | None = None) -> int:
         "out": args.out,
         "stages": stages,
         "n_docs": written.count(),
-        "n_tokens": written.agg(F.sum("n_tokens")).collect()[0][0],
+        # coalesce: sum() over zero surviving rows is NULL, not 0
+        "n_tokens": written.agg(
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("t")
+        ).collect()[0][0],
     }
     print(json.dumps(summary))
     spark.stop()

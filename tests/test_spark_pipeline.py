@@ -254,6 +254,45 @@ def test_attach_managed_content_join(spark):
     assert errs == ["dc"]
 
 
+def test_attach_managed_content_numeric_ref_end_to_end(spark):
+    """A MANAGED contentLocation whose token carries '&#38;' must
+    resolve end-to-end: the JVM request pass and the ElementTree-backed
+    extraction UDF decode the ref to the same blob key, so the fetch
+    join hits and the datastream's triples are emitted (previously the
+    raw '&#38;' missed the fetch and surfaced as an error row)."""
+    from fcrepo3_rdf_extractor_spark.terms import get_blob_id
+
+    foxml = """<foxml:digitalObject VERSION="1.1" PID="m:7"
+      xmlns:foxml="info:fedora/fedora-system:def/foxml#">
+      <foxml:objectProperties>
+        <foxml:property NAME="info:fedora/fedora-system:def/model#state" VALUE="A"/>
+        <foxml:property NAME="info:fedora/fedora-system:def/model#createdDate" VALUE="2020-01-01T00:00:00.000Z"/>
+        <foxml:property NAME="info:fedora/fedora-system:def/view#lastModifiedDate" VALUE="2020-01-01T00:00:00.000Z"/>
+      </foxml:objectProperties>
+      <foxml:datastream ID="RELS-EXT" STATE="A" CONTROL_GROUP="M">
+        <foxml:datastreamVersion ID="RELS-EXT.0" CREATED="2020-01-01T00:00:00.000Z" MIMETYPE="application/rdf+xml">
+          <foxml:contentLocation TYPE="INTERNAL_ID" REF="m:7+RELS-EXT+v&#38;1"/>
+        </foxml:datastreamVersion>
+      </foxml:datastream>
+    </foxml:digitalObject>"""
+    rels = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+      xmlns:ex="urn:ex#">
+      <rdf:Description rdf:about="info:fedora/m:7"><ex:p rdf:resource="urn:o"/></rdf:Description>
+    </rdf:RDF>"""
+    src = spark.createDataFrame(
+        [("r", "info:fedora/m:7", "c", "foxml", foxml)],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    ds_store = spark.createDataFrame(
+        [(get_blob_id("m:7+RELS-EXT+v&1"), rels)], "blob_id string, content string"
+    )
+    out = extract_triples(attach_managed_content(src, ds_store))
+    keys = rows_to_set(triples_only(out).collect())
+    assert ("info:fedora/m:7", "urn:ex#p", "urn:o", False, None, None) in keys
+    errs = [r.error_stage for r in errors_only(out).collect()]
+    assert errs == ["dc"]  # only the absent-DC error; RELS-EXT resolved
+
+
 def test_managed_content_requests_version_pick_and_minting(spark):
     """The JVM request pass must mirror the Python semantics it
     replaced: newest-CREATED version wins (not document order), blob-id
@@ -327,6 +366,23 @@ def test_managed_content_requests_version_pick_and_minting(spark):
         '<foxml:contentLocation TYPE="INTERNAL_ID" REF="f:1+DC+NEW"/>'
         "</foxml:datastreamVersion></foxml:datastream>"
     )
+    numeric_refs = foxml(
+        # decimal and hex numeric character references (valid XML, which
+        # Woodstox/ElementTree decode) must decode in the request pass
+        # too, or the fetch key misses
+        '<foxml:datastream ID="RELS-EXT" STATE="A" CONTROL_GROUP="E">'
+        '<foxml:datastreamVersion ID="N.0" CREATED="2020-01-01T00:00:00.000Z">'
+        '<foxml:contentLocation TYPE="URL" REF="http://ex.org/ds?a=1&#38;b=2&#x26;c=3"/>'
+        "</foxml:datastreamVersion></foxml:datastream>"
+    )
+    no_rescan = foxml(
+        # raw '&#38;amp;' is the literal '&amp;' (decode once, never
+        # re-scan decoded output — the chained-replace failure mode)
+        '<foxml:datastream ID="RELS-EXT" STATE="A" CONTROL_GROUP="E">'
+        '<foxml:datastreamVersion ID="Q.0" CREATED="2020-01-01T00:00:00.000Z">'
+        '<foxml:contentLocation TYPE="URL" REF="http://ex.org/ds?q=&#38;amp;"/>'
+        "</foxml:datastreamVersion></foxml:datastream>"
+    )
     single_quoted = foxml(
         # legal XML, single-quoted attributes — ElementTree accepts them,
         # so the regex request pass must too
@@ -343,7 +399,9 @@ def test_managed_content_requests_version_pick_and_minting(spark):
          ("r", "p5", "c", "foxml", tilde),
          ("r", "p6", "c", "foxml", entity_url),
          ("r", "p7", "c", "foxml", frac),
-         ("r", "p8", "c", "foxml", single_quoted)],
+         ("r", "p8", "c", "foxml", single_quoted),
+         ("r", "p9", "c", "foxml", numeric_refs),
+         ("r", "p10", "c", "foxml", no_rescan)],
         "repo string, path string, commit string, lang string, content string",
     )
     got = {(r.path, r.blob_id) for r in managed_content_requests(src).collect()}
@@ -354,6 +412,8 @@ def test_managed_content_requests_version_pick_and_minting(spark):
         ("p6", "http://ex.org/ds?a=1&b=2"),          # XML entities decoded
         ("p7", get_blob_id("f:1+DC+NEW")),           # parsed-timestamp order
         ("p8", get_blob_id("sq:1+DC+DC.0")),         # single-quoted attributes
+        ("p9", "http://ex.org/ds?a=1&b=2&c=3"),      # numeric char refs decoded
+        ("p10", "http://ex.org/ds?q=&amp;"),         # decoded once, no re-scan
     }
 
 
@@ -632,8 +692,16 @@ def test_managed_content_requests_differential_random(spark):
             attrs = f'ID="{ds_id}.{len(vs)}"'
             if c:
                 attrs += f' CREATED="{c}"'
-            body = (f'<foxml:contentLocation TYPE="X" REF="{xml_escape(loc, {chr(34): "&quot;"})}"/>'
-                    if loc is not None else "")
+            if loc is not None:
+                esc = xml_escape(loc, {chr(34): "&quot;"})
+                # sometimes escape '&' as a numeric ref instead of the
+                # named entity — both are valid XML the Python parser
+                # decodes, so the JVM pass must agree on both
+                if rng.random() < 0.5:
+                    esc = esc.replace("&amp;", rng.choice(["&#38;", "&#x26;"]))
+                body = f'<foxml:contentLocation TYPE="X" REF="{esc}"/>'
+            else:
+                body = ""
             vs.append(f"<foxml:datastreamVersion {attrs}>{body}</foxml:datastreamVersion>")
         return (f'<foxml:datastream ID="{ds_id}" STATE="A" CONTROL_GROUP="{group}">'
                 + "".join(vs) + "</foxml:datastream>")

@@ -294,6 +294,55 @@ def test_connected_components_chain_and_singletons(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 99: 99}
 
 
+def test_star_cc_matches_propagation_on_random_graph(spark):
+    """Both algorithms must produce identical labelings — exercised on a
+    graph with chains, a clique, singletons, and a cross-link."""
+    import random
+
+    from fcrepo3_rdf_extractor_spark.operators.graph import connected_components
+
+    rng = random.Random(42)
+    edges = [(i, i + 1) for i in range(0, 12)]            # chain 0..12
+    edges += [(a, b) for a in range(20, 24) for b in range(a + 1, 24)]  # clique
+    edges += [(12, 20)]                                    # bridge chain <-> clique
+    edges += [(rng.randrange(30, 40), rng.randrange(30, 40)) for _ in range(8)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    verts = spark.createDataFrame([(i,) for i in range(0, 45)], "doc_id long")
+    prop = {r.id: r.cluster_id
+            for r in connected_components(pairs, vertices=verts).collect()}
+    star = {r.id: r.cluster_id
+            for r in connected_components(
+                pairs, vertices=verts, algorithm="star").collect()}
+    assert prop == star
+
+
+def test_star_cc_long_chain_converges_where_propagation_cannot(spark):
+    """A 30-node chain has diameter 29: plain propagation advances one
+    hop per round (raises within 5), while large-star/small-star folds
+    the chain in O(log^2 n) rounds (~7 for this size, measured) and
+    labels it correctly within the same budget of 10."""
+    from fcrepo3_rdf_extractor_spark.operators.graph import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError):
+        connected_components(chain, max_iter=5)
+    got = {r.id: r.cluster_id
+           for r in connected_components(chain, max_iter=10, algorithm="star").collect()}
+    assert got == {i: 0 for i in range(31)}
+
+
+def test_star_cc_empty_and_singletons(spark):
+    from fcrepo3_rdf_extractor_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    verts = spark.createDataFrame([(5,), (9,)], "doc_id long")
+    got = {r.id: r.cluster_id
+           for r in connected_components(pairs, vertices=verts, algorithm="star").collect()}
+    assert got == {5: 5, 9: 9}
+
+
 def test_shared_neighbor_pairs_bound_and_dedup(spark):
     """Hub h1 (3 members) enumerates its 3 pairs; hub h2 exceeds
     max_bucket and enumerates nothing; duplicate edges collapse before
@@ -408,6 +457,30 @@ def test_curate_job_end_to_end(spark, tmp_path):
     assert kept == {0, 4}
     cols = set(spark.read.parquet(out).columns)
     assert {"pred_lang", "quality", "n_tokens"} <= cols
+
+
+def test_curate_job_zero_survivors_reports_zero_tokens(spark, tmp_path):
+    """sum() over an empty output is NULL; the summary must report 0."""
+    import json
+    import subprocess
+    import sys
+
+    docs_path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(0, "hello world", "en", "srcA", 11)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(docs_path)
+    out = str(tmp_path / "curated")
+    r = subprocess.run(
+        [sys.executable, "jobs/curate.py", "--docs", docs_path, "--out", out,
+         "--quality-min", "99", "--neardup-threshold", "0", "--local", "2"],
+        capture_output=True, text=True,
+        cwd=str(__import__("pathlib").Path(__file__).resolve().parents[1]),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["n_docs"] == 0
+    assert summary["n_tokens"] == 0
 
 
 def test_unigram_logprob_flags_rare_content(spark):
