@@ -51,6 +51,7 @@ def pack_shards(
     budget: int,
     order_col: str = "doc_id",
     num_partitions: int | None = None,
+    sample_rate: float | None = None,
 ) -> DataFrame:
     """Assign rows to fixed-budget shards: shard k holds the rows whose
     running ``weight_col`` total (in deterministic ``order_col`` order)
@@ -59,51 +60,77 @@ def pack_shards(
 
     The global running sum is the classic two-level distributed prefix
     sum: a naive ``Window.orderBy(order_col)`` has ONE unbounded
-    partition — a single-task serial pass at 100 TB. Instead:
-    range-partition by ``order_col``, local cumsum per partition (each
-    partition is an independent window), then add per-partition offsets.
-    The offsets are one row per partition — the only driver-side data —
-    broadcast back as a join. Result is a pure function of the data
-    (partition boundaries cancel out of the final sums)."""
+    partition — a single-task serial pass at 100 TB. Instead rows are
+    bucketed into key RANGES, each bucket runs an independent local
+    cumsum window, and per-bucket exclusive offsets (a ``num_partitions``-
+    row aggregate) are broadcast back.
+
+    The bucket is a PURE FUNCTION of ``order_col``: range boundaries are
+    derived from an md5-threshold key sample (itself a pure function of
+    the keys — stable under retries, partitioning, and cluster layout)
+    and baked into the plan as literals. This is what makes the whole
+    result ONE deterministic lazy plan: the offsets branch and the
+    cumsum branch can never disagree about bucket membership, unlike a
+    ``repartitionByRange + spark_partition_id`` formulation, where each
+    physical evaluation samples its own boundaries — a cache-evicted
+    recompute there silently corrupts cum_weight. No persist, no cache
+    to leak; the offsets branch costs one extra (column-pruned) scan of
+    the input plus a ``num_partitions``-row shuffle — callers looping
+    over an expensive upstream may persist ``df`` themselves.
+
+    Driver-side data: the boundary sample (~50 keys per bucket) and
+    nothing else. Bucket lookup is O(num_partitions) comparisons per
+    row (vectorized array filter); beyond ~10^4 buckets switch the
+    lookup to a broadcast range join.
+
+    ``sample_rate`` overrides the boundary-sample rate (default targets
+    ~50 keys per bucket via one count() of ``df``)."""
     from pyspark.sql import Window
 
-    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n_parts, order_col).withColumn(
-        "_pid", F.spark_partition_id()
+    spark = df.sparkSession
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    if sample_rate is None:
+        n = df.count()
+        sample_rate = min(1.0, (50.0 * n_parts) / max(n, 1))
+    sample = sorted(
+        r[0]
+        for r in deterministic_sample(
+            df.select(order_col), order_col, sample_rate
+        ).collect()
     )
-    # local prefix sums: window partitioned by the physical partition id,
-    # so no single-reducer global sort
-    w = Window.partitionBy("_pid").orderBy(order_col).rowsBetween(
+    step = len(sample) / n_parts
+    bounds = sorted({sample[int(i * step)] for i in range(1, n_parts)}) if sample else []
+
+    if bounds:
+        barr = F.array(*[F.lit(b) for b in bounds])
+        bucket = F.size(F.filter(barr, lambda b: b <= F.col(order_col)))
+    else:
+        bucket = F.lit(0)
+    staged = df.withColumn("_b", bucket)
+    w = Window.partitionBy("_b").orderBy(order_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    local = ranged.withColumn("_local_cum", F.sum(weight_col).over(w)).persist()
-    # per-partition totals -> exclusive offsets (tiny: one row/partition)
-    totals = (
-        local.groupBy("_pid").agg(F.max("_local_cum").alias("_total"))
-        .orderBy("_pid")
-        .collect()
-    )
-    offsets, running = {}, 0
-    for r in totals:
-        offsets[r["_pid"]] = running
-        running += r["_total"]
-    spark = df.sparkSession
-    off_df = F.broadcast(
-        spark.createDataFrame(
-            [(pid, off) for pid, off in sorted(offsets.items())],
-            "_pid int, _offset long",
+    local = staged.withColumn("_local_cum", F.sum(weight_col).over(w))
+    # per-bucket totals -> exclusive offsets: a tiny aggregate (one row
+    # per bucket), running-summed on a single-partition window (fine at
+    # that size) and broadcast back — all inside the same lazy plan
+    w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        staged.groupBy("_b").agg(F.sum(weight_col).alias("_total"))
+        .withColumn(
+            "_offset", F.coalesce(F.sum("_total").over(w_off), F.lit(0)).cast("long")
         )
+        .select("_b", "_offset")
     )
-    out = (
-        local.join(off_df, "_pid")
+    return (
+        local.join(F.broadcast(offsets), "_b")
         .withColumn("cum_weight", (F.col("_local_cum") + F.col("_offset")).cast("long"))
         .withColumn(
             "shard",
             F.floor((F.col("cum_weight") - F.col(weight_col)) / budget).cast("long"),
         )
-        .drop("_pid", "_local_cum", "_offset")
+        .drop("_b", "_local_cum", "_offset")
     )
-    return out
 
 
 def stratified_sample(

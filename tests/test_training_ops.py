@@ -459,6 +459,37 @@ def test_curate_job_end_to_end(spark, tmp_path):
     assert {"pred_lang", "quality", "n_tokens"} <= cols
 
 
+def test_pack_shards_leaves_no_cache_behind(spark):
+    """pack_shards is one lazy deterministic plan: materializing it must
+    not add entries to the executor cache (the earlier formulation
+    persisted its staging frame and never released it)."""
+    from fcrepo3_rdf_extractor_spark.operators.sampling import pack_shards
+
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    df = spark.createDataFrame(
+        [(i, 10 + i % 7) for i in range(100)], "doc_id long, n_tokens long"
+    )
+    pack_shards(df, "n_tokens", budget=100, num_partitions=4).count()
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    assert after == before
+
+
+def test_pack_shards_explicit_sample_rate_matches_default(spark):
+    """The boundary sample only balances buckets; it must never change
+    cum_weight/shard values (boundaries cancel out of the prefix sum)."""
+    from fcrepo3_rdf_extractor_spark.operators.sampling import pack_shards
+
+    df = spark.createDataFrame(
+        [(i, (i * 13) % 50 + 1) for i in range(150)], "doc_id long, n_tokens long"
+    )
+    a = {r.doc_id: (r.cum_weight, r.shard)
+         for r in pack_shards(df, "n_tokens", 300, num_partitions=8).collect()}
+    b = {r.doc_id: (r.cum_weight, r.shard)
+         for r in pack_shards(df, "n_tokens", 300, num_partitions=8,
+                              sample_rate=0.02).collect()}
+    assert a == b
+
+
 def test_curate_job_zero_survivors_reports_zero_tokens(spark, tmp_path):
     """sum() over an empty output is NULL; the summary must report 0."""
     import json
