@@ -63,6 +63,28 @@ def minhash_signature(
     return staged.select("doc_id", *sig)
 
 
+def band_table(
+    signatures: DataFrame, bands: int = 4, rows_per_band: int = 2
+) -> DataFrame:
+    """Explode MinHash signatures into the LSH band table
+    (doc_id, band_id, band_key) — three narrow columns, the persisted
+    index an incremental pipeline probes new documents against (see
+    minhash_incremental_pairs). Scan-side only: no shuffle."""
+    hash_cols = [c for c in signatures.columns if c.startswith("h")]
+    assert len(hash_cols) >= bands * rows_per_band
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.concat_ws("|", *[F.col(hash_cols[b * rows_per_band + r])
+                               for r in range(rows_per_band)]).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    return signatures.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_key")
+
+
 def minhash_lsh_candidates(
     signatures: DataFrame,
     bands: int = 4,
@@ -78,19 +100,7 @@ def minhash_lsh_candidates(
     ``max_bucket`` are dropped (degenerate boilerplate keys would retain
     O(n^2) pairs; real pipelines route them to a separate clustering
     pass)."""
-    hash_cols = [c for c in signatures.columns if c.startswith("h")]
-    assert len(hash_cols) >= bands * rows_per_band
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band_id"),
-            F.concat_ws("|", *[F.col(hash_cols[b * rows_per_band + r])
-                               for r in range(rows_per_band)]).alias("band_key"),
-        )
-        for b in range(bands)
-    ]
-    exploded = signatures.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("band")
-    ).select("doc_id", "band.band_id", "band.band_key")
+    exploded = band_table(signatures, bands, rows_per_band)
 
     # bucket-size bound as a window count on the SAME key the self-join
     # shuffles on: within each lineage the window's exchange doubles as
@@ -161,6 +171,79 @@ def minhash_near_duplicates(
         sigs = sigs.persist()
     cands = minhash_lsh_candidates(sigs, bands=bands, rows_per_band=num_hashes // bands)
     verified = ngram_jaccard(cands, docs, text_col)
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
+def minhash_incremental_candidates(
+    new_bands: DataFrame,
+    old_bands: DataFrame,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate pairs TOUCHING AT LEAST ONE NEW document: the new wave's
+    band rows equi-join the persisted band table of the existing corpus
+    — new-new and new-old pairs flow out; old-old pairs never recompute
+    (they are already in the previous run's pair state). ``new_bands``
+    and ``old_bands`` must cover disjoint doc_id sets and be built with
+    the same signature/banding parameters.
+
+    The ``max_bucket`` bound is counted over the UNION bucket (old + new
+    members), so dropped buckets are exactly the buckets a full
+    recompute over the combined corpus would drop — the invariant that
+    makes previous-pairs ∪ incremental-pairs equal the full-recompute
+    pair set. Output is canonical (doc_a < doc_b) and distinct."""
+    from pyspark.sql import Window
+
+    tagged = new_bands.select(
+        "doc_id", "band_id", "band_key", F.lit(True).alias("_new")
+    ).union(
+        old_bands.select("doc_id", "band_id", "band_key", F.lit(False).alias("_new"))
+    )
+    w = Window.partitionBy("band_id", "band_key")
+    bounded = (
+        tagged.withColumn("_n", F.count("*").over(w))
+        .filter(F.col("_n") <= max_bucket)
+        .drop("_n")
+    )
+    probe = bounded.filter(F.col("_new")).select(
+        "band_id", "band_key", F.col("doc_id").alias("_a")
+    )
+    build = bounded.select("band_id", "band_key", F.col("doc_id").alias("_b"))
+    return (
+        probe.join(build, ["band_id", "band_key"])
+        .filter(F.col("_a") != F.col("_b"))
+        .select(
+            F.least("_a", "_b").alias("doc_a"),
+            F.greatest("_a", "_b").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def minhash_incremental_pairs(
+    new_docs: DataFrame,
+    old_bands: DataFrame,
+    all_docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_hashes: int = 8,
+    bands: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Verified near-dup pairs introduced by a NEW wave of documents,
+    probing the PERSISTED band table of the existing corpus — the
+    incremental refresh path: signatures are computed only for the new
+    wave (the expensive per-document stage never re-runs over the
+    corpus), candidates equi-join the band index, and exact-Jaccard
+    verification touches only candidate documents' text via
+    ``all_docs``. ``previous_pairs ∪ this`` equals a full
+    ``minhash_near_duplicates`` over the combined corpus (same
+    parameters), so downstream clustering stays exact."""
+    new_bands = band_table(
+        minhash_signature(new_docs, text_col, num_hashes),
+        bands=bands, rows_per_band=num_hashes // bands,
+    )
+    cands = minhash_incremental_candidates(new_bands, old_bands, max_bucket)
+    verified = ngram_jaccard(cands, all_docs, text_col)
     return verified.filter(F.col("jaccard") >= threshold)
 
 

@@ -1061,6 +1061,56 @@ def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "docs_neardup_incremental",
+    # SAME oracle as docs_dup_clusters: the incremental path must yield
+    # clusters IDENTICAL to a full recompute over the combined corpus
+    f"""WITH RECURSIVE
+        prs AS (SELECT doc_a, doc_b FROM ({_MINHASH_NEARDUP_SQL}) mm),
+        e AS (SELECT doc_a AS a, doc_b AS b FROM prs
+              UNION SELECT doc_b, doc_a FROM prs),
+        r(id, lab) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.b, r.lab FROM r JOIN e ON e.a = r.id)
+        SELECT id AS doc_id, min(lab) AS cluster_id, (id = min(lab)) AS keep
+        FROM r GROUP BY id""",
+)
+def docs_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup refresh: the corpus arrives as two waves
+    (a deterministic 80/20 doc_id split). Wave-1 pairs come from the
+    ordinary full pipeline; wave 2 computes signatures ONLY for its own
+    documents and probes wave 1's persisted band table
+    (minhash_incremental_pairs) — the per-document signature stage
+    never re-runs over the existing corpus. previous ∪ incremental
+    pairs feed clustering, and the result must be IDENTICAL to a full
+    recompute (the oracle is docs_dup_clusters's, verbatim): the
+    bucket bound is counted over the union bucket, so even dropped
+    buckets agree."""
+    from .operators.dedup_approx import (
+        band_table,
+        minhash_incremental_pairs,
+        minhash_near_duplicates,
+        minhash_signature,
+    )
+    from .operators.graph import dedup_clusters
+
+    docs = _read(spark, sf_dir, "documents")
+    old_docs = docs.filter(F.col("doc_id") % 5 != 0)
+    new_docs = docs.filter(F.col("doc_id") % 5 == 0)
+    prev_pairs = minhash_near_duplicates(
+        old_docs, threshold=0.5, num_hashes=8, bands=4
+    )
+    old_bands = band_table(
+        minhash_signature(old_docs, "text", 8), bands=4, rows_per_band=2
+    )
+    incr_pairs = minhash_incremental_pairs(
+        new_docs, old_bands, docs, threshold=0.5, num_hashes=8, bands=4
+    ).select("doc_a", "doc_b")
+    all_pairs = prev_pairs.select("doc_a", "doc_b").union(incr_pairs)
+    return dedup_clusters(all_pairs, docs)
+
+
+@_q(
     "docs_unigram_logprob",
     f"""WITH toks AS (SELECT doc_id, unnest({_WORDS}) AS term FROM documents),
         counts AS (SELECT term, count(*) AS term_n FROM toks GROUP BY 1),

@@ -88,6 +88,50 @@ def test_lsh_bucket_bound_drops_degenerate_buckets(spark):
     assert minhash_lsh_candidates(sigs, max_bucket=100).count() == 50 * 49 // 2
 
 
+def test_minhash_incremental_matches_full_recompute(spark):
+    """Two-wave fixture with planted old-old, new-old, and new-new
+    near-dup pairs: previous-pairs ∪ incremental-pairs must equal the
+    full recompute's pair set, with the new wave's signatures as the
+    only new signature work."""
+    from fcrepo3_rdf_extractor_spark.operators.dedup_approx import (
+        band_table,
+        minhash_incremental_pairs,
+        minhash_near_duplicates,
+        minhash_signature,
+    )
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    other = ("one two three four five six seven eight nine ten eleven "
+             "twelve thirteen fourteen fifteen sixteen seventeen")
+    rows = [
+        (0, base),                                  # old
+        (1, base.replace("kappa", "kap")),          # old near-dup of 0
+        (2, other),                                 # old, distinct
+        (10, base.replace("sigma", "sig")),         # new near-dup of 0/1
+        (11, other.replace("ten", "tenn")),         # new near-dup of 2
+        (12, other.replace("ten", "tenn") + " x"),  # new near-dup of 11
+        (13, "totally unrelated content here now"), # new singleton
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    old_docs = docs.filter("doc_id < 10")
+    new_docs = docs.filter("doc_id >= 10")
+
+    full = {(r.doc_a, r.doc_b)
+            for r in minhash_near_duplicates(docs, threshold=0.4).collect()}
+    prev = {(r.doc_a, r.doc_b)
+            for r in minhash_near_duplicates(old_docs, threshold=0.4).collect()}
+    old_bands = band_table(minhash_signature(old_docs, "text", 8))
+    incr = {(r.doc_a, r.doc_b)
+            for r in minhash_incremental_pairs(
+                new_docs, old_bands, docs, threshold=0.4).collect()}
+    assert prev | incr == full
+    # incremental pairs all touch a new doc; old-old never recomputes
+    assert all(a >= 10 or b >= 10 for a, b in incr)
+    assert any(a < 10 <= b for a, b in incr)   # a planted new-old pair
+    assert any(a >= 10 and b >= 10 for a, b in incr)  # and a new-new pair
+
+
 def test_ngram_jaccard_exact_values(spark):
     docs = _docs(spark)
     pairs = spark.createDataFrame([(0, 1), (0, 3)], "doc_a long, doc_b long")
