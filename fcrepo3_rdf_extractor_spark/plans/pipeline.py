@@ -50,7 +50,7 @@ class ExtractConfig:
     subject_buckets: int = 256
 
 
-def managed_content_requests(source: DataFrame) -> DataFrame:
+def managed_content_requests(source: DataFrame, keep_group: bool = False) -> DataFrame:
     """The content *request* pass: object row -> the fetch keys of the
     newest DC/RELS-EXT/RELS-INT MANAGED (M) and EXTERNAL/REDIRECT (E/R)
     datastream versions, as pure JVM column expressions (regex block
@@ -195,10 +195,11 @@ def managed_content_requests(source: DataFrame) -> DataFrame:
     # MANAGED locations mint to Akubra blob ids; EXTERNAL/REDIRECT
     # locations are verbatim URLs — the fetch key the crawler table uses
     blob = F.when(F.col("_group") == "M", minted).otherwise(F.col("_token"))
-    return (
-        parts.select("repo", "path", "commit", blob.alias("blob_id"))
-        .filter(F.col("blob_id").isNotNull())
-    )
+    cols = ["repo", "path", "commit", blob.alias("blob_id")]
+    if keep_group:
+        # jobs/crawl.py needs the dispatch group to enumerate E/R URLs
+        cols.append(F.col("_group").alias("control_group"))
+    return parts.select(*cols).filter(F.col("blob_id").isNotNull())
 
 
 def attach_managed_content(source: DataFrame, ds_store: DataFrame) -> DataFrame:
