@@ -17,9 +17,15 @@ at most once, in the near-dup signature stage):
   5. stratified sampling   per-source keep rates, md5-deterministic
   6. annotation            token counts stamped on the surviving rows
 
-Exit contract: ONE JSON summary line (per-stage survivor counts + output
-path) on stdout; the curated parquet carries the original columns plus
-pred_lang, quality, n_tokens.
+Exit contract: ONE JSON summary line (per-stage survivor counts, per-stage
+wall seconds + output path) on stdout; the curated parquet carries the
+original columns plus pred_lang, quality, n_tokens.
+
+Stage timing: each stage boundary is persisted and counted before the next
+stage builds on it, so the wall time of that persist+count action is the
+incremental cost of exactly that stage (upstream is already cached). The
+final write is timed as its own "write" stage. `bench.py --curate` runs
+this job at two parallelism levels and reports docs/sec + scaling.
 """
 
 from __future__ import annotations
@@ -28,6 +34,7 @@ import argparse
 import json
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
@@ -47,6 +54,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--default-rate", type=float, default=1.0,
                     help="keep rate for sources not listed in --rates")
     ap.add_argument("--local", type=int, default=None)
+    ap.add_argument("--input-partitions", type=int, default=None,
+                    help="repartition the input scan (a 100-TB corpus gets "
+                         "this for free from input splits; a small local "
+                         "parquet file is one split and would serialize "
+                         "the per-doc stages onto one task)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -54,7 +66,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.local:
         from fcrepo3_rdf_extractor_spark.session import build_session
 
-        spark = build_session("curate", cores=args.local)
+        local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+        extra = {"spark.local.dir": local_dir} if local_dir else None
+        spark = build_session("curate", cores=args.local, extra_conf=extra)
     else:
         from pyspark.sql import SparkSession
 
@@ -78,7 +92,23 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     docs = spark.read.parquet(args.docs)
+    if args.input_partitions:
+        docs = docs.repartition(args.input_partitions)
+    stage_sec: dict[str, float] = {}
+    t0 = time.perf_counter()
     stages: dict[str, int] = {"input": docs.count()}
+
+    def mark(label):
+        """Attribute everything since the previous boundary to ``label``
+        — including eager driver-side work between boundaries (the
+        near-dup stage's connected-components loop runs its own jobs
+        before the boundary count), so the stage seconds sum to the
+        total instead of only counting the boundary action."""
+        stage_sec[label] = round(time.perf_counter() - mark._t, 3)
+        mark._t = time.perf_counter()
+
+    mark._t = t0
+    mark("input")
 
     def staged(df, label):
         """Persist each stage boundary before counting: every stage's
@@ -88,6 +118,7 @@ def main(argv: list[str] | None = None) -> int:
         boundary, previous boundary released immediately."""
         df = df.persist()
         stages[label] = df.count()
+        mark(label)
         prev = staged._prev
         if prev is not None:
             prev.unpersist()
@@ -136,11 +167,14 @@ def main(argv: list[str] | None = None) -> int:
     toks = token_count(annotated).select("doc_id", "n_tokens")
     curated = annotated.join(toks, "doc_id")
     curated.write.mode("overwrite").parquet(args.out)
+    mark("write")
+    stage_sec["total"] = round(time.perf_counter() - t0, 3)
 
     written = spark.read.parquet(args.out)
     summary = {
         "out": args.out,
         "stages": stages,
+        "stage_sec": stage_sec,
         "n_docs": written.count(),
         # coalesce: sum() over zero surviving rows is NULL, not 0
         "n_tokens": written.agg(
