@@ -235,6 +235,85 @@ def _cc_star(
     )
 
 
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list — the
+    importance score a KG pipeline ranks entities with (hub objects,
+    central collections) and a curation pipeline reuses for
+    link-graph-weighted document sampling.
+
+    Returns (node, rank) for every node appearing as source OR target.
+    Dangling nodes (no out-edges) redistribute their rank uniformly,
+    so total rank is conserved at 1.0 every iteration. The iteration
+    count is FIXED rather than convergence-tested: the result is a
+    deterministic function of (edges, n_iter, damping), which makes it
+    cross-engine checkable by unrolling the same recurrence in SQL
+    (see queries.graph_pagerank) — and at 100 TB you run a fixed
+    budget of rounds anyway rather than paying a convergence probe
+    per round.
+
+    Scale shape, per iteration: one equi-join of the edge table with
+    the rank table on src (both shuffle-partitioned on the join key;
+    the rank and degree tables are O(V) — never collected), one
+    groupBy(dst) with map-side partial aggregation for the
+    contributions, and a 1-row dangling-mass aggregate attached via
+    crossJoin(broadcast(...)) — the documented-fine 1-row
+    BroadcastNestedLoopJoin (CLAUDE.md). Rank state is
+    localCheckpoint-ed per round: each round references the previous
+    frame twice, and an un-truncated plan doubles per round (the
+    connected_components lesson). A hot dst (a node with huge
+    in-degree) partial-aggregates map-side, so skew cost is one
+    reducer receiving k partial sums, not k rows."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()  # scalar node count (drives the teleport constant)
+    deg = e.groupBy("src").agg(F.count("*").cast("double").alias("outdeg")).localCheckpoint()
+    dangling = nodes.join(deg, nodes["node"] == deg["src"], "left_anti").localCheckpoint()
+
+    teleport = (1.0 - damping) / n
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint()
+    for _ in range(n_iter):
+        mass = (
+            ranks.join(dangling, "node", "left_semi")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_mass"))
+        )
+        contrib = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("_contrib"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(mass))
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("_contrib"), F.lit(0.0))
+                       + F.col("_mass") / F.lit(float(n)))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
 def shared_neighbor_pairs(
     edges: DataFrame,
     hub: str = "hub",

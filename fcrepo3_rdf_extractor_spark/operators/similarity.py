@@ -201,3 +201,86 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
         F.col("_w.centroid_id").alias("centroid_id"),
         F.round("_w.cos", 6).alias("cosine"),
     )
+
+
+def kmeans_train(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd's k-means on cosine similarity — the centroid
+    TRAINER the IVF index (``ivf_assign``/``ivf_topk``) takes as input.
+
+    Deterministic by construction, so the whole training run is
+    cross-engine checkable (queries.emb_kmeans_train unrolls the same
+    recurrence in SQL): init = the ``k`` lowest-id vectors, assignment
+    ties break toward the lowest centroid id, and the iteration count
+    is FIXED (at 100 TB you budget rounds, you don't convergence-poll).
+
+    Scale shape, per iteration — two jobs, one exchange:
+    - centroids live on the DRIVER as k*dim doubles and enter the plan
+      as fold-able literals (the Spark MLlib KMeans pattern): the
+      assignment is a pure codegen projection — per-centroid cosine
+      against a literal array, argmin via ``least(struct(-cos, cid))``
+      — NO join, NO broadcast table, NO window sort.
+    - new centroids come from ONE ``groupBy(cid)`` with ``dim``
+      per-dimension ``avg`` columns: map-side partial aggregation,
+      k*dim doubles per partition, no posexplode row blowup. The
+      collect is k rows (metadata-sized).
+    Empty clusters keep their previous centroid (same rule in the SQL
+    twin via LEFT JOIN + coalesce). Returns (centroid_id, centroid) —
+    exactly the table ``ivf_topk`` probes.
+
+    Reference scope note: the reference engine has no ANN/clustering
+    surface; this is part of the mandated training-data extension
+    (SURVEY.md §2.2), designed Spark-first.
+    """
+    import math
+
+    rows = emb.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    cents: list[list[float]] = [[float(x) for x in r[1]] for r in rows]
+    dim = len(cents[0])
+    spark = emb.sparkSession
+    vec = F.col(vec_col)
+
+    for _ in range(n_iter):
+        norms = []
+        for c in cents:
+            s = 0.0
+            for v in c:  # left-assoc, mirrors the SQL twin's + chain
+                s = s + v * v
+            norms.append(math.sqrt(s))
+        best = F.least(
+            *[
+                F.struct(
+                    (
+                        -(
+                            dot_col(vec, F.array(*[F.lit(v) for v in c]))
+                            / (norm_col(vec) * F.lit(norms[j]))
+                        )
+                    ).alias("negcos"),
+                    F.lit(j).alias("cid"),
+                )
+                for j, c in enumerate(cents)
+            ]
+        )
+        means = (
+            emb.select(best["cid"].alias("_cid"), vec.alias("_v"))
+            .groupBy("_cid")
+            .agg(
+                *[
+                    F.avg(F.element_at(F.col("_v"), i + 1).cast("double")).alias(f"d{i}")
+                    for i in range(dim)
+                ]
+            )
+            .collect()
+        )
+        got = {r["_cid"]: [r[f"d{i}"] for i in range(dim)] for r in means}
+        cents = [got.get(j, cents[j]) for j in range(len(cents))]
+
+    return spark.createDataFrame(
+        [(j, c) for j, c in enumerate(cents)],
+        schema="centroid_id int, centroid array<double>",
+    )

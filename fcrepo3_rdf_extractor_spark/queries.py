@@ -294,6 +294,62 @@ def kg_graph_predicate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_oracle(n_iter: int = 3, damping: float = 0.85) -> str:
+    """Unroll the exact PageRank recurrence operators.graph.pagerank
+    runs, one CTE block per iteration, over the part->supplier edge
+    projection of lineitem. The damping complement is injected as the
+    Python double's repr so both engines add the identical teleport
+    constant (DuckDB would otherwise evaluate 1 - 0.85 in decimal)."""
+    d = repr(float(damping))
+    omd = repr(1.0 - float(damping))
+    parts = [
+        """WITH edges AS (SELECT DISTINCT 'p' || l_partkey AS src,
+                                  's' || l_suppkey AS dst FROM lineitem),
+ nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+ deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM edges GROUP BY src),
+ nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+ r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    ]
+    for t in range(1, n_iter + 1):
+        p = t - 1
+        parts.append(f"""
+ d{t} AS (SELECT coalesce(sum(r.rank), 0) AS mass
+          FROM r{p} r LEFT JOIN deg ON r.node = deg.src
+          WHERE deg.src IS NULL),
+ c{t} AS (SELECT e.dst AS node, sum(r.rank / deg.outdeg) AS contrib
+          FROM edges e JOIN r{p} r ON e.src = r.node
+          JOIN deg ON e.src = deg.src GROUP BY e.dst),
+ r{t} AS (SELECT nodes.node,
+            {omd} / (SELECT n FROM nn)
+            + {d} * (coalesce(c.contrib, 0)
+                     + (SELECT mass FROM d{t}) / (SELECT n FROM nn)) AS rank
+          FROM nodes LEFT JOIN c{t} c ON nodes.node = c.node)""")
+    return (
+        ",".join(parts)
+        + f"\nSELECT node, round(rank, 9) AS rank FROM r{n_iter}"
+    )
+
+
+@_q("graph_pagerank", _pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the part->supplier link graph —
+    the iterative-algorithm shape (driver loop of distributed joins,
+    localCheckpoint-truncated lineage) oracled by unrolling the same
+    recurrence as a SQL CTE chain. Suppliers are all dangling (no
+    out-edges), so the dangling-mass redistribution path is exercised
+    on every iteration, not just in a corner fixture."""
+    from .operators.graph import pagerank
+
+    li = _read(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    return pagerank(edges, n_iter=3, damping=0.85).select(
+        "node", F.round("rank", 9).alias("rank")
+    )
+
+
 # =========================================================================
 # individual operators, relational analogs (SURVEY.md §2.2)
 # =========================================================================
@@ -1423,6 +1479,59 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
     )
     return ivf_topk(emb, centroids, query_id=0, k=10, nprobe=2)
+
+
+def _kmeans_oracle(k: int = 4, n_iter: int = 3, dim: int = 64) -> str:
+    """Unroll the exact fixed-iteration Lloyd's recurrence that
+    operators.similarity.kmeans_train runs — init = k lowest-id
+    vectors, cosine argmin with lowest-cid tie-break, element-wise
+    mean, empty clusters keep their previous centroid — one CTE block
+    per iteration."""
+    parts = [
+        f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+ u AS (SELECT unnest(generate_series(1, {dim})) AS pos),
+ c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+               emb AS centroid
+        FROM (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT {k}))"""
+    ]
+    for t in range(1, n_iter + 1):
+        p = t - 1
+        cos = _COS_SQL.format(a="e.emb", b="c.centroid")
+        parts.append(f"""
+ a{t} AS (SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {cos} DESC, c.cid) AS rn
+            FROM e CROSS JOIN c{p} c) t WHERE rn = 1),
+ m{t} AS (SELECT a.cid, u.pos, avg(e.emb[u.pos]) AS val
+          FROM e JOIN a{t} a USING (vec_id) CROSS JOIN u
+          GROUP BY a.cid, u.pos),
+ n{t} AS (SELECT cid, list(val ORDER BY pos) AS centroid FROM m{t} GROUP BY cid),
+ c{t} AS (SELECT c.cid, coalesce(n.centroid, c.centroid) AS centroid
+          FROM c{p} c LEFT JOIN n{t} n USING (cid))""")
+    return (
+        ",".join(parts)
+        + f"""
+SELECT cid AS centroid_id, CAST(u.pos - 1 AS INT) AS pos,
+       round(centroid[u.pos], 6) AS val
+FROM c{n_iter} CROSS JOIN u"""
+    )
+
+
+@_q("emb_kmeans_train", _kmeans_oracle())
+def emb_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means centroid training (the IVF trainer): driver-
+    held literal centroids, codegen argmin assignment with no join or
+    window, one partial-agg groupBy per iteration. Output flattened to
+    (centroid_id, pos, val) long format — the oracle contract hashes
+    scalars, not arrays."""
+    from .operators.similarity import kmeans_train
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = kmeans_train(emb, k=4, n_iter=3)
+    return cents.select(
+        "centroid_id", F.posexplode("centroid").alias("pos", "val")
+    ).select("centroid_id", "pos", F.round("val", 6).alias("val"))
 
 
 # --- multimodal -------------------------------------------------------------

@@ -610,3 +610,146 @@ def test_pack_shards_prefix_sum_partition_invariant(spark):
         # shard id = floor(exclusive-cumsum / budget)
         for i, w in rows:
             assert out[i][1] == (want_cum[i] - w) // 500, (parts, i)
+
+
+# --- pagerank ---------------------------------------------------------------
+
+
+def _pagerank_reference(edges, n_iter=3, d=0.85):
+    """Pure-Python PageRank with uniform dangling-mass redistribution."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(nodes)
+    out = {}
+    for u, v in edges:
+        out.setdefault(u, set()).add(v)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(n_iter):
+        mass = sum(rank[v] for v in nodes if v not in out)
+        nxt = {}
+        for v in nodes:
+            contrib = sum(
+                rank[u] / len(out[u]) for u in nodes if u in out and v in out[u]
+            )
+            nxt[v] = (1 - d) / n + d * (contrib + mass / n)
+        rank = nxt
+    return rank
+
+
+def test_pagerank_matches_reference_with_dangling_nodes(spark):
+    """Chain + fan + two dangling sinks: every structural case (multi
+    out-degree, pure sink, node that is only ever a source)."""
+    from fcrepo3_rdf_extractor_spark.operators.graph import pagerank
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"), ("e", "d")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.rank for r in pagerank(df, n_iter=3).collect()}
+    want = _pagerank_reference(edges, n_iter=3)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+
+
+def test_pagerank_conserves_total_rank(spark):
+    """Dangling redistribution must keep sum(rank) == 1 each round."""
+    from fcrepo3_rdf_extractor_spark.operators.graph import pagerank
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    for it in (1, 4):
+        total = (
+            pagerank(df, n_iter=it).agg(F.sum("rank").alias("s")).collect()[0].s
+        )
+        assert total == pytest.approx(1.0, abs=1e-12)
+
+
+# --- k-means ----------------------------------------------------------------
+
+
+def _kmeans_reference(vecs, k, n_iter):
+    """Pure-Python Lloyd's on cosine, lowest-id init, lowest-cid ties,
+    empty clusters keep their previous centroid."""
+    import math
+
+    cents = [list(map(float, vecs[i][1])) for i in range(k)]
+    for _ in range(n_iter):
+        assign = {}
+        for vid, v in vecs:
+            best = None
+            for j, c in enumerate(cents):
+                dot = sum(x * y for x, y in zip(v, c))
+                nv = math.sqrt(sum(x * x for x in v))
+                nc = math.sqrt(sum(x * x for x in c))
+                cos = dot / (nv * nc)
+                if best is None or -cos < best[0] - 1e-15 or (
+                    abs(-cos - best[0]) <= 1e-15 and j < best[1]
+                ):
+                    best = (-cos, j)
+            assign[vid] = best[1]
+        for j in range(k):
+            members = [v for vid, v in vecs if assign[vid] == j]
+            if members:
+                cents[j] = [
+                    sum(m[i] for m in members) / len(members)
+                    for i in range(len(cents[j]))
+                ]
+    return cents
+
+
+def test_kmeans_train_matches_reference(spark):
+    """Two tight clusters, k=2: assignments and final centroids must
+    match the sequential reference to fp tolerance."""
+    from fcrepo3_rdf_extractor_spark.operators.similarity import kmeans_train
+
+    vecs = [
+        (0, [1.0, 0.1, 0.0]), (1, [0.9, 0.0, 0.1]), (2, [1.1, 0.05, 0.05]),
+        (3, [0.0, 1.0, 0.9]), (4, [0.1, 0.9, 1.0]), (5, [0.0, 1.1, 1.0]),
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r.centroid_id: list(r.centroid)
+        for r in kmeans_train(df, k=2, n_iter=3).collect()
+    }
+    # reference runs on the float32-rounded values Spark actually reads
+    vecs32 = [(i, list(np.array(v, dtype=np.float32).astype(float))) for i, v in vecs]
+    want = _kmeans_reference(vecs32, k=2, n_iter=3)
+    assert sorted(got) == [0, 1]
+    for j in range(2):
+        assert got[j] == pytest.approx(want[j], abs=1e-9)
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    """k=3 over two tight clusters: one init centroid (a duplicate of
+    another) attracts nothing after the lowest-cid tie-break and must
+    survive unchanged instead of going NULL/NaN."""
+    from fcrepo3_rdf_extractor_spark.operators.similarity import kmeans_train
+
+    rows = [
+        (0, [1.0, 0.0]), (1, [1.0, 0.0]),        # identical -> cid 1 starves
+        (2, [0.0, 1.0]), (3, [0.05, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.centroid_id: list(r.centroid)
+           for r in kmeans_train(df, k=3, n_iter=2).collect()}
+    assert got[1] == pytest.approx([1.0, 0.0], abs=1e-9)  # kept, not NaN
+    assert got[0] == pytest.approx([1.0, 0.0], abs=1e-9)
+    assert got[2][1] > got[2][0]  # the second cluster's mean
+
+
+def test_kmeans_centroids_feed_ivf(spark):
+    """Composition contract: kmeans_train output is exactly the table
+    ivf_topk probes; trained centroids must give the same top-1 as
+    brute force on clustered data."""
+    from fcrepo3_rdf_extractor_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        kmeans_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = kmeans_train(emb, k=4, n_iter=2)
+    ivf = ivf_topk(emb, cents, query_id=0, k=5, nprobe=2).collect()
+    bf = brute_force_topk(emb, query_id=0, k=5).collect()
+    assert ivf[0].vec_id == bf[0].vec_id
