@@ -273,3 +273,138 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
             "min_shingle_fp"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# repetition signals (Gopher-style quality filters)
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals: duplicate-word fraction,
+    most-frequent-word fraction, most-frequent-bigram fraction (Rae et
+    al. 2021 §A1.1 use these to drop boilerplate/spam documents before
+    training).
+
+    Scale shape: per-word stats come from ONE explode ->
+    groupBy(doc_id, word) -> groupBy(doc_id) tree — both aggregations
+    get map-side partial combine, and the grouping key (doc_id, word)
+    cannot hot-spot (cardinality >= docs). The row-local alternative
+    (array_distinct + per-distinct filter counts) is O(len^2) per row —
+    quadratic in document length, which a 1M-token document turns into
+    10^12 comparisons on one task; the shuffle form stays linear.
+    Bigram stats are the same tree over 2-gram shingles; the two trees
+    join back on doc_id (shuffle-partitioned both sides, no skew).
+    """
+    staged = df.select("doc_id", tokens_col(F.col(text_col)).alias("_w"))
+    wc = (
+        staged.select("doc_id", F.explode("_w").alias("_t"))
+        .groupBy("doc_id", "_t")
+        .agg(F.count("*").alias("_c"))
+    )
+    word_stats = wc.groupBy("doc_id").agg(
+        F.round(F.lit(1) - F.count("*") / F.sum("_c"), 4).alias("dup_word_frac"),
+        F.round(F.max("_c") / F.sum("_c"), 4).alias("top_word_frac"),
+    )
+    gc = (
+        staged.select("doc_id", F.explode(shingles_of(F.col("_w"), 2)).alias("_g"))
+        .groupBy("doc_id", "_g")
+        .agg(F.count("*").alias("_c"))
+    )
+    bigram_stats = gc.groupBy("doc_id").agg(
+        F.round(F.max("_c") / F.sum("_c"), 4).alias("top_bigram_frac")
+    )
+    return word_stats.join(bigram_stats, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+
+
+def ngram_contamination(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Benchmark decontamination: per-document fraction of distinct word
+    k-grams that also occur in an evaluation set (``benchmark``, one
+    ``gram`` string column). Training pipelines drop or flag documents
+    whose eval-set overlap exceeds a threshold so held-out benchmarks
+    stay held out.
+
+    Scale shape: the benchmark is an EVAL set — small by construction —
+    so its distinct grams broadcast and the overlap test is a map-side
+    ``left_semi`` broadcast join on the exploded doc grams: no shuffle
+    of the (huge) corpus gram table against the benchmark. The per-doc
+    totals and hit counts are two partial-agg groupBys over the same
+    exploded frame, joined back on doc_id. Distinct-per-document grams
+    (``array_distinct`` BEFORE explode) keep the explode row count
+    bounded by document length and make the fraction a set overlap.
+    """
+    staged = df.select("doc_id", tokens_col(F.col(text_col)).alias("_w"))
+    grams = staged.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles_of(F.col("_w"), k))).alias("gram"),
+    )
+    bench = benchmark.select("gram").distinct()
+    totals = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    hits = (
+        grams.join(F.broadcast(bench), "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("_n_hits"))
+    )
+    return (
+        totals.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.coalesce("_n_hits", F.lit(0)).cast("long").alias("n_contaminated"),
+            F.round(
+                F.coalesce("_n_hits", F.lit(0)) / F.col("n_grams"), 4
+            ).alias("contamination_frac"),
+        )
+        .withColumn(
+            "contaminated",
+            (F.col("contamination_frac") >= threshold).cast("int"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+
+#: Java-regex AND RE2 compatible (no lookarounds, no backrefs) so the
+#: DuckDB oracle runs the byte-identical pattern.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+PII_IP_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrub for training corpora: replace emails / phone numbers /
+    IPv4 addresses with typed placeholders and count what was removed
+    (the counts feed the curation summary; the redacted text is what
+    ships). Pure codegen regexp expressions — no Python per row, no
+    shuffle, embarrassingly parallel over document partitions.
+
+    Counts are taken on the ORIGINAL text per pattern independently;
+    redaction applies email -> ip -> phone so earlier placeholders
+    (no digits) cannot create later matches.
+    """
+    t = F.col(text_col)
+    return df.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"),
+                PII_IP_RE,
+                "<IP>",
+            ),
+            PII_PHONE_RE,
+            "<PHONE>",
+        ).alias("redacted"),
+        F.regexp_count(t, F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_count(t, F.lit(PII_IP_RE)).cast("long").alias("n_ips"),
+    )

@@ -939,6 +939,141 @@ def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_read(spark, sf_dir, "documents"))
 
 
+# over a bound list column named w (NOT the text-based _SHINGLES macro)
+_BIGRAMS = (
+    "CASE WHEN len(w) >= 2 THEN "
+    "[w[i] || ' ' || w[i+1] for i in generate_series(1, len(w)-1)] "
+    "ELSE [array_to_string(w, ' ')] END"
+)
+
+_5GRAMS = (
+    "CASE WHEN len(w) >= 5 THEN "
+    "[w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] "
+    " for i in generate_series(1, len(w)-4)] "
+    "ELSE [array_to_string(w, ' ')] END"
+)
+
+
+@_q(
+    "docs_repetition_signals",
+    f"""WITH t AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+        wc AS (SELECT doc_id, tok, count(*) AS c
+               FROM (SELECT doc_id, unnest(w) AS tok FROM t)
+               GROUP BY doc_id, tok),
+        ws AS (SELECT doc_id,
+                      round(1 - count(*) / sum(c), 4) AS dup_word_frac,
+                      round(max(c) / sum(c), 4) AS top_word_frac
+               FROM wc GROUP BY doc_id),
+        gc AS (SELECT doc_id, g, count(*) AS c
+               FROM (SELECT doc_id, unnest({_BIGRAMS}) AS g FROM t)
+               GROUP BY doc_id, g),
+        gs AS (SELECT doc_id, round(max(c) / sum(c), 4) AS top_bigram_frac
+               FROM gc GROUP BY doc_id)
+        SELECT doc_id, dup_word_frac, top_word_frac, top_bigram_frac
+        FROM ws JOIN gs USING (doc_id)""",
+)
+def docs_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters (dup-word / top-word /
+    top-bigram fractions) — training-data extension, no reference twin."""
+    from .operators.text import repetition_signals
+
+    return repetition_signals(_read(spark, sf_dir, "documents"))
+
+
+@_q(
+    "docs_ngram_contamination",
+    f"""WITH t AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+        g AS (SELECT doc_id, unnest(list_distinct({_5GRAMS})) AS gram FROM t),
+        bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+        tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+                FROM g GROUP BY doc_id),
+        hit AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+                FROM g JOIN bench USING (gram) GROUP BY g.doc_id)
+        SELECT doc_id, n_grams,
+               coalesce(n_hits, 0) AS n_contaminated,
+               round(coalesce(n_hits, 0) / n_grams, 4) AS contamination_frac,
+               CAST(round(coalesce(n_hits, 0) / n_grams, 4) >= 0.5 AS INT)
+                 AS contaminated
+        FROM tot LEFT JOIN hit USING (doc_id)""",
+)
+def docs_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: distinct 5-gram overlap of every doc
+    against an eval set (every 50th doc), broadcast semi-join."""
+    from .operators.text import ngram_contamination, shingles_of, tokens_col
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = (
+        docs.filter(F.col("doc_id") % 50 == 0)
+        .select(tokens_col(F.col("text")).alias("_w"))
+        .select(F.explode(shingles_of(F.col("_w"), 5)).alias("gram"))
+    )
+    return ngram_contamination(docs, bench, k=5, threshold=0.5)
+
+
+_PII_INJECTED_SQL = """
+    (CASE WHEN doc_id % 7 = 0
+          THEN 'user' || CAST(doc_id AS VARCHAR) || '@example.com ' ELSE '' END)
+    || (CASE WHEN doc_id % 11 = 0
+          THEN 'call 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               || ' ' ELSE '' END)
+    || (CASE WHEN doc_id % 13 = 0
+          THEN 'host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.25 '
+          ELSE '' END)
+    || text"""
+
+
+def _pii_oracle() -> str:
+    from .operators.text import PII_EMAIL_RE, PII_IP_RE, PII_PHONE_RE
+
+    return f"""WITH t AS (SELECT doc_id, {_PII_INJECTED_SQL} AS text FROM documents)
+        SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(text,
+              '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+              '{PII_IP_RE}', '<IP>', 'g'),
+              '{PII_PHONE_RE}', '<PHONE>', 'g') AS redacted,
+          CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+          CAST(len(regexp_extract_all(text, '{PII_PHONE_RE}')) AS BIGINT) AS n_phones,
+          CAST(len(regexp_extract_all(text, '{PII_IP_RE}')) AS BIGINT) AS n_ips
+        FROM t"""
+
+
+@_q("docs_pii_redact", _pii_oracle())
+def docs_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over documents with deterministic synthetic PII injected
+    (the raw corpus has none), so redaction and counts have real signal."""
+    from .operators.text import pii_redact
+
+    docs = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(
+                did % 7 == 0,
+                F.concat(F.lit("user"), did.cast("string"), F.lit("@example.com ")),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 11 == 0,
+                F.concat(
+                    F.lit("call 555-010-"),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                    F.lit(" "),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 13 == 0,
+                F.concat(
+                    F.lit("host 10.0."),
+                    (did % 256).cast("string"),
+                    F.lit(".25 "),
+                ),
+            ).otherwise(F.lit("")),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return pii_redact(injected)
+
+
 _MINHASH_SQL = ", ".join(
     f"list_min([md5('{i}|' || s) for s in sh]) AS h{i}" for i in range(8)
 )
