@@ -375,3 +375,67 @@ def embedding_near_duplicates(
         pairs.select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# --- corpus-level line dedup ---------------------------------------------
+
+
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    sep: str = "\n",
+    min_docs: int = 2,
+) -> DataFrame:
+    """C4/CCNet-style corpus-level line deduplication: drop from EVERY
+    document any line that occurs verbatim in at least ``min_docs``
+    distinct documents (boilerplate headers, cookie banners, license
+    blocks), and reassemble the survivors in original order. Returns
+    (doc_id, text, n_kept, n_removed); a fully-boilerplate document
+    comes back with empty text, not dropped — the caller decides.
+
+    Scale shape: lines are (doc_id, pos, line) rows from ONE posexplode.
+    The banned set is groupBy(line, doc_id) -> groupBy(line) — Spark's
+    own two-level rewrite of count(DISTINCT doc_id), both levels with
+    map-side partial combine, so a boilerplate line occurring 10^9 times
+    collapses per input partition before it ever shuffles. Removal is a
+    left_anti join on the line value: the banned side holds one row per
+    banned line (bounded by the number of DISTINCT repeated lines, far
+    below corpus line count); hot-line skew on the probe side is an AQE
+    skew-join split, not a correctness hazard. Reassembly sorts each
+    document's surviving (pos, line) structs inside a single groupBy —
+    per-document state only, no global sort.
+    """
+    lines = df.select(
+        "doc_id", F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line")
+    )
+    banned = (
+        lines.groupBy("line", "doc_id")
+        .agg(F.lit(1))
+        .groupBy("line")
+        .agg(F.count("*").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("line")
+    )
+    kept = lines.join(banned, "line", "left_anti")
+    totals = lines.groupBy("doc_id").agg(F.count("*").cast("long").alias("_n_lines"))
+    agg = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s.line,
+            ),
+            sep,
+        ).alias("_text"),
+        F.count("*").cast("long").alias("_n_kept"),
+    )
+    return (
+        totals.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("_text", F.lit("")).alias(text_col),
+            F.coalesce("_n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("_n_lines") - F.coalesce("_n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

@@ -86,9 +86,18 @@ def connected_components(
         return _cc_star(pairs, vertices, src, dst, max_iter)
     if algorithm != "propagation":
         raise ValueError(f"unknown algorithm {algorithm!r}")
+    # Materialize the incoming pair plan ONCE before mirroring it: the
+    # union's two branches are separate evaluations of the upstream plan
+    # (no cross-branch reuse — the filter/union gotcha), and `pairs` is
+    # typically the full candidate+verify near-dup pipeline. A measured
+    # curate run spent 25 of its 31 cluster-stage seconds running that
+    # pipeline twice here; checkpointing the narrow (a, b) projection
+    # first makes both branches read the materialized blocks instead.
+    base = pairs.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).localCheckpoint()
     edges = (
-        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        base.union(base.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
     )
     labels = edges.select(F.col("a").alias("id")).distinct()
@@ -381,4 +390,29 @@ def dedup_clusters(
     return (
         comps.select(F.col("id").alias(id_col), "cluster_id")
         .withColumn("keep", (F.col(id_col) == F.col("cluster_id")))
+    )
+
+
+def void_property_stats(triples: DataFrame) -> DataFrame:
+    """VoID-style property-partition statistics over a triple table:
+    per predicate, the triple count, distinct subject / object counts
+    (void:triples, void:distinctSubjects, void:distinctObjects of a
+    void:propertyPartition) and how many objects are literals. The
+    first query any KG consumer runs against a freshly materialized
+    graph — dataset shape at a glance.
+
+    Scale shape: one groupBy(pred). The two exact count-distincts make
+    Catalyst plan an Expand (2 rows per input triple) with partial
+    aggregation below the single shuffle — bounded, no per-key state
+    beyond the distinct sets themselves. Hot predicates (hasModel is
+    ~1/21 of ALL triples) are exactly why the partial level matters:
+    duplicates collapse per input partition before the exchange.
+    """
+    return triples.groupBy("pred").agg(
+        F.count("*").cast("long").alias("n_triples"),
+        F.countDistinct("subj").cast("long").alias("n_subjects"),
+        F.countDistinct("obj_value").cast("long").alias("n_objects"),
+        F.sum(F.col("obj_is_literal").cast("long")).cast("long").alias(
+            "n_literal_objects"
+        ),
     )

@@ -350,6 +350,27 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "kg_void_stats",
+    f"""WITH t AS ({_kg_orders_oracle()})
+        SELECT pred, CAST(count(*) AS BIGINT) AS n_triples,
+               CAST(count(DISTINCT subj) AS BIGINT) AS n_subjects,
+               CAST(count(DISTINCT obj_value) AS BIGINT) AS n_objects,
+               CAST(sum(CASE WHEN obj_is_literal THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_literal_objects
+        FROM t GROUP BY pred""",
+)
+def kg_void_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VoID property-partition stats over the freshly extracted graph —
+    the dataset-shape summary a KG consumer runs first (triples /
+    distinct subjects / distinct objects per predicate)."""
+    from .operators.graph import void_property_stats
+
+    source = synthesize_foxml_from_orders(spark, sf_dir)
+    out = extract_plan(source, ExtractConfig(skip_empty=True, dedup=False))
+    return void_property_stats(triples_only(out))
+
+
 # =========================================================================
 # individual operators, relational analogs (SURVEY.md §2.2)
 # =========================================================================
@@ -1072,6 +1093,54 @@ def docs_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return pii_redact(injected)
+
+
+@_q(
+    "docs_dedup_lines",
+    f"""WITH t AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+        t2 AS (SELECT doc_id,
+                [array_to_string(w[i:i+2], ' ')
+                 for i in generate_series(1, len(w), 3)] AS ls
+               FROM t),
+        lines AS (SELECT doc_id, unnest(ls) AS line,
+                         unnest(generate_series(1, len(ls))) AS pos
+                  FROM t2),
+        banned AS (SELECT line FROM (
+                     SELECT line, count(DISTINCT doc_id) AS nd
+                     FROM lines GROUP BY line)
+                   WHERE nd >= 2),
+        kept AS (SELECT * FROM lines ANTI JOIN banned USING (line)),
+        tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+                FROM lines GROUP BY doc_id),
+        agg AS (SELECT doc_id,
+                       string_agg(line, chr(10) ORDER BY pos) AS text,
+                       CAST(count(*) AS BIGINT) AS n_kept
+                FROM kept GROUP BY doc_id)
+        SELECT tot.doc_id, coalesce(agg.text, '') AS text,
+               coalesce(n_kept, 0) AS n_kept,
+               n_lines - coalesce(n_kept, 0) AS n_removed
+        FROM tot LEFT JOIN agg USING (doc_id)""",
+)
+def docs_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/CCNet-style corpus-level line dedup. The flat word-soup corpus
+    has no newlines, so line structure is synthesized deterministically
+    (3-word chunks joined by newline, identical expression in both
+    engines) — the operator under test is ``dedup_lines``."""
+    from .operators.dedup_approx import dedup_lines
+    from .operators.text import tokens_col
+
+    docs = _read(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", tokens_col(F.col("text")).alias("_w"))
+    chunked = staged.select(
+        "doc_id",
+        F.expr(
+            "array_join(transform("
+            "  sequence(0, cast(ceil(size(_w) / 3) as int) - 1),"
+            "  i -> array_join(slice(_w, i * 3 + 1, 3), ' ')"
+            "), '\\n')"
+        ).alias("text"),
+    )
+    return dedup_lines(chunked, min_docs=2)
 
 
 _MINHASH_SQL = ", ".join(

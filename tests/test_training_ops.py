@@ -753,3 +753,58 @@ def test_kmeans_centroids_feed_ivf(spark):
     ivf = ivf_topk(emb, cents, query_id=0, k=5, nprobe=2).collect()
     bf = brute_force_topk(emb, query_id=0, k=5).collect()
     assert ivf[0].vec_id == bf[0].vec_id
+
+
+def test_dedup_lines_removes_corpus_boilerplate(spark):
+    from fcrepo3_rdf_extractor_spark.operators.dedup_approx import dedup_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "COOKIE BANNER\nunique alpha\nfooter text"),
+            (2, "COOKIE BANNER\nunique beta\nfooter text"),
+            (3, "unique gamma\nCOOKIE BANNER"),
+            (4, "COOKIE BANNER\nfooter text"),  # all lines boilerplate
+            (5, "solo line stays"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in dedup_lines(docs, min_docs=2).collect()}
+    assert out[1]["text"] == "unique alpha"
+    assert out[2]["text"] == "unique beta"
+    assert out[3]["text"] == "unique gamma"
+    assert out[4]["text"] == "" and out[4]["n_kept"] == 0
+    assert out[4]["n_removed"] == 2
+    assert out[5]["text"] == "solo line stays" and out[5]["n_removed"] == 0
+    assert out[1]["n_kept"] == 1 and out[1]["n_removed"] == 2
+
+
+def test_dedup_lines_preserves_order_and_duplicate_positions(spark):
+    from fcrepo3_rdf_extractor_spark.operators.dedup_approx import dedup_lines
+
+    # a line repeated WITHIN one doc but nowhere else is NOT banned
+    # (min_docs counts distinct documents), and order is original
+    docs = spark.createDataFrame(
+        [(1, "z last\nz last\na first"), (2, "other doc")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in dedup_lines(docs, min_docs=2).collect()}
+    assert out[1]["text"] == "z last\nz last\na first"
+
+
+def test_void_property_stats(spark):
+    from fcrepo3_rdf_extractor_spark.operators.graph import void_property_stats
+
+    triples = spark.createDataFrame(
+        [
+            ("s1", "p1", "o1", False),
+            ("s1", "p1", "o2", False),
+            ("s2", "p1", "o1", False),
+            ("s1", "p2", "lit", True),
+        ],
+        ["subj", "pred", "obj_value", "obj_is_literal"],
+    )
+    out = {r["pred"]: r for r in void_property_stats(triples).collect()}
+    assert out["p1"]["n_triples"] == 3
+    assert out["p1"]["n_subjects"] == 2
+    assert out["p1"]["n_objects"] == 2
+    assert out["p1"]["n_literal_objects"] == 0
+    assert out["p2"]["n_triples"] == 1 and out["p2"]["n_literal_objects"] == 1
