@@ -124,15 +124,22 @@ def minhash_lsh_candidates(
     )
 
 
-def ngram_jaccard(
-    pairs: DataFrame, docs: DataFrame, text_col: str = "text", k: int = 3
-) -> DataFrame:
-    """Exact word-k-gram Jaccard for candidate pairs (the verify stage
-    after LSH). Shingle sets are recomputed scan-side and joined twice
-    (the pairs side is small by construction)."""
-    sh = docs.select(
+def shingle_table(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """Per-document DISTINCT word-k-gram shingle sets — the verify-side
+    input of exact-Jaccard. Callers running a full near-dup pass over a
+    large corpus should ``.persist()`` this (and release it after the
+    pass): the verify join references it on BOTH pair sides, and
+    self-join sides do not share exchanges, so an un-cached shingle
+    table is tokenized twice (measured: ~25%% of the whole near-dup
+    stage's executor time at 80k docs)."""
+    return docs.select(
         "doc_id", tokens_col(F.col(text_col)).alias("_w")
     ).select("doc_id", F.array_distinct(shingles_of(F.col("_w"), k)).alias("sh"))
+
+
+def ngram_jaccard_shingled(pairs: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate pairs over a prebuilt (ideally
+    persisted) :func:`shingle_table`."""
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     joined = pairs.join(a, "doc_a").join(b, "doc_b")
@@ -142,6 +149,17 @@ def ngram_jaccard(
         "doc_a", "doc_b",
         F.round(inter / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
     )
+
+
+def ngram_jaccard(
+    pairs: DataFrame, docs: DataFrame, text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Exact word-k-gram Jaccard for candidate pairs (the verify stage
+    after LSH). Shingle sets are recomputed scan-side and joined twice
+    (the pairs side is small by construction); long-lived multi-action
+    callers should persist :func:`shingle_table` and use
+    :func:`ngram_jaccard_shingled` instead."""
+    return ngram_jaccard_shingled(pairs, shingle_table(docs, text_col, k))
 
 
 def minhash_near_duplicates(

@@ -284,3 +284,147 @@ def kmeans_train(
         [(j, c) for j, c in enumerate(cents)],
         schema="centroid_id int, centroid array<double>",
     )
+
+
+# --- product quantization -------------------------------------------------
+
+
+def pq_codebooks(
+    emb: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Deterministic PQ codebooks: subspace ``s``'s codewords are the
+    s-th subvectors of the ``ksub`` lowest-id vectors (a deterministic
+    stand-in for per-subspace k-means — production trains each subspace
+    with :func:`kmeans_train` over the sliced subvectors; the encode /
+    search machinery is identical either way). The collect is
+    metadata-sized: ksub rows. Returns ``books[s][c]`` = list of
+    ``dim/m`` floats."""
+    rows = (
+        emb.filter(F.col(id_col) < ksub)
+        .orderBy(id_col)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    if len(rows) < ksub:
+        raise ValueError(f"need {ksub} seed vectors, found {len(rows)}")
+    dim = len(rows[0][vec_col])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    return [
+        [[float(x) for x in r[vec_col][s * d:(s + 1) * d]] for r in rows]
+        for s in range(m)
+    ]
+
+
+def _pq_subspace_cols(emb: DataFrame, m: int, d: int, vec_col: str) -> DataFrame:
+    """Stage the m subvector slices as projection columns — each slice
+    is referenced once per codeword below, and Catalyst re-inlines
+    non-attribute subexpressions per reference (the tokenizer lesson)."""
+    return emb.select(
+        "*",
+        *[F.slice(vec_col, s * d + 1, d).alias(f"_sub{s}") for s in range(m)],
+    )
+
+
+def _pq_sqdist(sub_col, codeword: list[float]):
+    """Squared L2 distance between a staged subvector column and a
+    literal codeword, as a SEQUENTIAL left-to-right fold in double —
+    bit-identical to the unrolled ``(t1 + t2) + t3 ...`` chain the
+    DuckDB oracle states (fp addition is not associative; a different
+    fold order could flip an argmin tie)."""
+    w = F.array(*[F.lit(float(x)) for x in codeword])
+    terms = F.zip_with(
+        sub_col, w,
+        lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+    )
+    return F.aggregate(terms, F.lit(0.0), lambda acc, t: acc + t)
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encoding: each vector becomes m small codes
+    (vec_id, c0..c{m-1}), code s = argmin over subspace s's codewords of
+    squared L2 distance (ties toward the lower codeword id). 64-dim
+    float vectors (256 B) compress to m bytes — the representation that
+    makes billion-scale ANN fit in memory (Jegou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011).
+
+    Scale shape: codebooks are DRIVER-HELD literals folded into a pure
+    codegen projection (the kmeans_train pattern) — no join, no
+    broadcast table, no shuffle, no Python; m * ksub fused distance
+    folds per row inside one WholeStageCodegen stage."""
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    staged = _pq_subspace_cols(emb, m, d, vec_col)
+    codes = []
+    for s, book in enumerate(codebooks):
+        cands = [
+            F.struct(
+                _pq_sqdist(F.col(f"_sub{s}"), w).alias("d"),
+                F.lit(c).alias("c"),
+            )
+            for c, w in enumerate(book)
+        ]
+        codes.append(F.least(*cands).getField("c").cast("int").alias(f"c{s}"))
+    return staged.select(id_col, *codes)
+
+
+def pq_topk(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance top-k (ADC): the query's distance table
+    dt[s][c] = ||q_s - codeword||^2 is computed once (driver-side, m*ksub
+    doubles, same fold order as the encode path), then every vector's
+    approximate distance is m literal-array lookups + (m-1) adds over
+    its CODES — the full-precision corpus vectors are never touched at
+    search time. One codegen scan + TakeOrderedAndProject; no join.
+
+    The driver-side query fetch is a 1-row collect (metadata-sized);
+    at scale the encoded table is what's materialized and scanned."""
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    q = (
+        emb.filter(F.col(id_col) == query_id).select(vec_col).collect()
+    )
+    if not q:
+        raise ValueError(f"query vector {query_id} not found")
+    qv = [float(x) for x in q[0][0]]
+    # dt in python float64 with the SAME op and fold order as _pq_sqdist
+    # and the SQL chain: acc = ((0.0 + t1) + t2) + ... where
+    # t = (q_i - w_i) * (q_i - w_i) in double
+    dt = []
+    for s, book in enumerate(codebooks):
+        row = []
+        for w in book:
+            acc = 0.0
+            for i in range(d):
+                t = (qv[s * d + i] - w[i]) * (qv[s * d + i] - w[i])
+                acc = acc + t
+            row.append(acc)
+        dt.append(row)
+    encoded = pq_encode(emb, codebooks, id_col, vec_col)
+    adist = None
+    for s in range(m):
+        dts = F.array(*[F.lit(v) for v in dt[s]])
+        term = F.element_at(dts, F.col(f"c{s}") + 1)
+        adist = term if adist is None else adist + term
+    return (
+        encoded.filter(F.col(id_col) != query_id)
+        .select(id_col, F.round(adist, 6).alias("adist"))
+        .orderBy(F.col("adist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

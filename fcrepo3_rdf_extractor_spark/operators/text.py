@@ -393,18 +393,47 @@ def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
     (no digits) cannot create later matches.
     """
     t = F.col(text_col)
+    red, n_email, n_phone, n_ip = _pii_exprs(t)
     return df.select(
         "doc_id",
+        red.alias("redacted"),
+        n_email.alias("n_emails"),
+        n_phone.alias("n_phones"),
+        n_ip.alias("n_ips"),
+    )
+
+
+def _pii_exprs(t: Column):
+    """(redacted, n_emails, n_phones, n_ips) expressions over ``t``."""
+    red = F.regexp_replace(
         F.regexp_replace(
-            F.regexp_replace(
-                F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"),
-                PII_IP_RE,
-                "<IP>",
-            ),
-            PII_PHONE_RE,
-            "<PHONE>",
-        ).alias("redacted"),
-        F.regexp_count(t, F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
-        F.regexp_count(t, F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
-        F.regexp_count(t, F.lit(PII_IP_RE)).cast("long").alias("n_ips"),
+            F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"),
+            PII_IP_RE,
+            "<IP>",
+        ),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return (
+        red,
+        F.regexp_count(t, F.lit(PII_EMAIL_RE)).cast("long"),
+        F.regexp_count(t, F.lit(PII_PHONE_RE)).cast("long"),
+        F.regexp_count(t, F.lit(PII_IP_RE)).cast("long"),
+    )
+
+
+def pii_redact_inplace(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Pipeline form of :func:`pii_redact`: replace ``text_col`` with the
+    redacted text IN PLACE (all other columns carried through) and
+    append one total ``n_pii`` count. Pure projection — no join, no
+    shuffle — which is the form a curation pipeline wants: joining the
+    (doc_id, redacted) table back to the corpus would shuffle the full
+    text column on doc_id for no reason."""
+    t = F.col(text_col)
+    red, n_email, n_phone, n_ip = _pii_exprs(t)
+    others = [c for c in df.columns if c != text_col]
+    return df.select(
+        *others,
+        red.alias(text_col),
+        (n_email + n_phone + n_ip).cast("long").alias("n_pii"),
     )

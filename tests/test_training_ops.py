@@ -808,3 +808,116 @@ def test_void_property_stats(spark):
     assert out["p1"]["n_objects"] == 2
     assert out["p1"]["n_literal_objects"] == 0
     assert out["p2"]["n_triples"] == 1 and out["p2"]["n_literal_objects"] == 1
+
+
+def test_connected_components_evaluates_pair_pipeline_once(spark):
+    """The propagation path mirrors pairs into a bidirected edge list; a
+    union of two references to an un-checkpointed plan evaluates it
+    twice (the filter/union gotcha). Pin the fix: an accumulator inside
+    a mapInPandas pair source must count each pair exactly once."""
+    from fcrepo3_rdf_extractor_spark.operators.graph import connected_components
+
+    acc = spark.sparkContext.accumulator(0)
+    base = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], ["doc_a", "doc_b"])
+
+    def counted(it):
+        for pdf in it:
+            acc.add(len(pdf))
+            yield pdf
+
+    pairs = base.mapInPandas(counted, schema="doc_a long, doc_b long")
+    out = connected_components(pairs)
+    assert {(r["id"], r["cluster_id"]) for r in out.collect()} == {
+        (1, 1), (2, 1), (3, 1), (10, 10), (11, 10),
+    }
+    assert acc.value == 3
+
+def test_curate_job_line_dedup_and_pii_stages(spark, tmp_path):
+    """Opt-in curate stages: --dedup-lines-min-docs strips the corpus-
+    wide boilerplate line from every doc, --pii-redact replaces
+    emails/phones with placeholders and totals n_pii in the summary."""
+    import json
+    import subprocess
+    import sys
+
+    header = "COOKIE CONSENT BANNER TEXT"
+    en = ("the quick brown fox jumps over the lazy dog and runs into the "
+          "deep green forest to find some quiet rest for the long night "
+          "while the moon rises over the hills write to alice@example.com")
+    es = ("el perro corre por la casa de la abuela en el campo mientras "
+          "el gato duerme en la silla junto a la puerta grande llama al "
+          "555-123-4567 ahora")
+    rows = [
+        (0, f"{header}\n{en}", "en", "srcA", 1),
+        (1, f"{header}\n{es}", "es", "srcB", 1),
+        (2, f"{header}\nshort", "und", "srcB", 1),  # only boilerplate + junk
+    ]
+    docs_path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(docs_path)
+
+    out = str(tmp_path / "curated")
+    r = subprocess.run(
+        [sys.executable, "jobs/curate.py", "--docs", docs_path, "--out", out,
+         "--quality-min", "0.5", "--neardup-threshold", "0.5", "--local", "4",
+         "--dedup-lines-min-docs", "2", "--pii-redact"],
+        capture_output=True, text=True,
+        cwd=str(__import__("pathlib").Path(__file__).resolve().parents[1]),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["stages"]["after_line_dedup"] == 3
+    assert "after_pii_redact" in summary["stage_sec"]
+    assert summary["n_pii_redacted"] == 2
+    got = {row.doc_id: row for row in spark.read.parquet(out).collect()}
+    assert set(got) == {0, 1}  # doc 2 fails quality after header strip
+    for row in got.values():
+        assert header not in row.text
+    assert "<EMAIL>" in got[0].text and "alice@example.com" not in got[0].text
+    assert "<PHONE>" in got[1].text
+    assert got[0].n_pii == 1 and got[1].n_pii == 1
+
+def test_pq_encode_seed_vectors_hit_own_codeword(spark):
+    """Codebooks are the subvectors of the 16 lowest-id vectors, so each
+    seed vector must encode to its own codeword id in every subspace."""
+    from fcrepo3_rdf_extractor_spark.operators.similarity import (
+        pq_codebooks, pq_encode)
+
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.randn(64)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books = pq_codebooks(emb, m=8, ksub=16)
+    out = {r["vec_id"]: r for r in pq_encode(emb, books).collect()}
+    assert len(out) == 40
+    for i in range(16):
+        assert [out[i][f"c{s}"] for s in range(8)] == [i] * 8
+
+
+def test_pq_topk_matches_numpy_adc(spark):
+    """pq_topk must equal the NumPy ADC computation: encode with the
+    same codebooks, distance-table lookups, ascending sum."""
+    from fcrepo3_rdf_extractor_spark.operators.similarity import (
+        pq_codebooks, pq_topk)
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(60, 64).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books = pq_codebooks(emb, m=8, ksub=16)
+
+    b = np.array(books, dtype=np.float64)          # (8, 16, 8)
+    v = vecs.astype(np.float64).reshape(60, 8, 8)  # (n, s, d)
+    # codes: argmin over squared L2 per subspace (ties -> low id)
+    d2 = ((v[:, :, None, :] - b[None, :, :, :]) ** 2).sum(-1)  # (n, s, 16)
+    codes = d2.argmin(axis=2)
+    q = v[0]
+    dt = ((q[:, None, :] - b) ** 2).sum(-1)        # (s, 16)
+    adist = np.array([dt[range(8), codes[i]].sum() for i in range(60)])
+    order = sorted((float(adist[i]), i) for i in range(1, 60))[:10]
+
+    got = [(r["vec_id"], r["adist"]) for r in
+           pq_topk(emb, books, query_id=0, k=10).collect()]
+    assert [g[0] for g in got] == [i for _, i in order]
+    for (gid, gad), (ead, _) in zip(got, order):
+        assert abs(gad - ead) < 1e-6
