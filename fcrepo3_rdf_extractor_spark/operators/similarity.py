@@ -359,9 +359,12 @@ def pq_encode(
     Quantization for Nearest Neighbor Search", TPAMI 2011).
 
     Scale shape: codebooks are DRIVER-HELD literals folded into a pure
-    codegen projection (the kmeans_train pattern) — no join, no
-    broadcast table, no shuffle, no Python; m * ksub fused distance
-    folds per row inside one WholeStageCodegen stage."""
+    JVM projection (the kmeans_train pattern) — no join, no broadcast
+    table, no shuffle, no Python. The scan + subspace-slice stage is
+    whole-stage-codegen'd; the m * ksub distance folds use higher-order
+    functions (aggregate/zip_with), which are CodegenFallback in Spark
+    4.1 — interpreted expression eval, still JVM-side row-at-a-time
+    over the codegen'd scan (plan-pinned in tests/test_plans.py)."""
     m = len(codebooks)
     d = len(codebooks[0][0])
     staged = _pq_subspace_cols(emb, m, d, vec_col)

@@ -235,3 +235,40 @@ def test_stratified_sample_broadcasts_rates(spark):
     plan = _formatted(docs_stratified_sample(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_pq_encode_is_shuffle_free_jvm_projection(spark):
+    """PQ encoding is a pure projection over driver-held literal
+    codebooks: the plan must contain no Exchange, no join, and no
+    Python eval node — the property that makes it a free rider on any
+    corpus scan at 10^9 vectors. The scan + subspace-slice stage is
+    whole-stage-codegen'd; the argmin projection itself uses
+    higher-order functions (aggregate/zip_with), which are
+    CodegenFallback — JVM interpreted-eval, still no Python."""
+    from fcrepo3_rdf_extractor_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    books = pq_codebooks(emb, m=8, ksub=16)
+    plan = _formatted(pq_encode(emb, books))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+    assert "codegen id" in plan, plan  # the scan/slice stage stays fused
+
+
+def test_pq_topk_takeordered_no_global_sort(spark):
+    """ADC top-k must be TakeOrderedAndProject over the codegen scan —
+    never a full Sort + Limit materialization."""
+    from fcrepo3_rdf_extractor_spark.operators.similarity import (
+        pq_codebooks,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    books = pq_codebooks(emb, m=8, ksub=16)
+    plan = _formatted(pq_topk(emb, books, query_id=0, k=10))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange" not in plan, plan
