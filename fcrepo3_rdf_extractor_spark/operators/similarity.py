@@ -102,6 +102,27 @@ def lsh_topk_multiprobe(
     q = _query_vector(emb, query_id).withColumn(
         "q_bucket", sign_bucket_col(F.col("q_emb"), sign_bits)
     )
+    probe_tbl = q.select(
+        "q_id", "q_emb",
+        F.explode(F.array(*_probe_buckets(sign_bits, radius))).alias("bucket"),
+    )
+    bucketed = emb.withColumn("bucket", sign_bucket_col(F.col("embedding"), sign_bits))
+    scored = (
+        bucketed.join(F.broadcast(probe_tbl), "bucket")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "vec_id",
+            F.round(cosine_col(F.col("embedding"), F.col("q_emb")), 6).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(k)
+
+
+def _probe_buckets(sign_bits: int, radius: int) -> list[Column]:
+    """The probe-bucket expressions over a ``q_bucket`` column: the
+    bucket itself plus (radius >= 1) every single-bit flip. Row-wise
+    column math, so the same list serves a 1-row query frame
+    (:func:`lsh_topk_multiprobe`) or an n-row panel (:func:`ann_recall`)."""
     probes = [F.col("q_bucket")]
     if radius >= 1:
         for i in range(sign_bits):
@@ -115,19 +136,88 @@ def lsh_topk_multiprobe(
                     F.substring("q_bucket", i + 2, sign_bits),
                 )
             )
-    probe_tbl = q.select(
-        "q_id", "q_emb", F.explode(F.array(*probes)).alias("bucket")
+    return probes
+
+
+def ann_recall(
+    emb: DataFrame,
+    n_queries: int = 8,
+    k: int = 10,
+    sign_bits: int = 4,
+    radius: int = 1,
+) -> DataFrame:
+    """Recall@k of multi-probe LSH against exact brute force, per query,
+    over a panel of query vectors (``vec_id < n_queries``) — the quality
+    gate an ANN deployment ships with: you don't tune ``sign_bits`` /
+    ``radius`` by feel, you measure what fraction of the true top-k the
+    index returns. Output (query_id, n_hits, recall); a query whose
+    bucket probes miss everything still appears with recall 0.0.
+
+    Scale shape: this is an EVALUATION harness, run on a sampled corpus
+    + sampled query panel (nobody brute-forces 10^9 vectors to score an
+    index — the exact arm is the expensive one by design). The query
+    panel broadcasts; both arms rank with one window partitioned by
+    query_id, fine for a panel-sized partition count at eval scale (the
+    per-query SERVING path stays TakeOrderedAndProject —
+    :func:`lsh_topk_multiprobe`). Ranking ties break on (cosine desc,
+    vec_id asc) — the same total order as every top-k here, so the
+    recall number is deterministic and cross-engine checkable."""
+    assert radius in (0, 1), "only radius 0/1 probing implemented"
+    from pyspark.sql import Window
+
+    panel = F.broadcast(
+        emb.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            sign_bucket_col(F.col("embedding"), sign_bits).alias("q_bucket"),
+        )
     )
-    bucketed = emb.withColumn("bucket", sign_bucket_col(F.col("embedding"), sign_bits))
-    scored = (
-        bucketed.join(F.broadcast(probe_tbl), "bucket")
-        .filter(F.col("vec_id") != F.col("q_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+
+    def topk(scored: DataFrame) -> DataFrame:
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .select("query_id", "vec_id")
+        )
+
+    exact = topk(
+        emb.crossJoin(panel)
+        .filter(F.col("vec_id") != F.col("query_id"))
         .select(
-            "vec_id",
+            "query_id", "vec_id",
             F.round(cosine_col(F.col("embedding"), F.col("q_emb")), 6).alias("cosine"),
         )
     )
-    return scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(k)
+    probe_tbl = panel.select(
+        "query_id", "q_emb",
+        F.explode(F.array(*_probe_buckets(sign_bits, radius))).alias("bucket"),
+    )
+    bucketed = emb.withColumn("bucket", sign_bucket_col(F.col("embedding"), sign_bits))
+    approx = topk(
+        bucketed.join(F.broadcast(probe_tbl), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id",
+            F.round(cosine_col(F.col("embedding"), F.col("q_emb")), 6).alias("cosine"),
+        )
+    )
+    hits = (
+        exact.join(approx, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    return (
+        panel.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(float(k)), 6).alias("recall"),
+        )
+    )
 
 
 def ivf_topk(

@@ -1694,6 +1694,66 @@ def emb_lsh_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_recall_probes_sql(sign_bits: int = 4) -> str:
+    """Per-query probe rows (query bucket + all 1-bit flips), each row
+    carrying (query_id, q_emb) — the n-query generalization of
+    :func:`_multiprobe_flips_sql`."""
+    rows = ["SELECT query_id, q_emb, q_bucket AS b FROM q"]
+    for i in range(sign_bits):
+        rows.append(
+            f"SELECT query_id, q_emb, substr(q_bucket, 1, {i}) || "
+            f"(CASE substr(q_bucket, {i + 1}, 1) WHEN '1' THEN '0' ELSE '1' END) || "
+            f"substr(q_bucket, {i + 2}) FROM q"
+        )
+    return "\n          UNION ALL ".join(rows)
+
+
+@_q(
+    "emb_ann_recall",
+    f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, {_BUCKET_SQL} AS bucket
+                   FROM embeddings),
+        q AS (SELECT vec_id AS query_id, emb AS q_emb, bucket AS q_bucket
+              FROM e WHERE vec_id < 8),
+        exact AS (
+          SELECT query_id, vec_id FROM (
+            SELECT q.query_id, e.vec_id,
+                   row_number() OVER (
+                     PARTITION BY q.query_id
+                     ORDER BY round({_COS_SQL.format(a='e.emb', b='q.q_emb')}, 6) DESC,
+                              e.vec_id ASC) AS rn
+            FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id) WHERE rn <= 10),
+        probes AS (
+          {_ann_recall_probes_sql(4)}),
+        approx AS (
+          SELECT query_id, vec_id FROM (
+            SELECT p.query_id, e.vec_id,
+                   row_number() OVER (
+                     PARTITION BY p.query_id
+                     ORDER BY round({_COS_SQL.format(a='e.emb', b='p.q_emb')}, 6) DESC,
+                              e.vec_id ASC) AS rn
+            FROM e JOIN probes p ON e.bucket = p.b
+            WHERE e.vec_id <> p.query_id) WHERE rn <= 10),
+        hits AS (
+          SELECT a.query_id, count(*) AS n_hits
+          FROM exact a JOIN approx b
+            ON a.query_id = b.query_id AND a.vec_id = b.vec_id
+          GROUP BY a.query_id)
+        SELECT q.query_id,
+               CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+               round(coalesce(h.n_hits, 0) / 10.0, 6) AS recall
+        FROM q LEFT JOIN hits h ON q.query_id = h.query_id""",
+)
+def emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of radius-1 multi-probe LSH vs exact top-10 over an
+    8-query panel — the measured quality gate for the ANN index
+    parameters (sign_bits/radius), not a by-feel setting."""
+    from .operators.similarity import ann_recall
+
+    return ann_recall(
+        _read(spark, sf_dir, "embeddings"), n_queries=8, k=10, sign_bits=4, radius=1
+    )
+
+
 @_q(
     "emb_near_duplicates",
     f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, {_BUCKET_SQL} AS bucket
