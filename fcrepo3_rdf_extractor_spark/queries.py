@@ -737,6 +737,62 @@ def join_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "join_outer_custdist",
+    """SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+       FROM (SELECT c.c_custkey,
+                    CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+             FROM customer c LEFT OUTER JOIN orders o
+               ON c.c_custkey = o.o_custkey
+             GROUP BY c.c_custkey) t
+       GROUP BY n_orders""",
+)
+def join_outer_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (TPC-H Q13 shape): LEFT OUTER
+    join preserving order-less customers, count(non-null) per customer,
+    then a distribution over the counts. Scale shape: the outer join
+    shuffles both sides on custkey and the per-customer groupBy reuses
+    that partitioning (no second exchange on the wide side); the
+    distribution groupBy moves one row per customer."""
+    cust = _read(spark, sf_dir, "customer").select("c_custkey")
+    orders = _read(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count("*").cast("long").alias("n_customers")
+    )
+
+
+@_q(
+    "events_lag_lead_gaps",
+    """SELECT event_id, user_id,
+              CAST(floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) AS BIGINT)
+                AS gap_prev_sec,
+              CAST(floor(epoch(lead(ts) OVER w)) - floor(epoch(ts)) AS BIGINT)
+                AS gap_next_sec
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+)
+def events_lag_lead_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gaps via lag/lead over one window (the
+    sessionization primitive). Ordering tiebreaks on event_id so frames
+    are total-ordered and both engines agree; first/last events keep
+    NULL gaps. One exchange on user_id serves both offsets."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.unix_timestamp("ts")
+    return ev.select(
+        "event_id", "user_id",
+        (sec - F.unix_timestamp(F.lag("ts").over(w))).cast("long").alias("gap_prev_sec"),
+        (F.unix_timestamp(F.lead("ts").over(w)) - sec).cast("long").alias("gap_next_sec"),
+    )
+
+
+@_q(
     "tpch_q1_pricing_summary",
     """SELECT l_returnflag, l_linestatus,
               round(sum(l_quantity), 2) AS sum_qty,
