@@ -205,10 +205,17 @@ def minhash_incremental_candidates(
     the same signature/banding parameters.
 
     The ``max_bucket`` bound is counted over the UNION bucket (old + new
-    members), so dropped buckets are exactly the buckets a full
-    recompute over the combined corpus would drop — the invariant that
-    makes previous-pairs ∪ incremental-pairs equal the full-recompute
-    pair set. Output is canonical (doc_a < doc_b) and distinct."""
+    members), so a bucket this wave drops is exactly a bucket the full
+    recompute over the combined corpus would drop. For buckets that
+    never cross ``max_bucket`` across waves (the overwhelmingly common
+    case), previous-pairs ∪ incremental-pairs EQUALS the full-recompute
+    pair set. A bucket that crosses the bound mid-history diverges in
+    one bounded way: pairs admitted while it was small persist in the
+    state, while a from-scratch recompute would drop the whole bucket —
+    monotone-admission semantics, which is the stable choice for a
+    production pipeline (a wave arriving never silently un-deduplicates
+    documents already clustered). Output is canonical (doc_a < doc_b)
+    and distinct."""
     from pyspark.sql import Window
 
     tagged = new_bands.select(

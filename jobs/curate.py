@@ -25,6 +25,31 @@ Exit contract: ONE JSON summary line (per-stage survivor counts, per-stage
 wall seconds + output path) on stdout; the curated parquet carries the
 original columns plus pred_lang, quality, n_tokens.
 
+Incremental waves (``--state STATE_DIR``): the corpus arrives append-only,
+one wave per run, and per-document state accumulates under
+``STATE_DIR/w0000, w0001, ...`` (dedup is an OUTPUT-layer decision — a
+deduped table cannot be maintained incrementally because cluster minima
+change when later waves bridge clusters, so the state keeps EVERY
+document and the keep-set is recomputed at export). Each wave directory
+holds only that wave's increment:
+
+  docs.parquet    wave docs + content_md5, quality, pred_lang, keep_exact
+  bands.parquet   LSH band rows for the wave's exact-dedup survivors
+  pairs.parquet   verified near-dup pairs INTRODUCED by this wave (the
+                  new-new/new-old probe against the persisted band table;
+                  old-old pairs are never recomputed)
+
+Per-wave cost is O(wave) for signatures/annotations (the expensive
+per-document stages never re-run over the corpus) plus an export pass
+over survivors; union(state pairs) feeds clustering, which is exact: the
+curated output after wave N is IDENTICAL to a one-shot run over the
+concatenated corpus (pytest-enforced). Wave doc_ids must be fresh and
+larger than every stored id (append-only contract; keeps exact-dedup
+witnesses stable). ``--dedup-lines-min-docs`` is rejected with --state:
+corpus-level line dedup rewrites text as the corpus grows, which would
+invalidate stored signatures. PII redaction and token counting run at
+export (same relative order as the one-shot path).
+
 Stage timing: each stage boundary is persisted and counted before the next
 stage builds on it, so the wall time of that persist+count action is the
 incremental cost of exactly that stage (upstream is already cached). The
@@ -64,6 +89,9 @@ def main(argv: list[str] | None = None) -> int:
                     help='JSON dict of per-source keep rates, e.g. {"src0": 1.0}')
     ap.add_argument("--default-rate", type=float, default=1.0,
                     help="keep rate for sources not listed in --rates")
+    ap.add_argument("--state", default=None,
+                    help="per-document state directory for incremental "
+                         "waves (see module docstring); absent = one-shot")
     ap.add_argument("--local", type=int, default=None)
     ap.add_argument("--input-partitions", type=int, default=None,
                     help="repartition the input scan (a 100-TB corpus gets "
@@ -100,6 +128,19 @@ def main(argv: list[str] | None = None) -> int:
         quality_score,
         token_count,
     )
+
+    if args.state:
+        if args.dedup_lines_min_docs > 0:
+            print("error: --dedup-lines-min-docs is incompatible with "
+                  "--state (corpus-level line dedup rewrites text as the "
+                  "corpus grows, invalidating stored signatures)",
+                  file=sys.stderr)
+            spark.stop()
+            return 2
+        summary = _run_incremental_wave(spark, args)
+        print(json.dumps(summary))
+        spark.stop()
+        return 0
 
     docs = spark.read.parquet(args.docs)
     if args.input_partitions:
@@ -238,6 +279,181 @@ def main(argv: list[str] | None = None) -> int:
     print(json.dumps(summary))
     spark.stop()
     return 0
+
+
+def _run_incremental_wave(spark, args) -> dict:
+    """One append-only wave against the per-document state directory
+    (module docstring has the layout + invariants). Returns the summary
+    dict for the exit-contract JSON line."""
+    import glob as globmod
+    import time
+
+    from pyspark.sql import functions as F
+
+    from fcrepo3_rdf_extractor_spark.operators.dedup_approx import (
+        band_table,
+        minhash_incremental_pairs,
+        minhash_near_duplicates,
+        minhash_signature,
+    )
+    from fcrepo3_rdf_extractor_spark.operators.graph import dedup_clusters
+    from fcrepo3_rdf_extractor_spark.operators.sampling import stratified_sample
+    from fcrepo3_rdf_extractor_spark.operators.text import (
+        language_id,
+        quality_score,
+        token_count,
+    )
+
+    t_start = time.perf_counter()
+    stage_sec: dict[str, float] = {}
+
+    def mark(label, t0=[t_start]):
+        stage_sec[label] = round(time.perf_counter() - t0[0], 3)
+        t0[0] = time.perf_counter()
+
+    waves = sorted(globmod.glob(os.path.join(args.state, "w[0-9]*")))
+    wave_id = len(waves)
+    wdir = os.path.join(args.state, f"w{wave_id:04d}")
+
+    new_docs = spark.read.parquet(args.docs)
+    if args.input_partitions:
+        new_docs = new_docs.repartition(args.input_partitions)
+    new_docs = new_docs.persist()
+    n_new = new_docs.count()
+
+    old_docs = None
+    if waves:
+        old_docs = spark.read.parquet(*[os.path.join(w, "docs.parquet")
+                                        for w in waves])
+        # append-only contract: fresh ids, larger than everything stored
+        # (keeps every exact-dedup witness and cluster minimum stable)
+        max_old = old_docs.agg(F.max("doc_id")).collect()[0][0]
+        min_new = new_docs.agg(F.min("doc_id")).collect()[0][0]
+        if max_old is not None and min_new is not None and min_new <= max_old:
+            raise SystemExit(
+                f"--state wave violates the append-only contract: new "
+                f"min doc_id {min_new} <= stored max doc_id {max_old}"
+            )
+    mark("input")
+
+    # exact dedup, O(wave): a new doc survives iff its md5 is unseen in
+    # the state AND it is the min-id holder of its md5 within the wave
+    hashed = new_docs.withColumn("content_md5", F.md5("text"))
+    if old_docs is not None:
+        unseen = hashed.join(
+            old_docs.select("content_md5"), "content_md5", "left_anti"
+        )
+    else:
+        unseen = hashed
+    wave_witness = unseen.groupBy("content_md5").agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id")
+    annotated = (
+        hashed.join(wave_witness.withColumn("_ke", F.lit(True)), "doc_id", "left")
+        .withColumn("keep_exact", F.coalesce("_ke", F.lit(False)))
+        .drop("_ke")
+    )
+
+    # per-wave annotations (original text — pii/token-count run at export,
+    # same relative order as the one-shot path)
+    q = quality_score(annotated).select("doc_id", "quality")
+    l = language_id(annotated).select("doc_id", "pred_lang")
+    annotated = annotated.join(q, "doc_id").join(l, "doc_id").persist()
+    annotated.count()
+    mark("annotate_wave")
+
+    os.makedirs(wdir, exist_ok=True)
+    annotated.write.mode("overwrite").parquet(os.path.join(wdir, "docs.parquet"))
+
+    n_pairs_new = 0
+    if args.neardup_threshold > 0:
+        survivors = annotated.filter(F.col("keep_exact"))
+        new_bands = band_table(
+            minhash_signature(survivors, "text", 8), bands=4, rows_per_band=2
+        )
+        new_bands.write.mode("overwrite").parquet(
+            os.path.join(wdir, "bands.parquet")
+        )
+        if waves:
+            old_bands = spark.read.parquet(
+                *[os.path.join(w, "bands.parquet") for w in waves]
+            )
+            all_text = old_docs.select("doc_id", "text").union(
+                annotated.select("doc_id", "text")
+            )
+            wave_pairs = minhash_incremental_pairs(
+                survivors, old_bands, all_text,
+                threshold=args.neardup_threshold, num_hashes=8, bands=4,
+            ).select("doc_a", "doc_b")
+        else:
+            wave_pairs = minhash_near_duplicates(
+                survivors, threshold=args.neardup_threshold,
+                num_hashes=8, bands=4,
+            ).select("doc_a", "doc_b")
+        wave_pairs.write.mode("overwrite").parquet(
+            os.path.join(wdir, "pairs.parquet")
+        )
+        n_pairs_new = spark.read.parquet(
+            os.path.join(wdir, "pairs.parquet")
+        ).count()
+    mark("neardup_wave")
+
+    # export over the full state: recompute the keep-set (cluster minima
+    # may shift when this wave bridges old clusters) and materialize the
+    # curated corpus — cost O(corpus survivors), the export-layer pass
+    all_waves = waves + [wdir]
+    state_docs = spark.read.parquet(
+        *[os.path.join(w, "docs.parquet") for w in all_waves]
+    )
+    exact_kept = state_docs.filter(F.col("keep_exact"))
+    if args.neardup_threshold > 0:
+        all_pairs = spark.read.parquet(
+            *[os.path.join(w, "pairs.parquet") for w in all_waves]
+        )
+        clusters = dedup_clusters(all_pairs, exact_kept)
+        keep_near = clusters.filter(F.col("keep")).select("doc_id")
+        kept = exact_kept.join(keep_near, "doc_id", "left_semi")
+    else:
+        kept = exact_kept
+    kept = kept.filter(F.col("quality") >= args.quality_min)
+    if args.langs:
+        allow = [s.strip() for s in args.langs.split(",") if s.strip()]
+        kept = kept.filter(F.col("pred_lang").isin(allow))
+    rates = json.loads(args.rates) if args.rates else {}
+    if rates or args.default_rate < 1.0:
+        kept = stratified_sample(
+            kept, key_col="doc_id", strata_col="source",
+            rates=rates, default_rate=args.default_rate,
+        )
+    if args.pii_redact:
+        from fcrepo3_rdf_extractor_spark.operators.text import pii_redact_inplace
+
+        kept = pii_redact_inplace(kept)
+    toks = token_count(kept).select("doc_id", "n_tokens")
+    curated = kept.drop("content_md5", "keep_exact").join(toks, "doc_id")
+    curated.write.mode("overwrite").parquet(args.out)
+    mark("export")
+    stage_sec["total"] = round(time.perf_counter() - t_start, 3)
+
+    written = spark.read.parquet(args.out)
+    new_docs.unpersist()
+    annotated.unpersist()
+    summary = {
+        "out": args.out,
+        "state": args.state,
+        "wave": wave_id,
+        "stages": {"wave_docs": n_new, "wave_pairs": n_pairs_new},
+        "stage_sec": stage_sec,
+        "n_docs": written.count(),
+        "n_tokens": written.agg(
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("t")
+        ).collect()[0][0],
+    }
+    if "n_pii" in written.columns:
+        summary["n_pii_redacted"] = written.agg(
+            F.coalesce(F.sum("n_pii"), F.lit(0)).alias("p")
+        ).collect()[0][0]
+    return summary
 
 
 if __name__ == "__main__":

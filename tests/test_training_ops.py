@@ -503,6 +503,65 @@ def test_curate_job_end_to_end(spark, tmp_path):
     assert {"pred_lang", "quality", "n_tokens"} <= cols
 
 
+def test_curate_incremental_waves_match_one_shot(spark, tmp_path):
+    """Two append-only waves through ``--state`` must export EXACTLY the
+    corpus a one-shot run over the concatenated input produces — same
+    surviving doc_ids, same annotation values. Also pins the
+    append-only contract: a wave reusing stored doc_ids is refused."""
+    import json
+    import subprocess
+    import sys
+
+    repo = str(__import__("pathlib").Path(__file__).resolve().parents[1])
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    full = str(tmp_path / "full")
+    w1 = str(tmp_path / "w1")
+    w2 = str(tmp_path / "w2")
+    docs.write.parquet(full)
+    docs.filter("doc_id < 400").write.parquet(w1)
+    docs.filter("doc_id >= 400").write.parquet(w2)
+
+    def run(args_):
+        return subprocess.run(
+            [sys.executable, "jobs/curate.py", "--quality-min", "0.3",
+             "--neardup-threshold", "0.5", "--local", "4"] + args_,
+            capture_output=True, text=True, cwd=repo,
+        )
+
+    state = str(tmp_path / "state")
+    out_full = str(tmp_path / "out_full")
+    out_w1 = str(tmp_path / "out_w1")
+    out_w2 = str(tmp_path / "out_w2")
+    r = run(["--docs", full, "--out", out_full])
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = run(["--docs", w1, "--state", state, "--out", out_w1])
+    assert r.returncode == 0, r.stderr[-2000:]
+    s1 = json.loads(r.stdout.strip().splitlines()[-1])
+    assert s1["wave"] == 0
+    r = run(["--docs", w2, "--state", state, "--out", out_w2])
+    assert r.returncode == 0, r.stderr[-2000:]
+    s2 = json.loads(r.stdout.strip().splitlines()[-1])
+    assert s2["wave"] == 1 and s2["stages"]["wave_docs"] == 100
+
+    cols = ["doc_id", "text", "quality", "pred_lang", "n_tokens"]
+    got = {tuple(r_) for r_ in
+           spark.read.parquet(out_w2).select(*cols).collect()}
+    want = {tuple(r_) for r_ in
+            spark.read.parquet(out_full).select(*cols).collect()}
+    assert got == want and len(want) > 0
+
+    # append-only violation: re-sending wave-1 ids must be refused
+    r = run(["--docs", w1, "--state", state, "--out", str(tmp_path / "bad")])
+    assert r.returncode != 0
+    assert "append-only" in (r.stderr + r.stdout)
+
+    # line dedup is incompatible with incremental state
+    r = run(["--docs", w2, "--state", state, "--out", str(tmp_path / "bad2"),
+             "--dedup-lines-min-docs", "2"])
+    assert r.returncode == 2
+    assert "incompatible" in r.stderr
+
+
 def test_pack_shards_leaves_no_cache_behind(spark):
     """pack_shards is one lazy deterministic plan: materializing it must
     not add entries to the executor cache (the earlier formulation
