@@ -230,41 +230,75 @@ def run_scaling(sf_dir: str, lo: int, hi: int, copies: int = 1) -> dict:
 
 
 def _synthesize_curate_corpus(sf_dir: str, copies: int, out_path: str) -> int:
-    """Synthesize the curate-bench input: ``copies`` rotation-concat
-    variants of each base document. Copy i of doc j is doc j's text, a
-    copy-marker token, then doc ((j+i) mod n)'s text — so every copy is
-    textually DISTINCT (exact dedup keeps it) and pairwise dissimilar
-    (shingle Jaccard vs any other copy ~1/3..1/2, straddling the 0.7
-    near-dup threshold), keeping every stage's workload realistic instead
-    of collapsing the corpus into size-``copies`` duplicate clusters.
-    DuckDB, fully deterministic; returns the row count."""
+    """Synthesize the curate-bench input: ``copies * n_base`` documents
+    of ~100 words drawn from the base corpus's vocabulary by a per-doc
+    hash, with PLANTED duplicate structure — 10%% of docs are true
+    near-dups of their predecessor (one-token edit, shingle Jaccard
+    ~0.94, verified and clustered), 5%% are half-overlaps (~0.33,
+    LSH-candidate sometimes, rejected by exact-Jaccard verify), and the
+    rest pairwise share no 3-gram shingles (hash-scrambled word order).
+
+    Duplicate DENSITY is therefore CONSTANT as the corpus scales — the
+    property a scaling measurement needs. The previous rotation-concat
+    design concatenated whole base texts, so all ``copies`` variants of
+    one base doc had mutual Jaccard ~0.33-0.5 and LSH candidate pairs
+    grew QUADRATICALLY in ``copies`` (measured: 4x docs -> 11x near-dup
+    stage wall) — a boilerplate-storm corpus, not a representative one;
+    real pipelines bound that regime with ``max_bucket`` and route the
+    degenerate keys to a separate pass. DuckDB, deterministic within a
+    bench invocation; returns the row count."""
     import duckdb
 
     docs = f"{sf_dir}/documents.parquet"
     con = duckdb.connect()
     n = con.sql(f"SELECT count(*) FROM '{docs}'").fetchone()[0]
+    total = n * copies
     con.sql(f"""
         COPY (
-          WITH base AS (
+          WITH words AS (
+            SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+            FROM '{docs}'),
+          vocab AS (
+            SELECT list(w ORDER BY w) AS v, count(*) AS nv
+            FROM (SELECT w FROM words WHERE length(w) > 0
+                  ORDER BY w LIMIT 4000) t),
+          base AS (
             SELECT *, row_number() OVER (ORDER BY doc_id) - 1 AS rn
-            FROM '{docs}'
-          )
-          SELECT d.doc_id * {copies} + c.i AS doc_id,
-                 CASE WHEN c.i = 0 THEN d.text
-                      ELSE d.text || ' copymark' || c.i || ' ' || r.text
-                 END AS text,
-                 d.lang, d.source,
-                 length(CASE WHEN c.i = 0 THEN d.text
-                        ELSE d.text || ' copymark' || c.i || ' ' || r.text
-                   END) AS n_chars
-          FROM base d
-          CROSS JOIN range({copies}) c(i)
-          JOIN base r ON r.rn = (d.rn + c.i) % {n}
-          ORDER BY doc_id
+            FROM '{docs}'),
+          ids AS (
+            SELECT range AS d,
+                   CASE WHEN range % 20 IN (1, 11) THEN 'near'
+                        WHEN range % 20 = 3 THEN 'half'
+                        ELSE 'uniq' END AS cls
+            FROM range({total})),
+          toks AS (
+            -- tok(seed, k): vocabulary word picked by a per-(doc, pos)
+            -- hash; two seeds never share 3 consecutive picks, so
+            -- unrelated docs are shingle-disjoint by construction
+            SELECT d, cls,
+                   list_transform(range(100), k -> v[1 + CAST(
+                     hash(d * 1000003 + k) % nv AS INT)]) AS own,
+                   list_transform(range(100), k -> v[1 + CAST(
+                     hash((d - 1) * 1000003 + k) % nv AS INT)]) AS prev
+            FROM ids CROSS JOIN vocab),
+          texts AS (
+            SELECT d,
+                   CASE cls
+                     WHEN 'near' THEN array_to_string(
+                       ['ndup' || d] || prev[2:100], ' ')
+                     WHEN 'half' THEN array_to_string(
+                       prev[1:50] || own[51:100], ' ')
+                     ELSE array_to_string(own, ' ')
+                   END AS text
+            FROM toks)
+          SELECT t.d AS doc_id, t.text, b.lang, b.source,
+                 length(t.text) AS n_chars
+          FROM texts t JOIN base b ON b.rn = t.d % {n}
+          ORDER BY t.d
         ) TO '{out_path}' (FORMAT PARQUET)
     """)
     con.close()
-    return n * copies
+    return total
 
 
 def run_curate_once(docs_path: str, cores: int, out_dir: str) -> dict:
