@@ -464,3 +464,75 @@ def dedup_lines(
             .alias("n_removed"),
         )
     )
+
+
+# --- containment near-dup --------------------------------------------------
+
+
+def containment_near_duplicates(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    k: int = 3,
+    max_df: int = 1000,
+) -> DataFrame:
+    """Containment near-dup: ``|A∩B| / min(|A|,|B|)`` over distinct word
+    k-gram shingle sets — the asymmetric complement of MinHash/Jaccard.
+    A 1-page document embedded verbatim in a 100-page one has Jaccard
+    ~0.01 (invisible to any usable symmetric threshold, and to MinHash
+    banding whose collision probability tracks symmetric Jaccard), but
+    containment 1.0. This is the operator that catches quote-inflated /
+    concatenation-built near-dups in a training corpus.
+
+    Scale shape (100 TB):
+    - candidates come from a shingle inverted index, (md5(shingle),
+      doc_id) — two narrow columns, one exchange
+    - the pair blow-up of a shared shingle with document frequency df is
+      df^2, so the skew guard bounds df directly: shingles occurring in
+      more than ``max_df`` documents are corpus boilerplate and are
+      dropped BEFORE the self-join (same policy as
+      :func:`minhash_lsh_candidates`'s ``max_bucket``), via a window
+      count on the join's own shuffle key — no extra exchange
+    - the intersection size is ``groupBy(pair).count()`` on the join
+      output (map-side combine), never materialized shingle arrays on
+      the pair rows; set sizes join back from a doc-count-sized table.
+
+    md5 keeps the shingle key portable to the DuckDB oracle; a
+    production build would use xxhash64 (8-byte keys, same plan).
+    """
+    from pyspark.sql import Window
+
+    sh = shingle_table(docs, text_col, k)
+    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
+    inv = sh.select(
+        "doc_id", F.explode("sh").alias("_g")
+    ).select("doc_id", F.md5("_g").alias("g"))
+    bounded = (
+        inv.withColumn("_df", F.count("*").over(Window.partitionBy("g")))
+        .filter(F.col("_df") <= max_df)
+        .drop("_df")
+    )
+    a = bounded.select("g", F.col("doc_id").alias("doc_a"))
+    b = bounded.select("g", F.col("doc_id").alias("doc_b"))
+    common = (
+        a.join(b, "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("_n_common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("_na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("_nb"))
+    return (
+        common.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("_n_common")
+                / F.greatest(F.least("_na", "_nb"), F.lit(1)),
+                6,
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

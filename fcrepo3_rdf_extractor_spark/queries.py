@@ -2336,6 +2336,170 @@ def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =========================================================================
+# round-3 additions: containment dedup, global top-k, Q3 shape, funnel
+# =========================================================================
+
+_CONTAINMENT_SQL = f"""WITH sh AS (
+      SELECT doc_id, list_distinct(sh) AS s
+      FROM (SELECT doc_id, {_SHINGLES} AS sh
+            FROM (SELECT doc_id, {_WORDS} AS w, text FROM documents) a) b),
+    inv AS (SELECT doc_id, md5(g) AS g FROM (SELECT doc_id, unnest(s) AS g FROM sh)),
+    bounded AS (
+      -- mirrors the engine's max_df=1000 boilerplate-shingle bound
+      SELECT doc_id, g FROM (
+        SELECT *, count(*) OVER (PARTITION BY g) AS _df FROM inv) WHERE _df <= 1000),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM bounded a JOIN bounded b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    sizes AS (SELECT doc_id, len(s) AS n_sh FROM sh)
+    SELECT doc_a, doc_b,
+           round(n_common::DOUBLE / greatest(least(na.n_sh, nb.n_sh), 1), 6)
+             AS containment
+    FROM common
+    JOIN sizes na ON na.doc_id = doc_a
+    JOIN sizes nb ON nb.doc_id = doc_b
+    WHERE round(n_common::DOUBLE / greatest(least(na.n_sh, nb.n_sh), 1), 6) >= 0.5"""
+
+
+@_q("docs_containment_neardup", _CONTAINMENT_SQL)
+def docs_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup — catches a short doc embedded in a
+    long one, where symmetric Jaccard (and hence MinHash banding, whose
+    collision probability tracks it) is blind. See
+    operators/dedup_approx.py:containment_near_duplicates for the
+    inverted-index + df-bound scale shape."""
+    from .operators.dedup_approx import containment_near_duplicates
+
+    return containment_near_duplicates(
+        _read(spark, sf_dir, "documents"), threshold=0.5, max_df=1000
+    )
+
+
+@_q(
+    "docs_top_terms_global",
+    f"""SELECT term, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest({_WORDS}) AS term FROM documents)
+        GROUP BY term
+        ORDER BY n DESC, term ASC LIMIT 20""",
+)
+def docs_top_terms_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level heavy hitters (vocabulary head): explode -> count ->
+    top-20. The groupBy gets map-side partial combine (a term occurring
+    10^9 times collapses per partition before the shuffle) and the final
+    order-limit plans as TakeOrderedAndProject — a per-partition heap +
+    driver merge of 20-row tops, never a global sort. The term tiebreak
+    makes the cut deterministic across engines and partitionings."""
+    docs = _read(spark, sf_dir, "documents")
+    from .operators.text import tokens_col
+
+    return (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term").asc())
+        .limit(20)
+    )
+
+
+@_q(
+    "tpch_q3_shipping_priority",
+    """SELECT l_orderkey,
+              round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+              strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+              o_orderpriority
+       FROM customer, orders, lineitem
+       WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+         AND l_orderkey = o_orderkey
+         AND o_orderdate < TIMESTAMP '1998-01-01'
+         AND l_shipdate > TIMESTAMP '1998-01-01'
+       GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""",
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> broadcast -> fact join ->
+    partial-agg -> top-10. customer(BUILDING) broadcasts; both date
+    filters push to the parquet scans; the only exchange is the
+    l_orderkey aggregation; order-limit is TakeOrderedAndProject."""
+    from pyspark.sql.functions import broadcast
+
+    cust = _read(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    orders = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-01-01"
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = _read(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-01-01"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    return (
+        orders.join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@_q(
+    "events_funnel_conversion",
+    """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+                  WHERE event_type = 'view' GROUP BY user_id),
+        c AS (SELECT e.user_id, min(e.ts) AS c_ts
+              FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.v_ts
+              WHERE e.event_type = 'click' GROUP BY e.user_id),
+        p AS (SELECT e.user_id, min(e.ts) AS p_ts
+              FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.c_ts
+              WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+       SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+              CAST((SELECT count(*) FROM c) AS BIGINT) AS n_view_click,
+              CAST((SELECT count(*) FROM p) AS BIGINT) AS n_view_click_purchase""",
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view -> later click -> later purchase): each stage
+    is min-ts-per-user AFTER the previous stage's timestamp. Every
+    groupBy and join hashes on user_id, so the three stages reuse one
+    partitioning end-to-end (exchange reuse across stages); stage
+    counts are 1-row aggregates crossJoined lazily (the documented-fine
+    scalar BNLJ), keeping the whole funnel one inspectable plan."""
+    ev = _read(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    n_v = v.agg(F.count("*").cast("long").alias("n_view"))
+    n_c = c.agg(F.count("*").cast("long").alias("n_view_click"))
+    n_p = p.agg(F.count("*").cast("long").alias("n_view_click_purchase"))
+    return n_v.crossJoin(n_c).crossJoin(n_p)
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(_T)
 

@@ -272,3 +272,41 @@ def test_pq_topk_takeordered_no_global_sort(spark):
     plan = _formatted(pq_topk(emb, books, query_id=0, k=10))
     assert "TakeOrderedAndProject" in plan, plan
     assert "Exchange" not in plan, plan
+
+
+def test_containment_neardup_bounded_equi_join(spark):
+    """Containment dedup must candidate via the shingle inverted index
+    with the max_df window bound riding the join's own exchange —
+    hash-partitioned, never BNLJ/Cartesian — and the intersection size
+    must be a partial-agg count, not materialized shingle arrays."""
+    from fcrepo3_rdf_extractor_spark.queries import docs_containment_neardup
+
+    plan = _formatted(docs_containment_neardup(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan, "intersection count must partial-agg"
+    # the df bound is a window count on the join key
+    assert plan.count("Window") >= 1, plan
+
+
+def test_top_terms_global_take_ordered(spark):
+    """Global top-k must plan TakeOrderedAndProject (per-partition heap +
+    driver merge), never a global Sort, and the term count must combine
+    map-side."""
+    from fcrepo3_rdf_extractor_spark.queries import docs_top_terms_global
+
+    plan = _formatted(docs_top_terms_global(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "partial_count" in plan
+
+
+def test_tpch_q3_broadcasts_dim_and_pushes_dates(spark):
+    """Q3 shape: the filtered customer dim must broadcast; both date
+    filters must reach the parquet scans as PushedFilters; the top-10
+    must be TakeOrderedAndProject."""
+    from fcrepo3_rdf_extractor_spark.queries import tpch_q3_shipping_priority
+
+    plan = _formatted(tpch_q3_shipping_priority(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("PushedFilters: [IsNotNull") >= 2, plan
