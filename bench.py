@@ -87,6 +87,17 @@ def _sf_label(sf_dir: str) -> float | str:
     return base
 
 
+def _steal_jiffies() -> int:
+    """Cumulative hypervisor steal time (jiffies) — co-tenant VMs take
+    CPU from full-width stages specifically, so load average alone
+    misses the interference that matters."""
+    try:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8])
+    except (OSError, IndexError, ValueError):
+        return 0
+
+
 def run_headline(sf_dir: str, cores: int) -> dict:
     import __spark_entry__ as entrymod
     from fcrepo3_rdf_extractor_spark.session import build_session
@@ -100,21 +111,32 @@ def run_headline(sf_dir: str, cores: int) -> dict:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
     _warm_python_workers(spark, cores)
 
+    steal0 = _steal_jiffies()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         # one untimed pass per query: whole-stage codegen compiles (and
         # caches) on first execution; production jobs pay this once per
-        # long-lived session, so steady state is the honest number
+        # long-lived session, so steady state is the honest number.
+        # Then best-of-3 timed passes: this host's hypervisor steals
+        # 1-3 cores' worth of CPU in bursts exactly when a stage goes
+        # full-width (measured: identical warm extraction 4.3-14.6 s,
+        # ~100 CPU-s of /proc/stat steal during the run), so a single
+        # pass is a coin flip and min is the honest estimator
         _materialize(qs[name](spark, sf_dir))
-        df = qs[name](spark, sf_dir)
-        t0 = time.perf_counter()
-        _materialize(df)
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(3):
+            df = qs[name](spark, sf_dir)
+            t0 = time.perf_counter()
+            _materialize(df)
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
 
     # flagship triples/sec on the full extraction pipeline
     n_triples = qs["kg_extract_orders"](spark, sf_dir).count()
     tps = round(n_triples / timings["kg_extract_orders"], 1)
 
+    steal_cpu_sec = round((_steal_jiffies() - steal0) / 100.0, 1)
     spark.stop()
     total = round(sum(timings.values()), 3)
     return {
@@ -126,6 +148,7 @@ def run_headline(sf_dir: str, cores: int) -> dict:
         "cores": cores,
         "triples": n_triples,
         "triples_per_sec": tps,
+        "steal_cpu_sec": steal_cpu_sec,
     }
 
 
@@ -175,12 +198,14 @@ def run_throughput(sf_dir: str, cores: int, copies: int = 1) -> dict:
     # best-of-3: this sandbox is a shared VM with bursty interference
     # (observed 15s..81s for the identical warm job); min is the honest
     # steady-state estimator
+    steal0 = _steal_jiffies()
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
         _materialize(out)
         times.append(round(time.perf_counter() - t0, 3))
     sec = min(times)
+    steal_cpu_sec = round((_steal_jiffies() - steal0) / 100.0, 1)
     n_triples = triples_only(out).count()
     source.unpersist()
     spark.stop()
@@ -192,6 +217,7 @@ def run_throughput(sf_dir: str, cores: int, copies: int = 1) -> dict:
         "triples": n_triples,
         "triples_per_sec": round(n_triples / sec, 1),
         "sf": _sf_label(sf_dir),
+        "steal_cpu_sec": steal_cpu_sec,
     }
 
 
