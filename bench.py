@@ -341,9 +341,12 @@ def run_curate_once(docs_path: str, cores: int, out_dir: str) -> dict:
     local_dir = _bench_local_dir()
     if local_dir:
         env["SPARK_GRAFT_LOCAL_DIR"] = local_dir
+    steal0 = _steal_jiffies()
     proc = subprocess.run(cmd, capture_output=True, text=True, check=True,
                           env=env, cwd=os.path.dirname(os.path.abspath(__file__)))
-    return json.loads(proc.stdout.strip().splitlines()[-1])
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    out["steal_cpu_sec"] = round((_steal_jiffies() - steal0) / 100.0, 1)
+    return out
 
 
 def run_curate_scaling(sf_dir: str, lo: int, hi: int, copies: int,
@@ -373,6 +376,7 @@ def run_curate_scaling(sf_dir: str, lo: int, hi: int, copies: int,
             "docs_per_sec": round(n_docs / best["stage_sec"]["total"], 1),
             "stage_sec": best["stage_sec"],
             "stages": best["stages"],
+            "steal_cpu_sec": best["steal_cpu_sec"],
         }
     dps_lo = results[lo]["docs_per_sec"]
     dps_hi = results[hi]["docs_per_sec"]
