@@ -111,22 +111,36 @@ def connected_components(
 
     converged = False
     for _ in range(max_iter):
-        # candidate labels arriving over edges, merged with current labels
+        # candidate labels arriving over edges, merged with current labels.
+        # The previous label rides the SAME union/groupBy as the new-label
+        # min (each id contributes exactly one labels row, so min(_old)
+        # recovers it; labels only ever decrease, so changed == any
+        # label < _old): convergence then reads the checkpointed blocks —
+        # the former formulation re-joined new vs old labels every round,
+        # a full extra shuffle join of pure fixed cost per round (the
+        # dominant latency on small inputs, where the curate bench showed
+        # the cluster stage wall identical at 8 and 32 cores)
         prop = labels.join(edges, labels["id"] == edges["a"]).select(
-            F.col("b").alias("id"), "label"
+            F.col("b").alias("id"),
+            "label",
+            # typed to the label column (ids may be strings, e.g. the
+            # owl:sameAs closure over URIs)
+            F.lit(None).cast(labels.schema["label"].dataType).alias("_old"),
         )
         new_labels = (
-            labels.select("id", "label").union(prop)
+            labels.select("id", "label", F.col("label").alias("_old"))
+            .union(prop)
             .groupBy("id")
-            .agg(F.min("label").alias("label"))
+            .agg(
+                F.min("label").alias("label"),
+                F.min("_old").alias("_old"),
+            )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("label", "_old"), "id")
-            .filter(F.col("label") != F.col("_old"))
-            .count()
+        changed = new_labels.filter(F.col("label") < F.col("_old")).count()
+        labels = new_labels.select(  # superseded blocks released by ContextCleaner
+            "id", "label"
         )
-        labels = new_labels  # superseded blocks released by ContextCleaner
         if changed == 0:
             converged = True
             break
