@@ -148,3 +148,50 @@ def stratified_sample(
     joined = df.join(F.broadcast(rates_df), strata_col, "left")
     thr = F.coalesce(F.col("_threshold"), F.lit(rate_threshold(default_rate)))
     return joined.filter(_hash_slot(F.col(key_col)) < thr).drop("_threshold")
+
+
+def mixture_rates(
+    df: DataFrame,
+    strata_col: str,
+    weight_col: str,
+    budget: float,
+    shares: dict[str, float] | None = None,
+) -> DataFrame:
+    """Solve the data-mixing knob: per-stratum keep rates such that
+    stratum ``s`` contributes ``budget * share_s`` of ``weight_col``
+    (tokens, usually) in expectation — ``rate_s = min(1,
+    budget*share_s / weight_s)``. ``shares=None`` means uniform across
+    the observed strata. Feed the result into :func:`stratified_sample`.
+
+    One aggregation over the corpus (map-side combine; strata are few),
+    then strata-sized arithmetic: the 1-row stratum count joins via the
+    documented-fine scalar broadcast crossJoin, an explicit shares dict
+    via a broadcast dimension. Nothing corpus-sized shuffles twice, and
+    the solved rates are exact closed forms — no iteration."""
+    agg = df.groupBy(strata_col).agg(
+        F.sum(F.col(weight_col)).cast("long").alias("stratum_weight")
+    )
+    if shares is None:
+        n = agg.agg(F.count("*").alias("_n"))
+        with_share = agg.crossJoin(F.broadcast(n)).withColumn(
+            "_share", F.lit(1.0) / F.col("_n")
+        )
+    else:
+        spark = df.sparkSession
+        shares_df = spark.createDataFrame(
+            [(k, float(v)) for k, v in sorted(shares.items())],
+            f"{strata_col} string, _share double",
+        )
+        with_share = agg.join(F.broadcast(shares_df), strata_col, "inner")
+    return with_share.select(
+        strata_col,
+        "stratum_weight",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                (F.lit(float(budget)) * F.col("_share"))
+                / F.greatest(F.col("stratum_weight"), F.lit(1)),
+            ),
+            6,
+        ).alias("rate"),
+    )

@@ -2500,6 +2500,71 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n_v.crossJoin(n_c).crossJoin(n_p)
 
 
+@_q(
+    "docs_mixture_rates",
+    f"""WITH agg AS (
+          SELECT source, CAST(sum(len({_WORDS})) AS BIGINT) AS stratum_weight
+          FROM documents GROUP BY source),
+        n AS (SELECT count(*) AS _n FROM agg)
+       SELECT source, stratum_weight,
+              round(least(1.0, (25000.0 * (1.0 / _n))
+                               / greatest(stratum_weight, 1)), 6) AS rate
+       FROM agg CROSS JOIN n""",
+)
+def docs_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-mixing solver: per-source keep rates hitting a 25k-token
+    budget at uniform shares (rate_s = min(1, budget*share/tokens_s)).
+    One corpus aggregation, then strata-sized arithmetic; the output is
+    the rates dimension stratified_sample broadcasts."""
+    from .operators.text import tokens_col
+    from .operators.sampling import mixture_rates
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "source", F.size(tokens_col(F.col("text"))).alias("n_tokens")
+    )
+    return mixture_rates(docs, "source", "n_tokens", budget=25000.0)
+
+
+@_q(
+    "events_retention_cohorts",
+    """WITH cohort AS (
+          SELECT user_id, min(date_trunc('week', ts)) AS w0
+          FROM events GROUP BY user_id),
+        activity AS (
+          SELECT DISTINCT user_id, date_trunc('week', ts) AS w
+          FROM events)
+       SELECT strftime(c.w0, '%Y-%m-%d') AS cohort_week,
+              CAST(datediff('day', c.w0, a.w) / 7 AS BIGINT) AS week_offset,
+              CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+       FROM activity a JOIN cohort c ON a.user_id = c.user_id
+       GROUP BY c.w0, datediff('day', c.w0, a.w) / 7""",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week,
+    counted per week offset they return. Both aggregations and the join
+    hash on user_id (one partitioning end-to-end until the final
+    cohort-sized rollup); distinct (user, week) activity collapses
+    map-side before anything shuffles."""
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", "ts").alias("w")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("w").alias("w0"))
+    activity = ev.distinct()
+    return (
+        activity.join(cohort, "user_id")
+        .groupBy(
+            F.col("w0"),
+            (F.datediff(F.col("w"), F.col("w0")) / 7).cast("long").alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+        .select(
+            F.date_format("w0", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_users",
+        )
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(_T)
 

@@ -980,3 +980,33 @@ def test_pq_topk_matches_numpy_adc(spark):
     assert [g[0] for g in got] == [i for _, i in order]
     for (gid, gad), (ead, _) in zip(got, order):
         assert abs(gad - ead) < 1e-6
+
+
+def test_mixture_rates_closed_loop(spark):
+    """The solved rates, applied through stratified_sample, land the
+    kept weight near the budget: heavy strata are rate-limited to
+    budget*share, light strata keep everything (rate 1.0)."""
+    from fcrepo3_rdf_extractor_spark.operators.sampling import (
+        mixture_rates,
+        stratified_sample,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(i, "heavy", 100) for i in range(300)] + [
+        (1000 + i, "light", 100) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w long")
+    # uniform shares over 2 strata, budget 4000 => share*budget = 2000:
+    # heavy (30000) -> rate 2000/30000, light (1000) -> rate 1.0
+    rates = {r.source: r.rate for r in
+             mixture_rates(df, "source", "w", budget=4000.0).collect()}
+    assert rates["light"] == 1.0
+    assert abs(rates["heavy"] - 2000.0 / 30000.0) < 1e-6
+    kept = stratified_sample(df, key_col="doc_id", strata_col="source",
+                             rates=rates)
+    got = kept.groupBy("source").agg(F.sum("w").alias("w")).collect()
+    by_src = {r.source: r.w for r in got}
+    assert by_src["light"] == 1000  # rate 1.0 keeps everything
+    # md5-threshold sampling is exact-in-expectation; 300 docs at rate
+    # 1/15 -> expect ~20 docs (2000 weight), allow generous slack
+    assert 500 <= by_src.get("heavy", 0) <= 4000
