@@ -12,6 +12,9 @@ at most once, in the near-dup signature stage):
   1. exact dedup           keep the min-id witness per identical text
   2. near-dup clustering   MinHash+LSH pairs -> connected components ->
                            keep one canonical doc per cluster
+  2.3 containment (opt-in) drop the smaller doc of any contained pair
+                           (--containment-threshold; fragments/quotes
+                           symmetric Jaccard misses)
   2.5 line dedup (opt-in)  drop lines occurring in >= N distinct docs
                            (--dedup-lines-min-docs; C4/CCNet boilerplate)
   3. quality filter        length/stopword/word-shape score >= threshold
@@ -78,6 +81,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--neardup-threshold", type=float, default=0.7,
                     help="Jaccard threshold for near-dup clustering; "
                          "<=0 disables the stage")
+    ap.add_argument("--containment-threshold", type=float, default=0.0,
+                    help="asymmetric containment dedup: drop the smaller "
+                         "document of any pair whose shingle containment "
+                         "|A∩B|/min(|A|,|B|) meets this (catches fragments "
+                         "embedded in longer docs that symmetric Jaccard "
+                         "misses); <=0 disables the stage")
     ap.add_argument("--dedup-lines-min-docs", type=int, default=0,
                     help="corpus-level line dedup: drop lines occurring in "
                          ">= this many distinct documents (C4/CCNet "
@@ -134,6 +143,13 @@ def main(argv: list[str] | None = None) -> int:
             print("error: --dedup-lines-min-docs is incompatible with "
                   "--state (corpus-level line dedup rewrites text as the "
                   "corpus grows, invalidating stored signatures)",
+                  file=sys.stderr)
+            spark.stop()
+            return 2
+        if args.containment_threshold > 0:
+            print("error: --containment-threshold is incompatible with "
+                  "--state (containment pairs are not carried in the "
+                  "per-wave state schema; run it at export instead)",
                   file=sys.stderr)
             spark.stop()
             return 2
@@ -211,6 +227,37 @@ def main(argv: list[str] | None = None) -> int:
                       "after_neardup")
         sigs.unpersist()
         sh.unpersist()
+
+    # 2.3 (opt-in). containment dedup: drop the SMALLER side of any
+    # contained pair (the fragment/quote), tie-broken to the larger
+    # doc_id — a pure keep policy over the operator's pair output, so
+    # the decision is deterministic across partitionings
+    if args.containment_threshold > 0:
+        from fcrepo3_rdf_extractor_spark.operators.dedup_approx import (
+            containment_near_duplicates,
+        )
+
+        pairs_c = containment_near_duplicates(
+            docs, threshold=args.containment_threshold
+        )
+        sz_a = docs.select(F.col("doc_id").alias("doc_a"),
+                           F.col("n_chars").alias("_ca"))
+        sz_b = docs.select(F.col("doc_id").alias("doc_b"),
+                           F.col("n_chars").alias("_cb"))
+        drop = (
+            pairs_c.join(sz_a, "doc_a").join(sz_b, "doc_b")
+            .select(
+                F.when(
+                    (F.col("_ca") < F.col("_cb"))
+                    | ((F.col("_ca") == F.col("_cb"))
+                       & (F.col("doc_a") > F.col("doc_b"))),
+                    F.col("doc_a"),
+                ).otherwise(F.col("doc_b")).alias("doc_id")
+            )
+            .distinct()
+        )
+        docs = staged(docs.join(drop, "doc_id", "left_anti"),
+                      "after_containment")
 
     # 2.5 (opt-in). corpus-level line dedup: strip boilerplate lines,
     # drop docs that became empty, keep n_chars honest

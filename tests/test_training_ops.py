@@ -1010,3 +1010,60 @@ def test_mixture_rates_closed_loop(spark):
     # md5-threshold sampling is exact-in-expectation; 300 docs at rate
     # 1/15 -> expect ~20 docs (2000 weight), allow generous slack
     assert 500 <= by_src.get("heavy", 0) <= 4000
+
+
+def test_curate_containment_stage_drops_fragment(spark, tmp_path):
+    """--containment-threshold drops a fragment embedded verbatim in a
+    longer document — a pair whose symmetric Jaccard (~0.5) sits below
+    the near-dup threshold, so ONLY the containment stage catches it;
+    the longer original survives."""
+    import json
+    import subprocess
+    import sys
+
+    words = [f"w{i}" for i in range(60)]
+    long_doc = " ".join(words)
+    fragment = " ".join(words[:30])          # containment 1.0, Jaccard ~0.48
+    other = " ".join(f"z{i}" for i in range(40))
+    rows = [
+        (0, long_doc, "en", "srcA", len(long_doc)),
+        (1, fragment, "en", "srcA", len(fragment)),
+        (2, other, "en", "srcB", len(other)),
+    ]
+    docs_path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(docs_path)
+
+    out = str(tmp_path / "curated")
+    r = subprocess.run(
+        [sys.executable, "jobs/curate.py", "--docs", docs_path, "--out", out,
+         "--quality-min", "0", "--neardup-threshold", "0.7",
+         "--containment-threshold", "0.8", "--local", "4"],
+        capture_output=True, text=True,
+        cwd=str(__import__("pathlib").Path(__file__).resolve().parents[1]),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["stages"]["after_neardup"] == 3       # Jaccard too low
+    assert summary["stages"]["after_containment"] == 2   # fragment dropped
+    kept = {row.doc_id for row in spark.read.parquet(out).collect()}
+    assert kept == {0, 2}
+
+
+def test_curate_containment_rejected_with_state(tmp_path):
+    """Containment pairs are not in the per-wave state schema; the CLI
+    must refuse the combination rather than silently diverge from the
+    one-shot result."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "jobs/curate.py", "--docs", "/nonexistent",
+         "--out", str(tmp_path / "o"), "--state", str(tmp_path / "s"),
+         "--containment-threshold", "0.8", "--local", "2"],
+        capture_output=True, text=True,
+        cwd=str(__import__("pathlib").Path(__file__).resolve().parents[1]),
+    )
+    assert r.returncode == 2
+    assert "containment" in r.stderr
