@@ -430,3 +430,76 @@ def void_property_stats(triples: DataFrame) -> DataFrame:
             "n_literal_objects"
         ),
     )
+
+
+def triangle_participation(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Per-vertex triangle counts over an undirected pair graph —
+    (id, n_triangles) for every vertex in at least one triangle. On a
+    near-dup graph this is the clique-ness signal: a vertex whose
+    triangle count is low relative to its degree sits in a sparse,
+    possibly transitively-merged cluster (LSH false positives bridge
+    clusters; triangles don't).
+
+    Scale shape (Suri & Vassilvitskii, WWW'11 "Counting Triangles and
+    the Curse of the Last Reducer"): edges are ORIENTED from the
+    lower-(degree, id) endpoint to the higher one before the wedge
+    self-join, so a degree-d hub generates wedges only from its
+    ~sqrt(m)-bounded forward degree, never d^2 — the skew bound for
+    power-law graphs, analogous to max_bucket elsewhere in this repo.
+    Wedges equi-join back against the oriented edge set to close
+    triangles; every join is hash-partitioned. The input pair plan is
+    localCheckpoint-ed first (it is referenced by the degree table, both
+    wedge sides, and the closing join — self-join sides do not share
+    exchanges, so an un-materialized near-dup pipeline would re-run
+    once per reference).
+    """
+    edges = (
+        pairs.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        edges.select(F.col("u").alias("id"))
+        .union(edges.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    du = deg.select(F.col("id").alias("u"), F.col("deg").alias("_du"))
+    dv = deg.select(F.col("id").alias("v"), F.col("deg").alias("_dv"))
+    # orient low (deg, id) -> high (deg, id); ties impossible on id
+    fwd = (
+        edges.join(du, "u").join(dv, "v")
+        .select(
+            F.when(
+                (F.col("_du") < F.col("_dv"))
+                | ((F.col("_du") == F.col("_dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("lo"), F.col("v").alias("hi")),
+            )
+            .otherwise(F.struct(F.col("v").alias("lo"), F.col("u").alias("hi")))
+            .alias("_e")
+        )
+        .select(F.col("_e.lo").alias("lo"), F.col("_e.hi").alias("hi"))
+    )
+    w1 = fwd.select(F.col("lo").alias("pivot"), F.col("hi").alias("b"))
+    w2 = fwd.select(F.col("lo").alias("pivot"), F.col("hi").alias("c"))
+    wedges = (
+        w1.join(w2, "pivot")
+        .filter(F.col("b") < F.col("c"))  # one wedge per unordered pair
+    )
+    closing = edges.select(
+        F.least("u", "v").alias("b"), F.greatest("u", "v").alias("c")
+    )
+    tri = wedges.join(closing, ["b", "c"])  # (pivot, b, c) triangles
+    return (
+        tri.select(F.explode(F.array("pivot", "b", "c")).alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )

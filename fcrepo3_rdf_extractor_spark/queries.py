@@ -2565,6 +2565,34 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "docs_triangle_participation",
+    f"""WITH p AS ({_MINHASH_NEARDUP_SQL}),
+        e AS (SELECT doc_a AS u, doc_b AS v FROM p),
+        t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+              FROM e e1
+              JOIN e e2 ON e1.v = e2.u
+              JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+       SELECT id, CAST(count(*) AS BIGINT) AS n_triangles
+       FROM (SELECT unnest([a, b, c]) AS id FROM t)
+       GROUP BY id""",
+)
+def docs_triangle_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counts over the MinHash near-dup graph — the
+    clique-ness signal that separates genuine duplicate clusters from
+    LSH-bridged chains. Degree-oriented wedge counting (see
+    operators/graph.py:triangle_participation for the last-reducer skew
+    bound); the oracle counts a<b<c edge triples directly, which any
+    consistent orientation reproduces exactly once per triangle."""
+    from .operators.dedup_approx import minhash_near_duplicates
+    from .operators.graph import triangle_participation
+
+    pairs = minhash_near_duplicates(
+        _read(spark, sf_dir, "documents"), threshold=0.5, num_hashes=8, bands=4
+    )
+    return triangle_participation(pairs)
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(_T)
 

@@ -1067,3 +1067,16 @@ def test_curate_containment_rejected_with_state(tmp_path):
     )
     assert r.returncode == 2
     assert "containment" in r.stderr
+
+
+def test_triangle_participation_known_graph(spark):
+    """K4 plus a pendant edge: every K4 vertex sits in C(3,2)=3
+    triangles, the pendant vertex in none (and is absent from the
+    output). Duplicate/reversed input pairs must not double-count."""
+    from fcrepo3_rdf_extractor_spark.operators.graph import triangle_participation
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    pairs = k4 + [(3, 9), (1, 0), (2, 1)]  # pendant + reversed dups
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {r.id: r.n_triangles for r in triangle_participation(df).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
