@@ -2593,6 +2593,41 @@ def docs_triangle_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_participation(pairs)
 
 
+@_q(
+    "docs_length_histogram",
+    f"""SELECT CAST(least(len({_WORDS}) // 10, 9) AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(min(len({_WORDS})) AS BIGINT) AS min_tokens,
+               CAST(max(len({_WORDS})) AS BIGINT) AS max_tokens
+        FROM documents
+        GROUP BY least(len({_WORDS}) // 10, 9)""",
+)
+def docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram (10-token buckets, top-clamped) — the
+    corpus-profiling pass that sizes packing budgets and length filters.
+    Fixed-width bucketing keys the ONE aggregation directly (map-side
+    combine); an ntile/percentile bucketing would need a global sort
+    first. The token expression is staged once as a projection column
+    (the CollapseProject re-inlining guard, as everywhere else)."""
+    from .operators.text import tokens_col
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.size(tokens_col(F.col("text"))).alias("_n")
+    )
+    return (
+        docs.groupBy(
+            F.least(F.floor(F.col("_n") / 10), F.lit(9))
+            .cast("long")
+            .alias("bucket")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("_n").cast("long").alias("min_tokens"),
+            F.max("_n").cast("long").alias("max_tokens"),
+        )
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(_T)
 
