@@ -2628,6 +2628,32 @@ def docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "events_rolling_avg",
+    """SELECT event_id,
+              round(avg(value) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS rolling_avg
+       FROM events""",
+)
+def events_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 3-row moving average — the smoothing window of metric
+    dashboards. Partitioned by user_id so the sort is per-partition
+    (never global); event_id breaks timestamp ties so the frame is
+    deterministic across engines and partitionings."""
+    from pyspark.sql import Window as W
+
+    ev = _read(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, W.currentRow)
+    )
+    return ev.select(
+        "event_id", F.round(F.avg("value").over(w), 6).alias("rolling_avg")
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(_T)
 
