@@ -2654,6 +2654,33 @@ def events_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "events_topk_per_user",
+    """SELECT user_id, event_id, round(value, 6) AS value
+       FROM (SELECT user_id, event_id, value,
+                    row_number() OVER (
+                      PARTITION BY user_id
+                      ORDER BY value DESC, event_id ASC) AS rn
+             FROM events) t
+       WHERE rn <= 2""",
+)
+def events_topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 events by value per user — the per-key top-k shape (latest
+    N versions, best N candidates). One exchange on user_id, then a
+    per-partition sort + rank; the filter on rn pushes into the window
+    via Spark's rank-limit pushdown, so each group materializes only its
+    top rows. event_id breaks value ties deterministically."""
+    from pyspark.sql import Window as W
+
+    ev = _read(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id").asc())
+    return (
+        ev.select("user_id", "event_id", "value", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 2)
+        .select("user_id", "event_id", F.round("value", 6).alias("value"))
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(_T)
 

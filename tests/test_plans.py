@@ -310,3 +310,15 @@ def test_tpch_q3_broadcasts_dim_and_pushes_dates(spark):
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert plan.count("PushedFilters: [IsNotNull") >= 2, plan
+
+
+def test_topk_per_user_window_group_limit(spark):
+    """Per-key top-k must push the rank limit into the window on BOTH
+    sides of the exchange (partial WindowGroupLimit before the shuffle,
+    final after): each map task forwards at most k rows per group
+    instead of the whole group — the property that makes per-key top-k
+    viable on 10^12-row inputs."""
+    from fcrepo3_rdf_extractor_spark.queries import events_topk_per_user
+
+    plan = _formatted(events_topk_per_user(spark, SF_DIR))
+    assert plan.count("WindowGroupLimit") >= 2, plan
