@@ -502,7 +502,12 @@ def containment_near_duplicates(
     """
     from pyspark.sql import Window
 
-    sh = shingle_table(docs, text_col, k)
+    # localCheckpoint the two frames referenced from multiple join sides
+    # (self-join sides and the two size lookups share no exchanges — an
+    # un-staged plan re-ran tokenize/shingle/md5 up to 8x per query and
+    # the inverted-index window shuffle twice; same staging discipline
+    # as connected_components / dedup_clusters)
+    sh = shingle_table(docs, text_col, k).localCheckpoint()
     sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
     inv = sh.select(
         "doc_id", F.explode("sh").alias("_g")
@@ -511,6 +516,7 @@ def containment_near_duplicates(
         inv.withColumn("_df", F.count("*").over(Window.partitionBy("g")))
         .filter(F.col("_df") <= max_df)
         .drop("_df")
+        .localCheckpoint()
     )
     a = bounded.select("g", F.col("doc_id").alias("doc_a"))
     b = bounded.select("g", F.col("doc_id").alias("doc_b"))

@@ -494,9 +494,8 @@ def triangle_participation(
         w1.join(w2, "pivot")
         .filter(F.col("b") < F.col("c"))  # one wedge per unordered pair
     )
-    closing = edges.select(
-        F.least("u", "v").alias("b"), F.greatest("u", "v").alias("c")
-    )
+    # edges are already canonical u < v, so (u, v) IS the (b, c) order
+    closing = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
     tri = wedges.join(closing, ["b", "c"])  # (pivot, b, c) triangles
     return (
         tri.select(F.explode(F.array("pivot", "b", "c")).alias("id"))

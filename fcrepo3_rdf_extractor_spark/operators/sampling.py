@@ -164,13 +164,20 @@ def mixture_rates(
     the observed strata. Feed the result into :func:`stratified_sample`.
 
     One aggregation over the corpus (map-side combine; strata are few),
-    then strata-sized arithmetic: the 1-row stratum count joins via the
-    documented-fine scalar broadcast crossJoin, an explicit shares dict
-    via a broadcast dimension. Nothing corpus-sized shuffles twice, and
-    the solved rates are exact closed forms — no iteration."""
+    then strata-sized arithmetic over the localCheckpoint-ed aggregate
+    (it is referenced twice — once per crossJoin branch — and an
+    un-materialized lineage would re-run the corpus aggregation per
+    branch, the filter/union double-evaluation class); the solved rates
+    are exact closed forms — no iteration.
+
+    A stratum observed in the data but ABSENT from an explicit
+    ``shares`` dict comes back with ``rate`` 0.0 and its weight listed —
+    never silently dropped (a dropped row would fall through to the
+    caller's ``default_rate`` in :func:`stratified_sample`, typically
+    blowing the budget by the whole stratum)."""
     agg = df.groupBy(strata_col).agg(
         F.sum(F.col(weight_col)).cast("long").alias("stratum_weight")
-    )
+    ).localCheckpoint()
     if shares is None:
         n = agg.agg(F.count("*").alias("_n"))
         with_share = agg.crossJoin(F.broadcast(n)).withColumn(
@@ -182,7 +189,9 @@ def mixture_rates(
             [(k, float(v)) for k, v in sorted(shares.items())],
             f"{strata_col} string, _share double",
         )
-        with_share = agg.join(F.broadcast(shares_df), strata_col, "inner")
+        with_share = agg.join(F.broadcast(shares_df), strata_col, "left").fillna(
+            {"_share": 0.0}
+        )
     return with_share.select(
         strata_col,
         "stratum_weight",

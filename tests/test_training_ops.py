@@ -1002,6 +1002,14 @@ def test_mixture_rates_closed_loop(spark):
              mixture_rates(df, "source", "w", budget=4000.0).collect()}
     assert rates["light"] == 1.0
     assert abs(rates["heavy"] - 2000.0 / 30000.0) < 1e-6
+    # a stratum missing from an explicit shares dict must surface with
+    # rate 0.0, never be dropped (a dropped stratum falls through to the
+    # caller's default_rate and silently blows the budget)
+    explicit = {r.source: r.rate for r in
+                mixture_rates(df, "source", "w", budget=4000.0,
+                              shares={"heavy": 1.0}).collect()}
+    assert explicit["heavy"] == round(min(1.0, 4000.0 / 30000.0), 6)
+    assert explicit["light"] == 0.0
     kept = stratified_sample(df, key_col="doc_id", strata_col="source",
                              rates=rates)
     got = kept.groupBy("source").agg(F.sum("w").alias("w")).collect()
