@@ -496,19 +496,26 @@ def containment_near_duplicates(
     - the intersection size is ``groupBy(pair).count()`` on the join
       output (map-side combine), never materialized shingle arrays on
       the pair rows; set sizes join back from a doc-count-sized table.
+    - numerator AND denominator see the same df-bounded shingle
+      universe: sizes are counted over the bounded index, not the raw
+      shingle sets. Counting raw sizes against a bounded intersection
+      systematically under-scores quote-inflated fragments whose
+      shingles are mostly corpus boilerplate — exactly the documents
+      this operator exists to catch. The metric is therefore true
+      containment OVER THE BOUNDED UNIVERSE (shingles with df>max_df
+      carry no signal about any specific pair anyway).
 
     md5 keeps the shingle key portable to the DuckDB oracle; a
     production build would use xxhash64 (8-byte keys, same plan).
     """
     from pyspark.sql import Window
 
-    # localCheckpoint the two frames referenced from multiple join sides
+    # localCheckpoint the frame referenced from multiple join sides
     # (self-join sides and the two size lookups share no exchanges — an
     # un-staged plan re-ran tokenize/shingle/md5 up to 8x per query and
     # the inverted-index window shuffle twice; same staging discipline
     # as connected_components / dedup_clusters)
-    sh = shingle_table(docs, text_col, k).localCheckpoint()
-    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
+    sh = shingle_table(docs, text_col, k)
     inv = sh.select(
         "doc_id", F.explode("sh").alias("_g")
     ).select("doc_id", F.md5("_g").alias("g"))
@@ -518,6 +525,10 @@ def containment_near_duplicates(
         .drop("_df")
         .localCheckpoint()
     )
+    # sizes over the SAME bounded universe as the intersection (one
+    # map-side-combined groupBy over the checkpointed index — cheaper
+    # than the raw size(sh) it replaces, which needed its own staging)
+    sizes = bounded.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = bounded.select("g", F.col("doc_id").alias("doc_a"))
     b = bounded.select("g", F.col("doc_id").alias("doc_b"))
     common = (

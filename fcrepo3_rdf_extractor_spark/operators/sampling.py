@@ -174,7 +174,22 @@ def mixture_rates(
     ``shares`` dict comes back with ``rate`` 0.0 and its weight listed —
     never silently dropped (a dropped row would fall through to the
     caller's ``default_rate`` in :func:`stratified_sample`, typically
-    blowing the budget by the whole stratum)."""
+    blowing the budget by the whole stratum). The converse — a share
+    keyed to a stratum absent from the DATA — leaves that share of the
+    budget unspent by design (there is nothing to sample from); callers
+    wanting the full budget should re-solve over observed strata.
+    Explicit shares must be non-negative and sum to at most 1.0
+    (validated up front: an overshooting dict would silently exceed the
+    token budget by ``sum(shares)``x)."""
+    if shares is not None:
+        if any(v < 0 for v in shares.values()):
+            raise ValueError("mixture shares must be non-negative")
+        total = sum(shares.values())
+        if total > 1.0 + 1e-9:
+            raise ValueError(
+                f"mixture shares sum to {total:.6f} > 1.0 — this would "
+                "overshoot the budget; rescale the dict or drop strata"
+            )
     agg = df.groupBy(strata_col).agg(
         F.sum(F.col(weight_col)).cast("long").alias("stratum_weight")
     ).localCheckpoint()

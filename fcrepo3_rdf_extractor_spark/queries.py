@@ -2353,7 +2353,8 @@ _CONTAINMENT_SQL = f"""WITH sh AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
       FROM bounded a JOIN bounded b ON a.g = b.g AND a.doc_id < b.doc_id
       GROUP BY 1, 2),
-    sizes AS (SELECT doc_id, len(s) AS n_sh FROM sh)
+    -- sizes over the SAME bounded universe as the intersection
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM bounded GROUP BY doc_id)
     SELECT doc_a, doc_b,
            round(n_common::DOUBLE / greatest(least(na.n_sh, nb.n_sh), 1), 6)
              AS containment

@@ -244,15 +244,13 @@ def main(argv: list[str] | None = None) -> int:
                            F.col("n_chars").alias("_ca"))
         sz_b = docs.select(F.col("doc_id").alias("doc_b"),
                            F.col("n_chars").alias("_cb"))
+        # pairs are canonical doc_a < doc_b, so the n_chars tie always
+        # drops doc_b (the larger id) — no separate tie branch needed
         drop = (
             pairs_c.join(sz_a, "doc_a").join(sz_b, "doc_b")
             .select(
-                F.when(
-                    (F.col("_ca") < F.col("_cb"))
-                    | ((F.col("_ca") == F.col("_cb"))
-                       & (F.col("doc_a") > F.col("doc_b"))),
-                    F.col("doc_a"),
-                ).otherwise(F.col("doc_b")).alias("doc_id")
+                F.when(F.col("_ca") < F.col("_cb"), F.col("doc_a"))
+                .otherwise(F.col("doc_b")).alias("doc_id")
             )
             .distinct()
         )

@@ -1018,6 +1018,16 @@ def test_mixture_rates_closed_loop(spark):
     # md5-threshold sampling is exact-in-expectation; 300 docs at rate
     # 1/15 -> expect ~20 docs (2000 weight), allow generous slack
     assert 500 <= by_src.get("heavy", 0) <= 4000
+    # overshooting / negative shares are rejected up front — a dict
+    # summing past 1.0 would silently exceed the token budget
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sum"):
+        mixture_rates(df, "source", "w", budget=4000.0,
+                      shares={"heavy": 0.8, "light": 0.3})
+    with _pytest.raises(ValueError, match="non-negative"):
+        mixture_rates(df, "source", "w", budget=4000.0,
+                      shares={"heavy": -0.1})
 
 
 def test_curate_containment_stage_drops_fragment(spark, tmp_path):
