@@ -553,3 +553,127 @@ def containment_near_duplicates(
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+# --- substring-level exact dedup (repeated-span removal) --------------------
+
+
+def dedup_substrings(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+    keep_first: bool = True,
+) -> DataFrame:
+    """Substring-level exact deduplication (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    ExactSubstr semantics at token granularity): any span of ``k``
+    consecutive tokens that occurs more than once corpus-wide — within
+    one document or across documents — is removed everywhere except its
+    first occurrence (``keep_first=True``; ``False`` removes every
+    occurrence, the stricter variant). This is the mid-granularity
+    modality between whole-document dedup (``dedup_exact_docs``) and
+    line dedup (``dedup_lines``): memorized licence blocks, quoted
+    paragraphs, and templated boilerplate that neither whole-doc hashing
+    nor line hashing catches.
+
+    Returns (doc_id, text, n_kept, n_removed) for EVERY input document;
+    ``text`` is the surviving tokens of the normalized token stream
+    (lowercased, single-spaced — the universe the spans are defined
+    over), in original order. Documents shorter than ``k`` tokens pass
+    through whole.
+
+    Scale shape (100 TB):
+    - the span table is one row per k-gram OCCURRENCE — (doc_id, pos,
+      md5(gram)) — built scan-side from a staged token array; a
+      suffix array (the reference algorithm's structure) is a global
+      sorted order and does not distribute, but the k-gram occurrence
+      table IS its Spark-native equivalent for fixed k
+    - duplicated spans come from ONE groupBy(g) with map-side partial
+      combine (a licence block occurring 10^9 times collapses per input
+      partition before it shuffles); the canonical occurrence rides the
+      same aggregate as ``min(struct(doc_id, pos))`` — no frankenrows,
+      no second shuffle
+    - removal joins gram occurrences to the duplicated-span table on the
+      gram hash (the dup side holds one row per DISTINCT duplicated
+      span, far below corpus gram count; a hot span on the probe side is
+      an AQE skew-join split), then explodes each removed occurrence to
+      its k covered token positions — never a row-local O(len^2)
+      all-pairs compare
+    - reassembly is the :func:`dedup_lines` pattern: per-document
+      array_sort inside a single groupBy, no global sort.
+
+    md5 keeps the span key portable to the DuckDB oracle; production
+    would use xxhash64 (8-byte keys, same plan).
+    """
+    # stage the token arrays AND the gram-occurrence table: toks feeds
+    # three consumers (grams, token rows, totals) and grams feeds two
+    # join sides (the dup aggregate and the removal probe) — self-join
+    # sides share no exchanges, so un-staged lineage re-runs split()
+    # 3x and the md5-per-gram projection 2x
+    toks = docs.select(
+        "doc_id", tokens_col(F.col(text_col)).alias("_w")
+    ).localCheckpoint()
+    grams = (
+        toks.filter(F.size("_w") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_w") - k),
+                    lambda i: F.struct(
+                        i.cast("int").alias("pos"),
+                        F.md5(
+                            F.array_join(F.slice("_w", i + 1, k), " ")
+                        ).alias("g"),
+                    ),
+                )
+            ).alias("_o"),
+        )
+        .select("doc_id", F.col("_o.pos").alias("pos"), F.col("_o.g").alias("g"))
+        .localCheckpoint()
+    )
+    dup = (
+        grams.groupBy("g")
+        .agg(
+            F.count("*").alias("_n"),
+            F.min(F.struct("doc_id", "pos")).alias("_keep"),
+        )
+        .filter(F.col("_n") >= 2)
+        .select("g", "_keep")
+    )
+    removed_occ = grams.join(dup, "g")
+    if keep_first:
+        removed_occ = removed_occ.filter(
+            ~(
+                (F.col("doc_id") == F.col("_keep.doc_id"))
+                & (F.col("pos") == F.col("_keep.pos"))
+            )
+        )
+    covered = removed_occ.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("pos"),
+    ).distinct()
+    tok = toks.select("doc_id", F.posexplode("_w").alias("pos", "tok"))
+    kept = tok.join(covered, ["doc_id", "pos"], "left_anti")
+    totals = toks.select("doc_id", F.size("_w").cast("long").alias("_n_tok"))
+    agg = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s.tok,
+            ),
+            " ",
+        ).alias("_text"),
+        F.count("*").cast("long").alias("_n_kept"),
+    )
+    return (
+        totals.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("_text", F.lit("")).alias(text_col),
+            F.coalesce("_n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("_n_tok") - F.coalesce("_n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

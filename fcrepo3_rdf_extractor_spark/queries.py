@@ -1199,6 +1199,61 @@ def docs_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_lines(chunked, min_docs=2)
 
 
+_SUBSTR_K = 10
+_SUBSTR_SQL = f"""WITH toks AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+    g0 AS (SELECT doc_id,
+             CASE WHEN len(w) >= {_SUBSTR_K} THEN
+               [md5(array_to_string(w[i:i+{_SUBSTR_K}-1], ' '))
+                for i in generate_series(1, len(w)-{_SUBSTR_K}+1)]
+             ELSE [] END AS gs
+           FROM toks),
+    grams AS (SELECT doc_id,
+                     CAST(unnest(generate_series(1, len(gs))) AS INT) - 1 AS pos,
+                     unnest(gs) AS g
+              FROM g0),
+    occ AS (SELECT doc_id, pos,
+                   count(*) OVER (PARTITION BY g) AS _n,
+                   row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS _rn
+            FROM grams),
+    cov0 AS (SELECT doc_id,
+                    [pos + j for j in generate_series(0, {_SUBSTR_K}-1)] AS cps
+             FROM occ WHERE _n >= 2 AND _rn > 1),
+    covered AS (SELECT DISTINCT doc_id, tokpos FROM
+                  (SELECT doc_id, unnest(cps) AS tokpos FROM cov0)),
+    tok AS (SELECT doc_id,
+                   CAST(unnest(generate_series(1, len(w))) AS INT) - 1 AS tokpos,
+                   unnest(w) AS tok
+            FROM toks),
+    kept AS (SELECT doc_id, tokpos, tok FROM tok
+             ANTI JOIN covered USING (doc_id, tokpos)),
+    tot AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tok FROM toks),
+    agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tokpos) AS text,
+                   CAST(count(*) AS BIGINT) AS n_kept
+            FROM kept GROUP BY doc_id)
+    SELECT tot.doc_id, coalesce(agg.text, '') AS text,
+           coalesce(n_kept, 0) AS n_kept,
+           n_tok - coalesce(n_kept, 0) AS n_removed
+    FROM tot LEFT JOIN agg USING (doc_id)"""
+
+
+@_q("docs_dedup_substrings", _SUBSTR_SQL)
+def docs_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup (Lee et al. 2022 ExactSubstr at token
+    granularity): every 10-token span occurring more than once
+    corpus-wide is removed except at its first occurrence — the
+    mid-granularity modality between whole-document and line dedup.
+    The oracle mirrors the k-gram occurrence table, keep-first window,
+    covered-position expansion, and in-order reassembly byte-for-byte.
+    See operators/dedup_approx.py:dedup_substrings for the scale shape
+    (one partial-agg shuffle for the duplicated-span table; never a
+    row-local O(len^2) compare)."""
+    from .operators.dedup_approx import dedup_substrings
+
+    return dedup_substrings(
+        _read(spark, sf_dir, "documents"), k=_SUBSTR_K, keep_first=True
+    )
+
+
 # --- product quantization (m=8 subspaces x 8 dims, ksub=16 codewords) ----
 #
 # The squared-distance SQL is an explicit left-associative term chain so

@@ -17,6 +17,9 @@ at most once, in the near-dup signature stage):
                            symmetric Jaccard misses)
   2.5 line dedup (opt-in)  drop lines occurring in >= N distinct docs
                            (--dedup-lines-min-docs; C4/CCNet boilerplate)
+  2.7 substring dedup (opt-in) remove repeated >=k-token spans corpus-wide,
+                           keep-first (--dedup-substrings-k; Lee et al.
+                           2022 ExactSubstr at token granularity)
   3. quality filter        length/stopword/word-shape score >= threshold
   4. language filter       deterministic marker-based language ID
   5. stratified sampling   per-source keep rates, md5-deterministic
@@ -91,6 +94,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="corpus-level line dedup: drop lines occurring in "
                          ">= this many distinct documents (C4/CCNet "
                          "boilerplate removal); 0 disables the stage")
+    ap.add_argument("--dedup-substrings-k", type=int, default=0,
+                    help="substring-level exact dedup: remove every "
+                         "k-token span that occurs more than once "
+                         "corpus-wide except its first occurrence (Lee "
+                         "et al. 2022 ExactSubstr at token granularity; "
+                         "text is rewritten as the normalized token "
+                         "stream); 0 disables the stage")
     ap.add_argument("--pii-redact", action="store_true",
                     help="replace emails/phones/IPv4s with typed "
                          "placeholders and stamp an n_pii count")
@@ -150,6 +160,13 @@ def main(argv: list[str] | None = None) -> int:
             print("error: --containment-threshold is incompatible with "
                   "--state (containment pairs are not carried in the "
                   "per-wave state schema; run it at export instead)",
+                  file=sys.stderr)
+            spark.stop()
+            return 2
+        if args.dedup_substrings_k > 0:
+            print("error: --dedup-substrings-k is incompatible with "
+                  "--state (substring dedup rewrites text as the corpus "
+                  "grows, invalidating stored signatures)",
                   file=sys.stderr)
             spark.stop()
             return 2
@@ -269,6 +286,24 @@ def main(argv: list[str] | None = None) -> int:
                   .select("doc_id", "text"), "doc_id")
             .withColumn("n_chars", F.length("text")),
             "after_line_dedup",
+        )
+
+    # 2.7 (opt-in). substring-level exact dedup: remove repeated
+    # >=k-token spans corpus-wide (keep-first), rewrite text as the
+    # surviving token stream, drop docs that became empty, keep
+    # n_chars honest (same join-back shape as line dedup)
+    if args.dedup_substrings_k > 0:
+        from fcrepo3_rdf_extractor_spark.operators.dedup_approx import (
+            dedup_substrings,
+        )
+
+        cleaned = dedup_substrings(docs, k=args.dedup_substrings_k)
+        docs = staged(
+            docs.drop("text")
+            .join(cleaned.filter(F.col("n_kept") > 0)
+                  .select("doc_id", "text"), "doc_id")
+            .withColumn("n_chars", F.length("text")),
+            "after_substring_dedup",
         )
 
     # 3+4. quality + language annotations, filtered in one pass

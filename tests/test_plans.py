@@ -294,6 +294,28 @@ def test_containment_neardup_bounded_equi_join(spark):
     assert "split(" not in plan, plan
 
 
+def test_dedup_substrings_two_level_span_table(spark):
+    """Substring dedup's duplicated-span table must be ONE two-level
+    (partial + final) aggregation over the k-gram occurrence table —
+    never a row-local O(len^2) compare or an all-pairs join — with the
+    keep-first witness riding the same aggregate as min(struct(...)),
+    the removal probe as a hash equi-join, and the staged token/gram
+    tables read from localCheckpoint blocks (no re-tokenize: grams feed
+    two join sides and toks feed three consumers)."""
+    from fcrepo3_rdf_extractor_spark.queries import docs_dedup_substrings
+
+    plan = _formatted(docs_dedup_substrings(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # span-frequency count and canonical-occurrence witness combine
+    # map-side in the SAME aggregate (one shuffle for the span table)
+    assert "partial_count" in plan, plan
+    assert "partial_min" in plan, plan
+    # staged inputs: token array + gram occurrences are checkpointed
+    assert plan.count("Scan ExistingRDD") >= 3, plan
+    assert "split(" not in plan, plan
+
+
 def test_top_terms_global_take_ordered(spark):
     """Global top-k must plan TakeOrderedAndProject (per-partition heap +
     driver merge), never a global Sort, and the term count must combine

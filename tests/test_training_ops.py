@@ -1087,6 +1087,110 @@ def test_curate_containment_rejected_with_state(tmp_path):
     assert "containment" in r.stderr
 
 
+def test_dedup_substrings_keep_first(spark):
+    """A 6-token span planted in two documents (and twice in one of
+    them) survives ONLY at its first occurrence — (min doc_id, min pos)
+    — and every other occurrence loses exactly its covered tokens;
+    untouched documents and documents shorter than k pass through
+    whole. Jaccard between the planted docs is far below any usable
+    near-dup threshold, so this is the modality only substring dedup
+    catches."""
+    from fcrepo3_rdf_extractor_spark.operators.dedup_approx import (
+        dedup_substrings,
+    )
+
+    span = "the quick brown fox jumps high"          # 6 tokens
+    d0 = f"alpha beta {span} gamma delta"            # first occurrence (pos 2)
+    d1 = f"one two three four {span} five {span}"    # two later occurrences
+    d2 = "totally unrelated words here only once appearing"
+    d3 = "short doc"                                  # < k tokens
+    df = spark.createDataFrame(
+        [(0, d0), (1, d1), (2, d2), (3, d3)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in dedup_substrings(df, k=6).collect()}
+    assert got[0].text == d0 and got[0].n_removed == 0
+    # d1: both span occurrences removed (neither is the canonical one);
+    # the removal also covers bridging 6-grams that straddle span
+    # boundaries only if THEY repeat — here they don't, so exactly the
+    # two spans' tokens go
+    assert got[1].text == "one two three four five"
+    assert got[1].n_removed == 12 and got[1].n_kept == 5
+    assert got[2].text == d2 and got[2].n_removed == 0
+    assert got[3].text == d3 and got[3].n_kept == 2
+
+
+def test_dedup_substrings_remove_all(spark):
+    """keep_first=False removes EVERY occurrence of a duplicated span,
+    including the canonical first one."""
+    from fcrepo3_rdf_extractor_spark.operators.dedup_approx import (
+        dedup_substrings,
+    )
+
+    span = "a b c d"
+    df = spark.createDataFrame(
+        [(0, f"x {span} y"), (1, f"p q {span}")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in
+           dedup_substrings(df, k=4, keep_first=False).collect()}
+    assert got[0].text == "x y" and got[0].n_removed == 4
+    assert got[1].text == "p q" and got[1].n_removed == 4
+
+
+def test_curate_substring_dedup_stage(spark, tmp_path):
+    """--dedup-substrings-k removes a repeated span from the later
+    document, rewrites its text, keeps n_chars honest, and drops docs
+    that became empty."""
+    import json
+    import subprocess
+    import sys
+
+    span = " ".join(f"s{i}" for i in range(10))
+    rows = [
+        (0, f"aaa bbb {span} ccc", "en", "srcA", 0),
+        (1, f"ddd eee {span} fff", "en", "srcA", 0),   # span removed here
+        (2, span, "en", "srcB", 0),                     # becomes empty -> dropped
+    ]
+    rows = [(i, t, l, s, len(t)) for (i, t, l, s, _) in rows]
+    docs_path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(docs_path)
+
+    out = str(tmp_path / "curated")
+    r = subprocess.run(
+        [sys.executable, "jobs/curate.py", "--docs", docs_path, "--out", out,
+         "--quality-min", "0", "--neardup-threshold", "0",
+         "--dedup-substrings-k", "10", "--local", "4"],
+        capture_output=True, text=True,
+        cwd=str(__import__("pathlib").Path(__file__).resolve().parents[1]),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["stages"]["after_substring_dedup"] == 2
+    kept = {row.doc_id: row for row in spark.read.parquet(out).collect()}
+    assert set(kept) == {0, 1}
+    assert kept[0].text == f"aaa bbb {span} ccc"
+    assert kept[1].text == "ddd eee fff"
+    assert kept[1].n_chars == len("ddd eee fff")
+
+
+def test_curate_substring_dedup_rejected_with_state(tmp_path):
+    """Substring dedup rewrites text corpus-wide; the CLI must refuse
+    the incremental-state combination."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "jobs/curate.py", "--docs", "/nonexistent",
+         "--out", str(tmp_path / "o"), "--state", str(tmp_path / "s"),
+         "--dedup-substrings-k", "10", "--local", "2"],
+        capture_output=True, text=True,
+        cwd=str(__import__("pathlib").Path(__file__).resolve().parents[1]),
+    )
+    assert r.returncode == 2
+    assert "substrings" in r.stderr
+
+
 def test_triangle_participation_known_graph(spark):
     """K4 plus a pendant edge: every K4 vertex sits in C(3,2)=3
     triangles, the pendant vertex in none (and is absent from the
