@@ -293,15 +293,92 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
+def _lloyd_cents(
+    emb: DataFrame,
+    k: int,
+    n_iter: int,
+    id_col: str,
+    vec_col: str,
+    metric: str,
+) -> list[list[float]]:
+    """Fixed-iteration Lloyd's core shared by :func:`kmeans_train` and
+    :func:`pq_train_codebooks`; returns the trained centroids as a
+    driver-held list (k*dim doubles — metadata-sized). ``metric`` is
+    ``"cosine"`` (argmax cosine, the IVF trainer) or ``"l2"`` (argmin
+    squared L2, the PQ subspace trainer — Jegou et al. 2011 trains
+    codebooks on L2 in each subspace, NOT cosine). Both break ties
+    toward the lowest centroid id."""
+    import math
+
+    rows = emb.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    if len(rows) < k:
+        raise ValueError(f"need {k} seed vectors, found {len(rows)}")
+    cents: list[list[float]] = [[float(x) for x in r[1]] for r in rows]
+    dim = len(cents[0])
+    vec = F.col(vec_col)
+
+    for _ in range(n_iter):
+        if metric == "cosine":
+            norms = []
+            for c in cents:
+                s = 0.0
+                for v in c:  # left-assoc, mirrors the SQL twin's + chain
+                    s = s + v * v
+                norms.append(math.sqrt(s))
+            best = F.least(
+                *[
+                    F.struct(
+                        (
+                            -(
+                                dot_col(vec, F.array(*[F.lit(v) for v in c]))
+                                / (norm_col(vec) * F.lit(norms[j]))
+                            )
+                        ).alias("negcos"),
+                        F.lit(j).alias("cid"),
+                    )
+                    for j, c in enumerate(cents)
+                ]
+            )
+        elif metric == "l2":
+            best = F.least(
+                *[
+                    F.struct(
+                        _pq_sqdist(vec, c).alias("d"),
+                        F.lit(j).alias("cid"),
+                    )
+                    for j, c in enumerate(cents)
+                ]
+            )
+        else:
+            raise ValueError(f"unknown metric {metric!r}")
+        means = (
+            emb.select(best["cid"].alias("_cid"), vec.alias("_v"))
+            .groupBy("_cid")
+            .agg(
+                *[
+                    F.avg(F.element_at(F.col("_v"), i + 1).cast("double")).alias(f"d{i}")
+                    for i in range(dim)
+                ]
+            )
+            .collect()
+        )
+        got = {r["_cid"]: [r[f"d{i}"] for i in range(dim)] for r in means}
+        cents = [got.get(j, cents[j]) for j in range(len(cents))]
+    return cents
+
+
 def kmeans_train(
     emb: DataFrame,
     k: int = 8,
     n_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    metric: str = "cosine",
 ) -> DataFrame:
-    """Distributed Lloyd's k-means on cosine similarity — the centroid
-    TRAINER the IVF index (``ivf_assign``/``ivf_topk``) takes as input.
+    """Distributed Lloyd's k-means — the centroid TRAINER the IVF index
+    (``ivf_assign``/``ivf_topk``) takes as input (``metric="cosine"``),
+    and, through :func:`pq_train_codebooks`, the per-subspace PQ
+    codebook trainer (``metric="l2"``).
 
     Deterministic by construction, so the whole training run is
     cross-engine checkable (queries.emb_kmeans_train unrolls the same
@@ -327,50 +404,8 @@ def kmeans_train(
     surface; this is part of the mandated training-data extension
     (SURVEY.md §2.2), designed Spark-first.
     """
-    import math
-
-    rows = emb.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
-    cents: list[list[float]] = [[float(x) for x in r[1]] for r in rows]
-    dim = len(cents[0])
-    spark = emb.sparkSession
-    vec = F.col(vec_col)
-
-    for _ in range(n_iter):
-        norms = []
-        for c in cents:
-            s = 0.0
-            for v in c:  # left-assoc, mirrors the SQL twin's + chain
-                s = s + v * v
-            norms.append(math.sqrt(s))
-        best = F.least(
-            *[
-                F.struct(
-                    (
-                        -(
-                            dot_col(vec, F.array(*[F.lit(v) for v in c]))
-                            / (norm_col(vec) * F.lit(norms[j]))
-                        )
-                    ).alias("negcos"),
-                    F.lit(j).alias("cid"),
-                )
-                for j, c in enumerate(cents)
-            ]
-        )
-        means = (
-            emb.select(best["cid"].alias("_cid"), vec.alias("_v"))
-            .groupBy("_cid")
-            .agg(
-                *[
-                    F.avg(F.element_at(F.col("_v"), i + 1).cast("double")).alias(f"d{i}")
-                    for i in range(dim)
-                ]
-            )
-            .collect()
-        )
-        got = {r["_cid"]: [r[f"d{i}"] for i in range(dim)] for r in means}
-        cents = [got.get(j, cents[j]) for j in range(len(cents))]
-
-    return spark.createDataFrame(
+    cents = _lloyd_cents(emb, k, n_iter, id_col, vec_col, metric)
+    return emb.sparkSession.createDataFrame(
         [(j, c) for j, c in enumerate(cents)],
         schema="centroid_id int, centroid array<double>",
     )
@@ -386,13 +421,14 @@ def pq_codebooks(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> list[list[list[float]]]:
-    """Deterministic PQ codebooks: subspace ``s``'s codewords are the
-    s-th subvectors of the ``ksub`` lowest-id vectors (a deterministic
-    stand-in for per-subspace k-means — production trains each subspace
-    with :func:`kmeans_train` over the sliced subvectors; the encode /
-    search machinery is identical either way). The collect is
-    metadata-sized: ksub rows. Returns ``books[s][c]`` = list of
-    ``dim/m`` floats."""
+    """Seed PQ codebooks: subspace ``s``'s codewords are the s-th
+    subvectors of the ``ksub`` lowest-id vectors — the FIXED-codebook
+    variant that pins the encode/search machinery in closed form (its
+    oracle needs no training unroll). Production codebooks come from
+    :func:`pq_train_codebooks` (per-subspace L2 k-means), whose quality
+    is measured by :func:`pq_recall`; encode/search are identical for
+    either. The collect is metadata-sized: ksub rows. Returns
+    ``books[s][c]`` = list of ``dim/m`` floats."""
     rows = (
         emb.filter(F.col(id_col) < ksub)
         .orderBy(id_col)
@@ -520,4 +556,239 @@ def pq_topk(
         .select(id_col, F.round(adist, 6).alias("adist"))
         .orderBy(F.col("adist").asc(), F.col(id_col).asc())
         .limit(k)
+    )
+
+
+def pq_train_codebooks(
+    emb: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """TRAINED PQ codebooks: per-subspace Lloyd's k-means on squared L2
+    (Jegou et al. 2011 §III — each subquantizer minimizes in-subspace
+    L2 distortion; cosine is the wrong objective inside a subspace).
+    Init/tie/fixed-iteration rules are :func:`kmeans_train`'s, so the
+    whole training run stays deterministic and cross-engine checkable
+    (queries.emb_pq_recall unrolls all m recurrences in SQL).
+
+    Scale shape: m * n_iter narrow jobs, each ONE codegen argmin
+    projection over a staged subvector slice + ONE partial-agg groupBy
+    (d avg columns); every collect is ksub rows. Production practice
+    (the FAISS pattern) trains on a bounded sample of the corpus —
+    pass ``emb.filter(col(id_col) < sample_n)`` — then encodes the full
+    corpus with the resulting driver-held literal books."""
+    first = emb.select(vec_col).first()
+    if first is None:
+        raise ValueError("empty embedding table")
+    dim = len(first[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    staged = _pq_subspace_cols(emb, m, d, vec_col)
+    return [
+        _lloyd_cents(
+            staged.select(id_col, F.col(f"_sub{s}").alias("_sub")),
+            ksub, n_iter, id_col, "_sub", "l2",
+        )
+        for s in range(m)
+    ]
+
+
+def pq_recall(
+    emb: DataFrame,
+    n_queries: int = 8,
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 16,
+    n_iter: int = 2,
+) -> DataFrame:
+    """Recall@k of trained-codebook PQ asymmetric-distance search
+    against exact (full-precision) squared-L2 brute force, per query,
+    over a panel of query vectors (``vec_id < n_queries``) — the PQ arm
+    of the ANN quality gate (:func:`ann_recall` is the LSH arm,
+    :func:`ivf_recall` the IVF arm). You don't pick m/ksub/n_iter by
+    feel; you measure what fraction of the true top-k the codes keep.
+
+    Scale shape: an EVALUATION harness (sampled corpus + panel), like
+    ann_recall — the exact arm is the expensive one by design. The
+    panel's per-query distance tables are driver-computed literals
+    (n_queries * m * ksub doubles) broadcast as one tiny table; the
+    approx arm touches only the encoded codes. Both arms rank on the
+    raw (unrounded) distance with a vec_id tie-break — the same total
+    order in the SQL twin."""
+    from pyspark.sql import Window
+
+    books = pq_train_codebooks(emb, m=m, ksub=ksub, n_iter=n_iter)
+    d = len(books[0][0])
+    spark = emb.sparkSession
+
+    q_rows = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    panel_rows = []
+    for r in q_rows:
+        qv = [float(x) for x in r[1]]
+        dt_flat = []
+        for s, book in enumerate(books):
+            for cw in book:
+                acc = 0.0  # same op + fold order as _pq_sqdist / the SQL chain
+                for i in range(d):
+                    t = (qv[s * d + i] - cw[i]) * (qv[s * d + i] - cw[i])
+                    acc = acc + t
+                dt_flat.append(acc)
+        panel_rows.append((int(r[0]), dt_flat))
+    dt_panel = F.broadcast(
+        spark.createDataFrame(panel_rows, "query_id long, dt array<double>")
+    )
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("vec_id").asc()
+    )
+
+    def topk(scored: DataFrame) -> DataFrame:
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .select("query_id", "vec_id")
+        )
+
+    encoded = pq_encode(emb, books)
+    adist = None
+    for s in range(m):
+        term = F.element_at(F.col("dt"), F.col(f"c{s}") + F.lit(s * ksub + 1))
+        adist = term if adist is None else adist + term
+    approx = topk(
+        encoded.crossJoin(dt_panel)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", adist.alias("dist"))
+    )
+
+    panel_vecs = F.broadcast(
+        emb.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        )
+    )
+    sq = F.aggregate(
+        F.zip_with(
+            F.col("embedding"), F.col("q_emb"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    exact = topk(
+        emb.crossJoin(panel_vecs)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", sq.alias("dist"))
+    )
+    hits = (
+        exact.join(approx, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    return (
+        panel_vecs.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)) / F.lit(float(k)), 6
+            ).alias("recall"),
+        )
+    )
+
+
+def ivf_recall(
+    emb: DataFrame,
+    n_queries: int = 8,
+    k: int = 10,
+    kc: int = 4,
+    n_iter: int = 3,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Recall@k of IVF search (trained coarse centroids, ``nprobe``
+    probed lists) against exact cosine brute force, per panel query —
+    the IVF arm of the ANN quality gate. The measured basis for
+    choosing kc/nprobe: recall rises with nprobe at linear candidate
+    cost, and this is the curve you read it off.
+
+    Scale shape: evaluation harness like :func:`ann_recall`; the
+    centroid table and per-query probe lists are broadcast
+    (metadata-sized), the candidate fetch is the assignment join that
+    partition-prunes at scale, and both arms rank by the same
+    deterministic (cosine desc, vec_id) order."""
+    from pyspark.sql import Window
+
+    centroids = kmeans_train(emb, k=kc, n_iter=n_iter, metric="cosine")
+    assign = ivf_assign(emb, centroids).select("vec_id", "centroid_id")
+    panel = F.broadcast(
+        emb.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("_qc").desc(), F.col("centroid_id").asc()
+    )
+    probe = (
+        centroids.crossJoin(panel)
+        .select(
+            "query_id", "centroid_id",
+            cosine_col(F.col("centroid"), F.col("q_emb")).alias("_qc"),
+        )
+        .withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "centroid_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+
+    def topk(scored: DataFrame) -> DataFrame:
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .select("query_id", "vec_id")
+        )
+
+    approx = topk(
+        assign.join(F.broadcast(probe), "centroid_id")
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(panel, "query_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id",
+            cosine_col(F.col("embedding"), F.col("q_emb")).alias("cosine"),
+        )
+    )
+    exact = topk(
+        emb.crossJoin(panel)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id",
+            cosine_col(F.col("embedding"), F.col("q_emb")).alias("cosine"),
+        )
+    )
+    hits = (
+        exact.join(approx, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    return (
+        panel.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)) / F.lit(float(k)), 6
+            ).alias("recall"),
+        )
     )

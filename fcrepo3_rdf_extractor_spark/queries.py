@@ -1949,14 +1949,14 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, centroids, query_id=0, k=10, nprobe=2)
 
 
-def _kmeans_oracle(k: int = 4, n_iter: int = 3, dim: int = 64) -> str:
-    """Unroll the exact fixed-iteration Lloyd's recurrence that
-    operators.similarity.kmeans_train runs — init = k lowest-id
+def _kmeans_ctes(k: int = 4, n_iter: int = 3, dim: int = 64) -> str:
+    """CTE body unrolling the exact fixed-iteration Lloyd's recurrence
+    that operators.similarity.kmeans_train runs — init = k lowest-id
     vectors, cosine argmin with lowest-cid tie-break, element-wise
     mean, empty clusters keep their previous centroid — one CTE block
-    per iteration."""
+    per iteration. Shared by the kmeans and IVF-recall oracles."""
     parts = [
-        f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
  u AS (SELECT unnest(generate_series(1, {dim})) AS pos),
  c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
                emb AS centroid
@@ -1977,8 +1977,12 @@ def _kmeans_oracle(k: int = 4, n_iter: int = 3, dim: int = 64) -> str:
  n{t} AS (SELECT cid, list(val ORDER BY pos) AS centroid FROM m{t} GROUP BY cid),
  c{t} AS (SELECT c.cid, coalesce(n.centroid, c.centroid) AS centroid
           FROM c{p} c LEFT JOIN n{t} n USING (cid))""")
+    return ",".join(parts)
+
+
+def _kmeans_oracle(k: int = 4, n_iter: int = 3, dim: int = 64) -> str:
     return (
-        ",".join(parts)
+        "WITH " + _kmeans_ctes(k, n_iter, dim)
         + f"""
 SELECT cid AS centroid_id, CAST(u.pos - 1 AS INT) AS pos,
        round(centroid[u.pos], 6) AS val
@@ -2000,6 +2004,170 @@ def emb_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cents.select(
         "centroid_id", F.posexplode("centroid").alias("pos", "val")
     ).select("centroid_id", "pos", F.round("val", 6).alias("val"))
+
+
+def _pq_recall_oracle(n_iter: int = 2, nq: int = 8, k: int = 10) -> str:
+    """Unroll the TRAINED-codebook PQ recall harness: per-subspace L2
+    Lloyd's (init = subvectors of the ksub lowest-id vectors, argmin
+    with lowest-cid tie-break, element-wise mean, empty clusters keep
+    their previous codeword — exactly pq_train_codebooks), then encode,
+    per-query ADC distance tables, and recall@k of ADC top-k vs exact
+    full-precision L2 top-k. Every distance is an explicit
+    left-associative term chain so each fp rounding step matches the
+    Spark operator's sequential fold."""
+    m, d, ksub = _PQ_M, _PQ_D, _PQ_KSUB
+
+    def dist(vexpr: str, s: int) -> str:
+        off = s * d
+        return " + ".join(
+            f"({vexpr}[{off+i+1}] - c.c[{i+1}]) * ({vexpr}[{off+i+1}] - c.c[{i+1}])"
+            for i in range(d)
+        )
+
+    # every CTE is MATERIALIZED: the per-subspace chains reference their
+    # predecessors twice, and DuckDB's default inlining re-evaluates the
+    # whole upstream chain per reference — exponential in n_iter (the
+    # un-materialized form spun for minutes; materialized runs in ~1s)
+    blocks = [
+        "e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)",
+        f"u8 AS MATERIALIZED (SELECT unnest(generate_series(1, {d})) AS pos)",
+        f"qp AS MATERIALIZED (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < {nq})",
+    ]
+    for s in range(m):
+        off = s * d
+        blocks.append(
+            f"c{s}x0 AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)"
+            f" AS cid, emb[{off+1}:{off+d}] AS c"
+            f" FROM (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT {ksub}))"
+        )
+        for t in range(1, n_iter + 1):
+            p = t - 1
+            blocks += [
+                f"a{s}x{t} AS MATERIALIZED (SELECT vec_id, cid FROM ("
+                f"SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id"
+                f" ORDER BY ({dist('e.emb', s)}), c.cid) AS rn"
+                f" FROM e CROSS JOIN c{s}x{p} c) t WHERE rn = 1)",
+                f"m{s}x{t} AS MATERIALIZED (SELECT a.cid, u8.pos, avg(e.emb[{off} + u8.pos]) AS val"
+                f" FROM e JOIN a{s}x{t} a USING (vec_id) CROSS JOIN u8"
+                f" GROUP BY a.cid, u8.pos)",
+                f"n{s}x{t} AS MATERIALIZED (SELECT cid, list(val ORDER BY pos) AS c"
+                f" FROM m{s}x{t} GROUP BY cid)",
+                f"c{s}x{t} AS MATERIALIZED (SELECT c.cid, coalesce(n.c, c.c) AS c"
+                f" FROM c{s}x{p} c LEFT JOIN n{s}x{t} n USING (cid))",
+            ]
+        blocks += [
+            f"code{s} AS MATERIALIZED (SELECT vec_id, CAST(cid AS INT) AS c{s} FROM ("
+            f"SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id"
+            f" ORDER BY ({dist('e.emb', s)}), c.cid) AS rn"
+            f" FROM e CROSS JOIN c{s}x{n_iter} c) t WHERE rn = 1)",
+            f"qd{s} AS MATERIALIZED (SELECT q.query_id, c.cid, ({dist('q.q_emb', s)}) AS d"
+            f" FROM qp q CROSS JOIN c{s}x{n_iter} c)",
+        ]
+    code_joins = " ".join(f"JOIN code{s} USING (vec_id)" for s in range(1, m))
+    blocks.append(
+        f"codes AS MATERIALIZED (SELECT code0.vec_id, "
+        + ", ".join(f"c{s}" for s in range(m))
+        + f" FROM code0 {code_joins})"
+    )
+    qd_joins = " ".join(
+        f"JOIN qd{s} ON qd{s}.cid = codes.c{s} AND qd{s}.query_id = qd0.query_id"
+        for s in range(1, m)
+    )
+    adist = " + ".join(f"qd{s}.d" for s in range(m))
+    full = " + ".join(
+        f"(e.emb[{i+1}] - q.q_emb[{i+1}]) * (e.emb[{i+1}] - q.q_emb[{i+1}])"
+        for i in range(m * d)
+    )
+    blocks += [
+        f"ad AS MATERIALIZED (SELECT qd0.query_id, codes.vec_id, {adist} AS adist"
+        f" FROM codes JOIN qd0 ON qd0.cid = codes.c0 {qd_joins})",
+        f"apx AS MATERIALIZED (SELECT query_id, vec_id FROM ("
+        f"SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id"
+        f" ORDER BY adist, vec_id) AS rn FROM ad WHERE vec_id <> query_id) t"
+        f" WHERE rn <= {k})",
+        f"ex AS MATERIALIZED (SELECT query_id, vec_id FROM ("
+        f"SELECT q.query_id, e.vec_id, row_number() OVER (PARTITION BY q.query_id"
+        f" ORDER BY ({full}), e.vec_id) AS rn"
+        f" FROM e CROSS JOIN qp q WHERE e.vec_id <> q.query_id) t WHERE rn <= {k})",
+        "hits AS MATERIALIZED (SELECT query_id, CAST(count(*) AS BIGINT) AS n_hits"
+        " FROM ex JOIN apx USING (query_id, vec_id) GROUP BY query_id)",
+    ]
+    return (
+        "WITH " + ",\n ".join(blocks)
+        + f"""
+SELECT qp.query_id, coalesce(n_hits, 0) AS n_hits,
+       round(coalesce(n_hits, 0) / {float(k)}, 6) AS recall
+FROM qp LEFT JOIN hits USING (query_id)"""
+    )
+
+
+@_q("emb_pq_recall", _pq_recall_oracle())
+def emb_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of TRAINED-codebook PQ asymmetric-distance search vs
+    exact full-precision L2 brute force over an 8-query panel — the
+    quality gate that makes m/ksub/n_iter measured choices instead of
+    guesses. Codebooks come from per-subspace L2 k-means
+    (operators/similarity.py:pq_train_codebooks); the oracle unrolls
+    all 8 subspace recurrences as CTE chains."""
+    from .operators.similarity import pq_recall
+
+    return pq_recall(
+        _read(spark, sf_dir, "embeddings"),
+        n_queries=8, k=10, m=_PQ_M, ksub=_PQ_KSUB, n_iter=2,
+    )
+
+
+def _ivf_recall_oracle(
+    k: int = 10, kc: int = 4, n_iter: int = 3, nprobe: int = 2, nq: int = 8
+) -> str:
+    cos_ec = _COS_SQL.format(a="e.emb", b="c.centroid")
+    cos_cq = _COS_SQL.format(a="c.centroid", b="q.q_emb")
+    cos_eq = _COS_SQL.format(a="e.emb", b="q.q_emb")
+    return f"""WITH {_kmeans_ctes(kc, n_iter, 64)},
+ cent AS (SELECT cid AS centroid_id, centroid FROM c{n_iter}),
+ asg AS (SELECT vec_id, centroid_id FROM (
+     SELECT e.vec_id, c.centroid_id,
+            row_number() OVER (PARTITION BY e.vec_id
+                               ORDER BY {cos_ec} DESC, c.centroid_id) AS rn
+     FROM e CROSS JOIN cent c) t WHERE rn = 1),
+ qp AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < {nq}),
+ probe AS (SELECT query_id, centroid_id FROM (
+     SELECT q.query_id, c.centroid_id,
+            row_number() OVER (PARTITION BY q.query_id
+                               ORDER BY {cos_cq} DESC, c.centroid_id) AS rn
+     FROM cent c CROSS JOIN qp q) t WHERE rn <= {nprobe}),
+ apx AS (SELECT query_id, vec_id FROM (
+     SELECT p.query_id, a.vec_id,
+            row_number() OVER (PARTITION BY p.query_id
+                               ORDER BY {cos_eq} DESC, a.vec_id) AS rn
+     FROM asg a JOIN probe p USING (centroid_id)
+     JOIN e ON e.vec_id = a.vec_id JOIN qp q ON q.query_id = p.query_id
+     WHERE a.vec_id <> p.query_id) t WHERE rn <= {k}),
+ ex AS (SELECT query_id, vec_id FROM (
+     SELECT q.query_id, e.vec_id,
+            row_number() OVER (PARTITION BY q.query_id
+                               ORDER BY {cos_eq} DESC, e.vec_id) AS rn
+     FROM e CROSS JOIN qp q WHERE e.vec_id <> q.query_id) t WHERE rn <= {k}),
+ hits AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_hits
+          FROM ex JOIN apx USING (query_id, vec_id) GROUP BY query_id)
+ SELECT qp.query_id, coalesce(n_hits, 0) AS n_hits,
+        round(coalesce(n_hits, 0) / {float(k)}, 6) AS recall
+ FROM qp LEFT JOIN hits USING (query_id)"""
+
+
+@_q("emb_ivf_recall", _ivf_recall_oracle())
+def emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of IVF search (kmeans_train coarse centroids, nprobe=2)
+    vs exact cosine brute force over an 8-query panel — the IVF arm of
+    the ANN quality gate; the recall-vs-nprobe curve is where nprobe
+    gets chosen. Oracle = the kmeans CTE unroll + assignment + probe +
+    both ranking windows."""
+    from .operators.similarity import ivf_recall
+
+    return ivf_recall(
+        _read(spark, sf_dir, "embeddings"),
+        n_queries=8, k=10, kc=4, n_iter=3, nprobe=2,
+    )
 
 
 # --- multimodal -------------------------------------------------------------

@@ -814,6 +814,66 @@ def test_kmeans_centroids_feed_ivf(spark):
     assert ivf[0].vec_id == bf[0].vec_id
 
 
+def test_pq_trained_codebooks_reduce_distortion(spark):
+    """pq_train_codebooks initializes from exactly the seed codebooks
+    (subvectors of the ksub lowest-id vectors), so by Lloyd's
+    monotonicity the trained books can never quantize the training set
+    WORSE than the seed books — the measurable claim that 'trained'
+    means something. Shapes and determinism are pinned too."""
+    from fcrepo3_rdf_extractor_spark.operators.similarity import (
+        pq_codebooks,
+        pq_train_codebooks,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    m, ksub, d = 8, 16, 8
+    seed = pq_codebooks(emb, m=m, ksub=ksub)
+    trained = pq_train_codebooks(emb, m=m, ksub=ksub, n_iter=2)
+    assert len(trained) == m
+    assert all(len(b) == ksub for b in trained)
+    assert all(len(w) == d for b in trained for w in b)
+    # determinism: a second training run is bit-identical
+    assert trained == pq_train_codebooks(emb, m=m, ksub=ksub, n_iter=2)
+
+    vecs = [[float(x) for x in r.embedding] for r in
+            emb.select("embedding").collect()]
+
+    def distortion(books):
+        tot = 0.0
+        for v in vecs:
+            for s, book in enumerate(books):
+                sub = v[s * d:(s + 1) * d]
+                tot += min(
+                    sum((a - b) * (a - b) for a, b in zip(sub, w))
+                    for w in book
+                )
+        return tot
+
+    assert distortion(trained) <= distortion(seed) + 1e-9
+
+
+def test_pq_and_ivf_recall_gates(spark):
+    """The PQ and IVF arms of the ANN quality gate: one row per panel
+    query, recall = n_hits/k in [0,1], and IVF with nprobe=ALL lists
+    must be exact (recall 1.0 for every query) — probing every list IS
+    brute force, so anything less is a harness bug."""
+    from fcrepo3_rdf_extractor_spark.operators.similarity import (
+        ivf_recall,
+        pq_recall,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pq = pq_recall(emb, n_queries=4, k=5, m=8, ksub=16, n_iter=1).collect()
+    assert {r.query_id for r in pq} == {0, 1, 2, 3}
+    for r in pq:
+        assert 0.0 <= r.recall <= 1.0 and abs(r.recall - r.n_hits / 5) < 1e-9
+    full = ivf_recall(emb, n_queries=4, k=5, kc=4, n_iter=1, nprobe=4).collect()
+    assert all(r.recall == 1.0 for r in full), full
+    partial = ivf_recall(emb, n_queries=4, k=5, kc=4, n_iter=1, nprobe=1)
+    for r in partial.collect():
+        assert 0.0 <= r.recall <= 1.0
+
+
 def test_dedup_lines_removes_corpus_boilerplate(spark):
     from fcrepo3_rdf_extractor_spark.operators.dedup_approx import dedup_lines
 
