@@ -1,13 +1,18 @@
 """Multimodal column handling: opaque binary payloads + typed metadata.
 
 Images/audio/video ride through the engine as ``binary`` columns with a
-metadata struct; decode / feature-extraction / resize / frame-sampling
-run as Arrow-batched ``mapInPandas`` stages. The decode libraries
-(Pillow/ffmpeg/etc.) are NOT in this container, so the codec step is a
-clearly-marked stub: ``decode_stub='fake'`` derives deterministic
-features from the bytes (so the plumbing — schema, batch shape,
-partitioning — is real and tested), and ``decode_stub='raise'`` shows
-the production wiring (NotImplementedError at the codec call site).
+metadata struct. Container-level metadata (format, width, height) needs
+NO codec: PNG/GIF/JPEG store dimensions in their first bytes, and
+:func:`media_dimensions` header-parses them with pure JVM column ops —
+the dominant metadata case runs codec-free and Python-free. Pixel-level
+decode / feature-extraction / resize / frame-sampling run as
+Arrow-batched ``mapInPandas`` stages; the decode libraries
+(Pillow/ffmpeg/etc.) are NOT in this container, so only the PIXEL codec
+step is a clearly-marked stub: ``decode_stub='fake'`` derives
+deterministic features from the bytes (so the plumbing — schema, batch
+shape, partitioning — is real and tested), and ``decode_stub='raise'``
+shows the production wiring (NotImplementedError at the codec call
+site).
 
 Scale notes: binary payloads dominate row size, so the operators select
 the narrowest possible projection before the UDF and bound Arrow batch
@@ -140,4 +145,175 @@ def resize_metadata(features: DataFrame, target: int = 224) -> DataFrame:
         "media_id", "width", "height",
         F.round(F.col("width") * scale).cast("int").alias("out_width"),
         F.round(F.col("height") * scale).cast("int").alias("out_height"),
+    )
+
+
+# --- codec-free header parsing ---------------------------------------------
+
+
+def _be_int(payload, pos, n):
+    """Big-endian unsigned int from ``n`` bytes at 1-based ``pos`` —
+    hex + base-16 conv, pure codegen."""
+    return F.conv(F.hex(F.substring(payload, pos, n)), 16, 10).cast("int")
+
+
+def _le16_int(payload, pos):
+    """Little-endian uint16 at 1-based ``pos`` (GIF stores dimensions
+    LE): swap the two bytes' hex pairs, then conv."""
+    return F.conv(
+        F.concat(
+            F.hex(F.substring(payload, pos + 1, 1)),
+            F.hex(F.substring(payload, pos, 1)),
+        ),
+        16, 10,
+    ).cast("int")
+
+
+_PNG_MAGIC = "89504E470D0A1A0A"
+_GIF_MAGICS = ("474946383761", "474946383961")  # GIF87a / GIF89a
+
+
+def media_dimensions(
+    media: DataFrame,
+    payload_col: str = "payload",
+    max_jpeg_segments: int = 12,
+) -> DataFrame:
+    """Image format + pixel dimensions from the payload's FILE HEADER —
+    no codec, no Python, pure JVM byte ops:
+
+    - PNG: width/height are the first 8 bytes of the IHDR chunk data,
+      i.e. big-endian uint32 at byte offsets 16 and 20 (PNG spec §11.2.2
+      — signature 8B, chunk length 4B, "IHDR" 4B, then the data).
+    - GIF: the logical screen descriptor holds width/height as
+      LITTLE-endian uint16 at offsets 6 and 8 (GIF89a spec §18).
+    - JPEG: dimensions live in the SOFn segment (height BE uint16 at
+      +5, width at +7 within the segment), whose position varies — the
+      parser walks the segment chain (marker FFxx + BE uint16 length)
+      from offset 2 for up to ``max_jpeg_segments`` hops. Baseline/
+      progressive SOF0/1/2 all precede the entropy-coded SOS data, so a
+      bounded walk over the metadata segments (APPn/EXIF/quant tables)
+      always reaches it in well-formed files; pathological files yield
+      NULL dims, never a task failure.
+
+    The walk is a fixed unroll of staged (_pos, _jw, _jh) projection
+    columns — each step's position is referenced several times by the
+    next, and staging keeps the expression tree linear in
+    ``max_jpeg_segments`` where inline nesting would be exponential
+    (the CollapseProject discipline; Catalyst keeps multi-referenced
+    non-cheap projections staged).
+
+    Returns (media_id, format, width, height); unrecognized or
+    truncated payloads get NULL format/dims. This is the codec-free
+    path that handles metadata extraction at 100 TB — only pixel work
+    needs :func:`extract_media_features`.
+    """
+    p = F.col(payload_col)
+    df = media.select(
+        "media_id",
+        payload_col,
+        F.lit(3).cast("int").alias("_pos"),
+        F.lit(None).cast("int").alias("_jw"),
+        F.lit(None).cast("int").alias("_jh"),
+    )
+    for _ in range(max_jpeg_segments):
+        marker = F.hex(F.substring(p, F.col("_pos"), 2))
+        seglen = _be_int(p, F.col("_pos") + 2, 2)
+        is_sof = marker.isin("FFC0", "FFC1", "FFC2")
+        found = F.col("_jw").isNotNull()
+        advance = (
+            ~found & ~is_sof & marker.startswith("FF") & seglen.isNotNull()
+            & (seglen >= 2)
+        )
+        df = df.select(
+            "media_id",
+            payload_col,
+            F.when(advance, F.col("_pos") + 2 + seglen)
+            .otherwise(F.col("_pos")).alias("_pos"),
+            F.when(~found & is_sof, _be_int(p, F.col("_pos") + 7, 2))
+            .otherwise(F.col("_jw")).alias("_jw"),
+            F.when(~found & is_sof, _be_int(p, F.col("_pos") + 5, 2))
+            .otherwise(F.col("_jh")).alias("_jh"),
+        )
+    is_png = F.hex(F.substring(p, 1, 8)) == _PNG_MAGIC
+    is_gif = F.hex(F.substring(p, 1, 6)).isin(*_GIF_MAGICS)
+    is_jpeg = F.hex(F.substring(p, 1, 2)) == "FFD8"
+    fmt = (
+        F.when(is_png, F.lit("png"))
+        .when(is_gif, F.lit("gif"))
+        .when(is_jpeg, F.lit("jpeg"))
+    )
+    width = (
+        F.when(is_png, _be_int(p, 17, 4))
+        .when(is_gif, _le16_int(p, F.lit(7)))
+        .when(is_jpeg, F.col("_jw"))
+    )
+    height = (
+        F.when(is_png, _be_int(p, 21, 4))
+        .when(is_gif, _le16_int(p, F.lit(9)))
+        .when(is_jpeg, F.col("_jh"))
+    )
+    return df.select(
+        "media_id",
+        fmt.alias("format"),
+        width.alias("width"),
+        height.alias("height"),
+    )
+
+
+def documents_as_image_media(docs: DataFrame) -> DataFrame:
+    """Adapter for this sandbox: synthesize VALID image-file headers —
+    real PNG IHDR / GIF89a screen descriptor / baseline JPEG JFIF+SOF0
+    byte layouts — deterministically from document properties
+    (format = doc_id % 3; width = 1 + length(text) % 1000; height =
+    1 + doc_id % 800), with the text bytes as the 'pixel data' tail.
+    :func:`media_dimensions` then reads the dimensions back from the
+    actual bytes, so the parser is exercised end-to-end without any
+    image library. Pure column expressions (unhex/lpad/concat)."""
+    n_chars = F.length("text")
+    w = (F.lit(1) + F.pmod(n_chars, F.lit(1000))).cast("int")
+    h = (F.lit(1) + F.pmod(F.col("doc_id"), F.lit(800))).cast("int")
+    kind = F.pmod(F.col("doc_id"), F.lit(3))
+
+    def be4(c):
+        return F.unhex(F.lpad(F.hex(c), 8, "0"))
+
+    def be2(c):
+        return F.unhex(F.lpad(F.hex(c), 4, "0"))
+
+    def le2(c):
+        hx = F.lpad(F.hex(c), 4, "0")
+        return F.unhex(F.concat(F.substring(hx, 3, 2), F.substring(hx, 1, 2)))
+
+    png = F.concat(
+        F.unhex(F.lit(_PNG_MAGIC)),        # signature
+        F.unhex(F.lit("0000000D")),        # IHDR length = 13
+        F.unhex(F.lit("49484452")),        # "IHDR"
+        be4(w), be4(h),
+        F.unhex(F.lit("0806000000")),      # depth/color/comp/filter/interlace
+        F.unhex(F.lit("00000000")),        # CRC (unchecked by the parser)
+    )
+    gif = F.concat(
+        F.unhex(F.lit("474946383961")),    # "GIF89a"
+        le2(w), le2(h),
+        F.unhex(F.lit("F70000")),          # packed/background/aspect
+    )
+    jpeg = F.concat(
+        F.unhex(F.lit("FFD8")),                            # SOI
+        F.unhex(F.lit("FFE00010")),                        # APP0, len 16
+        F.unhex(F.lit("4A46494600010100000100010000")),    # JFIF\0 + version…
+        F.unhex(F.lit("FFC0001108")),                      # SOF0, len 17, prec 8
+        be2(h), be2(w),
+        F.unhex(F.lit("03011100021101031101")),            # 3 components
+    )
+    header = F.when(kind == 0, png).when(kind == 1, gif).otherwise(jpeg)
+    payload = F.concat(header, F.encode(F.col("text"), "UTF-8"))
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.when(kind == 0, F.lit("image/png"))
+        .when(kind == 1, F.lit("image/gif"))
+        .otherwise(F.lit("image/jpeg")).alias("mime"),
+        payload.alias("payload"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.sha2(payload, 256).alias("payload_sha256"),
     )

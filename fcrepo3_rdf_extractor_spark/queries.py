@@ -2175,16 +2175,33 @@ def emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "mm_media_metadata",
-    """SELECT doc_id AS media_id, 'image' AS kind,
-              CAST(strlen(text) AS BIGINT) AS n_bytes,
-              sha256(text) AS payload_sha256
+    """SELECT doc_id AS media_id,
+              CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                   ELSE 'jpeg' END AS format,
+              CAST(1 + length(text) % 1000 AS INT) AS width,
+              CAST(1 + doc_id % 800 AS INT) AS height,
+              CAST(strlen(text) + CASE doc_id % 3 WHEN 0 THEN 33
+                   WHEN 1 THEN 13 ELSE 39 END AS BIGINT) AS n_bytes
        FROM documents""",
 )
 def mm_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.multimodal import documents_as_media
+    """Codec-free media metadata: documents_as_image_media synthesizes
+    VALID PNG/GIF/JPEG file headers (format/width/height deterministic
+    functions of the doc row) and media_dimensions reads the dimensions
+    back from the ACTUAL BYTES with pure JVM column ops — PNG IHDR
+    uint32s, GIF little-endian screen descriptor, a JPEG marker-segment
+    walk to SOF0. The oracle states the planted closed forms, so a
+    match proves the byte parser recovered them from the headers; the
+    parser is separately unit-tested against genuine file bytes
+    (tests/test_training_ops.py). Header sizes: PNG 33 B, GIF 13 B,
+    JPEG 39 B."""
+    from .operators.multimodal import documents_as_image_media, media_dimensions
 
-    media = documents_as_media(_read(spark, sf_dir, "documents"))
-    return media.select("media_id", "kind", "n_bytes", "payload_sha256")
+    media = documents_as_image_media(_read(spark, sf_dir, "documents"))
+    dims = media_dimensions(media)
+    return dims.join(media.select("media_id", "n_bytes"), "media_id").select(
+        "media_id", "format", "width", "height", "n_bytes"
+    )
 
 
 @_q(

@@ -323,6 +323,79 @@ def test_media_features_null_payload_survives(spark):
     assert feats[2].width is None and feats[2].feature is None
 
 
+def test_media_dimensions_genuine_file_headers(spark):
+    """The codec-free header parser must read dimensions from GENUINE
+    file bytes — a real PNG (correct IHDR CRC), a GIF89a screen
+    descriptor (little-endian!), and a JPEG whose SOF0 sits behind
+    APP0+APP1+DQT segments so the marker walk is actually exercised —
+    and yield NULL (not a task failure) on garbage and truncation."""
+    import struct
+    import zlib
+
+    from fcrepo3_rdf_extractor_spark.operators.multimodal import (
+        media_dimensions,
+    )
+
+    def png(w, h):
+        ihdr = struct.pack(">II", w, h) + bytes([8, 6, 0, 0, 0])
+        return (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+                + ihdr + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr)))
+
+    def gif(w, h):
+        return b"GIF89a" + struct.pack("<HH", w, h) + b"\xf7\x00\x00"
+
+    def jpeg(w, h):
+        app0 = (b"\xff\xe0" + struct.pack(">H", 16)
+                + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        app1 = b"\xff\xe1" + struct.pack(">H", 10) + b"Exif\x00\x00\x00\x00"
+        dqt = b"\xff\xdb" + struct.pack(">H", 5) + b"\x00\x01\x02"
+        sof0 = (b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+                + struct.pack(">HH", h, w)
+                + b"\x03\x01\x11\x00\x02\x11\x01\x03\x11\x01")
+        return b"\xff\xd8" + app0 + app1 + dqt + sof0 + b"\xff\xda..."
+
+    rows = [
+        (1, bytearray(png(640, 480))),
+        (2, bytearray(gif(320, 200))),
+        (3, bytearray(jpeg(1920, 1080))),
+        (4, bytearray(b"not an image at all")),
+        (5, bytearray(b"\x89PN")),  # truncated magic
+        (6, bytearray(b"\xff\xd8\xff\xe0")),  # JPEG cut before any length
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: (r.format, r.width, r.height)
+           for r in media_dimensions(df).collect()}
+    assert got[1] == ("png", 640, 480)
+    assert got[2] == ("gif", 320, 200)
+    assert got[3] == ("jpeg", 1920, 1080)
+    assert got[4] == (None, None, None)
+    assert got[5] == (None, None, None)
+    assert got[6] == ("jpeg", None, None)
+
+
+def test_documents_as_image_media_roundtrip(spark):
+    """Synthesized headers are valid enough that the parser recovers
+    exactly the planted (format, width, height) closed forms."""
+    from pyspark.sql import functions as F
+
+    from fcrepo3_rdf_extractor_spark.operators.multimodal import (
+        documents_as_image_media,
+        media_dimensions,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "x" * (7 * i + 1)) for i in range(9)],
+        "doc_id long, text string",
+    )
+    media = documents_as_image_media(docs)
+    got = {r.media_id: r for r in media_dimensions(media).collect()}
+    for i in range(9):
+        fmt = ["png", "gif", "jpeg"][i % 3]
+        assert got[i].format == fmt
+        assert got[i].width == 1 + (7 * i + 1) % 1000
+        assert got[i].height == 1 + i % 800
+
+
 def test_connected_components_chain_and_singletons(spark):
     """A 5-node chain (diameter > 1 propagation round), a separate
     2-clique, and isolated vertices supplied via `vertices`."""
