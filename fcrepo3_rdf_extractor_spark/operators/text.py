@@ -2,13 +2,17 @@
 shingling, language-ID, quality scoring, token counting, fingerprinting.
 
 All pure ``pyspark.sql.functions`` column expressions — JVM-side,
-whole-stage-codegen'd, no Python per row. Each has a DuckDB-mirrorable
-formulation (see queries.py) so correctness is oracle-checked, and each
-streams embarrassingly parallel over document partitions (no shuffle).
+whole-stage-codegen'd, no Python per row — EXCEPT
+:func:`vocab_token_count`, whose greedy longest-match loop has no
+closed column form and runs as the documented Arrow-batched Pandas UDF.
+Each has a DuckDB-mirrorable formulation (see queries.py) so
+correctness is oracle-checked, and each streams embarrassingly parallel
+over document partitions (no shuffle).
 """
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves stringified hints here
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -436,4 +440,97 @@ def pii_redact_inplace(df: DataFrame, text_col: str = "text") -> DataFrame:
         *others,
         red.alias(text_col),
         (n_email + n_phone + n_ip).cast("long").alias("n_pii"),
+    )
+
+
+# --- vocab-aware token counting ---------------------------------------------
+
+
+def corpus_vocab(
+    docs: DataFrame, text_col: str = "text", top_n: int = 50
+) -> list[str]:
+    """Deterministic corpus-derived subword vocabulary for
+    :func:`vocab_token_count` when no external merges/vocab file is at
+    hand: the ``top_n`` most frequent whole words (ties toward the
+    lexicographically smaller term — the same total order as
+    docs_top_terms_global) plus each one's 3-char prefix. One
+    partial-agg groupBy + TakeOrderedAndProject; the collect is
+    vocabulary-sized. Production uses :func:`load_vocab` on a real
+    tokenizer's vocab instead."""
+    top = (
+        docs.select(F.explode(tokens_col(F.col(text_col))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term").asc())
+        .limit(top_n)
+        .collect()
+    )
+    pieces = {r.term for r in top} | {r.term[:3] for r in top}
+    return sorted(p for p in pieces if p)
+
+
+def load_vocab(spark, path: str) -> list[str]:
+    """Load a tokenizer vocabulary (one piece per line, e.g. a
+    SentencePiece/BPE vocab export) for :func:`vocab_token_count`.
+    Vocabularies are ~10^4-10^5 entries — driver-held and shipped to
+    workers inside the UDF closure (the broadcast-dimension pattern)."""
+    return sorted(
+        {r.value for r in spark.read.text(path).collect() if r.value}
+    )
+
+
+def vocab_token_count(
+    df: DataFrame, vocab: list[str], text_col: str = "text"
+) -> DataFrame:
+    """TRUE vocab-aware token count: greedy longest-match segmentation
+    of each whitespace word against a real vocabulary — the number a
+    token-budget pipeline actually bills, where
+    :func:`bpe_piece_count`'s regex is only an upper bound and
+    ``token_count``'s chars/4 only an estimate. At each position the
+    longest vocab piece matching a prefix of the remaining word is
+    consumed; if none matches, one character is consumed as an UNK
+    piece (equivalent to byte-fallback vocabularies). Empty words
+    contribute nothing.
+
+    Greedy longest-match is an inherently sequential per-word loop —
+    not expressible in closed-form column ops — so this is the
+    documented Arrow-batched Pandas-UDF slow path (the one place the
+    task brief allows Python: built-ins genuinely can't express it).
+    The vocab rides the UDF closure as a frozenset + per-length probe
+    order (O(len * max_piece_len) membership tests per word); the stage
+    is embarrassingly parallel, no shuffle. The DuckDB oracle replays
+    the identical greedy recurrence as a recursive CTE over the same
+    vocab table."""
+    from pyspark.sql.functions import pandas_udf
+
+    pieces = frozenset(p for p in vocab if p)
+    max_len = max((len(p) for p in pieces), default=1)
+
+    @pandas_udf("long")
+    def count_pieces(texts: pd.Series) -> pd.Series:
+        import re
+
+        ws = re.compile(r"\s+")
+
+        def one(text):
+            if text is None:
+                return None
+            total = 0
+            for word in ws.split(text.strip().lower()):
+                pos, n = 0, len(word)
+                while pos < n:
+                    step = 1
+                    for ln in range(min(max_len, n - pos), 0, -1):
+                        if word[pos:pos + ln] in pieces:
+                            step = ln
+                            break
+                    pos += step
+                    total += 1
+            return total
+
+        return texts.map(one)
+
+    return df.select(
+        "doc_id", count_pieces(F.col(text_col)).alias("n_vocab_tokens")
     )

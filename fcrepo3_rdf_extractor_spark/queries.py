@@ -911,6 +911,46 @@ def docs_bpe_piece_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "docs_vocab_token_count",
+    f"""WITH RECURSIVE
+    top50 AS (SELECT term FROM (SELECT unnest({_WORDS}) AS term FROM documents) t
+              WHERE term <> '' GROUP BY term
+              ORDER BY count(*) DESC, term ASC LIMIT 50),
+    vocab AS (SELECT DISTINCT piece FROM (
+              SELECT term AS piece FROM top50
+              UNION ALL SELECT substr(term, 1, 3) FROM top50) v
+              WHERE piece <> ''),
+    words AS (SELECT doc_id, unnest({_WORDS}) AS w FROM documents),
+    steps(doc_id, rest) AS (
+        SELECT doc_id, w FROM words WHERE w <> ''
+      UNION ALL
+        SELECT doc_id, substr(rest, 1 + coalesce(
+            (SELECT max(len(v.piece)) FROM vocab v
+             WHERE substr(rest, 1, len(v.piece)) = v.piece), 1))
+        FROM steps WHERE rest <> ''),
+    counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+               FROM steps WHERE rest <> '' GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(n, 0) AS n_vocab_tokens
+    FROM documents d LEFT JOIN counts USING (doc_id)""",
+)
+def docs_vocab_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE vocab-aware token count (greedy longest-match segmentation
+    against a vocabulary, 1-char UNK fallback) — the billable number a
+    token-budget pipeline needs, where bpe_piece_count is only an upper
+    bound. Vocab here is the deterministic corpus-derived one
+    (corpus_vocab: top-50 words + 3-char prefixes); production swaps in
+    load_vocab over a real tokenizer export, same operator. The oracle
+    replays the greedy recurrence as a recursive CTE over the identical
+    vocab definition; the Spark side is the documented Arrow-batched
+    Pandas-UDF slow path (a sequential per-word loop has no closed
+    column form)."""
+    from .operators.text import corpus_vocab, vocab_token_count
+
+    docs = _read(spark, sf_dir, "documents")
+    return vocab_token_count(docs, corpus_vocab(docs, top_n=50))
+
+
+@_q(
     "docs_winnow_fingerprint",
     """WITH s AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
         g AS (SELECT doc_id,

@@ -104,6 +104,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--pii-redact", action="store_true",
                     help="replace emails/phones/IPv4s with typed "
                          "placeholders and stamp an n_pii count")
+    ap.add_argument("--vocab-file", default=None,
+                    help="tokenizer vocabulary (one piece per line): "
+                         "n_tokens becomes the TRUE greedy longest-match "
+                         "piece count against this vocab instead of the "
+                         "whitespace word count")
     ap.add_argument("--rates", default=None,
                     help='JSON dict of per-source keep rates, e.g. {"src0": 1.0}')
     ap.add_argument("--default-rate", type=float, default=1.0,
@@ -334,8 +339,20 @@ def main(argv: list[str] | None = None) -> int:
 
         annotated = staged(pii_redact_inplace(annotated), "after_pii_redact")
 
-    # 6. token counts stamped on the survivors
-    toks = token_count(annotated).select("doc_id", "n_tokens")
+    # 6. token counts stamped on the survivors (whitespace words by
+    # default; a --vocab-file switches to the TRUE greedy longest-match
+    # piece count — the number the token budget actually bills)
+    if args.vocab_file:
+        from fcrepo3_rdf_extractor_spark.operators.text import (
+            load_vocab,
+            vocab_token_count,
+        )
+
+        toks = vocab_token_count(
+            annotated, load_vocab(spark, args.vocab_file)
+        ).select("doc_id", F.col("n_vocab_tokens").alias("n_tokens"))
+    else:
+        toks = token_count(annotated).select("doc_id", "n_tokens")
     curated = annotated.join(toks, "doc_id")
     curated.write.mode("overwrite").parquet(args.out)
     mark("write")

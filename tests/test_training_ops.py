@@ -323,6 +323,59 @@ def test_media_features_null_payload_survives(spark):
     assert feats[2].width is None and feats[2].feature is None
 
 
+def test_vocab_token_count_greedy_longest_match(spark):
+    """Greedy longest-match segmentation: the longest matching vocab
+    piece wins at each position ('foobar' with {'foo','foob','ba','r'}
+    -> foob+UNK(a)+r = 3, never foo+ba+r), unknown chars fall back to
+    1-char UNK pieces, empty text counts 0, and whole-word vocab hits
+    cost exactly 1."""
+    from fcrepo3_rdf_extractor_spark.operators.text import vocab_token_count
+
+    vocab = ["foo", "foob", "ba", "r", "hello"]
+    docs = spark.createDataFrame(
+        [
+            (0, "foobar"),          # foob + a(UNK) + r = 3
+            (1, "hello foobar"),    # 1 + 3 = 4
+            (2, "zzz"),             # 3 UNK chars
+            (3, ""),                # 0 pieces
+            (4, "HELLO"),           # lowercased -> 1
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n_vocab_tokens
+           for r in vocab_token_count(docs, vocab).collect()}
+    assert got == {0: 3, 1: 4, 2: 3, 3: 0, 4: 1}
+
+
+def test_curate_vocab_file_switches_n_tokens(spark, tmp_path):
+    """--vocab-file makes curate's n_tokens the greedy piece count over
+    the supplied vocabulary instead of the whitespace word count."""
+    import json
+    import subprocess
+    import sys
+
+    vocab_path = tmp_path / "vocab.txt"
+    vocab_path.write_text("foo\nfoob\nba\nr\n")
+    rows = [(0, "foobar foobar", "en", "s", 13)]
+    docs_path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(docs_path)
+    out = str(tmp_path / "curated")
+    r = subprocess.run(
+        [sys.executable, "jobs/curate.py", "--docs", docs_path, "--out", out,
+         "--quality-min", "0", "--neardup-threshold", "0",
+         "--vocab-file", str(vocab_path), "--local", "2"],
+        capture_output=True, text=True,
+        cwd=str(__import__("pathlib").Path(__file__).resolve().parents[1]),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["n_tokens"] == 6  # 2 words x (foob + UNK + r)
+    got = spark.read.parquet(out).collect()
+    assert got[0].n_tokens == 6
+
+
 def test_media_dimensions_genuine_file_headers(spark):
     """The codec-free header parser must read dimensions from GENUINE
     file bytes — a real PNG (correct IHDR CRC), a GIF89a screen
