@@ -7,9 +7,11 @@ time-series as-of join. Implemented as union + sort + carry-forward
 rather than a range join: a range-condition join explodes to
 O(|L|x|R|) pairs per key before filtering, while the union form is one
 shuffle on ``by`` and a linear pass per partition — the only scalable
-shape at 10^9+ rows per side. Skewed ``by`` keys are AQE's problem
-(single window partition per key); for pathological keys pre-split by
-time range.
+shape at 10^9+ rows per side. Skewed ``by`` keys serialize onto one
+window partition; ``asof_join_skewed`` is the pre-split variant that
+sub-buckets each key by time range and stitches bucket boundaries with
+a two-level carry (the segmented-scan pattern, same family as
+pack_shards' distributed prefix sum).
 """
 
 from __future__ import annotations
@@ -43,10 +45,43 @@ def asof_join(
     want.
     """
     lcols = left.columns
+    unioned = _asof_union(left, right, on, by, right_values)
+
+    # right rows sort before left rows at equal `on` so <= ties match;
+    # struct order makes same-instant right rows deterministic
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).asc(), F.col("_src").asc(), F.col("_rv").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *lcols, "_src",
+        F.last("_rv", ignorenulls=True).over(w).alias("_rv"),
+    )
+    return (
+        carried.filter(F.col("_src") == 1)
+        .select(
+            *lcols,
+            *[F.col("_rv")[c].alias(c + suffix) for c in right_values],
+        )
+    )
+
+
+def _asof_union(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str],
+    right_values: list[str],
+) -> DataFrame:
+    """The tagged union both as-of variants sort: left rows carry their
+    columns + a NULL right-value struct + _src=1; right rows carry only
+    (by, on) + their values as ONE struct + _src=0 (a whole-struct match
+    can never stitch values from different right rows)."""
+    lcols = left.columns
     rv_type = T.StructType([
         T.StructField(c, right.schema[c].dataType) for c in right_values
     ])
-
     l_tagged = left.select(
         *lcols,
         F.lit(None).cast(rv_type).alias("_rv"),
@@ -66,24 +101,89 @@ def asof_join(
         F.struct(*right_values).alias("_rv"),
         F.lit(0).alias("_src"),
     )
-    unioned = l_tagged.unionByName(r_tagged)
+    return l_tagged.unionByName(r_tagged)
 
-    # right rows sort before left rows at equal `on` so <= ties match;
-    # struct order makes same-instant right rows deterministic
-    w = (
-        Window.partitionBy(*by)
+
+def asof_join_skewed(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str],
+    right_values: list[str],
+    suffix: str = "_asof",
+    granularity_sec: int = 3600,
+) -> DataFrame:
+    """:func:`asof_join` with HOT-KEY PRE-SPLIT: identical output, but
+    no single window partition ever holds a whole ``by`` group. The
+    plain form partitions the carry-forward window by ``by`` alone, so
+    one pathological key (half the corpus on one user/device/tenant —
+    the shape real event logs have) serializes onto one task and no
+    amount of executors helps. This variant is the operator the plain
+    form's docstring used to hand-wave ("pre-split hot keys upstream"):
+
+    1. every row lands in a (by, time-bucket) cell
+       (``floor(unix_ts(on) / granularity_sec)``), and the carry-forward
+       window partitions by (by, _bucket) — partition size is bounded by
+       the bucket's row count, never the key's
+    2. per (by, bucket), the LAST right row rides one partial-agg
+       ``max(struct(on, _rv))`` — the same (on, _rv) total order the
+       window uses, so the witness is a consistent single row
+    3. the carry-IN for each bucket is a second, bucket-GRANULAR
+       carry-forward over the per-bucket summaries (rows = distinct
+       (by, bucket) cells — metadata-sized relative to the corpus), with
+       ``rowsBetween(unboundedPreceding, -1)`` so a bucket never sees
+       its own summary
+    4. a left row's match = its intra-bucket carry, else the bucket's
+       carry-in (struct-level coalesce — never per-column, which could
+       stitch two right rows).
+
+    This is the segmented-scan / two-level-prefix pattern (pack_shards'
+    shape applied to LAST instead of SUM). Equality with plain
+    asof_join is pytest-enforced on a synthesized hot key; pick
+    ``granularity_sec`` near the hot key's event spacing x desired
+    partition size. ``on`` must be a timestamp column."""
+    lcols = left.columns
+    g = granularity_sec
+    unioned = _asof_union(left, right, on, by, right_values).withColumn(
+        "_bucket", F.floor(F.unix_timestamp(F.col(on)) / g)
+    )
+    w_in = (
+        Window.partitionBy(*by, "_bucket")
         .orderBy(F.col(on).asc(), F.col("_src").asc(), F.col("_rv").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
-        *lcols, "_src",
-        F.last("_rv", ignorenulls=True).over(w).alias("_rv"),
+        *lcols, "_src", "_bucket",
+        F.last("_rv", ignorenulls=True).over(w_in).alias("_rv"),
+    )
+    bucket_last = (
+        unioned.filter(F.col("_src") == 0)
+        .groupBy(*by, "_bucket")
+        .agg(
+            F.max(
+                F.struct(F.col(on).alias("o"), F.col("_rv").alias("rv"))
+            ).alias("_bl")
+        )
+    )
+    universe = unioned.select(*by, "_bucket").distinct()
+    w_carry = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("_bucket").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry_in = universe.join(bucket_last, by + ["_bucket"], "left").select(
+        *by, "_bucket",
+        F.last("_bl", ignorenulls=True).over(w_carry).alias("_ci"),
+    )
+    best = F.when(F.col("_rv").isNotNull(), F.col("_rv")).otherwise(
+        F.col("_ci.rv")
     )
     return (
         carried.filter(F.col("_src") == 1)
+        .join(carry_in, by + ["_bucket"], "left")
         .select(
             *lcols,
-            *[F.col("_rv")[c].alias(c + suffix) for c in right_values],
+            *[best[c].alias(c + suffix) for c in right_values],
         )
     )
 

@@ -2379,6 +2379,59 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "events_asof_join_skewed",
+    """WITH ev AS (SELECT event_id, ts,
+                          CASE WHEN user_id % 2 = 0 THEN 1 ELSE user_id END
+                            AS user_id,
+                          event_type, value FROM events),
+            clicks AS (SELECT event_id, user_id, ts FROM ev
+                       WHERE event_type = 'click'),
+            views AS (SELECT user_id, ts, max(value) AS view_value
+                      FROM ev WHERE event_type = 'view' GROUP BY 1, 2)
+       SELECT c.event_id, c.user_id,
+              strftime(v.ts, '%Y-%m-%dT%H:%M:%S.%f') AS view_ts_asof,
+              round(v.view_value, 4) AS view_value_asof
+       FROM clicks c ASOF LEFT JOIN views v
+         ON c.user_id = v.user_id AND v.ts <= c.ts""",
+)
+def events_asof_join_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join under a SYNTHESIZED hot key (half of all users
+    collapsed onto user 1 — the one-tenant-dominates shape real event
+    logs have), answered by the pre-split variant: the carry-forward
+    window partitions by (user, time-bucket) with a bucket-granular
+    second-level carry stitching boundaries, so no partition ever holds
+    the whole hot key (plan-pinned in tests/test_plans.py). Output is
+    identical to plain asof_join (pytest-enforced); the oracle is
+    DuckDB's native ASOF JOIN on the same remapped data."""
+    from .operators.relational import asof_join_skewed
+
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "user_id",
+        F.when(F.col("user_id") % 2 == 0, F.lit(1)).otherwise(F.col("user_id")),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+        .withColumn("view_ts", F.col("ts"))
+    )
+    out = asof_join_skewed(
+        clicks, views, on="ts", by=["user_id"],
+        right_values=["view_ts", "view_value"], granularity_sec=3600,
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.date_format(
+            "view_ts_asof", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+        ).alias("view_ts_asof"),
+        F.round("view_value_asof", 4).alias("view_value_asof"),
+    )
+
+
+@_q(
     "events_range_join",
     """WITH w AS (SELECT user_id, ts AS ws, ts + INTERVAL 30 MINUTE AS we
                   FROM events WHERE event_type = 'error'),

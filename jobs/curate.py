@@ -109,6 +109,23 @@ def main(argv: list[str] | None = None) -> int:
                          "n_tokens becomes the TRUE greedy longest-match "
                          "piece count against this vocab instead of the "
                          "whitespace word count")
+    ap.add_argument("--cc-algorithm", default="auto",
+                    choices=["auto", "propagation", "star"],
+                    help="connected-components algorithm for near-dup "
+                         "clustering: 'auto' picks star above "
+                         "--cc-star-edges verified pairs (O(log^2 n) "
+                         "rounds independent of component diameter; "
+                         "propagation's fewer-round advantage on small "
+                         "clique-ish graphs flips once round count / "
+                         "chain length grows)")
+    ap.add_argument("--cc-star-edges", type=int, default=10_000,
+                    help="edge count above which --cc-algorithm auto "
+                         "switches to the star algorithm (default 10k: "
+                         "measured at 320k docs / 32k verified pairs at "
+                         "local[32], star's near-dup stage is 46.4s vs "
+                         "propagation's 49.2s best-of in calm windows — "
+                         "see BASELINE.md; below that the graph is tiny "
+                         "and propagation's lighter rounds win)")
     ap.add_argument("--rates", default=None,
                     help='JSON dict of per-source keep rates, e.g. {"src0": 1.0}')
     ap.add_argument("--default-rate", type=float, default=1.0,
@@ -186,6 +203,7 @@ def main(argv: list[str] | None = None) -> int:
     stage_sec: dict[str, float] = {}
     t0 = time.perf_counter()
     stages: dict[str, int] = {"input": docs.count()}
+    extra_summary: dict = {}
 
     def mark(label):
         """Attribute everything since the previous boundary to ``label``
@@ -243,7 +261,19 @@ def main(argv: list[str] | None = None) -> int:
         pairs = ngram_jaccard_shingled(cands, sh).filter(
             F.col("jaccard") >= args.neardup_threshold
         )
-        clusters = dedup_clusters(pairs, docs)
+        # materialize the verified edge list once: the edge count that
+        # picks the CC algorithm and the CC loop itself both read it
+        # (connected_components would checkpoint its projection anyway)
+        pairs = pairs.localCheckpoint()
+        n_pairs = pairs.count()
+        cc_algorithm = args.cc_algorithm
+        if cc_algorithm == "auto":
+            cc_algorithm = (
+                "star" if n_pairs > args.cc_star_edges else "propagation"
+            )
+        extra_summary["n_neardup_pairs"] = n_pairs
+        extra_summary["cc_algorithm"] = cc_algorithm
+        clusters = dedup_clusters(pairs, docs, algorithm=cc_algorithm)
         keep_near = clusters.filter(F.col("keep")).select("doc_id")
         docs = staged(docs.join(keep_near, "doc_id", "left_semi"),
                       "after_neardup")
@@ -368,6 +398,7 @@ def main(argv: list[str] | None = None) -> int:
         "n_tokens": written.agg(
             F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("t")
         ).collect()[0][0],
+        **extra_summary,
     }
     if "n_pii" in written.columns:
         summary["n_pii_redacted"] = written.agg(
@@ -384,6 +415,8 @@ def _run_incremental_wave(spark, args) -> dict:
     dict for the exit-contract JSON line."""
     import glob as globmod
     import time
+
+    extra_summary: dict = {}
 
     from pyspark.sql import functions as F
 
@@ -507,7 +540,17 @@ def _run_incremental_wave(spark, args) -> dict:
         all_pairs = spark.read.parquet(
             *[os.path.join(w, "pairs.parquet") for w in all_waves]
         )
-        clusters = dedup_clusters(all_pairs, exact_kept)
+        # same auto rule as the one-shot path; the edge list is already
+        # materialized parquet, so the count is a cheap scan
+        cc_algorithm = args.cc_algorithm
+        if cc_algorithm == "auto":
+            cc_algorithm = (
+                "star" if all_pairs.count() > args.cc_star_edges
+                else "propagation"
+            )
+        extra_summary["cc_algorithm"] = cc_algorithm
+        clusters = dedup_clusters(all_pairs, exact_kept,
+                                  algorithm=cc_algorithm)
         keep_near = clusters.filter(F.col("keep")).select("doc_id")
         kept = exact_kept.join(keep_near, "doc_id", "left_semi")
     else:
@@ -545,6 +588,7 @@ def _run_incremental_wave(spark, args) -> dict:
         "n_tokens": written.agg(
             F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("t")
         ).collect()[0][0],
+        **extra_summary,
     }
     if "n_pii" in written.columns:
         summary["n_pii_redacted"] = written.agg(

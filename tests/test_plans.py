@@ -294,6 +294,24 @@ def test_containment_neardup_bounded_equi_join(spark):
     assert "split(" not in plan, plan
 
 
+def test_asof_skewed_no_whole_key_window(spark):
+    """The skew-split as-of join must never run a window partitioned by
+    the raw `by` key alone: every per-row carry-forward window spec
+    includes the _bucket sub-key (the hot key is split across buckets),
+    and the bucket-boundary stitch is an equi-join — no BNLJ, no
+    cartesian."""
+    from fcrepo3_rdf_extractor_spark.queries import events_asof_join_skewed
+
+    plan = _formatted(events_asof_join_skewed(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    specs = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert specs, plan
+    row_specs = [s for s in specs if "_rv" in s]  # the per-row carries
+    assert row_specs, plan
+    assert all("_bucket" in s for s in row_specs), row_specs
+
+
 def test_dedup_substrings_two_level_span_table(spark):
     """Substring dedup's duplicated-span table must be ONE two-level
     (partial + final) aggregation over the k-gram occurrence table —

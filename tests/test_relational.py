@@ -69,6 +69,40 @@ def test_asof_join_null_in_right_values_stays_coherent(spark):
     assert row.name_asof is None   # NOT "old" — the matched row's own NULL
 
 
+def test_asof_skewed_equals_plain_on_hot_key(spark):
+    """asof_join_skewed must return EXACTLY plain asof_join's rows on a
+    corpus with a synthesized hot key (half the users collapsed onto
+    one), across bucket boundaries (1h granularity over multi-day
+    timestamps) and for left rows whose match lives many buckets back."""
+    from pyspark.sql import functions as F
+
+    from fcrepo3_rdf_extractor_spark.operators.relational import (
+        asof_join,
+        asof_join_skewed,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev = ev.withColumn(
+        "user_id",
+        F.when(F.col("user_id") % 2 == 0, F.lit(1)).otherwise(F.col("user_id")),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+        .withColumn("view_ts", F.col("ts"))
+    )
+    kw = dict(on="ts", by=["user_id"], right_values=["view_ts", "view_value"])
+    plain = asof_join(clicks, views, **kw)
+    split = asof_join_skewed(clicks, views, granularity_sec=3600, **kw)
+    assert plain.count() == clicks.count() == split.count()
+    assert plain.exceptAll(split).count() == 0
+    assert split.exceptAll(plain).count() == 0
+
+
 def test_range_join_matches_containment_and_group(spark):
     """Half-open containment, by-group isolation, and intervals that
     span multiple buckets (granularity smaller than the interval)."""

@@ -1360,6 +1360,50 @@ def test_curate_substring_dedup_stage(spark, tmp_path):
     assert kept[1].n_chars == len("ddd eee fff")
 
 
+def test_curate_cc_algorithm_choice_logged(spark, tmp_path):
+    """The clustering-algorithm pick (auto -> propagation below the
+    edge threshold; forced star respected) is logged in the summary
+    JSON next to the verified pair count, and both algorithms keep the
+    same survivors."""
+    import json
+    import subprocess
+    import sys
+
+    words = [f"w{i}" for i in range(40)]
+    near = " ".join(words[:39] + ["CHANGED"])
+    rows = [
+        (0, " ".join(words), "en", "s", 1),
+        (1, near, "en", "s", 1),
+        (2, " ".join(f"z{i}" for i in range(40)), "en", "s", 1),
+    ]
+    rows = [(i, t, l, s, len(t)) for (i, t, l, s, _) in rows]
+    docs_path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(docs_path)
+    root = str(__import__("pathlib").Path(__file__).resolve().parents[1])
+
+    def run(extra):
+        out = str(tmp_path / ("curated-" + "-".join(extra) or "auto"))
+        r = subprocess.run(
+            [sys.executable, "jobs/curate.py", "--docs", docs_path,
+             "--out", out, "--quality-min", "0",
+             "--neardup-threshold", "0.7", "--local", "2"] + extra,
+            capture_output=True, text=True, cwd=root,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        s = json.loads(r.stdout.strip().splitlines()[-1])
+        kept = {row.doc_id for row in spark.read.parquet(out).collect()}
+        return s, kept
+
+    s_auto, kept_auto = run([])
+    assert s_auto["cc_algorithm"] == "propagation"  # 1 pair << threshold
+    assert s_auto["n_neardup_pairs"] == 1
+    s_star, kept_star = run(["--cc-algorithm", "star"])
+    assert s_star["cc_algorithm"] == "star"
+    assert kept_auto == kept_star == {0, 2}  # near-dup of 0 dropped
+
+
 def test_curate_substring_dedup_rejected_with_state(tmp_path):
     """Substring dedup rewrites text corpus-wide; the CLI must refuse
     the incremental-state combination."""
