@@ -515,10 +515,7 @@ def containment_near_duplicates(
     # un-staged plan re-ran tokenize/shingle/md5 up to 8x per query and
     # the inverted-index window shuffle twice; same staging discipline
     # as connected_components / dedup_clusters)
-    sh = shingle_table(docs, text_col, k)
-    inv = sh.select(
-        "doc_id", F.explode("sh").alias("_g")
-    ).select("doc_id", F.md5("_g").alias("g"))
+    inv = containment_index(docs, text_col, k)
     bounded = (
         inv.withColumn("_df", F.count("*").over(Window.partitionBy("g")))
         .filter(F.col("_df") <= max_df)
@@ -676,4 +673,109 @@ def dedup_substrings(
             .cast("long")
             .alias("n_removed"),
         )
+    )
+
+
+def containment_index(
+    docs: DataFrame, text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """The containment inverted index — (g, doc_id), g = md5(word
+    k-gram shingle) — i.e. the PERSISTED STATE an incremental pipeline
+    keeps per document wave, exactly as the LSH band table is the
+    persisted state of the MinHash path. Scan-side only (tokenize →
+    shingle → md5 → explode); the document-frequency bound is NOT baked
+    in here because it must be evaluated over the UNION of all waves'
+    rows (:func:`containment_incremental_pairs`)."""
+    sh = shingle_table(docs, text_col, k)
+    return sh.select(
+        "doc_id", F.explode("sh").alias("_g")
+    ).select("doc_id", F.md5("_g").alias("g"))
+
+
+def containment_incremental_pairs(
+    new_docs: DataFrame,
+    old_index: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    k: int = 3,
+    max_df: int = 1000,
+    new_index: DataFrame | None = None,
+) -> DataFrame:
+    """Containment pairs introduced by a NEW wave, probing the persisted
+    :func:`containment_index` of the existing corpus — the incremental
+    twin of :func:`minhash_incremental_pairs` for the asymmetric
+    modality. The expensive per-document stage (tokenize / shingle /
+    md5) runs ONLY on the new wave; old documents contribute through
+    their stored (g, doc_id) rows. new-new and new-old pairs flow out;
+    old-old pairs never recompute.
+
+    Semantics match a full :func:`containment_near_duplicates` over the
+    combined corpus for every pair touching a new document: the df
+    bound AND the bounded set sizes are evaluated over the UNION index,
+    exactly what the full run would see. The one divergence mode —
+    shared with the MinHash path's monotone-admission rule — is OLD-OLD
+    pairs whose stored scores were computed before a later wave pushed
+    a shingle past ``max_df`` (a full recompute would re-score them
+    over the shrunken universe); a wave never silently re-scores pairs
+    already admitted. Wave-equals-one-shot equality below that bound is
+    pytest-enforced.
+
+    Scale shape: the union-df window shuffles only the two-narrow-column
+    index (not the corpus); a production deployment additionally keeps
+    the per-g df aggregate as state and maintains it with per-wave
+    deltas, turning the window into a broadcast-checked filter — same
+    plan downstream.
+
+    ``new_index``: a prebuilt :func:`containment_index` of the new wave
+    (e.g. the one a stateful pipeline just wrote to its state dir) —
+    skips re-shingling the wave a second time."""
+    from pyspark.sql import Window
+
+    if new_index is None:
+        new_index = containment_index(new_docs, text_col, k)
+    tagged = new_index.select(
+        "g", "doc_id", F.lit(True).alias("_new")
+    ).union(old_index.select("g", "doc_id", F.lit(False).alias("_new")))
+    bounded = (
+        tagged.withColumn("_df", F.count("*").over(Window.partitionBy("g")))
+        .filter(F.col("_df") <= max_df)
+        .drop("_df")
+        .localCheckpoint()
+    )
+    sizes = bounded.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    probe = bounded.filter(F.col("_new")).select("g", F.col("doc_id").alias("_a"))
+    build = bounded.select(
+        "g", F.col("doc_id").alias("_b"), F.col("_new").alias("_bn")
+    )
+    # each shared shingle must contribute exactly once per pair: for
+    # new-new keep only the _a < _b orientation (both sides are in the
+    # probe); a new-old pair exists in one orientation only
+    common = (
+        probe.join(build, "g")
+        .filter(
+            (F.col("_a") < F.col("_b"))
+            | (~F.col("_bn") & (F.col("_a") != F.col("_b")))
+        )
+        .select(
+            F.least("_a", "_b").alias("doc_a"),
+            F.greatest("_a", "_b").alias("doc_b"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("_n_common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("_na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("_nb"))
+    return (
+        common.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("_n_common")
+                / F.greatest(F.least("_na", "_nb"), F.lit(1)),
+                6,
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
     )

@@ -2712,6 +2712,40 @@ def docs_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "docs_containment_incremental",
+    # SAME oracle as docs_containment_neardup: the incremental path must
+    # reproduce the one-shot run over the combined corpus exactly
+    # (max_df=1000 is inert at this corpus size, so old-wave scores are
+    # unaffected by later waves — the documented monotone-admission
+    # caveat never triggers here)
+    _CONTAINMENT_SQL,
+)
+def docs_containment_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental containment refresh: the corpus arrives as two waves
+    (the same deterministic 80/20 doc_id split as
+    docs_neardup_incremental). Wave-1 pairs come from the ordinary
+    one-shot operator; wave 2 shingles ONLY its own documents and probes
+    wave 1's persisted (g, doc_id) inverted index
+    (containment_incremental_pairs) — the per-document shingle stage
+    never re-runs over the existing corpus, and the df bound is
+    evaluated over the union index, exactly what a full run sees."""
+    from .operators.dedup_approx import (
+        containment_incremental_pairs,
+        containment_index,
+        containment_near_duplicates,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    old_docs = docs.filter(F.col("doc_id") % 5 != 0)
+    new_docs = docs.filter(F.col("doc_id") % 5 == 0)
+    prev = containment_near_duplicates(old_docs, threshold=0.5, max_df=1000)
+    incr = containment_incremental_pairs(
+        new_docs, containment_index(old_docs), threshold=0.5, max_df=1000
+    )
+    return prev.unionByName(incr)
+
+
+@_q(
     "docs_top_terms_global",
     f"""SELECT term, CAST(count(*) AS BIGINT) AS n
         FROM (SELECT unnest({_WORDS}) AS term FROM documents)

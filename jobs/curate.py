@@ -44,6 +44,11 @@ holds only that wave's increment:
   pairs.parquet   verified near-dup pairs INTRODUCED by this wave (the
                   new-new/new-old probe against the persisted band table;
                   old-old pairs are never recomputed)
+  cindex.parquet  (--containment-threshold) shingle inverted-index rows
+                  (g, doc_id) for the wave's exact-dedup survivors
+  cpairs.parquet  (--containment-threshold) containment pairs INTRODUCED
+                  by this wave (new wave probes the stored index; the df
+                  bound is evaluated over the union index)
 
 Per-wave cost is O(wave) for signatures/annotations (the expensive
 per-document stages never re-run over the corpus) plus an export pass
@@ -51,10 +56,13 @@ over survivors; union(state pairs) feeds clustering, which is exact: the
 curated output after wave N is IDENTICAL to a one-shot run over the
 concatenated corpus (pytest-enforced). Wave doc_ids must be fresh and
 larger than every stored id (append-only contract; keeps exact-dedup
-witnesses stable). ``--dedup-lines-min-docs`` is rejected with --state:
-corpus-level line dedup rewrites text as the corpus grows, which would
-invalidate stored signatures. PII redaction and token counting run at
-export (same relative order as the one-shot path).
+witnesses stable). ``--dedup-lines-min-docs`` and ``--dedup-substrings-k``
+are rejected with --state: corpus-level text rewriting changes as the
+corpus grows, which would invalidate stored signatures.
+``--containment-threshold`` IS wave-capable (cindex/cpairs state above;
+the flag must be set from the first wave on, so every stored wave
+carries its index). PII redaction and token counting run at export
+(same relative order as the one-shot path).
 
 Stage timing: each stage boundary is persisted and counted before the next
 stage builds on it, so the wall time of that persist+count action is the
@@ -175,13 +183,6 @@ def main(argv: list[str] | None = None) -> int:
             print("error: --dedup-lines-min-docs is incompatible with "
                   "--state (corpus-level line dedup rewrites text as the "
                   "corpus grows, invalidating stored signatures)",
-                  file=sys.stderr)
-            spark.stop()
-            return 2
-        if args.containment_threshold > 0:
-            print("error: --containment-threshold is incompatible with "
-                  "--state (containment pairs are not carried in the "
-                  "per-wave state schema; run it at export instead)",
                   file=sys.stderr)
             spark.stop()
             return 2
@@ -528,6 +529,54 @@ def _run_incremental_wave(spark, args) -> dict:
         ).count()
     mark("neardup_wave")
 
+    # containment state: persist the wave's (g, doc_id) inverted index
+    # and the pairs this wave introduces (new wave probes the stored
+    # index; old-old pairs never recompute — same wave discipline as
+    # the MinHash band table)
+    n_cpairs_new = 0
+    if args.containment_threshold > 0:
+        from fcrepo3_rdf_extractor_spark.operators.dedup_approx import (
+            containment_incremental_pairs,
+            containment_index,
+            containment_near_duplicates,
+        )
+
+        survivors = annotated.filter(F.col("keep_exact"))
+        new_cindex = containment_index(survivors)
+        new_cindex.write.mode("overwrite").parquet(
+            os.path.join(wdir, "cindex.parquet")
+        )
+        if waves:
+            missing = [w for w in waves
+                       if not os.path.exists(os.path.join(w, "cindex.parquet"))]
+            if missing:
+                raise SystemExit(
+                    "--containment-threshold requires every stored wave to "
+                    f"carry cindex.parquet; missing in: {missing} (the flag "
+                    "must be set from the first wave on)"
+                )
+            old_cindex = spark.read.parquet(
+                *[os.path.join(w, "cindex.parquet") for w in waves]
+            )
+            wave_cpairs = containment_incremental_pairs(
+                survivors, old_cindex,
+                threshold=args.containment_threshold,
+                new_index=spark.read.parquet(
+                    os.path.join(wdir, "cindex.parquet")
+                ),
+            ).select("doc_a", "doc_b")
+        else:
+            wave_cpairs = containment_near_duplicates(
+                survivors, threshold=args.containment_threshold
+            ).select("doc_a", "doc_b")
+        wave_cpairs.write.mode("overwrite").parquet(
+            os.path.join(wdir, "cpairs.parquet")
+        )
+        n_cpairs_new = spark.read.parquet(
+            os.path.join(wdir, "cpairs.parquet")
+        ).count()
+        mark("containment_wave")
+
     # export over the full state: recompute the keep-set (cluster minima
     # may shift when this wave bridges old clusters) and materialize the
     # curated corpus — cost O(corpus survivors), the export-layer pass
@@ -555,6 +604,28 @@ def _run_incremental_wave(spark, args) -> dict:
         kept = exact_kept.join(keep_near, "doc_id", "left_semi")
     else:
         kept = exact_kept
+    if args.containment_threshold > 0:
+        # same keep policy as the one-shot path: drop the SMALLER side
+        # of any contained pair, tie -> larger doc_id (pairs are
+        # canonical doc_a < doc_b). The inner size joins restrict the
+        # stored pair set to docs still alive after near-dup, exactly
+        # the pairs a one-shot run would have scored at this stage.
+        all_cpairs = spark.read.parquet(
+            *[os.path.join(w, "cpairs.parquet") for w in all_waves]
+        )
+        sz_a = kept.select(F.col("doc_id").alias("doc_a"),
+                           F.col("n_chars").alias("_ca"))
+        sz_b = kept.select(F.col("doc_id").alias("doc_b"),
+                           F.col("n_chars").alias("_cb"))
+        drop = (
+            all_cpairs.join(sz_a, "doc_a").join(sz_b, "doc_b")
+            .select(
+                F.when(F.col("_ca") < F.col("_cb"), F.col("doc_a"))
+                .otherwise(F.col("doc_b")).alias("doc_id")
+            )
+            .distinct()
+        )
+        kept = kept.join(drop, "doc_id", "left_anti")
     kept = kept.filter(F.col("quality") >= args.quality_min)
     if args.langs:
         allow = [s.strip() for s in args.langs.split(",") if s.strip()]
@@ -582,7 +653,9 @@ def _run_incremental_wave(spark, args) -> dict:
         "out": args.out,
         "state": args.state,
         "wave": wave_id,
-        "stages": {"wave_docs": n_new, "wave_pairs": n_pairs_new},
+        "stages": {"wave_docs": n_new, "wave_pairs": n_pairs_new,
+                   **({"wave_cpairs": n_cpairs_new}
+                      if args.containment_threshold > 0 else {})},
         "stage_sec": stage_sec,
         "n_docs": written.count(),
         "n_tokens": written.agg(

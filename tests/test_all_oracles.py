@@ -29,7 +29,7 @@ def test_every_registered_query_matches_its_oracle(spark):
     import __spark_entry__ as entrymod
     from tools.check_oracles import run_checks
 
-    failed = run_checks(spark, SF_DIR)
+    failed = run_checks(spark, SF_DIR, workers=8)
     assert failed == [], f"oracle mismatches at {SF_DIR}: {failed}"
     # every query must also carry an oracle unless explicitly rows-only
     rows_only = set(entrymod.queries()) - set(entrymod.oracle_sql())

@@ -132,6 +132,57 @@ def test_minhash_incremental_matches_full_recompute(spark):
     assert any(a >= 10 and b >= 10 for a, b in incr)  # and a new-new pair
 
 
+def test_containment_incremental_matches_full_recompute(spark):
+    """Containment twin of the MinHash wave test: planted old-old,
+    new-old, and new-new contained fragments. previous-pairs ∪
+    incremental-pairs must equal the full recompute — scores included —
+    while the new wave probes the persisted (g, doc_id) index and only
+    the wave re-shingles."""
+    from fcrepo3_rdf_extractor_spark.operators.dedup_approx import (
+        containment_incremental_pairs,
+        containment_index,
+        containment_near_duplicates,
+    )
+
+    long_a = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(12))
+    long_b = " ".join(f"one{i} two{i} three{i}" for i in range(12))
+    rows = [
+        (0, long_a),                                   # old host
+        (1, " ".join(long_a.split()[:12])),            # old fragment of 0
+        (2, long_b),                                   # old, distinct host
+        (10, " ".join(long_a.split()[12:26])),         # new fragment of 0
+        (11, " ".join(f"p{i} q{i} r{i}" for i in range(10))),  # new host
+        (12, " ".join(f"p{i} q{i} r{i}" for i in range(10))[:40]),  # new frag of 11
+        (13, "totally unrelated content here now"),    # new singleton
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    old_docs = docs.filter("doc_id < 10")
+    new_docs = docs.filter("doc_id >= 10")
+
+    def as_dict(df):
+        return {(r.doc_a, r.doc_b): r.containment for r in df.collect()}
+
+    full = as_dict(containment_near_duplicates(docs, threshold=0.8))
+    prev = as_dict(containment_near_duplicates(old_docs, threshold=0.8))
+    old_index = containment_index(old_docs)
+    incr = as_dict(
+        containment_incremental_pairs(new_docs, old_index, threshold=0.8)
+    )
+    assert {**prev, **incr} == full
+    # incremental pairs all touch a new doc; old-old never recomputes
+    assert all(a >= 10 or b >= 10 for a, b in incr)
+    assert any(a < 10 <= b for a, b in incr)          # a planted new-old pair
+    assert any(a >= 10 and b >= 10 for a, b in incr)  # and a new-new pair
+    # a prebuilt wave index (what curate persists) gives the same answer
+    incr2 = as_dict(
+        containment_incremental_pairs(
+            new_docs, old_index, threshold=0.8,
+            new_index=containment_index(new_docs),
+        )
+    )
+    assert incr2 == incr
+
+
 def test_ngram_jaccard_exact_values(spark):
     docs = _docs(spark)
     pairs = spark.createDataFrame([(0, 1), (0, 3)], "doc_a long, doc_b long")
@@ -1255,22 +1306,87 @@ def test_curate_containment_stage_drops_fragment(spark, tmp_path):
     assert kept == {0, 2}
 
 
-def test_curate_containment_rejected_with_state(tmp_path):
-    """Containment pairs are not in the per-wave state schema; the CLI
-    must refuse the combination rather than silently diverge from the
-    one-shot result."""
+def test_curate_containment_waves_match_one_shot(spark, tmp_path):
+    """--containment-threshold through two ``--state`` waves must export
+    EXACTLY what a one-shot run over the concatenated corpus produces:
+    planted old-old, new-old, and new-new contained fragments all drop,
+    their hosts survive, and only the wave's documents are re-shingled
+    (cindex/cpairs state). Enabling the flag mid-stream (stored waves
+    without an index) is refused."""
+    import json
     import subprocess
     import sys
 
+    words = [f"w{i}" for i in range(60)]
+    long_doc = " ".join(words)
+    new_long = " ".join(f"u{i}" for i in range(40))
+    w1_rows = [
+        (0, long_doc),                      # host
+        (1, " ".join(words[:30])),          # old-old fragment of 0
+        (2, " ".join(f"z{i}" for i in range(40))),
+    ]
+    w2_rows = [
+        (10, " ".join(words[30:])),         # new-old fragment of 0
+        (11, new_long),                     # new host
+        (12, " ".join(new_long.split()[:20])),  # new-new fragment of 11
+        (13, "totally unrelated words appearing here just once"),
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+
+    def mk(rows, path):
+        spark.createDataFrame(
+            [(i, t, "en", "srcA", len(t)) for i, t in rows], schema
+        ).write.parquet(str(path))
+
+    mk(w1_rows, tmp_path / "w1")
+    mk(w2_rows, tmp_path / "w2")
+    mk(w1_rows + w2_rows, tmp_path / "full")
+
+    repo = str(__import__("pathlib").Path(__file__).resolve().parents[1])
+
+    def run(args_):
+        return subprocess.run(
+            [sys.executable, "jobs/curate.py", "--quality-min", "0",
+             "--neardup-threshold", "0.7",
+             "--containment-threshold", "0.8", "--local", "4"] + args_,
+            capture_output=True, text=True, cwd=repo,
+        )
+
+    state = str(tmp_path / "state")
+    r = run(["--docs", str(tmp_path / "full"),
+             "--out", str(tmp_path / "out_full")])
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = run(["--docs", str(tmp_path / "w1"), "--state", state,
+             "--out", str(tmp_path / "out_w1")])
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = run(["--docs", str(tmp_path / "w2"), "--state", state,
+             "--out", str(tmp_path / "out_w2")])
+    assert r.returncode == 0, r.stderr[-2000:]
+    s2 = json.loads(r.stdout.strip().splitlines()[-1])
+    assert s2["wave"] == 1 and s2["stages"]["wave_cpairs"] >= 2
+
+    cols = ["doc_id", "text", "quality", "pred_lang", "n_tokens"]
+    got = {tuple(r_) for r_ in
+           spark.read.parquet(str(tmp_path / "out_w2")).select(*cols).collect()}
+    want = {tuple(r_) for r_ in
+            spark.read.parquet(str(tmp_path / "out_full")).select(*cols).collect()}
+    assert got == want
+    assert {t[0] for t in got} == {0, 2, 11, 13}   # every fragment dropped
+
+    # mid-stream enabling: a state built WITHOUT the flag has no cindex
+    state2 = str(tmp_path / "state2")
     r = subprocess.run(
-        [sys.executable, "jobs/curate.py", "--docs", "/nonexistent",
-         "--out", str(tmp_path / "o"), "--state", str(tmp_path / "s"),
-         "--containment-threshold", "0.8", "--local", "2"],
-        capture_output=True, text=True,
-        cwd=str(__import__("pathlib").Path(__file__).resolve().parents[1]),
+        [sys.executable, "jobs/curate.py", "--quality-min", "0",
+         "--neardup-threshold", "0.7", "--local", "4",
+         "--docs", str(tmp_path / "w1"), "--state", state2,
+         "--out", str(tmp_path / "o1")],
+        capture_output=True, text=True, cwd=repo,
     )
-    assert r.returncode == 2
-    assert "containment" in r.stderr
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = run(["--docs", str(tmp_path / "w2"), "--state", state2,
+             "--out", str(tmp_path / "o2")])
+    assert r.returncode != 0
+    assert "cindex" in (r.stderr + r.stdout)
 
 
 def test_dedup_substrings_keep_first(spark):
