@@ -164,7 +164,8 @@ def _bench_local_dir() -> str | None:
     return "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else None
 
 
-def run_throughput(sf_dir: str, cores: int, copies: int = 1) -> dict:
+def run_throughput(sf_dir: str, cores: int, copies: int = 1,
+                   reps: int = 3) -> dict:
     """One extraction-throughput measurement: synthesize FOXML from
     orders, run the full plan (parse -> graph -> skip-empty -> dedup),
     materialize with noop. The source is repartitioned to 4x cores so
@@ -200,7 +201,7 @@ def run_throughput(sf_dir: str, cores: int, copies: int = 1) -> dict:
     # steady-state estimator
     steal0 = _steal_jiffies()
     times = []
-    for _ in range(3):
+    for _ in range(reps):
         t0 = time.perf_counter()
         _materialize(out)
         times.append(round(time.perf_counter() - t0, 3))
@@ -221,7 +222,19 @@ def run_throughput(sf_dir: str, cores: int, copies: int = 1) -> dict:
     }
 
 
-def run_scaling(sf_dir: str, lo: int, hi: int, copies: int = 1) -> dict:
+def _throughput_subprocess(sf_dir: str, cores: int, copies: int,
+                           reps: int) -> dict:
+    cmd = [sys.executable, os.path.abspath(__file__),
+           "--throughput", "--cores", str(cores), "--sf-dir", sf_dir,
+           "--copies", str(copies), "--reps", str(reps)]
+    if (os.cpu_count() or 0) >= cores:
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+    proc = subprocess.run(cmd, capture_output=True, text=True, check=True)
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def run_scaling(sf_dir: str, lo: int, hi: int, copies: int = 1,
+                interleave: int = 0) -> dict:
     """Spawn a fresh interpreter+JVM per parallelism level (a shared JVM
     would reuse the first master setting) and compute efficiency.
 
@@ -230,16 +243,34 @@ def run_scaling(sf_dir: str, lo: int, hi: int, copies: int = 1) -> dict:
     8 JVM threads aren't using — a "quarter-size cluster" quietly
     consuming up to 2x its share, which deflates measured scaling. A
     real 8-core executor host timeshares JVM and Python workers on the
-    same 8 cores; the pinning reproduces that."""
+    same 8 cores; the pinning reproduces that.
+
+    ``interleave=N`` switches to the paired protocol for co-tenant
+    hosts: N alternating single-timed-rep subprocesses PER ARM
+    (lo, hi, lo, hi, ...), min per arm. The default protocol samples
+    the two arms minutes apart, so an interference burst during one
+    arm's whole window moves the ratio directly (measured: 0.73-0.80
+    across invocations with near-zero steal metered, vs 0.85-0.89
+    calm-window history); interleaving gives both arms N shots at the
+    same sequence of environmental windows and the per-arm min is the
+    same interference-free estimator best-of-3 already uses."""
     results = {}
-    for cores in (lo, hi):
-        cmd = [sys.executable, os.path.abspath(__file__),
-               "--throughput", "--cores", str(cores), "--sf-dir", sf_dir,
-               "--copies", str(copies)]
-        if (os.cpu_count() or 0) >= cores:
-            cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
-        proc = subprocess.run(cmd, capture_output=True, text=True, check=True)
-        results[cores] = json.loads(proc.stdout.strip().splitlines()[-1])
+    if interleave > 0:
+        runs: dict[int, list[dict]] = {lo: [], hi: []}
+        for _ in range(interleave):
+            for cores in (lo, hi):
+                runs[cores].append(
+                    _throughput_subprocess(sf_dir, cores, copies, reps=1))
+        for cores in (lo, hi):
+            best = min(runs[cores], key=lambda r: r["sec"])
+            best = dict(best)
+            best["times"] = [r["sec"] for r in runs[cores]]
+            best["steal_cpu_sec"] = [r["steal_cpu_sec"] for r in runs[cores]]
+            results[cores] = best
+    else:
+        for cores in (lo, hi):
+            results[cores] = _throughput_subprocess(sf_dir, cores, copies,
+                                                    reps=3)
     tps_lo = results[lo]["triples_per_sec"]
     tps_hi = results[hi]["triples_per_sec"]
     eff = round((tps_hi / tps_lo) / (hi / lo), 3)
@@ -407,12 +438,18 @@ def main() -> None:
     ap.add_argument("--scale-hi", type=int, default=32)
     ap.add_argument("--copies", type=int, default=1,
                     help="corpus multiplier for throughput/scaling runs")
+    ap.add_argument("--reps", type=int, default=3,
+                    help="timed reps per throughput invocation (min wins)")
+    ap.add_argument("--interleave", type=int, default=0,
+                    help="scaling: N alternating single-rep subprocesses "
+                         "per arm instead of one 3-rep subprocess each")
     args = ap.parse_args()
 
     if args.throughput:
-        out = run_throughput(args.sf_dir, args.cores, args.copies)
+        out = run_throughput(args.sf_dir, args.cores, args.copies, args.reps)
     elif args.scaling:
-        out = run_scaling(args.sf_dir, args.scale_lo, args.scale_hi, args.copies)
+        out = run_scaling(args.sf_dir, args.scale_lo, args.scale_hi,
+                          args.copies, args.interleave)
     elif args.curate:
         out = run_curate_scaling(args.sf_dir, args.scale_lo, args.scale_hi,
                                  args.copies, args.curate_runs)

@@ -200,26 +200,39 @@ def lang_scores(text: Column) -> dict[str, Column]:
     }
 
 
-def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Deterministic n-gram/marker language ID: argmax of marker counts,
-    ties broken by language code order, 'und' when no marker hits.
-    Scores are staged as columns so each replace-chain evaluates once per
-    row, not once per downstream reference."""
+def with_language(
+    df: DataFrame, text_col: str = "text", keep_scores: bool = False
+) -> DataFrame:
+    """ALL input columns + ``pred_lang`` (argmax of marker counts, ties
+    broken by language code order, 'und' when no marker hits) — a pure
+    per-row projection, so it is stream-safe and adds NO join: the
+    in-place form batch curate and the streaming curate front share.
+    Scores are staged as columns so each replace-chain evaluates once
+    per row, not once per downstream reference. The input must not
+    already carry ``score_<lang>`` / ``pred_lang`` columns."""
     scores = lang_scores(F.col(text_col))
     langs = sorted(scores)  # deterministic tie order
     staged = df.select(
-        "doc_id", *[scores[lang].alias(f"score_{lang}") for lang in langs]
+        "*", *[scores[lang].alias(f"score_{lang}") for lang in langs]
     )
     col = {lang: F.col(f"score_{lang}") for lang in langs}
     best_score = F.greatest(*[col[lang] for lang in langs])
     pred = F.lit("und")
     for lang in reversed(langs):  # earliest alphabetical wins ties
         pred = F.when((col[lang] > 0) & (col[lang] == best_score), F.lit(lang)).otherwise(pred)
-    return staged.select(
-        "doc_id",
-        *[col[lang].alias(f"score_{lang}") for lang in langs],
-        pred.alias("pred_lang"),
-    )
+    out = list(df.columns)
+    if keep_scores:
+        out += [f"score_{lang}" for lang in langs]
+    return staged.select(*out, pred.alias("pred_lang"))
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic n-gram/marker language ID (narrow projection:
+    doc_id, per-language scores, pred_lang). See :func:`with_language`
+    for the in-place variant."""
+    return with_language(
+        df.select("doc_id", text_col), text_col, keep_scores=True
+    ).drop(text_col)
 
 
 # ---------------------------------------------------------------------------
@@ -228,11 +241,16 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 STOPWORDS = [" the ", " a ", " an ", " and ", " or ", " of ", " to ", " in "]
 
 
-def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Length / punctuation-ratio / stopword-ratio quality features with a
-    single blended score in [0,1]. Pure arithmetic, oracle-mirrorable."""
+def with_quality(
+    df: DataFrame, text_col: str = "text", full: bool = False
+) -> DataFrame:
+    """ALL input columns + ``quality`` (blended length / stopword-ratio /
+    word-shape score in [0,1]; ``full=True`` adds the individual feature
+    columns, whose names must then not collide with the input's). A pure
+    per-row projection — stream-safe, join-free: the in-place form batch
+    curate and the streaming curate front share."""
     t = F.col(text_col)
-    df = df.select("doc_id", t, F.size(tokens_col(t)).alias("_n_words"))
+    staged = df.select("*", F.size(tokens_col(t)).alias("_n_words"))
     padded = F.concat(F.lit(" "), F.lower(t), F.lit(" "))
     n_chars = F.length(t)
     n_words = F.col("_n_words")  # staged: referenced 3x below
@@ -250,15 +268,25 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         + F.when((mean_word_len >= 2) & (mean_word_len <= 12), 0.3).otherwise(0.0),
         4,
     )
-    return df.select(
-        "doc_id",
-        n_chars.cast("long").alias("n_chars"),
-        n_words.cast("long").alias("n_words"),
-        punct_ratio.alias("punct_ratio"),
-        stop_ratio.alias("stopword_ratio"),
-        mean_word_len.alias("mean_word_len"),
-        score.alias("quality"),
-    )
+    features = []
+    if full:
+        features = [
+            n_chars.cast("long").alias("n_chars"),
+            n_words.cast("long").alias("n_words"),
+            punct_ratio.alias("punct_ratio"),
+            stop_ratio.alias("stopword_ratio"),
+            mean_word_len.alias("mean_word_len"),
+        ]
+    return staged.select(*df.columns, *features, score.alias("quality"))
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation-ratio / stopword-ratio quality features with a
+    single blended score in [0,1] (narrow projection). Pure arithmetic,
+    oracle-mirrorable. See :func:`with_quality` for the in-place variant."""
+    return with_quality(
+        df.select("doc_id", text_col), text_col, full=True
+    ).drop(text_col)
 
 
 # ---------------------------------------------------------------------------

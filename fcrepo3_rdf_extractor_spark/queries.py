@@ -1016,6 +1016,54 @@ def docs_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_id(_read(spark, sf_dir, "documents"))
 
 
+def _curate_front_oracle(quality_min: float = 0.5) -> str:
+    from .operators.text import LANG_MARKERS, STOPWORDS
+
+    langs = sorted(LANG_MARKERS)
+    score_cols = ", ".join(
+        f"{_lang_score_sql(LANG_MARKERS[l])} AS score_{l}" for l in langs
+    )
+    best = "greatest(" + ", ".join(f"score_{l}" for l in langs) + ")"
+    pred = "'und'"
+    for lang in reversed(langs):
+        pred = (
+            f"CASE WHEN score_{lang} > 0 AND score_{lang} = {best} "
+            f"THEN '{lang}' ELSE {pred} END"
+        )
+    stop_n = _lang_score_sql(STOPWORDS)
+    quality = f"""round(
+        (CASE WHEN length(text) BETWEEN 20 AND 100000 THEN 0.4 ELSE 0.0 END)
+      + (CASE WHEN round(stop_n / greatest(len({_WORDS}), 1), 4) > 0.01
+              THEN 0.3 ELSE 0.0 END)
+      + (CASE WHEN length(regexp_replace(text, '\\s+', '', 'g')) /
+                   greatest(len({_WORDS}), 1)
+              BETWEEN 2 AND 12 THEN 0.3 ELSE 0.0 END), 4)"""
+    return f"""WITH hashed AS (SELECT *, md5(text) AS content_md5 FROM documents),
+      keep AS (SELECT min(doc_id) AS doc_id FROM hashed GROUP BY content_md5),
+      dedup AS (SELECT h.* FROM hashed h JOIN keep USING (doc_id)),
+      scored AS (SELECT *, {stop_n} AS stop_n, {score_cols} FROM dedup)
+      SELECT doc_id, text, lang, source, n_chars, content_md5,
+             {quality} AS quality, {pred} AS pred_lang
+      FROM scored WHERE {quality} >= {quality_min}"""
+
+
+@_q("docs_curate_front", _curate_front_oracle())
+def docs_curate_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curate front-end as ONE bounded plan — exact dedup (min-id
+    witness per content md5) + in-place quality/language annotation +
+    quality filter. This is the batch twin of the Structured Streaming
+    curate front (streaming/curate_stream.py), sharing its expressions
+    by construction: the same with_quality/with_language projections run
+    per micro-batch with dropDuplicates state replacing the witness
+    groupBy. Stream ≡ batch is pytest-enforced
+    (test_streaming_curate_front_matches_batch)."""
+    from .streaming.curate_stream import batch_curate_front
+
+    return batch_curate_front(
+        _read(spark, sf_dir, "documents"), quality_min=0.5
+    )
+
+
 @_q(
     "docs_quality_score",
     f"""SELECT doc_id,

@@ -173,9 +173,9 @@ def main(argv: list[str] | None = None) -> int:
     from fcrepo3_rdf_extractor_spark.operators.graph import dedup_clusters
     from fcrepo3_rdf_extractor_spark.operators.sampling import stratified_sample
     from fcrepo3_rdf_extractor_spark.operators.text import (
-        language_id,
-        quality_score,
         token_count,
+        with_language,
+        with_quality,
     )
 
     if args.state:
@@ -342,10 +342,10 @@ def main(argv: list[str] | None = None) -> int:
             "after_substring_dedup",
         )
 
-    # 3+4. quality + language annotations, filtered in one pass
-    q = quality_score(docs).select("doc_id", "quality")
-    l = language_id(docs).select("doc_id", "pred_lang")
-    annotated = docs.join(q, "doc_id").join(l, "doc_id")
+    # 3+4. quality + language annotations, filtered in one pass — pure
+    # in-place projections (with_quality/with_language), NO join-back:
+    # the previous doc_id joins were two avoidable exchanges per run
+    annotated = with_language(with_quality(docs))
     annotated = annotated.filter(F.col("quality") >= args.quality_min)
     if args.langs:
         allow = [s.strip() for s in args.langs.split(",") if s.strip()]
@@ -430,9 +430,9 @@ def _run_incremental_wave(spark, args) -> dict:
     from fcrepo3_rdf_extractor_spark.operators.graph import dedup_clusters
     from fcrepo3_rdf_extractor_spark.operators.sampling import stratified_sample
     from fcrepo3_rdf_extractor_spark.operators.text import (
-        language_id,
-        quality_score,
         token_count,
+        with_language,
+        with_quality,
     )
 
     t_start = time.perf_counter()
@@ -486,10 +486,9 @@ def _run_incremental_wave(spark, args) -> dict:
     )
 
     # per-wave annotations (original text — pii/token-count run at export,
-    # same relative order as the one-shot path)
-    q = quality_score(annotated).select("doc_id", "quality")
-    l = language_id(annotated).select("doc_id", "pred_lang")
-    annotated = annotated.join(q, "doc_id").join(l, "doc_id").persist()
+    # same relative order as the one-shot path) — in-place projections,
+    # no join-back (see the one-shot path's note)
+    annotated = with_language(with_quality(annotated)).persist()
     annotated.count()
     mark("annotate_wave")
 

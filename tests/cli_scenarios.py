@@ -1,0 +1,330 @@
+"""CLI integration scenarios (jobs/curate.py, jobs/crawl.py), launched
+CONCURRENTLY by the session-scoped ``cli_results`` fixture in conftest.
+
+Why: every CLI invocation pays a fresh interpreter + JVM + SparkSession
+(~15-25 s on this host even for a 3-document corpus), and the suite had
+~21 of them running back to back (~7 min of its wall). The scenarios are
+mutually independent — each gets its own directory under the session tmp
+root — so they overlap on the farm; only the ordering WITHIN a scenario
+(state waves, append-only violations) is sequential, because that
+ordering is the thing under test.
+
+Contract: a scenario function takes (spark, base_dir: Path) and returns
+a JSON-able dict of artifacts (returncodes, parsed summary lines, output
+paths). NO assertions here — the consuming tests assert, so a behavior
+change fails the specific test that pins it, not the farm.
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+
+REPO = str(Path(__file__).resolve().parents[1])
+
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+SCENARIOS: dict = {}
+
+
+def scenario(fn):
+    SCENARIOS[fn.__name__] = fn
+    return fn
+
+
+def _run_job(job: str, args: list[str]) -> dict:
+    r = subprocess.run(
+        [sys.executable, f"jobs/{job}"] + args,
+        capture_output=True, text=True, cwd=REPO, timeout=600,
+    )
+    out = {"rc": r.returncode, "stdout": r.stdout, "stderr": r.stderr}
+    if r.returncode == 0 and r.stdout.strip():
+        try:
+            out["summary"] = json.loads(r.stdout.strip().splitlines()[-1])
+        except ValueError:
+            pass
+    return out
+
+
+def run_curate(args: list[str]) -> dict:
+    return _run_job("curate.py", args)
+
+
+def _write_docs(spark, rows, path: Path) -> str:
+    """rows: (doc_id, text[, lang, source]) — n_chars derived."""
+    full = [
+        (r[0], r[1],
+         r[2] if len(r) > 2 else "en",
+         r[3] if len(r) > 3 else "srcA",
+         len(r[1]))
+        for r in rows
+    ]
+    spark.createDataFrame(full, DOC_SCHEMA).write.parquet(str(path))
+    return str(path)
+
+
+def _chains(*chains):
+    """Run each chain (a no-arg callable) concurrently; a chain runs its
+    own invocations sequentially. Returns the chains' results in order."""
+    with ThreadPoolExecutor(max_workers=len(chains)) as pool:
+        futs = [pool.submit(c) for c in chains]
+        return [f.result() for f in futs]
+
+
+# --------------------------------------------------------------------------
+# one-shot curate stages
+
+
+@scenario
+def curate_end_to_end(spark, base: Path) -> dict:
+    b = ("the quick brown fox jumps over the lazy dog and runs into the "
+         "deep green forest to find some quiet rest for the long night "
+         "while the moon rises over the hills and the river")
+    es = ("el perro corre por la casa de la abuela en el campo "
+          "mientras el gato duerme en la silla junto a la puerta grande")
+    docs = _write_docs(spark, [
+        (0, b), (1, b), (2, b.replace("quiet", "calm")),
+        (3, "x", "und", "srcB"), (4, es, "es", "srcB"),
+    ], base / "docs")
+    out = str(base / "curated")
+    res = run_curate(["--docs", docs, "--out", out, "--quality-min", "0.5",
+                      "--neardup-threshold", "0.5", "--local", "4"])
+    return {"run": res, "out": out}
+
+
+@scenario
+def curate_zero_survivors(spark, base: Path) -> dict:
+    docs = _write_docs(spark, [(0, "hello world")], base / "docs")
+    out = str(base / "curated")
+    res = run_curate(["--docs", docs, "--out", out, "--quality-min", "99",
+                      "--neardup-threshold", "0", "--local", "2"])
+    return {"run": res, "out": out}
+
+
+@scenario
+def curate_containment_fragment(spark, base: Path) -> dict:
+    words = [f"w{i}" for i in range(60)]
+    docs = _write_docs(spark, [
+        (0, " ".join(words)),
+        (1, " ".join(words[:30])),
+        (2, " ".join(f"z{i}" for i in range(40)), "en", "srcB"),
+    ], base / "docs")
+    out = str(base / "curated")
+    res = run_curate(["--docs", docs, "--out", out, "--quality-min", "0",
+                      "--neardup-threshold", "0.7",
+                      "--containment-threshold", "0.8", "--local", "4"])
+    return {"run": res, "out": out}
+
+
+@scenario
+def curate_line_dedup_pii(spark, base: Path) -> dict:
+    header = "COOKIE CONSENT BANNER TEXT"
+    en = ("the quick brown fox jumps over the lazy dog and runs into the "
+          "deep green forest to find some quiet rest for the long night "
+          "while the moon rises over the hills write to alice@example.com")
+    es = ("el perro corre por la casa de la abuela en el campo mientras "
+          "el gato duerme en la silla junto a la puerta grande llama al "
+          "555-123-4567 ahora")
+    docs = _write_docs(spark, [
+        (0, f"{header}\n{en}"),
+        (1, f"{header}\n{es}", "es", "srcB"),
+        (2, f"{header}\nshort", "und", "srcB"),
+    ], base / "docs")
+    out = str(base / "curated")
+    res = run_curate(["--docs", docs, "--out", out, "--quality-min", "0.5",
+                      "--neardup-threshold", "0.5", "--local", "4",
+                      "--dedup-lines-min-docs", "2", "--pii-redact"])
+    return {"run": res, "out": out}
+
+
+@scenario
+def curate_substring_stage(spark, base: Path) -> dict:
+    span = " ".join(f"s{i}" for i in range(10))
+    docs = _write_docs(spark, [
+        (0, f"aaa bbb {span} ccc"),
+        (1, f"ddd eee {span} fff"),
+        (2, span, "en", "srcB"),
+    ], base / "docs")
+    out = str(base / "curated")
+    res = run_curate(["--docs", docs, "--out", out, "--quality-min", "0",
+                      "--neardup-threshold", "0",
+                      "--dedup-substrings-k", "10", "--local", "4"])
+    return {"run": res, "out": out}
+
+
+@scenario
+def curate_vocab_file(spark, base: Path) -> dict:
+    base.mkdir(parents=True, exist_ok=True)
+    vocab_path = base / "vocab.txt"
+    vocab_path.write_text("foo\nfoob\nba\nr\n")
+    docs = _write_docs(spark, [(0, "foobar foobar")], base / "docs")
+    out = str(base / "curated")
+    res = run_curate(["--docs", docs, "--out", out, "--quality-min", "0",
+                      "--neardup-threshold", "0",
+                      "--vocab-file", str(vocab_path), "--local", "2"])
+    return {"run": res, "out": out}
+
+
+@scenario
+def curate_cc_algorithm_choice(spark, base: Path) -> dict:
+    words = [f"w{i}" for i in range(40)]
+    docs = _write_docs(spark, [
+        (0, " ".join(words), "en", "s"),
+        (1, " ".join(words[:39] + ["CHANGED"]), "en", "s"),
+        (2, " ".join(f"z{i}" for i in range(40)), "en", "s"),
+    ], base / "docs")
+
+    def arm(extra):
+        out = str(base / ("curated-" + ("-".join(extra) or "auto")))
+        res = run_curate(["--docs", docs, "--out", out, "--quality-min", "0",
+                          "--neardup-threshold", "0.7", "--local", "2"]
+                         + extra)
+        return {"run": res, "out": out}
+
+    auto, star = _chains(lambda: arm([]),
+                         lambda: arm(["--cc-algorithm", "star"]))
+    return {"auto": auto, "star": star}
+
+
+@scenario
+def curate_substring_rejected_with_state(spark, base: Path) -> dict:
+    return {"run": run_curate(
+        ["--docs", "/nonexistent", "--out", str(base / "o"),
+         "--state", str(base / "s"), "--dedup-substrings-k", "10",
+         "--local", "2"])}
+
+
+# --------------------------------------------------------------------------
+# incremental-wave scenarios (ordering within each chain is the contract)
+
+
+@scenario
+def curate_incremental_waves(spark, base: Path) -> dict:
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    full, w1, w2 = (str(base / n) for n in ("full", "w1", "w2"))
+    docs.write.parquet(full)
+    docs.filter("doc_id < 400").write.parquet(w1)
+    docs.filter("doc_id >= 400").write.parquet(w2)
+    state = str(base / "state")
+    common = ["--quality-min", "0.3", "--neardup-threshold", "0.5",
+              "--local", "4"]
+    outs = {n: str(base / f"out_{n}") for n in
+            ("full", "w1", "w2", "bad", "bad2")}
+
+    def oneshot():
+        return run_curate(["--docs", full, "--out", outs["full"]] + common)
+
+    def waves():
+        r1 = run_curate(["--docs", w1, "--state", state,
+                         "--out", outs["w1"]] + common)
+        r2 = run_curate(["--docs", w2, "--state", state,
+                         "--out", outs["w2"]] + common)
+        # append-only violation: re-sending wave-1 ids must be refused
+        bad = run_curate(["--docs", w1, "--state", state,
+                          "--out", outs["bad"]] + common)
+        # line dedup is incompatible with incremental state
+        bad2 = run_curate(["--docs", w2, "--state", state,
+                           "--out", outs["bad2"],
+                           "--dedup-lines-min-docs", "2"] + common)
+        return r1, r2, bad, bad2
+
+    full_res, (r1, r2, bad, bad2) = _chains(oneshot, waves)
+    return {"full": full_res, "w1": r1, "w2": r2, "bad": bad, "bad2": bad2,
+            "outs": outs}
+
+
+@scenario
+def curate_containment_waves(spark, base: Path) -> dict:
+    words = [f"w{i}" for i in range(60)]
+    new_long = " ".join(f"u{i}" for i in range(40))
+    w1_rows = [
+        (0, " ".join(words)),                   # host
+        (1, " ".join(words[:30])),              # old-old fragment of 0
+        (2, " ".join(f"z{i}" for i in range(40))),
+    ]
+    w2_rows = [
+        (10, " ".join(words[30:])),             # new-old fragment of 0
+        (11, new_long),                         # new host
+        (12, " ".join(new_long.split()[:20])),  # new-new fragment of 11
+        (13, "totally unrelated words appearing here just once"),
+    ]
+    _write_docs(spark, w1_rows, base / "w1")
+    _write_docs(spark, w2_rows, base / "w2")
+    _write_docs(spark, w1_rows + w2_rows, base / "full")
+    cflags = ["--quality-min", "0", "--neardup-threshold", "0.7",
+              "--containment-threshold", "0.8", "--local", "4"]
+    plain = ["--quality-min", "0", "--neardup-threshold", "0.7",
+             "--local", "4"]
+    state, state2 = str(base / "state"), str(base / "state2")
+    outs = {n: str(base / f"out_{n}") for n in ("full", "w1", "w2")}
+
+    def oneshot():
+        return run_curate(["--docs", str(base / "full"),
+                           "--out", outs["full"]] + cflags)
+
+    def waves():
+        r1 = run_curate(["--docs", str(base / "w1"), "--state", state,
+                         "--out", outs["w1"]] + cflags)
+        r2 = run_curate(["--docs", str(base / "w2"), "--state", state,
+                         "--out", outs["w2"]] + cflags)
+        return r1, r2
+
+    def midstream():
+        # state built WITHOUT the flag has no cindex; enabling it on the
+        # next wave must be refused
+        r1 = run_curate(["--docs", str(base / "w1"), "--state", state2,
+                         "--out", str(base / "o1")] + plain)
+        r2 = run_curate(["--docs", str(base / "w2"), "--state", state2,
+                         "--out", str(base / "o2")] + cflags)
+        return r1, r2
+
+    full_res, (r1, r2), (m1, m2) = _chains(oneshot, waves, midstream)
+    return {"full": full_res, "w1": r1, "w2": r2,
+            "mid_w1": m1, "mid_w2": m2, "outs": outs}
+
+
+# --------------------------------------------------------------------------
+# crawl CLI
+
+
+@scenario
+def crawl_er_table(spark, base: Path) -> dict:
+    base.mkdir(parents=True, exist_ok=True)
+    rels = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+      xmlns:ex="urn:ex#">
+      <rdf:Description rdf:about="info:fedora/e:1"><ex:p rdf:resource="urn:o"/></rdf:Description>
+    </rdf:RDF>"""
+    rels_path = base / "rels.xml"
+    rels_path.write_text(rels)
+    missing = base / "nope.xml"
+
+    def foxml(pid, url):
+        return (
+            f'<foxml:digitalObject VERSION="1.1" PID="{pid}" '
+            'xmlns:foxml="info:fedora/fedora-system:def/foxml#">'
+            "<foxml:objectProperties>"
+            '<foxml:property NAME="info:fedora/fedora-system:def/model#state" VALUE="A"/>'
+            '<foxml:property NAME="info:fedora/fedora-system:def/model#createdDate" VALUE="2020-01-01T00:00:00.000Z"/>'
+            '<foxml:property NAME="info:fedora/fedora-system:def/view#lastModifiedDate" VALUE="2020-01-01T00:00:00.000Z"/>'
+            "</foxml:objectProperties>"
+            '<foxml:datastream ID="RELS-EXT" STATE="A" CONTROL_GROUP="E">'
+            '<foxml:datastreamVersion ID="R.0" CREATED="2020-01-01T00:00:00.000Z"'
+            ' MIMETYPE="application/rdf+xml">'
+            f'<foxml:contentLocation TYPE="URL" REF="file://{url}"/>'
+            "</foxml:datastreamVersion></foxml:datastream></foxml:digitalObject>"
+        )
+
+    src_path = str(base / "src")
+    spark.createDataFrame(
+        [("r", "info:fedora/e:1", "c", "foxml", foxml("e:1", rels_path)),
+         ("r", "info:fedora/e:2", "c", "foxml", foxml("e:2", missing))],
+        "repo string, path string, commit string, lang string, content string",
+    ).write.parquet(src_path)
+    out = str(base / "ds_store")
+    res = _run_job("crawl.py", ["--source", src_path, "--out", out,
+                                "--fetcher", "file", "--local", "2",
+                                "--concurrency", "2"])
+    return {"run": res, "out": out, "src": src_path}

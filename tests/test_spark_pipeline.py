@@ -293,62 +293,28 @@ def test_attach_managed_content_numeric_ref_end_to_end(spark):
     assert errs == ["dc"]  # only the absent-DC error; RELS-EXT resolved
 
 
-def test_crawl_job_materializes_er_table(spark, tmp_path):
+def test_crawl_job_materializes_er_table(spark, cli_results):
     """jobs/crawl.py end-to-end with the file fetcher: enumerates E/R
     URLs via the JVM request pass, fetches each distinct URL once with
     per-URL error isolation, and the resulting table feeds the
     extraction join — resolvable URL yields triples, unreachable URL
-    keeps the error-row contract."""
-    import json
-    import subprocess
-    import sys
+    keeps the error-row contract.
+    (Scenario: cli_scenarios.crawl_er_table — one resolvable file URL,
+    one missing.)"""
+    from conftest import cli_art
 
-    rels = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
-      xmlns:ex="urn:ex#">
-      <rdf:Description rdf:about="info:fedora/e:1"><ex:p rdf:resource="urn:o"/></rdf:Description>
-    </rdf:RDF>"""
-    rels_path = tmp_path / "rels.xml"
-    rels_path.write_text(rels)
-    missing = tmp_path / "nope.xml"
-
-    def foxml(pid, url):
-        return (
-            f'<foxml:digitalObject VERSION="1.1" PID="{pid}" '
-            'xmlns:foxml="info:fedora/fedora-system:def/foxml#">'
-            "<foxml:objectProperties>"
-            '<foxml:property NAME="info:fedora/fedora-system:def/model#state" VALUE="A"/>'
-            '<foxml:property NAME="info:fedora/fedora-system:def/model#createdDate" VALUE="2020-01-01T00:00:00.000Z"/>'
-            '<foxml:property NAME="info:fedora/fedora-system:def/view#lastModifiedDate" VALUE="2020-01-01T00:00:00.000Z"/>'
-            "</foxml:objectProperties>"
-            '<foxml:datastream ID="RELS-EXT" STATE="A" CONTROL_GROUP="E">'
-            '<foxml:datastreamVersion ID="R.0" CREATED="2020-01-01T00:00:00.000Z"'
-            ' MIMETYPE="application/rdf+xml">'
-            f'<foxml:contentLocation TYPE="URL" REF="file://{url}"/>'
-            "</foxml:datastreamVersion></foxml:datastream></foxml:digitalObject>"
-        )
-
-    src_path = str(tmp_path / "src")
-    spark.createDataFrame(
-        [("r", "info:fedora/e:1", "c", "foxml", foxml("e:1", rels_path)),
-         ("r", "info:fedora/e:2", "c", "foxml", foxml("e:2", missing))],
-        "repo string, path string, commit string, lang string, content string",
-    ).write.parquet(src_path)
-
-    out = str(tmp_path / "ds_store")
-    r = subprocess.run(
-        [sys.executable, "jobs/crawl.py", "--source", src_path, "--out", out,
-         "--fetcher", "file", "--local", "2", "--concurrency", "2"],
-        capture_output=True, text=True,
-        cwd=str(__import__("pathlib").Path(__file__).resolve().parents[1]),
-    )
-    assert r.returncode == 0, r.stderr[-2000:]
-    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    art = cli_art(cli_results, "crawl_er_table")
+    r = art["run"]
+    assert r["rc"] == 0, r["stderr"][-2000:]
+    summary = r["summary"]
     assert summary["n_urls"] == 2
     assert summary["n_fetched"] == 1
     assert summary["n_errors"] == 1
 
-    ds_store = spark.read.parquet(out).filter(F.col("content").isNotNull())
-    got = extract_triples(attach_managed_content(spark.read.parquet(src_path), ds_store))
+    ds_store = spark.read.parquet(art["out"]).filter(
+        F.col("content").isNotNull())
+    got = extract_triples(
+        attach_managed_content(spark.read.parquet(art["src"]), ds_store))
     keys = rows_to_set(triples_only(got).collect())
     assert ("info:fedora/e:1", "urn:ex#p", "urn:o", False, None, None) in keys
     # the uncrawlable object keeps the per-datastream error contract

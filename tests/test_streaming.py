@@ -141,3 +141,87 @@ def test_streaming_triple_rates_windowed_counts(spark, tmp_path):
     want_triples = want.filter(F.col("subj").isNotNull()).count()
     assert sum(r.n_triples for r in rows) == want_triples
     assert all(r.repo == "sidora-sample" for r in rows)
+
+
+def test_streaming_curate_front_matches_batch(spark, tmp_path):
+    """The curate front-end over a two-micro-batch document stream: a
+    duplicate arriving in a LATER batch is suppressed by dedup state,
+    quality/language annotate+filter apply per row, and the drained
+    output equals the batch twin over the concatenated corpus (doc_id
+    excluded from the comparison: streaming keeps the first ARRIVAL of
+    each md5 where batch keeps the min doc_id — the documented witness
+    caveat)."""
+    from fcrepo3_rdf_extractor_spark.streaming.curate_stream import (
+        batch_curate_front,
+        read_doc_stream,
+        streaming_curate_front,
+        write_curated_stream,
+    )
+
+    en = ("the quick brown fox jumps over the lazy dog and runs into the "
+          "deep green forest to find some quiet rest for the long night")
+    en2 = ("a different english document of reasonable length that talks "
+           "about the weather and the state of the world in plain words")
+    es = ("el perro corre por la casa de la abuela en el campo mientras "
+          "el gato duerme en la silla junto a la puerta grande")
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    wave1 = [(0, en, "en", "srcA", len(en)),
+             (1, en, "en", "srcA", len(en)),        # dup WITHIN batch 1
+             (2, "x", "und", "srcB", 1)]            # fails quality
+    wave2 = [(10, en, "en", "srcA", len(en)),       # dup ACROSS batches
+             (11, es, "es", "srcB", len(es)),
+             (12, en2, "en", "srcA", len(en2))]
+
+    src_dir = str(tmp_path / "csrc")
+    spark.createDataFrame(wave1, schema).coalesce(1).write.parquet(src_dir)
+    spark.createDataFrame(wave2, schema).coalesce(1).write.mode(
+        "append").parquet(src_dir)
+
+    stream = read_doc_stream(spark, src_dir, max_files_per_trigger=1)
+    assert stream.isStreaming
+    curated = streaming_curate_front(stream, quality_min=0.5)
+    q = write_curated_stream(curated, str(tmp_path / "out"),
+                             str(tmp_path / "cp"), available_now=True)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(str(tmp_path / "out"))
+    want = batch_curate_front(
+        spark.createDataFrame(wave1 + wave2, schema), quality_min=0.5)
+    cols = ["text", "content_md5", "quality", "pred_lang", "source"]
+    assert {tuple(r) for r in got.select(*cols).collect()} == \
+           {tuple(r) for r in want.select(*cols).collect()}
+    ids = {r.doc_id for r in got.collect()}
+    # exactly one witness of the en-triplicate survived; junk dropped
+    assert len(ids & {0, 1, 10}) == 1 and 2 not in ids
+    assert {11, 12} <= ids
+    assert got.count() == 3
+
+    # restart on the same checkpoint ingests nothing new (exactly-once)
+    q2 = write_curated_stream(
+        streaming_curate_front(read_doc_stream(spark, src_dir),
+                               quality_min=0.5),
+        str(tmp_path / "out"), str(tmp_path / "cp"), available_now=True)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 3
+
+
+def test_with_quality_language_match_narrow_ops(spark):
+    """The in-place annotators (with_quality/with_language — shared by
+    batch curate and the streaming front) must produce the exact values
+    of the narrow oracled operators they refactor."""
+    from fcrepo3_rdf_extractor_spark.operators.text import (
+        language_id,
+        quality_score,
+        with_language,
+        with_quality,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(50)
+    inplace = {r.doc_id: (r.quality, r.pred_lang)
+               for r in with_language(with_quality(docs)).collect()}
+    q = {r.doc_id: r.quality for r in quality_score(docs).collect()}
+    l = {r.doc_id: r.pred_lang for r in language_id(docs).collect()}
+    assert inplace == {d: (q[d], l[d]) for d in q}
+    # in-place forms keep every input column
+    assert set(docs.columns) <= set(with_language(with_quality(docs)).columns)

@@ -398,32 +398,17 @@ def test_vocab_token_count_greedy_longest_match(spark):
     assert got == {0: 3, 1: 4, 2: 3, 3: 0, 4: 1}
 
 
-def test_curate_vocab_file_switches_n_tokens(spark, tmp_path):
+def test_curate_vocab_file_switches_n_tokens(spark, cli_results):
     """--vocab-file makes curate's n_tokens the greedy piece count over
-    the supplied vocabulary instead of the whitespace word count."""
-    import json
-    import subprocess
-    import sys
+    the supplied vocabulary instead of the whitespace word count.
+    (Scenario: cli_scenarios.curate_vocab_file, run on the session farm.)"""
+    from conftest import cli_art
 
-    vocab_path = tmp_path / "vocab.txt"
-    vocab_path.write_text("foo\nfoob\nba\nr\n")
-    rows = [(0, "foobar foobar", "en", "s", 13)]
-    docs_path = str(tmp_path / "docs")
-    spark.createDataFrame(
-        rows, "doc_id long, text string, lang string, source string, n_chars long"
-    ).write.parquet(docs_path)
-    out = str(tmp_path / "curated")
-    r = subprocess.run(
-        [sys.executable, "jobs/curate.py", "--docs", docs_path, "--out", out,
-         "--quality-min", "0", "--neardup-threshold", "0",
-         "--vocab-file", str(vocab_path), "--local", "2"],
-        capture_output=True, text=True,
-        cwd=str(__import__("pathlib").Path(__file__).resolve().parents[1]),
-    )
-    assert r.returncode == 0, r.stderr[-2000:]
-    summary = json.loads(r.stdout.strip().splitlines()[-1])
-    assert summary["n_tokens"] == 6  # 2 words x (foob + UNK + r)
-    got = spark.read.parquet(out).collect()
+    art = cli_art(cli_results, "curate_vocab_file")
+    r = art["run"]
+    assert r["rc"] == 0, r["stderr"][-2000:]
+    assert r["summary"]["n_tokens"] == 6  # 2 words x (foob + UNK + r)
+    got = spark.read.parquet(art["out"]).collect()
     assert got[0].n_tokens == 6
 
 
@@ -635,108 +620,62 @@ def test_stratified_sample_respects_per_stratum_rates(spark):
     assert len(got) == 200 and set(got) == {"keep_all"}
 
 
-def test_curate_job_end_to_end(spark, tmp_path):
+def test_curate_job_end_to_end(spark, cli_results):
     """jobs/curate.py composes the training-data operators: exact dedup
     drops the identical copy, near-dup clustering drops the almost-
     identical copy, quality/language filters and deterministic sampling
-    apply, and the summary JSON accounts for every stage."""
-    import json
-    import subprocess
-    import sys
+    apply, and the summary JSON accounts for every stage.
+    (Scenario: cli_scenarios.curate_end_to_end — doc 1 is an exact dup
+    of 0, doc 2 a one-word near-dup, doc 3 fails quality, doc 4 Spanish.)"""
+    from conftest import cli_art
 
-    base = ("the quick brown fox jumps over the lazy dog and runs into the "
-            "deep green forest to find some quiet rest for the long night "
-            "while the moon rises over the hills and the river")
-    rows = [
-        (0, base, "en", "srcA", len(base)),
-        (1, base, "en", "srcA", len(base)),                      # exact dup of 0
-        (2, base.replace("quiet", "calm"), "en", "srcA", 1),     # near dup of 0
-        (3, "x", "und", "srcB", 1),                              # fails quality
-        (4, "el perro corre por la casa de la abuela en el campo "
-            "mientras el gato duerme en la silla junto a la puerta grande",
-         "es", "srcB", 1),
-    ]
-    docs_path = str(tmp_path / "docs")
-    spark.createDataFrame(
-        rows, "doc_id long, text string, lang string, source string, n_chars long"
-    ).write.parquet(docs_path)
-
-    out = str(tmp_path / "curated")
-    r = subprocess.run(
-        [sys.executable, "jobs/curate.py", "--docs", docs_path, "--out", out,
-         "--quality-min", "0.5", "--neardup-threshold", "0.5", "--local", "4"],
-        capture_output=True, text=True,
-        cwd=str(__import__("pathlib").Path(__file__).resolve().parents[1]),
-    )
-    assert r.returncode == 0, r.stderr[-2000:]
-    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    art = cli_art(cli_results, "curate_end_to_end")
+    r = art["run"]
+    assert r["rc"] == 0, r["stderr"][-2000:]
+    summary = r["summary"]
     assert summary["stages"]["input"] == 5
     assert summary["stages"]["after_exact_dedup"] == 4   # doc 1 dropped
     assert summary["stages"]["after_neardup"] == 3       # doc 2 dropped
     assert summary["stages"]["after_quality_lang"] == 2  # doc 3 dropped
-    kept = {r_.doc_id for r_ in spark.read.parquet(out).collect()}
+    kept = {r_.doc_id for r_ in spark.read.parquet(art["out"]).collect()}
     assert kept == {0, 4}
-    cols = set(spark.read.parquet(out).columns)
+    cols = set(spark.read.parquet(art["out"]).columns)
     assert {"pred_lang", "quality", "n_tokens"} <= cols
 
 
-def test_curate_incremental_waves_match_one_shot(spark, tmp_path):
+def test_curate_incremental_waves_match_one_shot(spark, cli_results):
     """Two append-only waves through ``--state`` must export EXACTLY the
     corpus a one-shot run over the concatenated input produces — same
     surviving doc_ids, same annotation values. Also pins the
-    append-only contract: a wave reusing stored doc_ids is refused."""
-    import json
-    import subprocess
-    import sys
+    append-only contract: a wave reusing stored doc_ids is refused.
+    (Scenario: cli_scenarios.curate_incremental_waves — sf0.001
+    documents split 80/20 at doc_id 400.)"""
+    from conftest import cli_art
 
-    repo = str(__import__("pathlib").Path(__file__).resolve().parents[1])
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    full = str(tmp_path / "full")
-    w1 = str(tmp_path / "w1")
-    w2 = str(tmp_path / "w2")
-    docs.write.parquet(full)
-    docs.filter("doc_id < 400").write.parquet(w1)
-    docs.filter("doc_id >= 400").write.parquet(w2)
-
-    def run(args_):
-        return subprocess.run(
-            [sys.executable, "jobs/curate.py", "--quality-min", "0.3",
-             "--neardup-threshold", "0.5", "--local", "4"] + args_,
-            capture_output=True, text=True, cwd=repo,
-        )
-
-    state = str(tmp_path / "state")
-    out_full = str(tmp_path / "out_full")
-    out_w1 = str(tmp_path / "out_w1")
-    out_w2 = str(tmp_path / "out_w2")
-    r = run(["--docs", full, "--out", out_full])
-    assert r.returncode == 0, r.stderr[-2000:]
-    r = run(["--docs", w1, "--state", state, "--out", out_w1])
-    assert r.returncode == 0, r.stderr[-2000:]
-    s1 = json.loads(r.stdout.strip().splitlines()[-1])
-    assert s1["wave"] == 0
-    r = run(["--docs", w2, "--state", state, "--out", out_w2])
-    assert r.returncode == 0, r.stderr[-2000:]
-    s2 = json.loads(r.stdout.strip().splitlines()[-1])
+    art = cli_art(cli_results, "curate_incremental_waves")
+    assert art["full"]["rc"] == 0, art["full"]["stderr"][-2000:]
+    assert art["w1"]["rc"] == 0, art["w1"]["stderr"][-2000:]
+    assert art["w1"]["summary"]["wave"] == 0
+    assert art["w2"]["rc"] == 0, art["w2"]["stderr"][-2000:]
+    s2 = art["w2"]["summary"]
     assert s2["wave"] == 1 and s2["stages"]["wave_docs"] == 100
 
     cols = ["doc_id", "text", "quality", "pred_lang", "n_tokens"]
     got = {tuple(r_) for r_ in
-           spark.read.parquet(out_w2).select(*cols).collect()}
+           spark.read.parquet(art["outs"]["w2"]).select(*cols).collect()}
     want = {tuple(r_) for r_ in
-            spark.read.parquet(out_full).select(*cols).collect()}
+            spark.read.parquet(art["outs"]["full"]).select(*cols).collect()}
     assert got == want and len(want) > 0
 
     # append-only violation: re-sending wave-1 ids must be refused
-    r = run(["--docs", w1, "--state", state, "--out", str(tmp_path / "bad")])
-    assert r.returncode != 0
-    assert "append-only" in (r.stderr + r.stdout)
+    bad = art["bad"]
+    assert bad["rc"] != 0
+    assert "append-only" in (bad["stderr"] + bad["stdout"])
 
     # line dedup is incompatible with incremental state
-    r = run(["--docs", w2, "--state", state, "--out", str(tmp_path / "bad2"),
-             "--dedup-lines-min-docs", "2"])
-    assert r.returncode == 2
-    assert "incompatible" in r.stderr
+    bad2 = art["bad2"]
+    assert bad2["rc"] == 2
+    assert "incompatible" in bad2["stderr"]
 
 
 def test_pack_shards_leaves_no_cache_behind(spark):
@@ -770,28 +709,15 @@ def test_pack_shards_explicit_sample_rate_matches_default(spark):
     assert a == b
 
 
-def test_curate_job_zero_survivors_reports_zero_tokens(spark, tmp_path):
-    """sum() over an empty output is NULL; the summary must report 0."""
-    import json
-    import subprocess
-    import sys
+def test_curate_job_zero_survivors_reports_zero_tokens(cli_results):
+    """sum() over an empty output is NULL; the summary must report 0.
+    (Scenario: cli_scenarios.curate_zero_survivors — quality-min 99.)"""
+    from conftest import cli_art
 
-    docs_path = str(tmp_path / "docs")
-    spark.createDataFrame(
-        [(0, "hello world", "en", "srcA", 11)],
-        "doc_id long, text string, lang string, source string, n_chars long",
-    ).write.parquet(docs_path)
-    out = str(tmp_path / "curated")
-    r = subprocess.run(
-        [sys.executable, "jobs/curate.py", "--docs", docs_path, "--out", out,
-         "--quality-min", "99", "--neardup-threshold", "0", "--local", "2"],
-        capture_output=True, text=True,
-        cwd=str(__import__("pathlib").Path(__file__).resolve().parents[1]),
-    )
-    assert r.returncode == 0, r.stderr[-2000:]
-    summary = json.loads(r.stdout.strip().splitlines()[-1])
-    assert summary["n_docs"] == 0
-    assert summary["n_tokens"] == 0
+    r = cli_art(cli_results, "curate_zero_survivors")["run"]
+    assert r["rc"] == 0, r["stderr"][-2000:]
+    assert r["summary"]["n_docs"] == 0
+    assert r["summary"]["n_tokens"] == 0
 
 
 def test_unigram_logprob_flags_rare_content(spark):
@@ -1128,45 +1054,23 @@ def test_connected_components_evaluates_pair_pipeline_once(spark):
     }
     assert acc.value == 3
 
-def test_curate_job_line_dedup_and_pii_stages(spark, tmp_path):
+def test_curate_job_line_dedup_and_pii_stages(spark, cli_results):
     """Opt-in curate stages: --dedup-lines-min-docs strips the corpus-
     wide boilerplate line from every doc, --pii-redact replaces
-    emails/phones with placeholders and totals n_pii in the summary."""
-    import json
-    import subprocess
-    import sys
+    emails/phones with placeholders and totals n_pii in the summary.
+    (Scenario: cli_scenarios.curate_line_dedup_pii — a shared COOKIE
+    banner line + one email + one phone number planted.)"""
+    from conftest import cli_art
 
     header = "COOKIE CONSENT BANNER TEXT"
-    en = ("the quick brown fox jumps over the lazy dog and runs into the "
-          "deep green forest to find some quiet rest for the long night "
-          "while the moon rises over the hills write to alice@example.com")
-    es = ("el perro corre por la casa de la abuela en el campo mientras "
-          "el gato duerme en la silla junto a la puerta grande llama al "
-          "555-123-4567 ahora")
-    rows = [
-        (0, f"{header}\n{en}", "en", "srcA", 1),
-        (1, f"{header}\n{es}", "es", "srcB", 1),
-        (2, f"{header}\nshort", "und", "srcB", 1),  # only boilerplate + junk
-    ]
-    docs_path = str(tmp_path / "docs")
-    spark.createDataFrame(
-        rows, "doc_id long, text string, lang string, source string, n_chars long"
-    ).write.parquet(docs_path)
-
-    out = str(tmp_path / "curated")
-    r = subprocess.run(
-        [sys.executable, "jobs/curate.py", "--docs", docs_path, "--out", out,
-         "--quality-min", "0.5", "--neardup-threshold", "0.5", "--local", "4",
-         "--dedup-lines-min-docs", "2", "--pii-redact"],
-        capture_output=True, text=True,
-        cwd=str(__import__("pathlib").Path(__file__).resolve().parents[1]),
-    )
-    assert r.returncode == 0, r.stderr[-2000:]
-    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    art = cli_art(cli_results, "curate_line_dedup_pii")
+    r = art["run"]
+    assert r["rc"] == 0, r["stderr"][-2000:]
+    summary = r["summary"]
     assert summary["stages"]["after_line_dedup"] == 3
     assert "after_pii_redact" in summary["stage_sec"]
     assert summary["n_pii_redacted"] == 2
-    got = {row.doc_id: row for row in spark.read.parquet(out).collect()}
+    got = {row.doc_id: row for row in spark.read.parquet(art["out"]).collect()}
     assert set(got) == {0, 1}  # doc 2 fails quality after header strip
     for row in got.values():
         assert header not in row.text
@@ -1267,126 +1171,54 @@ def test_mixture_rates_closed_loop(spark):
                       shares={"heavy": -0.1})
 
 
-def test_curate_containment_stage_drops_fragment(spark, tmp_path):
+def test_curate_containment_stage_drops_fragment(spark, cli_results):
     """--containment-threshold drops a fragment embedded verbatim in a
     longer document — a pair whose symmetric Jaccard (~0.5) sits below
     the near-dup threshold, so ONLY the containment stage catches it;
-    the longer original survives."""
-    import json
-    import subprocess
-    import sys
+    the longer original survives.
+    (Scenario: cli_scenarios.curate_containment_fragment — doc 1 is the
+    first 30 words of doc 0: containment 1.0, Jaccard ~0.48.)"""
+    from conftest import cli_art
 
-    words = [f"w{i}" for i in range(60)]
-    long_doc = " ".join(words)
-    fragment = " ".join(words[:30])          # containment 1.0, Jaccard ~0.48
-    other = " ".join(f"z{i}" for i in range(40))
-    rows = [
-        (0, long_doc, "en", "srcA", len(long_doc)),
-        (1, fragment, "en", "srcA", len(fragment)),
-        (2, other, "en", "srcB", len(other)),
-    ]
-    docs_path = str(tmp_path / "docs")
-    spark.createDataFrame(
-        rows, "doc_id long, text string, lang string, source string, n_chars long"
-    ).write.parquet(docs_path)
-
-    out = str(tmp_path / "curated")
-    r = subprocess.run(
-        [sys.executable, "jobs/curate.py", "--docs", docs_path, "--out", out,
-         "--quality-min", "0", "--neardup-threshold", "0.7",
-         "--containment-threshold", "0.8", "--local", "4"],
-        capture_output=True, text=True,
-        cwd=str(__import__("pathlib").Path(__file__).resolve().parents[1]),
-    )
-    assert r.returncode == 0, r.stderr[-2000:]
-    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    art = cli_art(cli_results, "curate_containment_fragment")
+    r = art["run"]
+    assert r["rc"] == 0, r["stderr"][-2000:]
+    summary = r["summary"]
     assert summary["stages"]["after_neardup"] == 3       # Jaccard too low
     assert summary["stages"]["after_containment"] == 2   # fragment dropped
-    kept = {row.doc_id for row in spark.read.parquet(out).collect()}
+    kept = {row.doc_id for row in spark.read.parquet(art["out"]).collect()}
     assert kept == {0, 2}
 
 
-def test_curate_containment_waves_match_one_shot(spark, tmp_path):
+def test_curate_containment_waves_match_one_shot(spark, cli_results):
     """--containment-threshold through two ``--state`` waves must export
     EXACTLY what a one-shot run over the concatenated corpus produces:
     planted old-old, new-old, and new-new contained fragments all drop,
     their hosts survive, and only the wave's documents are re-shingled
     (cindex/cpairs state). Enabling the flag mid-stream (stored waves
-    without an index) is refused."""
-    import json
-    import subprocess
-    import sys
+    without an index) is refused.
+    (Scenario: cli_scenarios.curate_containment_waves.)"""
+    from conftest import cli_art
 
-    words = [f"w{i}" for i in range(60)]
-    long_doc = " ".join(words)
-    new_long = " ".join(f"u{i}" for i in range(40))
-    w1_rows = [
-        (0, long_doc),                      # host
-        (1, " ".join(words[:30])),          # old-old fragment of 0
-        (2, " ".join(f"z{i}" for i in range(40))),
-    ]
-    w2_rows = [
-        (10, " ".join(words[30:])),         # new-old fragment of 0
-        (11, new_long),                     # new host
-        (12, " ".join(new_long.split()[:20])),  # new-new fragment of 11
-        (13, "totally unrelated words appearing here just once"),
-    ]
-    schema = "doc_id long, text string, lang string, source string, n_chars long"
-
-    def mk(rows, path):
-        spark.createDataFrame(
-            [(i, t, "en", "srcA", len(t)) for i, t in rows], schema
-        ).write.parquet(str(path))
-
-    mk(w1_rows, tmp_path / "w1")
-    mk(w2_rows, tmp_path / "w2")
-    mk(w1_rows + w2_rows, tmp_path / "full")
-
-    repo = str(__import__("pathlib").Path(__file__).resolve().parents[1])
-
-    def run(args_):
-        return subprocess.run(
-            [sys.executable, "jobs/curate.py", "--quality-min", "0",
-             "--neardup-threshold", "0.7",
-             "--containment-threshold", "0.8", "--local", "4"] + args_,
-            capture_output=True, text=True, cwd=repo,
-        )
-
-    state = str(tmp_path / "state")
-    r = run(["--docs", str(tmp_path / "full"),
-             "--out", str(tmp_path / "out_full")])
-    assert r.returncode == 0, r.stderr[-2000:]
-    r = run(["--docs", str(tmp_path / "w1"), "--state", state,
-             "--out", str(tmp_path / "out_w1")])
-    assert r.returncode == 0, r.stderr[-2000:]
-    r = run(["--docs", str(tmp_path / "w2"), "--state", state,
-             "--out", str(tmp_path / "out_w2")])
-    assert r.returncode == 0, r.stderr[-2000:]
-    s2 = json.loads(r.stdout.strip().splitlines()[-1])
+    art = cli_art(cli_results, "curate_containment_waves")
+    assert art["full"]["rc"] == 0, art["full"]["stderr"][-2000:]
+    assert art["w1"]["rc"] == 0, art["w1"]["stderr"][-2000:]
+    assert art["w2"]["rc"] == 0, art["w2"]["stderr"][-2000:]
+    s2 = art["w2"]["summary"]
     assert s2["wave"] == 1 and s2["stages"]["wave_cpairs"] >= 2
 
     cols = ["doc_id", "text", "quality", "pred_lang", "n_tokens"]
     got = {tuple(r_) for r_ in
-           spark.read.parquet(str(tmp_path / "out_w2")).select(*cols).collect()}
+           spark.read.parquet(art["outs"]["w2"]).select(*cols).collect()}
     want = {tuple(r_) for r_ in
-            spark.read.parquet(str(tmp_path / "out_full")).select(*cols).collect()}
+            spark.read.parquet(art["outs"]["full"]).select(*cols).collect()}
     assert got == want
     assert {t[0] for t in got} == {0, 2, 11, 13}   # every fragment dropped
 
     # mid-stream enabling: a state built WITHOUT the flag has no cindex
-    state2 = str(tmp_path / "state2")
-    r = subprocess.run(
-        [sys.executable, "jobs/curate.py", "--quality-min", "0",
-         "--neardup-threshold", "0.7", "--local", "4",
-         "--docs", str(tmp_path / "w1"), "--state", state2,
-         "--out", str(tmp_path / "o1")],
-        capture_output=True, text=True, cwd=repo,
-    )
-    assert r.returncode == 0, r.stderr[-2000:]
-    r = run(["--docs", str(tmp_path / "w2"), "--state", state2,
-             "--out", str(tmp_path / "o2")])
-    assert r.returncode != 0
-    assert "cindex" in (r.stderr + r.stdout)
+    assert art["mid_w1"]["rc"] == 0, art["mid_w1"]["stderr"][-2000:]
+    assert art["mid_w2"]["rc"] != 0
+    assert "cindex" in (art["mid_w2"]["stderr"] + art["mid_w2"]["stdout"])
 
 
 def test_dedup_substrings_keep_first(spark):
@@ -1438,103 +1270,60 @@ def test_dedup_substrings_remove_all(spark):
     assert got[1].text == "p q" and got[1].n_removed == 4
 
 
-def test_curate_substring_dedup_stage(spark, tmp_path):
+def test_curate_substring_dedup_stage(spark, cli_results):
     """--dedup-substrings-k removes a repeated span from the later
     document, rewrites its text, keeps n_chars honest, and drops docs
-    that became empty."""
-    import json
-    import subprocess
-    import sys
+    that became empty.
+    (Scenario: cli_scenarios.curate_substring_stage — a 10-token span
+    planted in docs 0/1; doc 2 IS the span so it empties out.)"""
+    from conftest import cli_art
 
     span = " ".join(f"s{i}" for i in range(10))
-    rows = [
-        (0, f"aaa bbb {span} ccc", "en", "srcA", 0),
-        (1, f"ddd eee {span} fff", "en", "srcA", 0),   # span removed here
-        (2, span, "en", "srcB", 0),                     # becomes empty -> dropped
-    ]
-    rows = [(i, t, l, s, len(t)) for (i, t, l, s, _) in rows]
-    docs_path = str(tmp_path / "docs")
-    spark.createDataFrame(
-        rows, "doc_id long, text string, lang string, source string, n_chars long"
-    ).write.parquet(docs_path)
-
-    out = str(tmp_path / "curated")
-    r = subprocess.run(
-        [sys.executable, "jobs/curate.py", "--docs", docs_path, "--out", out,
-         "--quality-min", "0", "--neardup-threshold", "0",
-         "--dedup-substrings-k", "10", "--local", "4"],
-        capture_output=True, text=True,
-        cwd=str(__import__("pathlib").Path(__file__).resolve().parents[1]),
-    )
-    assert r.returncode == 0, r.stderr[-2000:]
-    summary = json.loads(r.stdout.strip().splitlines()[-1])
-    assert summary["stages"]["after_substring_dedup"] == 2
-    kept = {row.doc_id: row for row in spark.read.parquet(out).collect()}
+    art = cli_art(cli_results, "curate_substring_stage")
+    r = art["run"]
+    assert r["rc"] == 0, r["stderr"][-2000:]
+    assert r["summary"]["stages"]["after_substring_dedup"] == 2
+    kept = {row.doc_id: row for row in spark.read.parquet(art["out"]).collect()}
     assert set(kept) == {0, 1}
     assert kept[0].text == f"aaa bbb {span} ccc"
     assert kept[1].text == "ddd eee fff"
     assert kept[1].n_chars == len("ddd eee fff")
 
 
-def test_curate_cc_algorithm_choice_logged(spark, tmp_path):
+def test_curate_cc_algorithm_choice_logged(spark, cli_results):
     """The clustering-algorithm pick (auto -> propagation below the
     edge threshold; forced star respected) is logged in the summary
     JSON next to the verified pair count, and both algorithms keep the
-    same survivors."""
-    import json
-    import subprocess
-    import sys
+    same survivors.
+    (Scenario: cli_scenarios.curate_cc_algorithm_choice — two arms over
+    the same 3-doc corpus with one planted near-dup pair.)"""
+    from conftest import cli_art
 
-    words = [f"w{i}" for i in range(40)]
-    near = " ".join(words[:39] + ["CHANGED"])
-    rows = [
-        (0, " ".join(words), "en", "s", 1),
-        (1, near, "en", "s", 1),
-        (2, " ".join(f"z{i}" for i in range(40)), "en", "s", 1),
-    ]
-    rows = [(i, t, l, s, len(t)) for (i, t, l, s, _) in rows]
-    docs_path = str(tmp_path / "docs")
-    spark.createDataFrame(
-        rows, "doc_id long, text string, lang string, source string, n_chars long"
-    ).write.parquet(docs_path)
-    root = str(__import__("pathlib").Path(__file__).resolve().parents[1])
+    art = cli_art(cli_results, "curate_cc_algorithm_choice")
 
-    def run(extra):
-        out = str(tmp_path / ("curated-" + "-".join(extra) or "auto"))
-        r = subprocess.run(
-            [sys.executable, "jobs/curate.py", "--docs", docs_path,
-             "--out", out, "--quality-min", "0",
-             "--neardup-threshold", "0.7", "--local", "2"] + extra,
-            capture_output=True, text=True, cwd=root,
-        )
-        assert r.returncode == 0, r.stderr[-2000:]
-        s = json.loads(r.stdout.strip().splitlines()[-1])
-        kept = {row.doc_id for row in spark.read.parquet(out).collect()}
-        return s, kept
+    def unpack(arm):
+        r = arm["run"]
+        assert r["rc"] == 0, r["stderr"][-2000:]
+        kept = {row.doc_id for row in spark.read.parquet(arm["out"]).collect()}
+        return r["summary"], kept
 
-    s_auto, kept_auto = run([])
+    s_auto, kept_auto = unpack(art["auto"])
     assert s_auto["cc_algorithm"] == "propagation"  # 1 pair << threshold
     assert s_auto["n_neardup_pairs"] == 1
-    s_star, kept_star = run(["--cc-algorithm", "star"])
+    s_star, kept_star = unpack(art["star"])
     assert s_star["cc_algorithm"] == "star"
     assert kept_auto == kept_star == {0, 2}  # near-dup of 0 dropped
 
 
-def test_curate_substring_dedup_rejected_with_state(tmp_path):
+def test_curate_substring_dedup_rejected_with_state(cli_results):
     """Substring dedup rewrites text corpus-wide; the CLI must refuse
-    the incremental-state combination."""
-    import subprocess
-    import sys
+    the incremental-state combination.
+    (Scenario: cli_scenarios.curate_substring_rejected_with_state.)"""
+    from conftest import cli_art
 
-    r = subprocess.run(
-        [sys.executable, "jobs/curate.py", "--docs", "/nonexistent",
-         "--out", str(tmp_path / "o"), "--state", str(tmp_path / "s"),
-         "--dedup-substrings-k", "10", "--local", "2"],
-        capture_output=True, text=True,
-        cwd=str(__import__("pathlib").Path(__file__).resolve().parents[1]),
-    )
-    assert r.returncode == 2
-    assert "substrings" in r.stderr
+    r = cli_art(cli_results, "curate_substring_rejected_with_state")["run"]
+    assert r["rc"] == 2
+    assert "substrings" in r["stderr"]
 
 
 def test_triangle_participation_known_graph(spark):
