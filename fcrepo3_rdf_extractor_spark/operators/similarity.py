@@ -524,17 +524,35 @@ def pq_topk(
 
     The driver-side query fetch is a 1-row collect (metadata-sized);
     at scale the encoded table is what's materialized and scanned."""
-    m = len(codebooks)
-    d = len(codebooks[0][0])
-    q = (
-        emb.filter(F.col(id_col) == query_id).select(vec_col).collect()
+    encoded = pq_encode(emb, codebooks, id_col, vec_col)
+    adist = _adc_distance_col(
+        _adc_table(emb, codebooks, query_id, id_col, vec_col)
     )
+    return (
+        encoded.filter(F.col(id_col) != query_id)
+        .select(id_col, F.round(adist, 6).alias("adist"))
+        .orderBy(F.col("adist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def _adc_table(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_id: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """The query's ADC distance table dt[s][c] = ||q_s - codeword||^2,
+    computed driver-side (m*ksub doubles) in python float64 with the
+    SAME op and fold order as :func:`_pq_sqdist` and the SQL chain:
+    acc = ((0.0 + t1) + t2) + ... where t = (q_i - w_i) * (q_i - w_i)
+    in double. The query fetch is a 1-row collect (metadata-sized)."""
+    d = len(codebooks[0][0])
+    q = emb.filter(F.col(id_col) == query_id).select(vec_col).collect()
     if not q:
         raise ValueError(f"query vector {query_id} not found")
     qv = [float(x) for x in q[0][0]]
-    # dt in python float64 with the SAME op and fold order as _pq_sqdist
-    # and the SQL chain: acc = ((0.0 + t1) + t2) + ... where
-    # t = (q_i - w_i) * (q_i - w_i) in double
     dt = []
     for s, book in enumerate(codebooks):
         row = []
@@ -545,12 +563,64 @@ def pq_topk(
                 acc = acc + t
             row.append(acc)
         dt.append(row)
-    encoded = pq_encode(emb, codebooks, id_col, vec_col)
+    return dt
+
+
+def _adc_distance_col(dt: list[list[float]]) -> Column:
+    """Approximate distance over code columns c0..c{m-1}: m literal-array
+    lookups + (m-1) adds — a pure JVM projection."""
     adist = None
-    for s in range(m):
-        dts = F.array(*[F.lit(v) for v in dt[s]])
+    for s, row in enumerate(dt):
+        dts = F.array(*[F.lit(v) for v in row])
         term = F.element_at(dts, F.col(f"c{s}") + 1)
         adist = term if adist is None else adist + term
+    return adist
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    centroids: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_id: int,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ (IVFADC, Jegou et al. 2011 §IV): the production
+    billion-scale ANN architecture — coarse quantization prunes the
+    corpus to the query's ``nprobe`` nearest centroids' vectors, then
+    the PQ asymmetric distance ranks ONLY those candidates from their
+    m-byte codes. Composes :func:`ivf_assign` (partition pruning) with
+    :func:`pq_topk`'s ADC machinery (shared, not duplicated).
+
+    Scale shape: at 10^9 vectors the encoded (vec_id, c0..c{m-1}) table
+    is materialized partitioned by centroid_id, so a query scans nprobe
+    partitions of m-byte codes — no full-precision vector is touched at
+    search time (assignment and encoding are computed inline here for
+    self-containedness). The probe pick is a broadcast k-row ranking;
+    the final top-k plans as TakeOrderedAndProject over the pruned
+    scan."""
+    assign = ivf_assign(emb, centroids).select(id_col, "centroid_id")
+    q = _query_vector(emb, query_id)
+    probe = (
+        F.broadcast(centroids)
+        .crossJoin(q)
+        .select(
+            "centroid_id",
+            cosine_col(F.col("centroid"), F.col("q_emb")).alias("_qc"),
+        )
+        .orderBy(F.col("_qc").desc(), F.col("centroid_id"))
+        .limit(nprobe)
+        .select("centroid_id")
+    )
+    cands = assign.join(F.broadcast(probe), "centroid_id").select(id_col)
+    encoded = pq_encode(
+        emb.join(cands, id_col, "left_semi"), codebooks, id_col, vec_col
+    )
+    adist = _adc_distance_col(
+        _adc_table(emb, codebooks, query_id, id_col, vec_col)
+    )
     return (
         encoded.filter(F.col(id_col) != query_id)
         .select(id_col, F.round(adist, 6).alias("adist"))

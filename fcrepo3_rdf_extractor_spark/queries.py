@@ -2037,6 +2037,65 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, centroids, query_id=0, k=10, nprobe=2)
 
 
+def _ivfpq_topk_oracle() -> str:
+    """IVF-PQ: the IVF assignment/probe CTEs (deterministic centroids =
+    vec_id < 8, the emb_ivf_topk fragments verbatim) gate which vectors
+    the PQ code CTEs' ADC distance ranks."""
+    qd_cols = ", ".join(
+        f"{_pq_sqdist_sql('qv.embedding', 'c2.embedding', s)} AS d{s}"
+        for s in range(_PQ_M)
+    )
+    joins = " ".join(f"JOIN s{s} USING (vec_id)" for s in range(1, _PQ_M))
+    adist = " + ".join(
+        f"(SELECT d{s} FROM qd WHERE qd.cid = codes.c{s})" for s in range(_PQ_M)
+    )
+    cos_ac = _COS_SQL.format(a="e2.emb", b="c.centroid")
+    cos_cq = _COS_SQL.format(a="c.centroid", b="q.q_emb")
+    return (
+        f"WITH {_pq_codes_ctes()},\n"
+        f"e2 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),\n"
+        f"c AS (SELECT vec_id AS centroid_id, emb AS centroid FROM e2 "
+        f"WHERE vec_id < 8),\n"
+        f"q AS (SELECT emb AS q_emb FROM e2 WHERE vec_id = 0),\n"
+        f"assign AS (SELECT vec_id, centroid_id FROM ("
+        f"SELECT e2.vec_id, c.centroid_id, row_number() OVER ("
+        f"PARTITION BY e2.vec_id ORDER BY {cos_ac} DESC, c.centroid_id) AS rn "
+        f"FROM e2 CROSS JOIN c) t WHERE rn = 1),\n"
+        f"probe AS (SELECT centroid_id FROM ("
+        f"SELECT c.centroid_id, row_number() OVER ("
+        f"ORDER BY {cos_cq} DESC, c.centroid_id) AS rn "
+        f"FROM c CROSS JOIN q) t WHERE rn <= 2),\n"
+        f"cand AS (SELECT a.vec_id FROM assign a JOIN probe USING (centroid_id)),\n"
+        f"qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),\n"
+        f"qd AS (SELECT c2.cid, {qd_cols} FROM cb c2 CROSS JOIN qv),\n"
+        f"codes AS (SELECT s0.vec_id, "
+        f"{', '.join(f'c{s}' for s in range(_PQ_M))} FROM s0 {joins})\n"
+        f"SELECT vec_id, round({adist}, 6) AS adist "
+        f"FROM codes JOIN cand USING (vec_id) "
+        f"WHERE vec_id != 0 ORDER BY adist, vec_id LIMIT 10"
+    )
+
+
+@_q("emb_ivfpq_topk", _ivfpq_topk_oracle())
+def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search (IVFADC, Jegou et al. 2011 §IV): coarse-quantizer
+    pruning to nprobe=2 centroids' vectors, then PQ asymmetric-distance
+    ranking over their m-byte codes — the architecture that serves
+    billion-vector ANN from memory. Composes the oracled emb_ivf_topk
+    pruning with the oracled emb_pq_topk scoring; no full-precision
+    vector is touched at search time."""
+    from .operators.similarity import ivfpq_topk, pq_codebooks
+
+    emb = _read(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    books = pq_codebooks(emb, m=_PQ_M, ksub=_PQ_KSUB)
+    return ivfpq_topk(emb, centroids, books, query_id=0, k=10, nprobe=2)
+
+
+
 def _kmeans_ctes(k: int = 4, n_iter: int = 3, dim: int = 64) -> str:
     """CTE body unrolling the exact fixed-iteration Lloyd's recurrence
     that operators.similarity.kmeans_train runs — init = k lowest-id

@@ -370,3 +370,27 @@ def test_topk_per_user_window_group_limit(spark):
 
     plan = _formatted(events_topk_per_user(spark, SF_DIR))
     assert plan.count("WindowGroupLimit") >= 2, plan
+
+
+def test_ivfpq_topk_pruned_broadcast_takeordered(spark):
+    """IVF-PQ search plan: the candidate restriction reaches the encoded
+    side as broadcast joins (probe is nprobe rows, assignment pruning a
+    semi-join — never a shuffle join), the ADC ranking itself is the
+    PQ projection (no Python), and the final top-k plans as
+    TakeOrderedAndProject, not a global sort."""
+    from fcrepo3_rdf_extractor_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_codebooks,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    books = pq_codebooks(emb, m=8, ksub=16)
+    plan = _formatted(ivfpq_topk(emb, centroids, books, query_id=0))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
