@@ -594,16 +594,21 @@ def ivfpq_topk(
     m-byte codes. Composes :func:`ivf_assign` (partition pruning) with
     :func:`pq_topk`'s ADC machinery (shared, not duplicated).
 
-    Scale shape: at 10^9 vectors the encoded (vec_id, c0..c{m-1}) table
-    is materialized partitioned by centroid_id, so a query scans nprobe
-    partitions of m-byte codes — no full-precision vector is touched at
-    search time (assignment and encoding are computed inline here for
-    self-containedness). The probe pick is a broadcast k-row ranking;
-    the final top-k plans as TakeOrderedAndProject over the pruned
-    scan."""
-    assign = ivf_assign(emb, centroids).select(id_col, "centroid_id")
+    Scale shape: the centroid table is METADATA (kc * dim doubles), so —
+    like the PQ codebooks — it is driver-held and folded into literal
+    expressions: assignment is a pure argmin PROJECTION (no broadcast
+    table, no join, no groupBy — the first cut of this operator built
+    candidates via ivf_assign + semi-join, which planned a corpus-wide
+    SortMergeJoin LeftSemi), the probe pick is an nprobe-row driver
+    action on the same broadcast ranking the plain IVF path uses, and
+    candidate restriction is a literal ``isin`` FILTER on the assigned
+    centroid. The whole search is therefore one scan -> project ->
+    filter -> TakeOrderedAndProject with ZERO joins (plan-pinned); on
+    the materialized layout — the encoded (vec_id, c0..c{m-1}) table
+    written partitioned by centroid_id — that filter IS partition
+    pruning, and no full-precision vector is touched at search time."""
     q = _query_vector(emb, query_id)
-    probe = (
+    probe_rows = (
         F.broadcast(centroids)
         .crossJoin(q)
         .select(
@@ -613,11 +618,27 @@ def ivfpq_topk(
         .orderBy(F.col("_qc").desc(), F.col("centroid_id"))
         .limit(nprobe)
         .select("centroid_id")
+        .collect()
     )
-    cands = assign.join(F.broadcast(probe), "centroid_id").select(id_col)
-    encoded = pq_encode(
-        emb.join(cands, id_col, "left_semi"), codebooks, id_col, vec_col
-    )
+    probe_ids = [r["centroid_id"] for r in probe_rows]
+    cents = [
+        (r["centroid_id"], [float(x) for x in r["centroid"]])
+        for r in centroids.collect()
+    ]
+    # literal argmin: same tie order as ivf_assign's min(struct(-cos,
+    # centroid_id)) — highest cosine, then smallest centroid id
+    cands = [
+        F.struct(
+            (-cosine_col(
+                F.col(vec_col), F.array(*[F.lit(x) for x in c])
+            )).alias("n"),
+            F.lit(cid).alias("cid"),
+        )
+        for cid, c in cents
+    ]
+    assigned_cid = F.least(*cands).getField("cid")
+    pruned = emb.filter(assigned_cid.isin(probe_ids))
+    encoded = pq_encode(pruned, codebooks, id_col, vec_col)
     adist = _adc_distance_col(
         _adc_table(emb, codebooks, query_id, id_col, vec_col)
     )

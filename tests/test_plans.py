@@ -372,12 +372,14 @@ def test_topk_per_user_window_group_limit(spark):
     assert plan.count("WindowGroupLimit") >= 2, plan
 
 
-def test_ivfpq_topk_pruned_broadcast_takeordered(spark):
-    """IVF-PQ search plan: the candidate restriction reaches the encoded
-    side as broadcast joins (probe is nprobe rows, assignment pruning a
-    semi-join — never a shuffle join), the ADC ranking itself is the
-    PQ projection (no Python), and the final top-k plans as
-    TakeOrderedAndProject, not a global sort."""
+def test_ivfpq_topk_is_joinfree_pruned_scan(spark):
+    """IVF-PQ search plan: centroids and codebooks are driver-held
+    literals, so the WHOLE search is one scan -> assignment-argmin
+    projection -> literal isin filter -> ADC projection ->
+    TakeOrderedAndProject: NO join, NO exchange, NO Python anywhere.
+    On the materialized centroid-partitioned layout the isin filter is
+    partition pruning — this plan is the property that makes the query
+    an nprobe-partition scan at 10^9 vectors."""
     from fcrepo3_rdf_extractor_spark.operators.similarity import (
         ivfpq_topk,
         pq_codebooks,
@@ -392,5 +394,6 @@ def test_ivfpq_topk_pruned_broadcast_takeordered(spark):
     books = pq_codebooks(emb, m=8, ksub=16)
     plan = _formatted(ivfpq_topk(emb, centroids, books, query_id=0))
     assert "TakeOrderedAndProject" in plan, plan
-    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Exchange" not in plan, plan
     assert "Python" not in plan and "ArrowEval" not in plan, plan
