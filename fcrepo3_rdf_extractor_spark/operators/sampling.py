@@ -219,3 +219,51 @@ def mixture_rates(
             6,
         ).alias("rate"),
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    test_rate: float = 0.1,
+    salt: str = "split",
+    algorithm: str = "propagation",
+) -> DataFrame:
+    """Near-dup-aware train/test split: the unit of assignment is the
+    DUPLICATE CLUSTER, not the document. Two near-duplicate documents
+    landing on opposite sides of a train/eval split is contamination by
+    construction — the eval document is "memorized" through its twin —
+    and a per-document hash split does exactly that to every split
+    near-dup pair. Here the near-dup pair graph is clustered first
+    (:func:`..graph.dedup_clusters`; singletons are their own cluster)
+    and the side is a pure function of ``md5(salt|cluster_id)``, so
+    (a) no pair ever straddles the split and (b) the assignment is
+    deterministic across partitionings, retries, and engines — the same
+    fixed-width-hex threshold trick as :func:`deterministic_sample`.
+
+    Returns (doc_id, cluster_id, split) for EVERY document, split in
+    {'train', 'test'} with ~``test_rate`` of clusters on the test side.
+
+    Stability caveat (documented, inherent): cluster_id is the min
+    doc_id reachable in the pair graph, so a LATER corpus wave that
+    bridges two clusters merges their ids and the merged cluster
+    re-draws its side. That is the correct behavior — the bridge is
+    evidence the two groups were one near-dup family, and keeping their
+    old opposite sides would be exactly the leak this operator exists
+    to prevent.
+
+    Scale shape: clustering is the bounded driver-loop-over-distributed-
+    steps documented in graph.py (pick ``algorithm='star'`` above ~10^4
+    edges); the split itself adds one md5 projection — no shuffle beyond
+    the clustering's own."""
+    from .graph import dedup_clusters
+
+    clusters = dedup_clusters(pairs, docs, algorithm=algorithm).select(
+        "doc_id", "cluster_id"
+    )
+    slot = _hash_slot(
+        F.concat(F.lit(salt), F.lit("|"), F.col("cluster_id").cast("string"))
+    )
+    side = F.when(
+        slot < F.lit(rate_threshold(test_rate)), F.lit("test")
+    ).otherwise(F.lit("train"))
+    return clusters.select("doc_id", "cluster_id", side.alias("split"))

@@ -1662,6 +1662,41 @@ def docs_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(all_pairs, docs)
 
 
+def _leakage_split_oracle() -> str:
+    from .operators.sampling import rate_threshold
+
+    thr = rate_threshold(0.1)
+    return f"""WITH RECURSIVE
+        prs AS (SELECT doc_a, doc_b FROM ({_MINHASH_NEARDUP_SQL}) mm),
+        e AS (SELECT doc_a AS a, doc_b AS b FROM prs
+              UNION SELECT doc_b, doc_a FROM prs),
+        r(id, lab) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.b, r.lab FROM r JOIN e ON e.a = r.id),
+        cl AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM r GROUP BY id)
+        SELECT doc_id, cluster_id,
+               CASE WHEN substring(md5('split|' || CAST(cluster_id AS VARCHAR)), 1, 8)
+                    < '{thr}' THEN 'test' ELSE 'train' END AS split
+        FROM cl"""
+
+
+@_q("docs_leakage_safe_split", _leakage_split_oracle())
+def docs_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/test split: cluster the MinHash near-dup
+    graph, then assign SIDES per cluster by md5(salt|cluster_id) — no
+    near-dup pair can straddle train/test (the per-document hash split
+    contaminates eval through memorized twins), and the assignment is a
+    pure function of the data (partitioning/retry/engine independent).
+    See operators/sampling.py:leakage_safe_split."""
+    from .operators.dedup_approx import minhash_near_duplicates
+    from .operators.sampling import leakage_safe_split
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(docs, threshold=0.5, num_hashes=8, bands=4)
+    return leakage_safe_split(docs, pairs, test_rate=0.1)
+
+
 @_q(
     "docs_unigram_logprob",
     f"""WITH toks AS (SELECT doc_id, unnest({_WORDS}) AS term FROM documents),

@@ -1337,3 +1337,32 @@ def test_triangle_participation_known_graph(spark):
     df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
     got = {r.id: r.n_triangles for r in triangle_participation(df).collect()}
     assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_leakage_safe_split_no_pair_straddles(spark):
+    """Every near-dup pair lands on ONE side (the invariant per-doc hash
+    splits violate), singletons get their own cluster, and the split is
+    a pure function of the data — identical under repartitioning."""
+    from fcrepo3_rdf_extractor_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(40)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6), (10, 11)], "doc_a long, doc_b long"
+    )
+    out = leakage_safe_split(docs, pairs, test_rate=0.5).collect()
+    side = {r.doc_id: r.split for r in out}
+    cid = {r.doc_id: r.cluster_id for r in out}
+    assert len(side) == 40
+    for a, b in [(0, 1), (1, 2), (5, 6), (10, 11)]:
+        assert side[a] == side[b] and cid[a] == cid[b]
+    assert cid[0] == cid[2] == 0           # chain merges into one cluster
+    assert {"train", "test"} == set(side.values())  # rate 0.5 hits both
+    again = {r.doc_id: r.split
+             for r in leakage_safe_split(
+                 docs.repartition(7), pairs.repartition(3), test_rate=0.5
+             ).collect()}
+    assert again == side
