@@ -265,7 +265,10 @@ def run_scaling(sf_dir: str, lo: int, hi: int, copies: int = 1,
             best = min(runs[cores], key=lambda r: r["sec"])
             best = dict(best)
             best["times"] = [r["sec"] for r in runs[cores]]
-            best["steal_cpu_sec"] = [r["steal_cpu_sec"] for r in runs[cores]]
+            # keep steal_cpu_sec a SCALAR (the winning rep's) like every
+            # other emitter; the per-rep list goes under its own key so
+            # the field's type doesn't depend on the protocol flag
+            best["steal_cpu_secs"] = [r["steal_cpu_sec"] for r in runs[cores]]
             results[cores] = best
     else:
         for cores in (lo, hi):

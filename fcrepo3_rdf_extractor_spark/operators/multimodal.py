@@ -153,8 +153,15 @@ def resize_metadata(features: DataFrame, target: int = 224) -> DataFrame:
 
 def _be_int(payload, pos, n):
     """Big-endian unsigned int from ``n`` bytes at 1-based ``pos`` —
-    hex + base-16 conv, pure codegen."""
-    return F.conv(F.hex(F.substring(payload, pos, n)), 16, 10).cast("int")
+    hex + base-16 conv, pure codegen. Values above int32 max become
+    NULL instead of casting: 4 bytes can encode up to 2^32-1, and a
+    straight ``cast('int')`` on that string raises CAST_OVERFLOW under
+    ANSI mode (Spark 4 default) — one hostile payload passing the magic
+    check would fail the whole task. Out-of-range dimensions are invalid
+    anyway (PNG width/height are spec-capped at 2^31-1), so NULL is the
+    contract-correct result."""
+    v = F.conv(F.hex(F.substring(payload, pos, n)), 16, 10).cast("bigint")
+    return F.when(v <= 0x7FFFFFFF, v).cast("int")
 
 
 def _le16_int(payload, pos):

@@ -536,23 +536,16 @@ def pq_topk(
     )
 
 
-def _adc_table(
-    emb: DataFrame,
-    codebooks: list[list[list[float]]],
-    query_id: int,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> list[list[float]]:
-    """The query's ADC distance table dt[s][c] = ||q_s - codeword||^2,
-    computed driver-side (m*ksub doubles) in python float64 with the
-    SAME op and fold order as :func:`_pq_sqdist` and the SQL chain:
+def _adc_rows(qv: list[float], codebooks: list[list[list[float]]]) -> list[list[float]]:
+    """ADC distance table dt[s][c] = ||q_s - codeword||^2 for one query
+    vector, computed driver-side (m*ksub doubles) in python float64 with
+    the SAME op and fold order as :func:`_pq_sqdist` and the SQL chain:
     acc = ((0.0 + t1) + t2) + ... where t = (q_i - w_i) * (q_i - w_i)
-    in double. The query fetch is a 1-row collect (metadata-sized)."""
+    in double. The single home of that fold-order contract — both the
+    per-query search path (:func:`_adc_table`) and the recall panel
+    (:func:`pq_recall`) build their tables here, so a fold change can't
+    silently diverge one of them from the oracle."""
     d = len(codebooks[0][0])
-    q = emb.filter(F.col(id_col) == query_id).select(vec_col).collect()
-    if not q:
-        raise ValueError(f"query vector {query_id} not found")
-    qv = [float(x) for x in q[0][0]]
     dt = []
     for s, book in enumerate(codebooks):
         row = []
@@ -564,6 +557,21 @@ def _adc_table(
             row.append(acc)
         dt.append(row)
     return dt
+
+
+def _adc_table(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_id: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """One query's ADC distance table (see :func:`_adc_rows`). The query
+    fetch is a 1-row collect (metadata-sized)."""
+    q = emb.filter(F.col(id_col) == query_id).select(vec_col).collect()
+    if not q:
+        raise ValueError(f"query vector {query_id} not found")
+    return _adc_rows([float(x) for x in q[0][0]], codebooks)
 
 
 def _adc_distance_col(dt: list[list[float]]) -> Column:
@@ -713,7 +721,6 @@ def pq_recall(
     from pyspark.sql import Window
 
     books = pq_train_codebooks(emb, m=m, ksub=ksub, n_iter=n_iter)
-    d = len(books[0][0])
     spark = emb.sparkSession
 
     q_rows = (
@@ -724,16 +731,8 @@ def pq_recall(
     )
     panel_rows = []
     for r in q_rows:
-        qv = [float(x) for x in r[1]]
-        dt_flat = []
-        for s, book in enumerate(books):
-            for cw in book:
-                acc = 0.0  # same op + fold order as _pq_sqdist / the SQL chain
-                for i in range(d):
-                    t = (qv[s * d + i] - cw[i]) * (qv[s * d + i] - cw[i])
-                    acc = acc + t
-                dt_flat.append(acc)
-        panel_rows.append((int(r[0]), dt_flat))
+        dt = _adc_rows([float(x) for x in r[1]], books)
+        panel_rows.append((int(r[0]), [v for row in dt for v in row]))
     dt_panel = F.broadcast(
         spark.createDataFrame(panel_rows, "query_id long, dt array<double>")
     )

@@ -76,13 +76,21 @@ def streaming_curate_front(
     ``dedup_state_watermark``: None keeps dedup state unbounded (exact,
     right for bounded backfills); a duration like ``"1 hour"`` bounds
     the state store for perpetual streams at the cost of not suppressing
-    duplicates that arrive further apart than the horizon."""
+    duplicates that arrive further apart than the horizon. The bounded
+    branch must use ``dropDuplicatesWithinWatermark``: plain
+    ``dropDuplicates`` on a key subset that excludes the event-time
+    column NEVER evicts its state (Spark only cleans streaming-dedup
+    state when the watermark column is part of the keys), which silently
+    re-creates exactly the unbounded growth the parameter exists to
+    prevent."""
     hashed = docs.withColumn("content_md5", F.md5(F.col("text")))
     if dedup_state_watermark is not None:
-        hashed = hashed.withColumn("_ts", F.current_timestamp()).withWatermark(
-            "_ts", dedup_state_watermark
+        deduped = (
+            hashed.withColumn("_ts", F.current_timestamp())
+            .withWatermark("_ts", dedup_state_watermark)
+            .dropDuplicatesWithinWatermark(["content_md5"])
+            .drop("_ts")
         )
-        deduped = hashed.dropDuplicates(["content_md5"]).drop("_ts")
     else:
         deduped = hashed.dropDuplicates(["content_md5"])
     annotated = with_language(with_quality(deduped))

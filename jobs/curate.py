@@ -241,6 +241,15 @@ def main(argv: list[str] | None = None) -> int:
     )
     docs = staged(docs.join(keep_exact, "doc_id", "left_semi"),
                   "after_exact_dedup")
+    # the containment stage (2.3) scores pairs over THIS universe —
+    # exact-dedup survivors — not the post-near-dup one, so the df
+    # bound (max_df) and bounded set sizes are evaluated over the same
+    # shingle universe the incremental wave path uses (waves build
+    # their cindex from exact survivors; they can't know the near-dup
+    # keep-set, which is only resolved at export). Scoring on the
+    # post-near-dup set would make wave vs one-shot diverge whenever
+    # the df bound binds.
+    docs_exact = docs
 
     # 2. near-dup clustering on the exact-deduped survivors. The
     # signature and shingle tables are referenced on BOTH sides of the
@@ -290,8 +299,12 @@ def main(argv: list[str] | None = None) -> int:
             containment_near_duplicates,
         )
 
+        # scored over exact-dedup survivors (the wave path's universe;
+        # see the note at docs_exact) — the size joins below then
+        # restrict the pair set to docs still alive after near-dup,
+        # exactly as the wave export layer does
         pairs_c = containment_near_duplicates(
-            docs, threshold=args.containment_threshold
+            docs_exact, threshold=args.containment_threshold
         )
         sz_a = docs.select(F.col("doc_id").alias("doc_a"),
                            F.col("n_chars").alias("_ca"))

@@ -20,10 +20,20 @@ from __future__ import annotations
 import json
 import subprocess
 import sys
+import threading
 from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 
 REPO = str(Path(__file__).resolve().parents[1])
+
+# Global bound on concurrent fresh-JVM subprocesses across the whole
+# farm. Without it, 8 overlapped scenarios x up-to-3 chains each meant
+# ~16 simultaneous local[4] JVMs (each with a multi-GB driver heap)
+# stacked on top of the in-process oracle sweep — the suite's CLI tests
+# then died on the 600 s subprocess timeout and the sweep itself ran 9x
+# slower than standalone. Five JVMs + the pytest session saturates the
+# host without thrashing it.
+_JVM_SLOTS = threading.BoundedSemaphore(5)
 
 DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
 
@@ -36,10 +46,11 @@ def scenario(fn):
 
 
 def _run_job(job: str, args: list[str]) -> dict:
-    r = subprocess.run(
-        [sys.executable, f"jobs/{job}"] + args,
-        capture_output=True, text=True, cwd=REPO, timeout=600,
-    )
+    with _JVM_SLOTS:
+        r = subprocess.run(
+            [sys.executable, f"jobs/{job}"] + args,
+            capture_output=True, text=True, cwd=REPO, timeout=600,
+        )
     out = {"rc": r.returncode, "stdout": r.stdout, "stderr": r.stderr}
     if r.returncode == 0 and r.stdout.strip():
         try:

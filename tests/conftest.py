@@ -5,6 +5,11 @@ import os
 import pytest
 
 os.environ.setdefault("SPARK_GRAFT_CPUS", "4")  # small & fast for unit tests
+# CLI-farm subprocesses inherit this env: the scenarios run 3-300 row
+# corpora, so the 8g default driver heap is pure overcommit once several
+# JVMs overlap (16 x 8g exceeded host RAM and showed up as subprocess
+# timeouts, not OOMs)
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "2g")
 
 
 @pytest.fixture(scope="session")
@@ -16,11 +21,46 @@ def spark():
     spark.stop()
 
 
+class _CliFarm:
+    """Lazily-submitted CLI scenario farm. A scenario's subprocess chain
+    is submitted the first time something asks for it — so a selective
+    run (``pytest -k one_cli_test``) pays for exactly its own scenario,
+    not all 11 — and the session-start hook pre-submits everything only
+    when the run collected enough CLI tests to amortize it. Subprocess
+    concurrency is bounded globally by cli_scenarios._JVM_SLOTS, so
+    pre-submitting the lot queues rather than thrashes."""
+
+    def __init__(self, spark, base, pool):
+        from cli_scenarios import SCENARIOS
+
+        self._scenarios = SCENARIOS
+        self._spark = spark
+        self._base = base
+        self._pool = pool
+        self._futs = {}
+        import threading
+
+        self._lock = threading.Lock()
+
+    def future(self, name):
+        with self._lock:
+            if name not in self._futs:
+                fn = self._scenarios[name]
+                self._futs[name] = self._pool.submit(
+                    fn, self._spark, self._base / name
+                )
+            return self._futs[name]
+
+    def submit_all(self):
+        for name in self._scenarios:
+            self.future(name)
+
+
 @pytest.fixture(scope="session")
 def cli_results(spark, tmp_path_factory):
-    """Run ALL CLI integration scenarios (tests/cli_scenarios.py) once,
-    concurrently, at first use; tests assert on the returned artifacts.
-    Each scenario spawns fresh interpreter+JVM subprocesses (~15-25 s
+    """CLI integration scenarios (tests/cli_scenarios.py), run once each
+    and overlapped; tests assert on the returned artifacts. Each
+    scenario spawns fresh interpreter+JVM subprocesses (~15-25 s
     apiece); sequentially they were ~7 min of suite wall, overlapped
     they cost about the longest single chain. A scenario that raises is
     stored as its exception and re-raised in every test that consumes
@@ -28,26 +68,23 @@ def cli_results(spark, tmp_path_factory):
     result."""
     from concurrent.futures import ThreadPoolExecutor
 
-    from cli_scenarios import SCENARIOS
-
     base = tmp_path_factory.mktemp("cli")
     pool = ThreadPoolExecutor(max_workers=8)
-    futs = {name: pool.submit(fn, spark, base / name)
-            for name, fn in SCENARIOS.items()}
-    yield futs
+    farm = _CliFarm(spark, base, pool)
+    yield farm
     pool.shutdown(wait=False, cancel_futures=True)
 
 
-def cli_art(results: dict, name: str) -> dict:
-    """Block on one scenario's future and return its artifacts (its
-    failure, if any, raises here — in the consuming test). The rest of
-    the farm keeps running in the background; a test only ever waits
-    for its own scenario."""
-    return results[name].result()
+def cli_art(results: "_CliFarm", name: str) -> dict:
+    """Block on one scenario's future (submitting it if nothing has yet)
+    and return its artifacts — its failure, if any, raises here, in the
+    consuming test. Other scenarios keep running in the background; a
+    test only ever waits for its own."""
+    return results.future(name).result()
 
 
 def pytest_collection_modifyitems(session, config, items):
-    config._cli_farm_needed = any(
+    config._cli_tests_collected = sum(
         "cli_results" in getattr(item, "fixturenames", ())
         for item in items
     )
@@ -55,11 +92,12 @@ def pytest_collection_modifyitems(session, config, items):
 
 @pytest.fixture(scope="session", autouse=True)
 def _cli_farm_eager(request):
-    """Kick the CLI farm off at the FIRST test's setup when this run
-    collected any CLI test: the subprocesses then overlap the oracle
-    sweep and the unit tests instead of starting when the (alphabetically
-    late) CLI tests are reached. Runs that collect no CLI test skip the
-    farm entirely."""
-    if getattr(request.config, "_cli_farm_needed", False):
-        request.getfixturevalue("cli_results")
+    """Pre-submit the whole farm at the FIRST test's setup when this run
+    collected several CLI tests: the subprocesses then overlap the
+    oracle sweep and the unit tests instead of starting when the
+    (alphabetically late) CLI tests are reached. Selective runs (a few
+    -k'd CLI tests, or none) skip the pre-submit and let cli_art submit
+    on demand."""
+    if getattr(request.config, "_cli_tests_collected", 0) >= 5:
+        request.getfixturevalue("cli_results").submit_all()
     yield

@@ -205,6 +205,44 @@ def test_streaming_curate_front_matches_batch(spark, tmp_path):
     assert spark.read.parquet(str(tmp_path / "out")).count() == 3
 
 
+def test_streaming_curate_front_watermarked_dedup(spark, tmp_path):
+    """The BOUNDED-state branch (dedup_state_watermark set): duplicates
+    arriving within the horizon are still suppressed, and — the point of
+    the regression — the plan uses DeduplicateWithinWatermark. A plain
+    dropDuplicates on a key subset that excludes the event-time column
+    never evicts its state, so the old branch silently kept state
+    forever; the plan node is the observable difference."""
+    from fcrepo3_rdf_extractor_spark.streaming.curate_stream import (
+        read_doc_stream,
+        streaming_curate_front,
+        write_curated_stream,
+    )
+
+    en = ("the quick brown fox jumps over the lazy dog and runs into the "
+          "deep green forest to find some quiet rest for the long night")
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    src_dir = str(tmp_path / "wsrc")
+    spark.createDataFrame(
+        [(0, en, "en", "srcA", len(en))], schema
+    ).coalesce(1).write.parquet(src_dir)
+    spark.createDataFrame(
+        [(1, en, "en", "srcA", len(en))], schema   # dup, later batch
+    ).coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream = read_doc_stream(spark, src_dir, max_files_per_trigger=1)
+    curated = streaming_curate_front(
+        stream, quality_min=0.5, dedup_state_watermark="1 hour"
+    )
+    analyzed = curated._jdf.queryExecution().analyzed().toString()
+    assert "DeduplicateWithinWatermark" in analyzed, analyzed
+    q = write_curated_stream(curated, str(tmp_path / "wout"),
+                             str(tmp_path / "wcp"), available_now=True)
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "wout"))
+    # both arrivals are inside the 1 h horizon: exactly one survives
+    assert got.count() == 1
+
+
 def test_with_quality_language_match_narrow_ops(spark):
     """The in-place annotators (with_quality/with_language — shared by
     batch curate and the streaming front) must produce the exact values

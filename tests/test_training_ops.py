@@ -462,6 +462,32 @@ def test_media_dimensions_genuine_file_headers(spark):
     assert got[6] == ("jpeg", None, None)
 
 
+def test_media_dimensions_overflowing_fields_yield_null(spark):
+    """A payload that passes the PNG magic but carries 0xFFFFFFFF in the
+    width/height fields must yield NULL dims, not a task failure: a
+    straight cast('int') of the conv() string raises CAST_OVERFLOW under
+    ANSI mode (Spark 4 default), so one hostile row would kill a 100 TB
+    metadata job."""
+    import struct
+
+    from fcrepo3_rdf_extractor_spark.operators.multimodal import (
+        media_dimensions,
+    )
+
+    evil_png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+                + b"\xff\xff\xff\xff" + struct.pack(">I", 480)
+                + bytes([8, 6, 0, 0, 0]) + b"\x00\x00\x00\x00")
+    evil_gif = b"GIF89a\xff\xff\xff\xff\xf7\x00\x00"  # 65535s: in range
+    df = spark.createDataFrame(
+        [(1, bytearray(evil_png)), (2, bytearray(evil_gif))],
+        "media_id long, payload binary",
+    )
+    got = {r.media_id: (r.format, r.width, r.height)
+           for r in media_dimensions(df).collect()}
+    assert got[1] == ("png", None, 480)
+    assert got[2] == ("gif", 65535, 65535)  # uint16 can't overflow int32
+
+
 def test_documents_as_image_media_roundtrip(spark):
     """Synthesized headers are valid enough that the parser recovers
     exactly the planted (format, width, height) closed forms."""
