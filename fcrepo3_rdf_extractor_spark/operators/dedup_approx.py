@@ -779,3 +779,67 @@ def containment_incremental_pairs(
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+# --- repo-level (file-set) near-dup -----------------------------------------
+
+
+def fileset_near_duplicates(
+    files: DataFrame,
+    key_col: str = "repo",
+    item_col: str = "file_md5",
+    threshold: float = 0.5,
+    max_df: int = 1000,
+) -> DataFrame:
+    """Container-level near-dup over SETS OF ITEM HASHES — the fork /
+    mirror detector for a source-code corpus: two repositories sharing
+    most of their files' content hashes are one codebase, and per-file
+    dedup alone won't tell you (each file pair dedups independently;
+    nothing says "these 10^4 files travel together"). Jaccard over the
+    distinct item-hash sets: |A∩B| / |A∪B|.
+
+    Scale shape (10^12 files, 10^8 repos) — same df-bounded
+    inverted-index discipline as :func:`containment_near_duplicates`:
+    - the (item_md5, key) index is two narrow columns, one exchange
+    - an item shared by df containers yields df^2 pair rows, so items in
+      more than ``max_df`` containers (vendored boilerplate, empty
+      files, license texts) are dropped BEFORE the self-join via a
+      window count riding the join's own shuffle key — both the
+      numerator and the set sizes then see the same bounded universe
+    - intersections are groupBy(pair).count() with map-side combine;
+      set sizes join back from a container-count-sized table.
+    Pairs are canonical ``{key}_a < {key}_b``."""
+    from pyspark.sql import Window
+
+    idx = files.select(
+        F.col(key_col).alias("k"), F.col(item_col).alias("g")
+    ).distinct()
+    bounded = (
+        idx.withColumn("_df", F.count("*").over(Window.partitionBy("g")))
+        .filter(F.col("_df") <= max_df)
+        .drop("_df")
+        .localCheckpoint()  # referenced from 4 join sides (see containment)
+    )
+    sizes = bounded.groupBy("k").agg(F.count("*").alias("n"))
+    a = bounded.select("g", F.col("k").alias(f"{key_col}_a"))
+    b = bounded.select("g", F.col("k").alias(f"{key_col}_b"))
+    common = (
+        a.join(b, "g")
+        .filter(F.col(f"{key_col}_a") < F.col(f"{key_col}_b"))
+        .groupBy(f"{key_col}_a", f"{key_col}_b")
+        .agg(F.count("*").alias("_c"))
+    )
+    na = sizes.select(F.col("k").alias(f"{key_col}_a"), F.col("n").alias("_na"))
+    nb = sizes.select(F.col("k").alias(f"{key_col}_b"), F.col("n").alias("_nb"))
+    return (
+        common.join(na, f"{key_col}_a")
+        .join(nb, f"{key_col}_b")
+        .select(
+            f"{key_col}_a",
+            f"{key_col}_b",
+            F.round(
+                F.col("_c") / (F.col("_na") + F.col("_nb") - F.col("_c")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

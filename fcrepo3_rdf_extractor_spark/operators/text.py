@@ -562,3 +562,143 @@ def vocab_token_count(
     return df.select(
         "doc_id", count_pieces(F.col(text_col)).alias("n_vocab_tokens")
     )
+
+
+# --- code-corpus quality filters ---------------------------------------------
+
+AUTOGEN_MARKERS = ["auto-generated", "do not edit", "generated by"]
+
+
+def code_quality_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_line_len: int = 1000,
+    max_avg_line_len: float = 100.0,
+    min_alnum_frac: float = 0.25,
+    min_alpha_word_frac: float = 0.5,
+) -> DataFrame:
+    """The Stack / StarCoder-style structural filters for a source-code
+    corpus (Kocetkov et al. 2022 §3.1, Li et al. 2023 §3): maximum and
+    mean line length (minified / data-blob files), alphanumeric
+    character fraction (binary-ish and encoded-data payloads),
+    alphabetic-word fraction (tables of numbers), and an auto-generated
+    marker scan — plus the combined ``keep`` verdict under the given
+    thresholds. These are the filters a repo-scale (10^12-file) corpus
+    runs over the ``content`` column of the source contract table
+    before any tokenization.
+
+    Scale shape: a single narrow per-row projection — no shuffle, no
+    join, no Python; every signal is a codegen string op. The line and
+    token arrays are staged as projection columns (referenced more than
+    once; CollapseProject would otherwise re-split per reference)."""
+    t = F.col(text_col)
+    staged = df.select(
+        id_col,
+        text_col,
+        F.split(t, "\n", -1).alias("_lines"),
+        tokens_col(t).alias("_w"),
+    )
+    n_lines = F.size("_lines")
+    maxl = F.array_max(F.transform("_lines", lambda x: F.length(x)))
+    # mean line length from lengths, not the array: total chars minus
+    # the (n_lines - 1) newlines, over n_lines
+    avg = F.round((F.length(t) - (n_lines - F.lit(1))) / n_lines, 4)
+    alnum = F.round(
+        F.length(F.regexp_replace(t, "[^A-Za-z0-9]", ""))
+        / F.greatest(F.length(t), F.lit(1)),
+        4,
+    )
+    # tokens_col lowercases, so the letter class is [a-z]
+    alpha = F.round(
+        F.size(F.filter("_w", lambda x: x.rlike("[a-z]")))
+        / F.greatest(F.size("_w"), F.lit(1)),
+        4,
+    )
+    low = F.lower(t)
+    autogen = F.lit(False)
+    for m in AUTOGEN_MARKERS:
+        autogen = autogen | low.contains(m)
+    keep = (
+        (maxl <= max_line_len)
+        & (avg <= max_avg_line_len)
+        & (alnum >= min_alnum_frac)
+        & (alpha >= min_alpha_word_frac)
+        & ~autogen
+    )
+    return staged.select(
+        id_col,
+        n_lines.cast("long").alias("n_lines"),
+        maxl.cast("long").alias("max_line_len"),
+        avg.alias("avg_line_len"),
+        alnum.alias("alnum_frac"),
+        alpha.alias("alpha_word_frac"),
+        autogen.alias("autogen"),
+        keep.alias("keep"),
+    )
+
+
+# --- DSIR importance weights -------------------------------------------------
+
+
+def dsir_importance(
+    df: DataFrame,
+    target_filter,
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023):
+    score every document by how much more likely its hashed unigram
+    features are under a TARGET distribution than under the raw-corpus
+    distribution — log w(x) = sum over tokens of ln(p_target(g) /
+    p_raw(g)), g = a hashed feature bucket. Documents with the highest
+    weights are the ones to keep when you want "more like the target"
+    (e.g. more like wikipedia, or more like ``lang='en'``) without
+    training a classifier.
+
+    ``target_filter``: a boolean Column selecting the target example
+    rows from ``df`` itself (the paper's target set is external; a
+    same-table filter keeps the query oracle-able without extra
+    fixtures — the math is identical).
+
+    Buckets are the first two hex chars of md5(token) (256 buckets,
+    string-keyed — portable to the SQL twin with no int conversion);
+    both distributions get add-1 smoothing over the full bucket space,
+    so unseen buckets stay finite.
+
+    Scale shape (100 TB): both bucket-count tables are METADATA
+    (n_buckets rows) — they broadcast; the corpus explodes once and
+    aggregates per doc_id with map-side combine. One real shuffle."""
+    def bucketed(frame: DataFrame, *cols: str) -> DataFrame:
+        # explode must be a top-level generator; hash the token after
+        return frame.select(
+            *cols, F.explode(tokens_col(F.col(text_col))).alias("_tok")
+        ).select(*cols, F.substring(F.md5("_tok"), 1, 2).alias("g"))
+
+    toks = bucketed(df, "doc_id")
+    target_toks = bucketed(df.filter(target_filter))
+    raw_counts = toks.groupBy("g").agg(F.count("*").alias("raw_n"))
+    tgt_counts = target_toks.groupBy("g").agg(F.count("*").alias("tgt_n"))
+    raw_total = raw_counts.agg(F.sum("raw_n").alias("raw_total"))
+    tgt_total = tgt_counts.agg(F.sum("tgt_n").alias("tgt_total"))
+    k = F.lit(n_buckets)
+    log_ratio = F.log(
+        (F.coalesce(F.col("tgt_n"), F.lit(0)) + 1)
+        / (F.col("tgt_total") + k)
+    ) - F.log(
+        (F.coalesce(F.col("raw_n"), F.lit(0)) + 1)
+        / (F.col("raw_total") + k)
+    )
+    return (
+        toks.join(F.broadcast(raw_counts), "g", "left")
+        .join(F.broadcast(tgt_counts), "g", "left")
+        .crossJoin(F.broadcast(raw_total))
+        .crossJoin(F.broadcast(tgt_total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(F.sum(log_ratio), 4).alias("log_weight"),
+            F.round(F.sum(log_ratio) / F.count("*"), 6)
+            .alias("per_token_log_weight"),
+        )
+    )

@@ -3191,6 +3191,160 @@ def events_topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =========================================================================
+# code-corpus curation: structural filters, fork detection, DSIR
+# =========================================================================
+
+# newlines planted deterministically into the single-line testdata word
+# streams (every literal " merge " token becomes a line break) so the
+# line-shape signals are non-degenerate; replace() is a non-overlapping
+# left-to-right scan in both engines, so the results agree exactly
+_CODE_LINES_SQL = "replace(text, ' merge ', chr(10))"
+
+
+@_q(
+    "docs_code_filters",
+    f"""WITH t AS (SELECT doc_id, {_CODE_LINES_SQL} AS text FROM documents),
+        l AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines,
+                     string_split_regex(trim(lower(text)), '\\s+') AS w
+              FROM t)
+        SELECT doc_id,
+          CAST(len(lines) AS BIGINT) AS n_lines,
+          CAST(list_max([length(x) for x in lines]) AS BIGINT) AS max_line_len,
+          round((length(text) - (len(lines) - 1)) / len(lines), 4)
+            AS avg_line_len,
+          round(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+                / greatest(length(text), 1), 4) AS alnum_frac,
+          round(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+                / greatest(len(w), 1), 4) AS alpha_word_frac,
+          (lower(text) LIKE '%auto-generated%'
+           OR lower(text) LIKE '%do not edit%'
+           OR lower(text) LIKE '%generated by%') AS autogen,
+          (CAST(list_max([length(x) for x in lines]) AS BIGINT) <= 1000
+           AND round((length(text) - (len(lines) - 1)) / len(lines), 4) <= 100.0
+           AND round(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+                     / greatest(length(text), 1), 4) >= 0.25
+           AND round(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+                     / greatest(len(w), 1), 4) >= 0.5
+           AND NOT (lower(text) LIKE '%auto-generated%'
+                    OR lower(text) LIKE '%do not edit%'
+                    OR lower(text) LIKE '%generated by%')) AS keep
+        FROM l""",
+)
+def docs_code_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Stack/StarCoder structural code filters over the documents
+    corpus with deterministically planted line breaks (see
+    operators.text.code_quality_signals for the scale argument: one
+    narrow codegen projection, no shuffle)."""
+    from .operators.text import code_quality_signals
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" merge "), F.lit("\n")).alias("text"),
+    )
+    return code_quality_signals(docs)
+
+
+# synthetic multi-repo file table from documents: 40 base repos r0..r39
+# (file = document, identity = md5(text)); repos 0..7 have a planted
+# fork f<i> carrying the same files except every 4th (by doc_id // 40),
+# which diverges ('!' appended before hashing). Expressed identically
+# in both engines, so the oracle computes exact Jaccard directly.
+_REPO_FILES_SQL = """
+    SELECT 'r' || CAST(doc_id % 40 AS VARCHAR) AS repo, md5(text) AS file_md5
+    FROM documents
+    UNION ALL
+    SELECT 'f' || CAST(doc_id % 40 AS VARCHAR),
+           md5(CASE WHEN (doc_id // 40) % 4 = 0 THEN text || '!' ELSE text END)
+    FROM documents WHERE doc_id % 40 < 8
+"""
+
+
+def _repo_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    base = docs.select(
+        F.concat(F.lit("r"), (F.col("doc_id") % 40).cast("string")).alias("repo"),
+        F.md5("text").alias("file_md5"),
+    )
+    forked_text = F.when(
+        F.floor(F.col("doc_id") / 40) % 4 == 0, F.concat(F.col("text"), F.lit("!"))
+    ).otherwise(F.col("text"))
+    fork = docs.filter(F.col("doc_id") % 40 < 8).select(
+        F.concat(F.lit("f"), (F.col("doc_id") % 40).cast("string")).alias("repo"),
+        F.md5(forked_text).alias("file_md5"),
+    )
+    return base.unionByName(fork)
+
+
+@_q(
+    "src_repo_forks",
+    f"""WITH files AS ({_REPO_FILES_SQL}),
+        idx AS (SELECT DISTINCT repo AS k, file_md5 AS g FROM files),
+        bounded AS (SELECT k, g FROM
+                      (SELECT k, g, count(*) OVER (PARTITION BY g) AS df
+                       FROM idx)
+                    WHERE df <= 1000),
+        sizes AS (SELECT k, count(*) AS n FROM bounded GROUP BY k),
+        common AS (SELECT a.k AS repo_a, b.k AS repo_b, count(*) AS c
+                   FROM bounded a JOIN bounded b USING (g)
+                   WHERE a.k < b.k GROUP BY 1, 2)
+        SELECT repo_a, repo_b,
+               round(c / (na.n + nb.n - c), 6) AS jaccard
+        FROM common
+        JOIN sizes na ON na.k = repo_a
+        JOIN sizes nb ON nb.k = repo_b
+        WHERE round(c / (na.n + nb.n - c), 6) >= 0.5""",
+)
+def src_repo_forks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fork/mirror detection over the synthesized multi-repo file table:
+    Jaccard >= 0.5 over each repo's distinct file-content-hash set (see
+    operators.dedup_approx.fileset_near_duplicates for the df-bounded
+    inverted-index scale shape)."""
+    from .operators.dedup_approx import fileset_near_duplicates
+
+    return fileset_near_duplicates(
+        _repo_files(spark, sf_dir), threshold=0.5, max_df=1000
+    )
+
+
+@_q(
+    "docs_dsir_weights",
+    """WITH toks AS (SELECT doc_id,
+                substr(md5(unnest(string_split_regex(trim(lower(text)),
+                                                     '\\s+'))), 1, 2) AS g
+         FROM documents),
+        tgt AS (SELECT substr(md5(unnest(string_split_regex(trim(lower(text)),
+                                                            '\\s+'))), 1, 2) AS g
+                FROM documents WHERE lang = 'en'),
+        rc AS (SELECT g, count(*) AS raw_n FROM toks GROUP BY g),
+        tc AS (SELECT g, count(*) AS tgt_n FROM tgt GROUP BY g),
+        rt AS (SELECT sum(raw_n) AS raw_total FROM rc),
+        tt AS (SELECT sum(tgt_n) AS tgt_total FROM tc)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               round(sum(ln((COALESCE(tgt_n, 0) + 1)::DOUBLE / (tgt_total + 256))
+                       - ln((COALESCE(raw_n, 0) + 1)::DOUBLE / (raw_total + 256))),
+                     4) AS log_weight,
+               round(sum(ln((COALESCE(tgt_n, 0) + 1)::DOUBLE / (tgt_total + 256))
+                       - ln((COALESCE(raw_n, 0) + 1)::DOUBLE / (raw_total + 256)))
+                     / count(*), 6) AS per_token_log_weight
+        FROM toks
+        LEFT JOIN rc USING (g) LEFT JOIN tc USING (g)
+        CROSS JOIN rt CROSS JOIN tt
+        GROUP BY doc_id""",
+)
+def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights toward the lang='en' slice of the corpus
+    (Xie et al. 2023): hashed-unigram log-likelihood ratio per document
+    (see operators.text.dsir_importance — bucket tables broadcast, one
+    real shuffle)."""
+    from .operators.text import dsir_importance
+
+    return dsir_importance(
+        _read(spark, sf_dir, "documents"), F.col("lang") == "en"
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(_T)
 

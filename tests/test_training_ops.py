@@ -1392,3 +1392,99 @@ def test_leakage_safe_split_no_pair_straddles(spark):
                  docs.repartition(7), pairs.repartition(3), test_rate=0.5
              ).collect()}
     assert again == side
+
+
+def test_code_quality_signals_flags_and_keeps(spark):
+    """Structural code filters: a minified one-liner (max line length),
+    a number table (alphabetic-word fraction), an auto-generated header,
+    an encoded blob (alnum is fine but lines/alpha fail), and a normal
+    multi-line source file that passes everything."""
+    from fcrepo3_rdf_extractor_spark.operators.text import (
+        code_quality_signals,
+    )
+
+    good = "def add(a, b):\n    return a + b\n\nprint(add(2, 3))"
+    minified = "var x=" + "a" * 2000 + ";"
+    numbers = "1 2 3 4 5 6 7 8\n9 10 11 12 13 14"
+    autogen = "# auto-generated file\ndef f():\n    return 1"
+    rows = [(0, good), (1, minified), (2, numbers), (3, autogen)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in code_quality_signals(df).collect()}
+    assert got[0].keep and not got[0].autogen
+    assert got[0].n_lines == 4 and got[0].max_line_len == 16
+    assert not got[1].keep and got[1].max_line_len > 1000
+    assert not got[2].keep and got[2].alpha_word_frac == 0.0
+    assert not got[3].keep and got[3].autogen
+
+
+def test_code_quality_signals_is_single_projection(spark):
+    """The filter battery must stay one narrow codegen projection: no
+    exchange, no Python stage, and the line/token arrays staged once
+    (CollapseProject would otherwise re-run the splits per signal)."""
+    from fcrepo3_rdf_extractor_spark.operators.text import (
+        code_quality_signals,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = code_quality_signals(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    # one split for lines, one for tokens — not one per signal column
+    assert plan.count("split(") <= 2, plan.count("split(")
+
+
+def test_fileset_near_duplicates_fork_and_boilerplate(spark):
+    """Repo fork detection: an exact mirror scores 1.0, a 3/4 fork
+    scores 0.6 (3 shared / 5 union), unrelated repos don't pair, and a
+    hash present in EVERY repo (vendored boilerplate) is excluded by
+    max_df from both numerator and sizes."""
+    from fcrepo3_rdf_extractor_spark.operators.dedup_approx import (
+        fileset_near_duplicates,
+    )
+
+    rows = []
+    for i in range(4):
+        rows.append(("rA", f"h{i}"))          # base repo: h0..h3
+        rows.append(("rM", f"h{i}"))          # exact mirror
+    rows += [("rF", "h0"), ("rF", "h1"), ("rF", "h2"), ("rF", "hX")]  # fork
+    rows += [("rZ", "z0"), ("rZ", "z1")]      # unrelated
+    for repo in ("rA", "rM", "rF", "rZ"):
+        rows.append((repo, "BOILER"))         # shared by all 4 repos
+    files = spark.createDataFrame(rows, "repo string, file_md5 string")
+
+    got = {(r.repo_a, r.repo_b): r.jaccard
+           for r in fileset_near_duplicates(
+               files, threshold=0.5, max_df=3).collect()}
+    # BOILER (df=4 > 3) is dropped everywhere: sizes are 4/4/4/2
+    assert got[("rA", "rM")] == 1.0
+    assert got[("rF", "rM")] == 0.6 and got[("rA", "rF")] == 0.6
+    assert all("rZ" not in pair for pair in got)
+
+    # without the df bound, BOILER inflates every pairing
+    loose = {(r.repo_a, r.repo_b): r.jaccard
+             for r in fileset_near_duplicates(
+                 files, threshold=0.0, max_df=100).collect()}
+    assert ("rA", "rZ") in loose  # boilerplate-only overlap now pairs
+
+
+def test_dsir_importance_prefers_target_like_docs(spark):
+    """DSIR: documents drawn from the target vocabulary must outscore
+    off-target documents in per-token log weight, and a target doc's
+    weight must be positive (its buckets are denser under the target
+    distribution than under the mixed raw one)."""
+    from pyspark.sql import functions as F
+
+    from fcrepo3_rdf_extractor_spark.operators.text import dsir_importance
+
+    tgt_text = "alpha beta gamma delta alpha beta gamma delta"
+    off_text = "uno dos tres cuatro uno dos tres cuatro"
+    rows = ([(i, tgt_text, "en") for i in range(10)]
+            + [(100 + i, off_text, "es") for i in range(10)]
+            + [(200, "alpha beta gamma delta", "und"),   # target-like
+               (201, "uno dos tres cuatro", "und")])     # off-target
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r.doc_id: r for r in
+           dsir_importance(df, F.col("lang") == "en").collect()}
+    assert got[200].per_token_log_weight > got[201].per_token_log_weight
+    assert got[200].log_weight > 0 > got[201].log_weight
+    assert got[200].n_tokens == 4
