@@ -3345,6 +3345,84 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LOGREG_LR, _LOGREG_ITERS = 2.0, 3
+
+
+def _logreg_oracle(lr: float = _LOGREG_LR, n_iter: int = _LOGREG_ITERS) -> str:
+    """Unroll logreg_train + classifier_score as a CTE chain: hashed
+    L1-normalized features, zero-initialized weights over the OBSERVED
+    bucket set plus a scalar bias, and per iteration the same two
+    aggregations the Spark trainer runs (per-doc score, per-bucket
+    gradient) with the same left-to-right update arithmetic
+    ((lr * grad) / n_docs). Every CTE is MATERIALIZED — the iteration
+    chain references its predecessor from two places and DuckDB's
+    default inlining would re-evaluate the whole upstream chain per
+    reference (same lesson as the PQ-recall oracle)."""
+    blocks = [
+        """toks AS MATERIALIZED (SELECT doc_id, substr(md5(tok), 1, 2) AS g
+             FROM (SELECT doc_id,
+                          unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+                   FROM documents))""",
+        """nt AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM toks
+             GROUP BY doc_id)""",
+        """feat AS MATERIALIZED (SELECT t.doc_id, g,
+                    count(*)::DOUBLE / min(nt.n) AS x
+             FROM toks t JOIN nt USING (doc_id) GROUP BY t.doc_id, g)""",
+        """lab AS MATERIALIZED (SELECT doc_id,
+                    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+             FROM documents)""",
+        "nd AS (SELECT count(*)::DOUBLE AS n FROM documents)",
+        "w0 AS MATERIALIZED (SELECT DISTINCT g, 0.0 AS w FROM feat)",
+        "b0 AS (SELECT 0.0 AS b)",
+    ]
+    for t in range(1, n_iter + 1):
+        p = t - 1
+        blocks += [
+            f"""z{t} AS MATERIALIZED (SELECT doc_id, sum(x * w) AS z
+                  FROM feat JOIN w{p} USING (g) GROUP BY doc_id)""",
+            f"""s{t} AS MATERIALIZED (SELECT l.doc_id,
+                     l.y - 1.0 / (1.0 + exp(-(COALESCE(z.z, 0.0) + b{p}.b))) AS r
+                  FROM lab l LEFT JOIN z{t} z USING (doc_id) CROSS JOIN b{p})""",
+            f"""w{t} AS MATERIALIZED (SELECT w.g,
+                     w.w + ({lr} * COALESCE(gr.gw, 0.0)) / nd.n AS w
+                  FROM w{p} w
+                  LEFT JOIN (SELECT f.g, sum(s.r * f.x) AS gw
+                             FROM feat f JOIN s{t} s USING (doc_id)
+                             GROUP BY f.g) gr USING (g)
+                  CROSS JOIN nd)""",
+            f"""b{t} AS (SELECT b{p}.b + ({lr} * (SELECT sum(r) FROM s{t})) / nd.n
+                     AS b FROM b{p} CROSS JOIN nd)""",
+        ]
+    n = n_iter
+    ctes = ",\n".join(blocks)
+    return f"""WITH {ctes}
+        SELECT l.doc_id,
+               round(1.0 / (1.0 + exp(-(COALESCE(zf.z, 0.0) + b{n}.b))), 6)
+                 AS p_target,
+               (1.0 / (1.0 + exp(-(COALESCE(zf.z, 0.0) + b{n}.b))) >= 0.5)
+                 AS keep
+        FROM lab l
+        LEFT JOIN (SELECT doc_id, sum(x * w) AS z FROM feat
+                   JOIN w{n} USING (g) GROUP BY doc_id) zf USING (doc_id)
+        CROSS JOIN b{n}"""
+
+
+@_q("docs_quality_classifier", _logreg_oracle())
+def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained quality-classifier filtering (the CCNet/LLaMA-pipeline
+    modality): full-batch logistic regression over hashed-unigram
+    features toward the lang='en' slice, then per-document
+    (p_target, keep). See operators/classify.py for the driver-held-
+    weights scale argument."""
+    from .operators.classify import classifier_score, logreg_train
+
+    docs = _read(spark, sf_dir, "documents")
+    w = logreg_train(
+        docs, F.col("lang") == "en", lr=_LOGREG_LR, n_iter=_LOGREG_ITERS
+    )
+    return classifier_score(docs, w)
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(_T)
 

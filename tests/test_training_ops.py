@@ -1488,3 +1488,33 @@ def test_dsir_importance_prefers_target_like_docs(spark):
     assert got[200].per_token_log_weight > got[201].per_token_log_weight
     assert got[200].log_weight > 0 > got[201].log_weight
     assert got[200].n_tokens == 4
+
+
+def test_logreg_classifier_separates_vocabularies(spark):
+    """The trained quality classifier must separate two disjoint
+    vocabularies: unlabeled docs drawn from the target vocabulary score
+    p > 0.5, off-target docs p < 0.5, and the probabilities order
+    correctly. Also pins the weight dict shape (observed buckets +
+    bias)."""
+    from pyspark.sql import functions as F
+
+    from fcrepo3_rdf_extractor_spark.operators.classify import (
+        BIAS_KEY,
+        classifier_score,
+        logreg_train,
+    )
+
+    tgt = "alpha beta gamma delta epsilon zeta"
+    off = "uno dos tres cuatro cinco seis"
+    rows = ([(i, tgt, 1) for i in range(12)]
+            + [(100 + i, off, 0) for i in range(12)]
+            + [(200, "alpha beta gamma", 0),   # held-out target-like
+               (201, "uno dos tres", 1)])      # held-out off-target
+    df = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    train = df.filter(F.col("doc_id") < 200)
+    w = logreg_train(train, F.col("y") == 1, lr=4.0, n_iter=6)
+    assert BIAS_KEY in w and len(w) >= 3
+    got = {r.doc_id: r for r in classifier_score(df, w).collect()}
+    assert got[200].p_target > 0.5 and got[200].keep
+    assert got[201].p_target < 0.5 and not got[201].keep
+    assert got[0].p_target > got[100].p_target
