@@ -569,36 +569,19 @@ def vocab_token_count(
 AUTOGEN_MARKERS = ["auto-generated", "do not edit", "generated by"]
 
 
-def code_quality_signals(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    max_line_len: int = 1000,
-    max_avg_line_len: float = 100.0,
-    min_alnum_frac: float = 0.25,
-    min_alpha_word_frac: float = 0.5,
-) -> DataFrame:
-    """The Stack / StarCoder-style structural filters for a source-code
-    corpus (Kocetkov et al. 2022 §3.1, Li et al. 2023 §3): maximum and
-    mean line length (minified / data-blob files), alphanumeric
-    character fraction (binary-ish and encoded-data payloads),
-    alphabetic-word fraction (tables of numbers), and an auto-generated
-    marker scan — plus the combined ``keep`` verdict under the given
-    thresholds. These are the filters a repo-scale (10^12-file) corpus
-    runs over the ``content`` column of the source contract table
-    before any tokenization.
-
-    Scale shape: a single narrow per-row projection — no shuffle, no
-    join, no Python; every signal is a codegen string op. The line and
-    token arrays are staged as projection columns (referenced more than
-    once; CollapseProject would otherwise re-split per reference)."""
+def _code_signal_cols(
+    text_col: str,
+    max_line_len: int,
+    max_avg_line_len: float,
+    min_alnum_frac: float,
+    min_alpha_word_frac: float,
+) -> dict[str, Column]:
+    """The shared signal/verdict expressions over STAGED ``_lines`` /
+    ``_w`` array columns (callers must project them first — referenced
+    more than once, CollapseProject would otherwise re-split per
+    reference). Single home of the threshold semantics, used by both the
+    narrow signal table and the in-place curate filter."""
     t = F.col(text_col)
-    staged = df.select(
-        id_col,
-        text_col,
-        F.split(t, "\n", -1).alias("_lines"),
-        tokens_col(t).alias("_w"),
-    )
     n_lines = F.size("_lines")
     maxl = F.array_max(F.transform("_lines", lambda x: F.length(x)))
     # mean line length from lengths, not the array: total chars minus
@@ -626,16 +609,78 @@ def code_quality_signals(
         & (alpha >= min_alpha_word_frac)
         & ~autogen
     )
-    return staged.select(
-        id_col,
-        n_lines.cast("long").alias("n_lines"),
-        maxl.cast("long").alias("max_line_len"),
-        avg.alias("avg_line_len"),
-        alnum.alias("alnum_frac"),
-        alpha.alias("alpha_word_frac"),
-        autogen.alias("autogen"),
-        keep.alias("keep"),
+    return {
+        "n_lines": n_lines.cast("long"),
+        "max_line_len": maxl.cast("long"),
+        "avg_line_len": avg,
+        "alnum_frac": alnum,
+        "alpha_word_frac": alpha,
+        "autogen": autogen,
+        "keep": keep,
+    }
+
+
+def _stage_code_arrays(df: DataFrame, text_col: str, *keep_cols: str) -> DataFrame:
+    t = F.col(text_col)
+    return df.select(
+        *keep_cols,
+        F.split(t, "\n", -1).alias("_lines"),
+        tokens_col(t).alias("_w"),
     )
+
+
+def code_quality_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_line_len: int = 1000,
+    max_avg_line_len: float = 100.0,
+    min_alnum_frac: float = 0.25,
+    min_alpha_word_frac: float = 0.5,
+) -> DataFrame:
+    """The Stack / StarCoder-style structural filters for a source-code
+    corpus (Kocetkov et al. 2022 §3.1, Li et al. 2023 §3): maximum and
+    mean line length (minified / data-blob files), alphanumeric
+    character fraction (binary-ish and encoded-data payloads),
+    alphabetic-word fraction (tables of numbers), and an auto-generated
+    marker scan — plus the combined ``keep`` verdict under the given
+    thresholds. These are the filters a repo-scale (10^12-file) corpus
+    runs over the ``content`` column of the source contract table
+    before any tokenization.
+
+    Scale shape: a single narrow per-row projection — no shuffle, no
+    join, no Python; every signal is a codegen string op. The line and
+    token arrays are staged as projection columns. See
+    :func:`with_code_filter` for the in-place curate form."""
+    staged = _stage_code_arrays(df, text_col, id_col, text_col)
+    sig = _code_signal_cols(
+        text_col, max_line_len, max_avg_line_len,
+        min_alnum_frac, min_alpha_word_frac,
+    )
+    return staged.select(
+        id_col, *[c.alias(name) for name, c in sig.items()]
+    )
+
+
+def with_code_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    max_line_len: int = 1000,
+    max_avg_line_len: float = 100.0,
+    min_alnum_frac: float = 0.25,
+    min_alpha_word_frac: float = 0.5,
+) -> DataFrame:
+    """ALL input columns + ``code_keep`` (the combined structural-filter
+    verdict of :func:`code_quality_signals`) — the in-place, join-free
+    form the curate stages use, same pattern as :func:`with_quality`.
+    The input must not already carry ``_lines`` / ``_w`` / ``code_keep``
+    columns."""
+    staged = _stage_code_arrays(df, text_col, "*")
+    keep = _code_signal_cols(
+        text_col, max_line_len, max_avg_line_len,
+        min_alnum_frac, min_alpha_word_frac,
+    )["keep"]
+    return staged.select(*df.columns, keep.alias("code_keep"))
 
 
 # --- DSIR importance weights -------------------------------------------------

@@ -22,6 +22,11 @@ at most once, in the near-dup signature stage):
                            2022 ExactSubstr at token granularity)
   3. quality filter        length/stopword/word-shape score >= threshold
   4. language filter       deterministic marker-based language ID
+  4.5 code filter (opt-in) Stack/StarCoder structural source filters:
+                           max/mean line length, alnum fraction,
+                           alphabetic-word fraction, autogen markers
+                           (--code-filter; pure row predicate, so the
+                           wave path applies it at export unchanged)
   5. stratified sampling   per-source keep rates, md5-deterministic
   5.5 PII redaction (opt-in) emails/phones/IPv4s -> placeholders
                            (--pii-redact; n_pii stamped per doc)
@@ -112,6 +117,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--pii-redact", action="store_true",
                     help="replace emails/phones/IPv4s with typed "
                          "placeholders and stamp an n_pii count")
+    ap.add_argument("--code-filter", action="store_true",
+                    help="apply the Stack/StarCoder structural source "
+                         "filters (line shape, alnum fraction, autogen "
+                         "markers) as a keep predicate")
     ap.add_argument("--vocab-file", default=None,
                     help="tokenizer vocabulary (one piece per line): "
                          "n_tokens becomes the TRUE greedy longest-match "
@@ -364,6 +373,18 @@ def main(argv: list[str] | None = None) -> int:
         allow = [s.strip() for s in args.langs.split(",") if s.strip()]
         annotated = annotated.filter(F.col("pred_lang").isin(allow))
     annotated = staged(annotated, "after_quality_lang")
+
+    # 4.5 (opt-in). structural code filters — in-place join-free
+    # predicate (see operators/text.py:with_code_filter); its own stage
+    # boundary so the summary shows what it dropped
+    if args.code_filter:
+        from fcrepo3_rdf_extractor_spark.operators.text import with_code_filter
+
+        annotated = staged(
+            with_code_filter(annotated)
+            .filter(F.col("code_keep")).drop("code_keep"),
+            "after_code_filter",
+        )
 
     # 5. deterministic stratified sampling by source
     rates = json.loads(args.rates) if args.rates else {}
@@ -642,6 +663,12 @@ def _run_incremental_wave(spark, args) -> dict:
     if args.langs:
         allow = [s.strip() for s in args.langs.split(",") if s.strip()]
         kept = kept.filter(F.col("pred_lang").isin(allow))
+    if args.code_filter:
+        # pure row predicate — applying it at export is identical to
+        # the one-shot path's stage 4.5 (no cross-document state)
+        from fcrepo3_rdf_extractor_spark.operators.text import with_code_filter
+
+        kept = with_code_filter(kept).filter(F.col("code_keep")).drop("code_keep")
     rates = json.loads(args.rates) if args.rates else {}
     if rates or args.default_rate < 1.0:
         kept = stratified_sample(

@@ -339,3 +339,25 @@ def crawl_er_table(spark, base: Path) -> dict:
                                 "--fetcher", "file", "--local", "2",
                                 "--concurrency", "2"])
     return {"run": res, "out": out, "src": src_path}
+
+
+@scenario
+def curate_code_filter(spark, base: Path) -> dict:
+    """--code-filter: a doc that passes the quality filter but carries a
+    >1000-char single line is dropped; an autogen-marked doc is dropped;
+    a well-shaped multi-line doc survives. Run with and without the flag
+    so the test can pin exactly what the stage removed."""
+    lines = ("the quick brown fox jumps over the lazy dog and runs into "
+             "the deep green forest to find some rest")
+    good = "\n".join([lines] * 4)                      # 4 short lines
+    longline = " ".join([lines] * 12)                  # 1 line, ~1300 chars
+    autogen = "# auto-generated file do not edit\n" + good
+    docs = _write_docs(spark, [(0, good), (1, longline), (2, autogen)],
+                       base / "docs")
+    with_flag = run_curate(["--docs", docs, "--out", str(base / "out_f"),
+                            "--quality-min", "0.3", "--neardup-threshold",
+                            "0", "--code-filter", "--local", "4"])
+    without = run_curate(["--docs", docs, "--out", str(base / "out_n"),
+                          "--quality-min", "0.3", "--neardup-threshold",
+                          "0", "--local", "4"])
+    return {"with": with_flag, "without": without}

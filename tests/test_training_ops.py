@@ -1518,3 +1518,19 @@ def test_logreg_classifier_separates_vocabularies(spark):
     assert got[200].p_target > 0.5 and got[200].keep
     assert got[201].p_target < 0.5 and not got[201].keep
     assert got[0].p_target > got[100].p_target
+
+
+def test_curate_code_filter_stage(spark, cli_results):
+    """--code-filter drops the long-line and autogen docs the quality
+    filter passes; without the flag all three quality-passing docs
+    survive and no after_code_filter stage is reported."""
+    from conftest import cli_art
+
+    art = cli_art(cli_results, "curate_code_filter")
+    w, wo = art["with"], art["without"]
+    assert w["rc"] == 0 and wo["rc"] == 0, (w["stderr"], wo["stderr"])
+    assert w["summary"]["stages"]["after_quality_lang"] == 3
+    assert w["summary"]["stages"]["after_code_filter"] == 1
+    assert w["summary"]["n_docs"] == 1
+    assert "after_code_filter" not in wo["summary"]["stages"]
+    assert wo["summary"]["n_docs"] == 3
