@@ -397,3 +397,34 @@ def test_ivfpq_topk_is_joinfree_pruned_scan(spark):
     assert "Join" not in plan, plan
     assert "Exchange" not in plan, plan
     assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_dsir_bucket_tables_broadcast(spark):
+    """DSIR's two bucket-count tables are metadata (<=256 rows): they
+    must join as BroadcastHashJoin, and the only nested-loop joins in
+    the plan are the two 1-row scalar-total crossJoins (the
+    documented-fine shape) — never a real non-broadcast join on the
+    exploded corpus."""
+    from fcrepo3_rdf_extractor_spark.queries import queries
+
+    df = queries()["docs_dsir_weights"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("BroadcastNestedLoopJoin") == 2  # 1-row totals only
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_repo_forks_candidate_join_is_equi(spark):
+    """Fork detection's candidate generator is an equi-join on the item
+    hash (broadcast or sort-merge depending on stats) — NEVER a
+    nested-loop/cartesian pairing of containers, which is what an
+    OR-of-equalities or similarity-predicate formulation would plan
+    as. The df bound rides a window, so there is no extra exchange
+    beyond the joins' own."""
+    from fcrepo3_rdf_extractor_spark.queries import queries
+
+    df = queries()["src_repo_forks"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
