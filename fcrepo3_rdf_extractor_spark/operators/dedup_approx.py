@@ -843,3 +843,82 @@ def fileset_near_duplicates(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+# --- SemDeDup (cluster-bounded semantic dedup) -------------------------------
+
+
+def semdedup_pairs(
+    emb: DataFrame,
+    k: int = 4,
+    n_iter: int = 3,
+    threshold: float = 0.95,
+    max_bucket: int = 100_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup with the pair search
+    BOUNDED BY k-means clusters — embed, cluster, and compare cosine
+    similarity only WITHIN a cluster; pairs above the threshold are
+    semantic duplicates, and the member to drop is the one CLOSER to the
+    cluster centroid (the paper keeps the farthest-from-centroid
+    example, arguing it is the least redundant with the rest of the
+    cluster). This differs from :func:`embedding_near_duplicates` in
+    both the candidate structure (trained data-dependent clusters vs a
+    fixed hyperplane-sign LSH family) and in shipping the keep POLICY,
+    not just the pairs.
+
+    Output: (id_a, id_b, centroid_id, cosine, drop_id), pairs canonical
+    id_a < id_b; drop_id = the member with the higher rounded
+    centroid-cosine, ties dropping the larger id.
+
+    Scale shape (10^9 vectors): the centroid table is metadata
+    (k * dim doubles) — `kmeans_train`'s bounded driver loop trains it,
+    `ivf_assign` assigns with a broadcast argmin (one partial-agg
+    shuffle); the self-join shuffles on centroid_id with the
+    ``max_bucket`` window bound riding the join's own exchange (a
+    cluster bigger than max_bucket means k was chosen too small for the
+    corpus — at SemDeDup's published scale the paper uses k in the tens
+    of thousands, keeping clusters ~10^4)."""
+    from pyspark.sql import Window
+
+    from .similarity import cosine_col, ivf_assign, kmeans_train
+
+    cents = kmeans_train(emb, k=k, n_iter=n_iter)
+    # per-vector (centroid_id, rounded centroid-cosine) — ivf_assign's
+    # broadcast argmin already computes exactly this
+    asg = ivf_assign(emb, cents).select(
+        "vec_id", "centroid_id", F.col("cosine").alias("cc")
+    )
+    vecs = emb.select("vec_id", "embedding").join(asg, "vec_id")
+    bounded = (
+        vecs.withColumn(
+            "_n", F.count("*").over(Window.partitionBy("centroid_id"))
+        )
+        .filter(F.col("_n") <= max_bucket)
+        .drop("_n")
+    )
+    a = bounded.select(
+        "centroid_id", F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("e_a"), F.col("cc").alias("cc_a"),
+    )
+    b = bounded.select(
+        "centroid_id", F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("e_b"), F.col("cc").alias("cc_b"),
+    )
+    pairs = (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", "centroid_id",
+            F.round(cosine_col(F.col("e_a"), F.col("e_b")), 6).alias("cosine"),
+            "cc_a", "cc_b",
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    drop = (
+        F.when(F.col("cc_a") > F.col("cc_b"), F.col("id_a"))
+        .when(F.col("cc_a") < F.col("cc_b"), F.col("id_b"))
+        .otherwise(F.greatest("id_a", "id_b"))
+    )
+    return pairs.select(
+        "id_a", "id_b", "centroid_id", "cosine", drop.alias("drop_id")
+    )

@@ -2131,14 +2131,20 @@ def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def _kmeans_ctes(k: int = 4, n_iter: int = 3, dim: int = 64) -> str:
+def _kmeans_ctes(
+    k: int = 4,
+    n_iter: int = 3,
+    dim: int = 64,
+    source: str = "SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings",
+) -> str:
     """CTE body unrolling the exact fixed-iteration Lloyd's recurrence
     that operators.similarity.kmeans_train runs — init = k lowest-id
     vectors, cosine argmin with lowest-cid tie-break, element-wise
     mean, empty clusters keep their previous centroid — one CTE block
-    per iteration. Shared by the kmeans and IVF-recall oracles."""
+    per iteration. Shared by the kmeans, IVF-recall, and SemDeDup
+    oracles; ``source`` must yield (vec_id, emb DOUBLE[])."""
     parts = [
-        f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        f"""e AS ({source}),
  u AS (SELECT unnest(generate_series(1, {dim})) AS pos),
  c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
                emb AS centroid
@@ -3342,6 +3348,71 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return dsir_importance(
         _read(spark, sf_dir, "documents"), F.col("lang") == "en"
+    )
+
+
+# SemDeDup over the embeddings augmented with PLANTED semantic dups:
+# vec_id < 40 get a copy at vec_id + 100000 whose first coordinate is
+# perturbed by +0.1 (cosine ~0.9999 to its source, far above any organic
+# pair — the testdata embeddings are near-orthogonal, max pairwise
+# cosine 0.479). Both engines derive the augmentation identically.
+_SEMDEDUP_AUG_SQL = """SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000,
+               list_prepend(emb0[1] + 0.1, emb0[2:64])
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS emb0 FROM embeddings)
+        WHERE vec_id < 40"""
+
+
+def _semdedup_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = emb.filter(F.col("vec_id") < 40).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.1)),
+            F.slice("embedding", 2, 63),
+        ).alias("embedding"),
+    )
+    return emb.unionByName(planted)
+
+
+def _semdedup_oracle(k: int = 4, n_iter: int = 3, threshold: float = 0.9) -> str:
+    cos_ec = _COS_SQL.format(a="e.emb", b="c.centroid")
+    cos_ab = _COS_SQL.format(a="ea.emb", b="eb.emb")
+    return f"""WITH {_kmeans_ctes(k, n_iter, 64, source=_SEMDEDUP_AUG_SQL)},
+ cent AS (SELECT cid AS centroid_id, centroid FROM c{n_iter}),
+ asg AS (SELECT vec_id, centroid_id, round(cc, 6) AS cc FROM (
+     SELECT e.vec_id, c.centroid_id, {cos_ec} AS cc,
+            row_number() OVER (PARTITION BY e.vec_id
+                               ORDER BY {cos_ec} DESC, c.centroid_id) AS rn
+     FROM e CROSS JOIN cent c) t WHERE rn = 1),
+ pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.centroid_id,
+                  a.cc AS cc_a, b.cc AS cc_b
+           FROM asg a JOIN asg b USING (centroid_id)
+           WHERE a.vec_id < b.vec_id),
+ scored AS (SELECT id_a, id_b, centroid_id, cc_a, cc_b,
+                   round({cos_ab}, 6) AS cosine
+            FROM pairs JOIN e ea ON ea.vec_id = id_a
+                       JOIN e eb ON eb.vec_id = id_b)
+ SELECT id_a, id_b, centroid_id, cosine,
+        CASE WHEN cc_a > cc_b THEN id_a
+             WHEN cc_a < cc_b THEN id_b
+             ELSE greatest(id_a, id_b) END AS drop_id
+ FROM scored WHERE cosine >= {threshold}"""
+
+
+@_q("emb_semdedup", _semdedup_oracle())
+def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (cluster-bounded semantic dedup) over the planted-dup
+    augmentation: trained k-means clusters bound the pair search, and
+    the keep policy drops the member closer to its centroid. See
+    operators/dedup_approx.py:semdedup_pairs for the scale shape."""
+    from .operators.dedup_approx import semdedup_pairs
+
+    return semdedup_pairs(
+        _semdedup_aug(spark, sf_dir), k=4, n_iter=3, threshold=0.9
     )
 
 

@@ -1534,3 +1534,36 @@ def test_curate_code_filter_stage(spark, cli_results):
     assert w["summary"]["n_docs"] == 1
     assert "after_code_filter" not in wo["summary"]["stages"]
     assert wo["summary"]["n_docs"] == 3
+
+
+def test_semdedup_pairs_policy_and_cluster_bound(spark):
+    """SemDeDup on a crafted corpus: two tight direction-groups plus a
+    planted near-copy. The near-copy pairs with its source, drop_id is
+    the member CLOSER to the centroid (the paper keeps the farthest),
+    and vectors in different clusters never pair even at cosine ~0
+    threshold (the cluster bound, not the threshold, limits the search
+    space)."""
+    from fcrepo3_rdf_extractor_spark.operators.dedup_approx import (
+        semdedup_pairs,
+    )
+
+    def vec(direction, scale, eps=0.0):
+        v = [0.0] * 8
+        v[direction] = scale
+        v[(direction + 1) % 8] = eps
+        return v
+
+    rows = [
+        (0, vec(0, 1.0)), (1, vec(0, 1.0, 0.05)), (2, vec(0, 1.0, 0.4)),
+        (10, vec(4, 1.0)), (11, vec(4, 1.0, 0.4)),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r.id_a, r.id_b): r
+           for r in semdedup_pairs(emb, k=2, n_iter=2, threshold=0.95).collect()}
+    assert (0, 1) in got            # the tight near-copy pair
+    assert all(a in (0, 1, 2) and b in (0, 1, 2) or a in (10, 11) and b in (10, 11)
+               for a, b in got)     # never across clusters
+    r = got[(0, 1)]
+    assert r.drop_id in (0, 1)
+    # cross-cluster pairs absent even though cos((4,.4),(4,0)) > 0.9
+    assert (0, 10) not in got and (2, 11) not in got
