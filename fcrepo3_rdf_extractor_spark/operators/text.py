@@ -747,3 +747,53 @@ def dsir_importance(
             .alias("per_token_log_weight"),
         )
     )
+
+
+# --- CCNet-style perplexity buckets ------------------------------------------
+
+
+def perplexity_buckets(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): score
+    every document with the corpus's own unigram LM
+    (:func:`unigram_logprob` — higher per-token logprob = more
+    predictable text) and split the corpus into head / middle / tail
+    TERCILES of that score. CCNet keeps head+middle for training and
+    uses the split as its data-mixing knob; ``docs_mixture_rates``
+    consumes exactly this kind of stratum column.
+
+    Threshold discipline: the tercile cut points are ORDER STATISTICS —
+    actual data values (the ceil(n/3)-th and ceil(2n/3)-th smallest
+    rounded scores, ties broken by doc_id) — never interpolated
+    quantiles. Interpolation blends two values in engine-specific fp
+    order, and a document sitting exactly on a blended threshold could
+    bucket differently across engines; comparing against a value the
+    data actually contains cannot diverge. At 10^12 documents the two
+    TakeOrdered passes become `approx_percentile` (the thresholds stop
+    needing to be exact once buckets are only a mixing knob); at oracle
+    scale exactness is the point.
+
+    Buckets: score <= t1 -> 'tail', <= t2 -> 'middle', else 'head'."""
+    lp = unigram_logprob(df, text_col).select(
+        "doc_id", "per_token_logprob"
+    )
+    n = lp.count()
+    k1, k2 = -(-n // 3), -(-2 * n // 3)  # ceil
+    ordered = lp.orderBy("per_token_logprob", "doc_id")
+
+    def kth(k: int) -> float:
+        row = (
+            ordered.limit(k)
+            .agg(F.max("per_token_logprob").alias("v"))
+            .collect()[0]
+        )
+        return row.v
+
+    t1, t2 = kth(k1), kth(k2)
+    return lp.select(
+        "doc_id",
+        "per_token_logprob",
+        F.when(F.col("per_token_logprob") <= t1, "tail")
+        .when(F.col("per_token_logprob") <= t2, "middle")
+        .otherwise("head")
+        .alias("bucket"),
+    )

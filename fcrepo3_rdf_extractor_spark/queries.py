@@ -3351,6 +3351,40 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "docs_perplexity_buckets",
+    f"""WITH toks AS (SELECT doc_id, unnest({_WORDS}) AS term FROM documents),
+        counts AS (SELECT term, count(*) AS term_n FROM toks GROUP BY 1),
+        total AS (SELECT count(*) AS total_n FROM toks),
+        lp AS MATERIALIZED (SELECT doc_id,
+               round(sum(ln(term_n::DOUBLE / total_n)) / count(*), 6)
+                 AS per_token_logprob
+             FROM toks JOIN counts USING (term) CROSS JOIN total
+             GROUP BY doc_id),
+        nn AS (SELECT count(*) AS n FROM lp),
+        t1 AS (SELECT max(per_token_logprob) AS v FROM
+               (SELECT per_token_logprob FROM lp
+                ORDER BY per_token_logprob, doc_id
+                LIMIT (SELECT CAST(ceil(n / 3.0) AS BIGINT) FROM nn))),
+        t2 AS (SELECT max(per_token_logprob) AS v FROM
+               (SELECT per_token_logprob FROM lp
+                ORDER BY per_token_logprob, doc_id
+                LIMIT (SELECT CAST(ceil(2 * n / 3.0) AS BIGINT) FROM nn)))
+        SELECT doc_id, per_token_logprob,
+               CASE WHEN per_token_logprob <= t1.v THEN 'tail'
+                    WHEN per_token_logprob <= t2.v THEN 'middle'
+                    ELSE 'head' END AS bucket
+        FROM lp CROSS JOIN t1 CROSS JOIN t2""",
+)
+def docs_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity terciles under the corpus's own
+    unigram LM — order-statistic thresholds, never interpolated
+    quantiles (see operators/text.py:perplexity_buckets)."""
+    from .operators.text import perplexity_buckets
+
+    return perplexity_buckets(_read(spark, sf_dir, "documents"))
+
+
 # SemDeDup over the embeddings augmented with PLANTED semantic dups:
 # vec_id < 40 get a copy at vec_id + 100000 whose first coordinate is
 # perturbed by +0.1 (cosine ~0.9999 to its source, far above any organic

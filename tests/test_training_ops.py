@@ -1567,3 +1567,25 @@ def test_semdedup_pairs_policy_and_cluster_bound(spark):
     assert r.drop_id in (0, 1)
     # cross-cluster pairs absent even though cos((4,.4),(4,0)) > 0.9
     assert (0, 10) not in got and (2, 11) not in got
+
+
+def test_perplexity_buckets_terciles(spark):
+    """Head/middle/tail split: bucket sizes are ceil-tercile balanced,
+    the head bucket holds the HIGHEST per-token logprobs (most
+    predictable text — repeated common tokens), and every doc is
+    bucketed exactly once."""
+    from fcrepo3_rdf_extractor_spark.operators.text import (
+        perplexity_buckets,
+    )
+
+    rows = ([(i, "common common common common") for i in range(3)]
+            + [(10 + i, f"common word{i} mixed tokens here") for i in range(3)]
+            + [(20 + i, f"rare{i} unique{i} single{i} shot{i}") for i in range(3)])
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in perplexity_buckets(df).collect()}
+    assert len(got) == 9
+    from collections import Counter
+    sizes = Counter(r.bucket for r in got.values())
+    assert sizes == {"tail": 3, "middle": 3, "head": 3}
+    assert all(got[i].bucket == "head" for i in range(3))
+    assert all(got[20 + i].bucket == "tail" for i in range(3))
