@@ -133,6 +133,54 @@ def pack_shards(
     )
 
 
+def sequence_pack(
+    df: DataFrame,
+    weight_col: str,
+    ctx_len: int,
+    order_col: str = "doc_id",
+    num_partitions: int | None = None,
+    sample_rate: float | None = None,
+) -> DataFrame:
+    """GPT-style sequence packing: conceptually concatenate every
+    document (in deterministic ``order_col`` order) into one token
+    stream and cut it every ``ctx_len`` tokens — the layout pretraining
+    loaders feed the model. Rather than materializing the stream, emit
+    per-document placement columns, from which a loader can assemble
+    any sequence independently:
+
+    - ``start_token``  — global offset of the doc's first token
+    - ``seq_first`` / ``seq_last`` — first/last context window the doc
+      lands in (a doc crossing k boundaries spans k+1 windows)
+    - ``offset_in_seq`` — position of the doc's first token inside
+      ``seq_first``
+    - ``n_splits``     — boundary crossings (0 = doc fits one window)
+
+    All of it is pure column arithmetic over :func:`pack_shards`'s
+    distributed prefix sum, so the scale story is identical: range-
+    bucketed local cumsums + a broadcast offsets table, ONE lazy
+    deterministic plan, no single-task global window. Zero-weight rows
+    (empty docs) pin ``seq_last`` to ``seq_first`` instead of
+    underflowing the end-token arithmetic."""
+    packed = pack_shards(
+        df, weight_col, budget=ctx_len, order_col=order_col,
+        num_partitions=num_partitions, sample_rate=sample_rate,
+    )
+    start = F.col("cum_weight") - F.col(weight_col)
+    seq_first = F.floor(start / ctx_len).cast("long")
+    seq_last = F.greatest(
+        F.floor((F.col("cum_weight") - 1) / ctx_len).cast("long"), seq_first
+    )
+    return (
+        packed
+        .withColumn("start_token", start.cast("long"))
+        .withColumn("seq_first", seq_first)
+        .withColumn("seq_last", seq_last)
+        .withColumn("offset_in_seq", (start % ctx_len).cast("long"))
+        .withColumn("n_splits", (seq_last - seq_first).cast("long"))
+        .drop("shard", "cum_weight")
+    )
+
+
 def stratified_sample(
     df: DataFrame, key_col: str, strata_col: str, rates: dict[str, float],
     default_rate: float = 0.0,

@@ -1768,6 +1768,46 @@ def docs_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_tokens", "cum_weight", "shard")
 
 
+@_q(
+    "docs_sequence_pack",
+    f"""WITH t AS (SELECT doc_id, CAST(len({_WORDS}) AS BIGINT) AS n_tokens
+                   FROM documents),
+        c AS (SELECT doc_id, n_tokens,
+                     CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+              FROM t)
+        SELECT doc_id, n_tokens,
+               CAST(cum - n_tokens AS BIGINT) AS start_token,
+               CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS seq_first,
+               CAST(greatest(floor((cum - 1) / 2048.0),
+                             floor((cum - n_tokens) / 2048.0)) AS BIGINT)
+                 AS seq_last,
+               CAST((cum - n_tokens) % 2048 AS BIGINT) AS offset_in_seq,
+               CAST(greatest(floor((cum - 1) / 2048.0),
+                             floor((cum - n_tokens) / 2048.0))
+                    - floor((cum - n_tokens) / 2048.0) AS BIGINT) AS n_splits
+        FROM c""",
+)
+def docs_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style context-window packing: where each document lands when
+    the corpus is concatenated and cut every 2048 tokens — per-doc
+    (start_token, seq_first/seq_last, offset_in_seq, n_splits), enough
+    for a loader to assemble any window independently. Placement is
+    column arithmetic over the same two-level distributed prefix sum as
+    docs_pack_shards (the oracle's single SQL window is the one-task
+    serial statement of it)."""
+    from .operators.sampling import sequence_pack
+    from .operators.text import token_count
+
+    docs = _read(spark, sf_dir, "documents")
+    weighted = token_count(docs).select("doc_id", "n_tokens")
+    out = sequence_pack(weighted, weight_col="n_tokens", ctx_len=2048)
+    return out.select(
+        "doc_id", "n_tokens", "start_token", "seq_first", "seq_last",
+        "offset_in_seq", "n_splits",
+    )
+
+
 _SAMPLE_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.1}
 _SAMPLE_DEFAULT = 0.25
 

@@ -735,6 +735,33 @@ def test_pack_shards_explicit_sample_rate_matches_default(spark):
     assert a == b
 
 
+def test_sequence_pack_placement_reconstructs_stream(spark):
+    """Placements must tile the concatenated stream exactly: starts are
+    the exclusive prefix sum, windows cover [start, start+w-1], a doc
+    crossing k boundaries reports n_splits == k, and zero-weight docs
+    sit at their neighbor's start without underflowing seq_last."""
+    from fcrepo3_rdf_extractor_spark.operators.sampling import sequence_pack
+
+    rows = [(0, 5), (1, 0), (2, 12), (3, 3), (4, 25), (5, 1)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = {r.doc_id: r for r in
+           sequence_pack(df, "n_tokens", ctx_len=10, num_partitions=3).collect()}
+    cum = 0
+    for doc_id, w in rows:
+        r = out[doc_id]
+        assert r.start_token == cum
+        assert r.seq_first == cum // 10
+        assert r.offset_in_seq == cum % 10
+        end_last = max(cum + w - 1, cum)
+        assert r.seq_last == end_last // 10
+        assert r.n_splits == r.seq_last - r.seq_first
+        cum += w
+    # doc 4 spans tokens 20..44 → windows 2,3,4 → 2 splits
+    assert out[4].n_splits == 2
+    # zero-weight doc 1 fits "inside" one window
+    assert out[1].n_splits == 0
+
+
 def test_curate_job_zero_survivors_reports_zero_tokens(cli_results):
     """sum() over an empty output is NULL; the summary must report 0.
     (Scenario: cli_scenarios.curate_zero_survivors — quality-min 99.)"""
