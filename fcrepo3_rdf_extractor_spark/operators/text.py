@@ -404,6 +404,125 @@ def ngram_contamination(
 
 
 # ---------------------------------------------------------------------------
+# Bloom-filter decontamination (space-bounded membership at corpus scale)
+
+#: Bloom geometry: positions are 16-bit (4 md5 hex chars each), the
+#: filter is 2^16 bits packed into 2048 32-bit words held in BIGINTs
+#: (32-bit words so `1 << bit` never touches the sign bit in either
+#: engine). Fixed geometry keeps the md5→position arithmetic exactly
+#: mirrorable in the DuckDB oracle; a production build would scale m
+#: with the eval-set size (the plan shape is unchanged — only the
+#: word-array length grows).
+BLOOM_WORDS = 2048
+_BLOOM_PROBES = 3
+
+
+def bloom_probe_positions(gram: Column, n_hashes: int = _BLOOM_PROBES) -> Column:
+    """``n_hashes`` probe positions in [0, 2^16) from non-overlapping
+    4-hex-char windows of ``md5(gram)`` — one hash evaluation feeding
+    k probes (the standard Kirsch-Mitzenmacher-style derivation, here
+    even simpler: disjoint bit windows of one digest are independent).
+    """
+    h = F.md5(gram)
+    return F.array(
+        *[
+            F.conv(F.substring(h, 1 + 4 * i, 4), 16, 10).cast("long")
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def bloom_build(benchmark: DataFrame, gram_col: str = "gram") -> list[int]:
+    """Build the Bloom filter over an eval set's grams and return it as
+    a driver-held list of ``BLOOM_WORDS`` ints (16 KB — metadata, same
+    discipline as the k-means centroids / PQ codebooks collects). One
+    partial-agg shuffle over the (small) benchmark gram table: explode
+    probe positions, group by 32-bit word index, ``bit_or`` the bit
+    masks. ``2^bit`` via ``pow`` stays exact (doubles are exact to
+    2^53; bits are < 32)."""
+    rows = (
+        benchmark.select(
+            F.explode(bloom_probe_positions(F.col(gram_col))).alias("p")
+        )
+        .select(
+            F.shiftright("p", 5).alias("w"),
+            F.pow(F.lit(2.0), F.col("p").bitwiseAND(F.lit(31)))
+            .cast("long")
+            .alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("bits"))
+        .collect()
+    )
+    words = [0] * BLOOM_WORDS
+    for r in rows:
+        words[r.w] = r.bits
+    return words
+
+
+def bloom_contamination(
+    df: DataFrame,
+    bloom_words: list[int],
+    text_col: str = "text",
+    k: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Benchmark decontamination against a Bloom filter instead of the
+    exact gram table: per-document fraction of distinct word k-grams
+    whose ``_BLOOM_PROBES`` probe bits are ALL set. This is the 100 TB
+    shape for decontamination when the eval-gram table itself is too
+    large to broadcast as strings (multi-benchmark suites run to 10^8+
+    grams ≈ tens of GB of text, but always fit a fixed-size bitmap):
+    the filter rides into every task as a CONSTANT-FOLDED literal array
+    (16 KB), so probing is a pure projection — no join, no shuffle, no
+    explode; compare :func:`ngram_contamination`'s broadcast semi-join,
+    which stays the exact path when the eval set is broadcastable.
+
+    False-positive rate at the test geometry (n benchmark grams, m =
+    2^16 bits, k = 3 probes) is (1 - e^(-3n/65536))^3 — ~0.9% at
+    n = 5000. Positives are DETERMINISTIC (pure md5 arithmetic), so the
+    DuckDB oracle reproduces them bit-for-bit: flagged counts include
+    the same false positives in both engines.
+
+    Per-gram cost: md5 is evaluated once per probe inside the
+    higher-order lambda (HOFs inline non-attribute subexpressions);
+    3 md5s of a short string is cheaper than staging an exploded
+    position table through a shuffle. The HOF projection is
+    CodegenFallback (interpreted) per the repo-wide note — the scan
+    stage below it still codegens."""
+    flt = F.lit(bloom_words)
+
+    def _hit(g: Column) -> Column:
+        def probe(i: int) -> Column:
+            p = F.conv(F.substring(F.md5(g), 1 + 4 * i, 4), 16, 10).cast(
+                "long"
+            )
+            bits = F.element_at(flt, (F.shiftright(p, 5) + 1).cast("int"))
+            mask = F.pow(F.lit(2.0), p.bitwiseAND(F.lit(31))).cast("long")
+            return bits.bitwiseAND(mask) != 0
+
+        out = probe(0)
+        for i in range(1, _BLOOM_PROBES):
+            out = out & probe(i)
+        return out
+
+    staged = df.select("doc_id", tokens_col(F.col(text_col)).alias("_w"))
+    grams = staged.select(
+        "doc_id", F.array_distinct(shingles_of(F.col("_w"), k)).alias("_g")
+    )
+    n_hits = F.size(F.filter("_g", _hit))
+    return grams.select(
+        "doc_id",
+        F.size("_g").cast("long").alias("n_grams"),
+        n_hits.cast("long").alias("n_bloom_hits"),
+        F.round(n_hits / F.size("_g"), 4).alias("bloom_frac"),
+        (F.round(n_hits / F.size("_g"), 4) >= threshold)
+        .cast("int")
+        .alias("flagged"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # PII redaction
 
 #: Java-regex AND RE2 compatible (no lookarounds, no backrefs) so the

@@ -1175,6 +1175,78 @@ def docs_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_contamination(docs, bench, k=5, threshold=0.5)
 
 
+def _hex4(off: int) -> str:
+    """DuckDB expression: value of 4 md5-hex chars of column ``h`` at
+    1-based offset ``off`` — mirrors Spark's conv(substring(md5,o,4),16,10)."""
+    digit = "strpos('0123456789abcdef', substr(h, {}, 1)) - 1"
+    return (
+        f"(({digit.format(off)}) * 4096 + ({digit.format(off + 1)}) * 256"
+        f" + ({digit.format(off + 2)}) * 16 + ({digit.format(off + 3)}))"
+    )
+
+
+_BLOOM_PROBES_SQL = f"[{_hex4(1)}, {_hex4(5)}, {_hex4(9)}]"
+
+
+@_q(
+    "docs_bloom_contamination",
+    f"""WITH t AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+        g AS (SELECT doc_id, unnest(list_distinct({_5GRAMS})) AS gram FROM t),
+        bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+        bpos AS (SELECT unnest({_BLOOM_PROBES_SQL}) AS p
+                 FROM (SELECT md5(gram) AS h FROM bench)),
+        filt AS (SELECT (CAST(p AS BIGINT) >> 5) AS wd,
+                        bit_or(CAST(1 AS BIGINT)
+                               << CAST(CAST(p AS BIGINT) & 31 AS INT)) AS bits
+                 FROM bpos GROUP BY 1),
+        probes AS (SELECT doc_id, gram, unnest({_BLOOM_PROBES_SQL}) AS p
+                   FROM (SELECT doc_id, gram, md5(gram) AS h FROM g)),
+        hit AS (SELECT doc_id, gram
+                FROM probes JOIN filt ON (CAST(p AS BIGINT) >> 5) = wd
+                WHERE (bits >> CAST(CAST(p AS BIGINT) & 31 AS INT)) & 1 = 1
+                GROUP BY doc_id, gram HAVING count(*) = 3),
+        tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+                FROM g GROUP BY doc_id),
+        h2 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+               FROM hit GROUP BY doc_id)
+        SELECT doc_id, n_grams,
+               CAST(coalesce(n_hits, 0) AS BIGINT) AS n_bloom_hits,
+               round(coalesce(n_hits, 0) / n_grams, 4) AS bloom_frac,
+               CAST(round(coalesce(n_hits, 0) / n_grams, 4) >= 0.5 AS INT)
+                 AS flagged
+        FROM tot LEFT JOIN h2 USING (doc_id)""",
+)
+def docs_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination: the space-bounded membership path
+    for when the eval-gram table is too big to broadcast as strings —
+    the filter (2^16 bits, 16 KB) constant-folds into every task and
+    probing is a shuffle-free projection. Same eval set as
+    docs_ngram_contamination (every 50th doc); flagged counts include
+    the filter's (deterministic) false positives, reproduced
+    bit-for-bit by the oracle's identical md5 arithmetic. See
+    operators/text.py:bloom_contamination for geometry and fp math."""
+    from .operators.text import (
+        bloom_build,
+        bloom_contamination,
+        shingles_of,
+        tokens_col,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = (
+        docs.filter(F.col("doc_id") % 50 == 0)
+        .select(tokens_col(F.col("text")).alias("_w"))
+        .select(
+            F.explode(F.array_distinct(shingles_of(F.col("_w"), 5))).alias(
+                "gram"
+            )
+        )
+        .distinct()
+    )
+    words = bloom_build(bench)
+    return bloom_contamination(docs, words, k=5, threshold=0.5)
+
+
 _PII_INJECTED_SQL = """
     (CASE WHEN doc_id % 7 = 0
           THEN 'user' || CAST(doc_id AS VARCHAR) || '@example.com ' ELSE '' END)

@@ -1616,3 +1616,67 @@ def test_perplexity_buckets_terciles(spark):
     assert sizes == {"tail": 3, "middle": 3, "head": 3}
     assert all(got[i].bucket == "head" for i in range(3))
     assert all(got[20 + i].bucket == "tail" for i in range(3))
+
+
+def test_bloom_build_matches_python_reference(spark):
+    """The driver-held word array must equal a pure-Python md5 Bloom
+    build over the same grams (same 4-hex-char probe windows, 32-bit
+    words in longs) — pins the Spark-side shift/pow/bit_or arithmetic
+    the DuckDB oracle mirrors."""
+    import hashlib
+
+    from fcrepo3_rdf_extractor_spark.operators.text import (
+        BLOOM_WORDS,
+        bloom_build,
+    )
+
+    grams = ["alpha beta gamma", "delta epsilon zeta", "eta theta iota"]
+    bench = spark.createDataFrame([(g,) for g in grams], "gram string")
+    got = bloom_build(bench)
+    want = [0] * BLOOM_WORDS
+    for g in grams:
+        h = hashlib.md5(g.encode()).hexdigest()
+        for i in range(3):
+            p = int(h[4 * i : 4 * i + 4], 16)
+            want[p >> 5] |= 1 << (p & 31)
+    assert got == want
+
+
+def test_bloom_contamination_no_false_negatives_and_joinfree(spark):
+    """Every gram in the filter must be reported hit (Bloom admits
+    false positives, never false negatives), docs sharing no grams with
+    the benchmark stay unflagged at this density, and the probe stage
+    is a pure projection: no Join/Exchange/explode anywhere in the
+    probe plan (the filter rides as a constant-folded literal)."""
+    from fcrepo3_rdf_extractor_spark.operators.text import (
+        bloom_build,
+        bloom_contamination,
+        shingles_of,
+        tokens_col,
+    )
+
+    docs = _docs(spark)
+    bench = (
+        docs.filter(F.col("doc_id") == 0)
+        .select(tokens_col(F.col("text")).alias("_w"))
+        .select(F.explode(shingles_of(F.col("_w"), 3)).alias("gram"))
+        .distinct()
+    )
+    words = bloom_build(bench)
+    out = {
+        r.doc_id: r
+        for r in bloom_contamination(docs, words, k=3, threshold=0.5).collect()
+    }
+    # docs 0 and 1 are the benchmark text verbatim: every gram hits
+    assert out[0].n_bloom_hits == out[0].n_grams
+    assert out[1].flagged == 1
+    # near-dup doc 2 shares all but the trailing grams
+    assert 0 < out[2].n_bloom_hits < out[2].n_grams
+    # disjoint docs: no hits at this density (fp rate ~1e-12 for n=~20)
+    assert out[3].n_bloom_hits == 0 and out[4].n_bloom_hits == 0
+
+    plan = bloom_contamination(docs, words, k=3)._sc._jvm.PythonSQLUtils.explainString(
+        bloom_contamination(docs, words, k=3)._jdf.queryExecution(), "formatted"
+    )
+    for bad in ("Join", "Exchange", "Generate"):
+        assert bad not in plan, f"probe plan must not contain {bad}:\n{plan}"
