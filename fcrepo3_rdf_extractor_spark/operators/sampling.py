@@ -198,6 +198,66 @@ def stratified_sample(
     return joined.filter(_hash_slot(F.col(key_col)) < thr).drop("_threshold")
 
 
+def source_quota(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    n_max: int,
+) -> DataFrame:
+    """Exact per-stratum quota: keep AT MOST ``n_max`` rows per
+    ``strata_col``, chosen deterministically by md5 rank of ``key_col``
+    — the C4/RefinedWeb "per-domain cap" that stops one giant host from
+    dominating the corpus. Unlike :func:`stratified_sample` (a RATE,
+    binomially distributed around the target), the cap is exact: a
+    stratum with more than ``n_max`` rows contributes exactly
+    ``n_max``; one with fewer keeps everything. The keep-set is a pure
+    function of the keys (same rows survive under any partitioning,
+    retry, or engine).
+
+    Scale shape: the naive form is ``row_number() OVER (PARTITION BY
+    strata ORDER BY md5)`` — one window partition per stratum, so a
+    hot domain (10^8 docs behind one host) serializes onto one task.
+    Here rank is split two-level, the same discipline as
+    :func:`pack_shards`:
+
+    - rows bucket by the first 2 hex chars of their md5 slot (256
+      buckets, a pure function of the key, refined by the full slot's
+      sort order);
+    - per-(stratum, bucket) counts -> exclusive per-bucket offsets via
+      a window over the COUNTS table (partitions are <= 256 rows by
+      construction — skew-immune);
+    - each row ranks only within its own bucket (window partition
+      ~1/256 of the stratum) and its global rank is ``bucket_offset +
+      rank_in_bucket``; keep iff that is <= ``n_max``.
+
+    One extra column-pruned scan for the counts branch (same trade as
+    ``pack_shards``' offsets branch); the counts table is
+    ``n_strata x 256`` rows — the optimizer broadcasts it while small
+    and shuffle-joins it when the domain universe is itself huge."""
+    from pyspark.sql import Window
+
+    slot = _hash_slot(F.col(key_col))
+    staged = df.withColumn("_slot", slot).withColumn(
+        "_b", F.substring("_slot", 1, 2)
+    )
+    counts = staged.groupBy(strata_col, "_b").agg(F.count("*").alias("_cnt"))
+    w_off = (
+        Window.partitionBy(strata_col)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "_before", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).cast("long")
+    ).select(strata_col, "_b", "_before")
+    w_rank = Window.partitionBy(strata_col, "_b").orderBy("_slot", key_col)
+    return (
+        staged.join(offsets, [strata_col, "_b"])
+        .withColumn("_r", F.row_number().over(w_rank))
+        .filter(F.col("_before") + F.col("_r") <= n_max)
+        .drop("_slot", "_b", "_before", "_r")
+    )
+
+
 def mixture_rates(
     df: DataFrame,
     strata_col: str,

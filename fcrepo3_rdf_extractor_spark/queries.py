@@ -1916,6 +1916,28 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "docs_source_quota",
+    """WITH r AS (SELECT doc_id, text, lang, source, n_chars,
+                  row_number() OVER (PARTITION BY source
+                      ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8),
+                               doc_id) AS rk
+           FROM documents)
+       SELECT doc_id, text, lang, source, n_chars FROM r WHERE rk <= 10""",
+)
+def docs_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota (the C4/RefinedWeb per-domain cap): keep AT MOST
+    10 docs per source, chosen by deterministic md5 rank — an exact cap,
+    not a rate. The oracle states the naive one-partition-per-source
+    window; the Spark plan ranks two-level (256 md5 buckets per source,
+    offsets from a counts-table window) so a 10^8-doc hot domain never
+    serializes onto one task. See operators/sampling.py:source_quota."""
+    from .operators.sampling import source_quota
+
+    docs = _read(spark, sf_dir, "documents")
+    return source_quota(docs, key_col="doc_id", strata_col="source", n_max=10)
+
+
+@_q(
     "docs_tfidf_top_term",
     f"""WITH toks AS (SELECT doc_id, unnest({_WORDS}) AS term FROM documents),
         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),

@@ -1680,3 +1680,33 @@ def test_bloom_contamination_no_false_negatives_and_joinfree(spark):
     )
     for bad in ("Join", "Exchange", "Generate"):
         assert bad not in plan, f"probe plan must not contain {bad}:\n{plan}"
+
+
+def test_source_quota_exact_cap_matches_naive_rank(spark):
+    """The two-level bucketed rank must keep EXACTLY the same rows as
+    the naive one-window-per-stratum md5 rank (the oracle's statement),
+    the cap must be exact on an oversized stratum and inert on a small
+    one, and the data-sized row_number window must be partitioned by
+    (stratum, bucket) — never the stratum alone (hot-domain skew)."""
+    import hashlib
+
+    from fcrepo3_rdf_extractor_spark.operators.sampling import source_quota
+
+    rows = [(i, "hot") for i in range(200)] + [(1000 + i, "small") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = source_quota(df, key_col="doc_id", strata_col="source", n_max=50)
+    got = {(r.doc_id, r.source) for r in out.collect()}
+
+    def slot(i):
+        return hashlib.md5(str(i).encode()).hexdigest()[:8]
+
+    want_hot = set(sorted(range(200), key=lambda i: (slot(i), i))[:50])
+    assert got == {(i, "hot") for i in want_hot} | {(1000 + i, "small") for i in range(3)}
+
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    rn_lines = [l for l in plan.splitlines() if "row_number()" in l]
+    assert rn_lines and all("_b" in l for l in rn_lines), (
+        f"row_number window must include the bucket column:\n{plan}"
+    )
