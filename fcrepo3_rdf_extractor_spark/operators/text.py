@@ -916,3 +916,124 @@ def perplexity_buckets(df: DataFrame, text_col: str = "text") -> DataFrame:
         .otherwise("head")
         .alias("bucket"),
     )
+
+
+def badwords_filter(
+    df: DataFrame,
+    badwords: list[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style blocklist filtering (Raffel et al. 2020 §2.2: "removed
+    any page that contained any word on the 'List of Dirty, Naughty …'
+    list"): per document, the number of token-level blocklist hits and a
+    ``keep`` verdict (zero hits). The list here is caller-supplied —
+    production pipelines ship language-specific lists; tests use a small
+    deterministic one.
+
+    Scale shape: a blocklist is kilobytes, so it is folded into the plan
+    as a LITERAL array — the hit count is ``array_intersect`` /
+    ``array_distinct`` arithmetic inside one narrow codegen projection:
+    no explode, no join, no shuffle, the same constant-folding
+    discipline as the Bloom filter (`bloom_contamination`). Token-level
+    matching (not substring) avoids the Scunthorpe failure mode of
+    regex blocklists. For a list too large to inline (100k+ multi-word
+    entries), the explode -> broadcast left_semi join of
+    ``ngram_contamination`` is the drop-in alternative; the projection
+    form wins while the list fits a literal.
+
+    Hit counting is over DISTINCT tokens (``array_intersect`` is a set
+    op) plus a total occurrence count via ``filter``: both ride the same
+    staged token array, evaluated once (CollapseProject keeps the
+    staging projection because ``_w`` is non-cheap and referenced
+    twice)."""
+    lits = F.array(*[F.lit(w) for w in sorted(set(w.lower() for w in badwords))])
+    staged = df.select(
+        "doc_id", tokens_col(F.col(text_col)).alias("_w")
+    )
+    n_hits = F.size(F.filter("_w", lambda t: F.array_contains(lits, t)))
+    return staged.select(
+        "doc_id",
+        F.size(F.array_intersect(F.array_distinct("_w"), lits))
+        .cast("long")
+        .alias("n_bad_terms"),
+        n_hits.cast("long").alias("n_bad_tokens"),
+        (n_hits == 0).cast("int").alias("keep"),
+    )
+
+
+def bigram_logprob(
+    df: DataFrame, text_col: str = "text", lam: float = 0.8
+) -> DataFrame:
+    """Per-document interpolated-bigram log-likelihood under the
+    corpus's own counts: sum over positions i>=2 of
+    ln(lam * c(w_{i-1} w_i)/c(w_{i-1}) + (1-lam) * c(w_i)/total) — the
+    conditional-LM upgrade of :func:`unigram_logprob` (a document of
+    frequent words in an order the corpus never uses now scores low;
+    the unigram model is blind to order). Interpolation with the
+    unigram term means unseen bigrams degrade instead of zeroing, with
+    no out-of-vocabulary special case: every token the corpus contains
+    has a unigram count by construction.
+
+    Scale shape: the corpus explodes once into (doc_id, prev, cur)
+    position rows (shingles over the staged token array); bigram and
+    unigram count tables are VOCABULARY-sized aggregates that broadcast
+    back onto the position rows, so the corpus itself shuffles once —
+    on doc_id for the final per-document sum. Documents shorter than 2
+    tokens contribute zero positions and come back with
+    ``n_bigrams = 0`` and NULL logprob (scoring an empty product as 0.0
+    would rank them above every real document)."""
+    staged = df.select("doc_id", tokens_col(F.col(text_col)).alias("_w"))
+    pos = staged.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("_w") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_w") - 1),
+                    lambda i: F.struct(
+                        F.element_at("_w", i).alias("prev"),
+                        F.element_at("_w", i + F.lit(1)).alias("cur"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+        ).alias("bg"),
+    ).select("doc_id", "bg.prev", "bg.cur")
+    uni = (
+        staged.select(F.explode("_w").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("term_n"))
+    )
+    total = uni.agg(F.sum("term_n").alias("total_n"))
+    big = pos.groupBy("prev", "cur").agg(F.count("*").alias("bi_n"))
+    p = (
+        F.lit(lam) * (F.col("bi_n") / F.col("prev_n"))
+        + F.lit(1.0 - lam) * (F.col("cur_n") / F.col("total_n"))
+    )
+    scored = (
+        pos.join(F.broadcast(big), ["prev", "cur"])
+        .join(
+            F.broadcast(uni.select(F.col("term").alias("prev"), F.col("term_n").alias("prev_n"))),
+            "prev",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("term").alias("cur"), F.col("term_n").alias("cur_n"))),
+            "cur",
+        )
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(F.sum(F.log(p)), 4).alias("logprob"),
+            F.round(F.sum(F.log(p)) / F.count("*"), 6).alias("per_token_logprob"),
+        )
+    )
+    return (
+        staged.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            "logprob",
+            "per_token_logprob",
+        )
+    )

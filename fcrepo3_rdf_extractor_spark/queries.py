@@ -3662,6 +3662,124 @@ def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classifier_score(docs, w)
 
 
+@_q(
+    "docs_badwords_filter",
+    f"""WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents)
+        SELECT doc_id,
+               CAST(len(list_intersect(list_distinct(words),
+                                       ['broken', 'leak', 'slow'])) AS BIGINT)
+                 AS n_bad_terms,
+               CAST(len(list_filter(words,
+                        t -> list_contains(['broken', 'leak', 'slow'], t)))
+                    AS BIGINT) AS n_bad_tokens,
+               CAST(CASE WHEN len(list_filter(words,
+                        t -> list_contains(['broken', 'leak', 'slow'], t))) = 0
+                    THEN 1 ELSE 0 END AS INTEGER) AS keep
+        FROM w""",
+)
+def docs_badwords_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist filtering: token-level blocklist hits per
+    document + keep verdict. The list constant-folds into one narrow
+    codegen projection — no explode, no join, no shuffle (see
+    operators/text.py:badwords_filter for the large-list alternative).
+    The test list is arbitrary but deterministic; both engines fold the
+    same three words."""
+    from .operators.text import badwords_filter
+
+    return badwords_filter(
+        _read(spark, sf_dir, "documents"), ["slow", "broken", "leak"]
+    )
+
+
+@_q(
+    "docs_snapshot_diff",
+    """WITH newsnap AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 17 = 0 THEN text || ' v2' ELSE text END AS text
+          FROM documents WHERE doc_id % 23 <> 0
+          UNION ALL
+          SELECT doc_id + 10000000 AS doc_id, text || ' new' AS text
+          FROM documents WHERE doc_id % 29 = 0)
+       SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+              CASE WHEN o.doc_id IS NULL THEN 'added'
+                   WHEN n.doc_id IS NULL THEN 'removed'
+                   WHEN md5(o.text) = md5(n.text) THEN 'unchanged'
+                   ELSE 'changed' END AS status,
+              md5(o.text) AS old_digest,
+              md5(n.text) AS new_digest
+       FROM documents o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id
+       WHERE NOT (o.doc_id IS NOT NULL AND n.doc_id IS NOT NULL
+                  AND md5(o.text) = md5(n.text))""",
+)
+def docs_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC over two corpus snapshots: added/removed/changed rows from a
+    digest-compared full-outer join (operators/snapshot.py). The "new"
+    snapshot is derived deterministically from documents (both engines
+    construct it identically): every 23rd doc deleted, every 17th
+    surviving doc edited, every 29th doc re-added under a shifted key."""
+    from .operators.snapshot import snapshot_diff
+
+    docs = _read(spark, sf_dir, "documents")
+    new = (
+        docs.filter(F.col("doc_id") % 23 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 17 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .union(
+            docs.filter(F.col("doc_id") % 29 == 0).select(
+                (F.col("doc_id") + 10000000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" new")).alias("text"),
+            )
+        )
+    )
+    return snapshot_diff(docs, new)
+
+
+@_q(
+    "docs_bigram_logprob",
+    f"""WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+        pos AS (SELECT doc_id,
+                       unnest(words[1:len(words) - 1]) AS prev,
+                       unnest(words[2:len(words)]) AS cur
+                FROM w WHERE len(words) >= 2),
+        toks AS (SELECT unnest(words) AS term FROM w),
+        uni AS (SELECT term, count(*) AS term_n FROM toks GROUP BY 1),
+        total AS (SELECT sum(term_n) AS total_n FROM uni),
+        big AS (SELECT prev, cur, count(*) AS bi_n FROM pos GROUP BY 1, 2),
+        scored AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                 round(sum(ln(0.8 * (bi_n::DOUBLE / pn.term_n)
+                              + 0.2 * (cn.term_n::DOUBLE / total_n))), 4)
+                   AS logprob,
+                 round(sum(ln(0.8 * (bi_n::DOUBLE / pn.term_n)
+                              + 0.2 * (cn.term_n::DOUBLE / total_n)))
+                       / count(*), 6) AS per_token_logprob
+          FROM pos
+          JOIN big USING (prev, cur)
+          JOIN uni pn ON pos.prev = pn.term
+          JOIN uni cn ON pos.cur = cn.term
+          CROSS JOIN total
+          GROUP BY doc_id)
+       SELECT w.doc_id,
+              CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+              s.logprob, s.per_token_logprob
+       FROM w LEFT JOIN scored s ON w.doc_id = s.doc_id""",
+)
+def docs_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-bigram LM document scoring — the conditional upgrade
+    of docs_unigram_logprob (word ORDER now matters). Count tables are
+    vocabulary-sized broadcasts; the corpus explodes once and shuffles
+    once on doc_id (operators/text.py:bigram_logprob)."""
+    from .operators.text import bigram_logprob
+
+    return bigram_logprob(_read(spark, sf_dir, "documents"), lam=0.8)
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(_T)
 

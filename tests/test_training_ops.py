@@ -1710,3 +1710,66 @@ def test_source_quota_exact_cap_matches_naive_rank(spark):
     assert rn_lines and all("_b" in l for l in rn_lines), (
         f"row_number window must include the bucket column:\n{plan}"
     )
+
+
+def test_badwords_filter_counts_and_plan(spark):
+    """Token-level hits: distinct-term vs occurrence counts diverge on
+    repeats; substring containment ('slowly') must NOT match; and the
+    whole operator is one join-free, shuffle-free projection."""
+    from fcrepo3_rdf_extractor_spark.operators.text import badwords_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "slow slow broken fast"),
+            (2, "slowly unbroken fast"),
+            (3, "clean text here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = badwords_filter(df, ["slow", "broken"])
+    got = {r.doc_id: r for r in out.collect()}
+    assert (got[1].n_bad_terms, got[1].n_bad_tokens, got[1].keep) == (2, 3, 0)
+    assert (got[2].n_bad_terms, got[2].n_bad_tokens, got[2].keep) == (0, 0, 1)
+    assert (got[3].n_bad_terms, got[3].n_bad_tokens, got[3].keep) == (0, 0, 1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_snapshot_diff_statuses(spark):
+    """added/removed/changed decode from the digest-compared full-outer
+    join; unchanged rows are dropped by default and kept on request."""
+    from fcrepo3_rdf_extractor_spark.operators.snapshot import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "c2"), (4, "d")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
+    assert got == {1: "removed", 3: "changed", 4: "added"}
+    full = {
+        r.doc_id: r.status
+        for r in snapshot_diff(old, new, include_unchanged=True).collect()
+    }
+    assert full[2] == "unchanged" and len(full) == 4
+
+
+def test_bigram_logprob_order_sensitivity(spark):
+    """The bigram model must separate documents the unigram model scores
+    identically: same bag of words, different order -> the order the
+    corpus repeats scores strictly higher. Short docs (<2 tokens) come
+    back with n_bigrams=0 and NULL logprob."""
+    from fcrepo3_rdf_extractor_spark.operators.text import bigram_logprob
+
+    rows = [(i, "the quick brown fox") for i in range(5)] + [
+        (100, "fox brown quick the"),
+        (101, "solo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in bigram_logprob(df).collect()}
+    assert len(got) == 7
+    assert got[0].per_token_logprob > got[100].per_token_logprob
+    assert got[101].n_bigrams == 0 and got[101].logprob is None
+    # every in-order doc scores identically (same positions, same counts)
+    assert len({got[i].logprob for i in range(5)}) == 1
