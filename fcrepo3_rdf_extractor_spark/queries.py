@@ -3662,6 +3662,55 @@ def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classifier_score(docs, w)
 
 
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unrolled parallel-peel k-core as a CTE chain: round i recomputes
+    degrees over the subgraph induced by round i-1's survivors. Peeling
+    is monotone — extra rounds past the fixpoint are no-ops — so the
+    oracle equals the engine's run-to-fixpoint result whenever the
+    fixpoint lands within ``rounds`` (the pytest sweep + driver check
+    would catch a graph that peels longer)."""
+    # MATERIALIZED: the chain references each level multiple times and
+    # DuckDB inlines plain CTEs, which would expand the minhash pipeline
+    # exponentially (observed as a file-handle explosion on the scans)
+    ctes = [
+        "e0 AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM p "
+        "UNION SELECT doc_b, doc_a FROM p)"
+    ]
+    for i in range(rounds):
+        ctes.append(
+            f"s{i} AS MATERIALIZED (SELECT u, count(*) AS deg FROM e{i} "
+            f"GROUP BY u HAVING count(*) >= {k})"
+        )
+        if i < rounds - 1:
+            ctes.append(
+                f"e{i + 1} AS MATERIALIZED (SELECT e.u, e.v FROM e{i} e "
+                f"JOIN s{i} a ON e.u = a.u JOIN s{i} b ON e.v = b.u)"
+            )
+    chain = ",\n        ".join(ctes)
+    return f"""WITH p AS MATERIALIZED ({_MINHASH_NEARDUP_SQL}),
+        {chain}
+       SELECT u AS id, CAST(deg AS BIGINT) AS core_degree
+       FROM s{rounds - 1}"""
+
+
+@_q("docs_dup_kcore", _kcore_oracle(k=2, rounds=8))
+def docs_dup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the MinHash near-dup graph: vertices supported by a
+    CYCLE of corroborating collisions — tree-like LSH bridge artifacts
+    have an empty 2-core and peel away. Iterated parallel peeling, one
+    degree aggregation + two left_semi endpoint filters per round
+    (operators/graph.py:kcore); the oracle unrolls 8 peel rounds, a
+    proven-by-check bound for this graph (extra rounds are no-ops past
+    the fixpoint)."""
+    from .operators.dedup_approx import minhash_near_duplicates
+    from .operators.graph import kcore
+
+    pairs = minhash_near_duplicates(
+        _read(spark, sf_dir, "documents"), threshold=0.5, num_hashes=8, bands=4
+    )
+    return kcore(pairs, k=2)
+
+
 @_q(
     "docs_badwords_filter",
     f"""WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents)

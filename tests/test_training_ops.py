@@ -1773,3 +1773,26 @@ def test_bigram_logprob_order_sensitivity(spark):
     assert got[101].n_bigrams == 0 and got[101].logprob is None
     # every in-order doc scores identically (same positions, same counts)
     assert len({got[i].logprob for i in range(5)}) == 1
+
+
+def test_kcore_known_graph(spark):
+    """Triangle {1,2,3} with a chain 3-4-5 and a pendant 6-1: the 2-core
+    is exactly the triangle (chain + pendant peel away, and peeling 4
+    must cascade to 5 — two rounds). A 4-clique's 3-core keeps all four
+    vertices at degree 3; its 4-core is empty."""
+    from fcrepo3_rdf_extractor_spark.operators.graph import kcore
+
+    tri_chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (1, 6)],
+        "doc_a long, doc_b long",
+    )
+    got = {r.id: r.core_degree for r in kcore(tri_chain, k=2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+    clique = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)],
+        "doc_a long, doc_b long",
+    )
+    got3 = {r.id: r.core_degree for r in kcore(clique, k=3).collect()}
+    assert got3 == {0: 3, 1: 3, 2: 3, 3: 3}
+    assert kcore(clique, k=4).count() == 0
