@@ -1,0 +1,167 @@
+"""Basic-graph-pattern (BGP) queries over the constructed triples table.
+
+The reference is construction-only — it has no query language
+(`SURVEY.md §2`: "no query language, no optimizer"); downstream, Fedora's
+Resource Index is queried with SPARQL-style triple patterns. This module
+gives the ENGINE that surface: the conjunctive core of SPARQL (a basic
+graph pattern = a set of triple patterns sharing variables) compiled to
+a DataFrame plan over the (subj, pred, obj_value) table the pipeline
+materializes.
+
+Compilation model — each triple pattern is a FILTERED SCAN of the
+triples table (constants become equality predicates that push down to
+the parquet/Iceberg scan; variables become projected columns named by
+the variable), and shared variables between patterns become hash
+EQUI-JOINS. That is the classical relational encoding of SPARQL BGPs
+(Cyganiak, "A relational algebra for SPARQL", HPL-2005-170) — and it is
+exactly the shape Catalyst optimizes well:
+
+- A star pattern (many patterns sharing the subject variable — the
+  dominant KG query shape) compiles to a join chain keyed on ``subj``
+  throughout: the first join's exchange partitions by subject and every
+  later join reuses that partitioning, so n patterns cost one shuffle
+  per side, not n reshuffles. On the ``materialize_graph`` output the
+  table is ALREADY subject-bucketed, so star joins are co-located scans.
+- Join ORDER follows bound-term count (patterns with more constants
+  first — the textbook selectivity heuristic; a fully-bound
+  (s, p, ?o) pattern yields a handful of rows, a (?s, ?p, ?o) pattern
+  yields the corpus). Ties prefer bound predicates, the highest-skew
+  position. After the static ordering, AQE's runtime statistics convert
+  small joined sides to broadcasts — the operator does not hand-place
+  broadcast hints because pattern selectivity is a data property the
+  static compiler cannot know.
+- Disconnected patterns (no shared variable with the joined prefix)
+  are a cartesian product and REJECTED by default: on a 10^12-triple
+  store that is always a bug, not a query.
+
+Callers passing a plan whose lineage contains the extraction UDF should
+persist/materialize the narrow triple projection first (self-join sides
+do not share exchanges on Spark 4.1 — each pattern would re-run the
+parse); the registered queries model reading the materialized graph
+table by persisting once.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_POS_COLS = ("subj", "pred", "obj_value")
+
+
+def _is_var(term: str) -> bool:
+    return term.startswith("?")
+
+
+def bgp_query(
+    triples: DataFrame,
+    patterns: Sequence[tuple[str, str, str]],
+    select: Sequence[str] | None = None,
+    distinct: bool = False,
+    allow_cartesian: bool = False,
+) -> DataFrame:
+    """Evaluate a SPARQL-style basic graph pattern.
+
+    ``patterns``: (subject, predicate, object) triples where a term
+    starting with ``?`` is a variable and anything else is a constant
+    matched against the corresponding column (objects match
+    ``obj_value`` — URI or literal lexical form). A variable repeated
+    WITHIN one pattern becomes an equality predicate on that scan.
+
+    ``select``: variables (with or without the ``?``) to project, in
+    order; defaults to every variable in first-mention order. SPARQL
+    bag semantics by default; ``distinct=True`` for set semantics.
+
+    Returns one column per selected variable. Raises ``ValueError`` on
+    unknown select variables, constant-only patterns, or (unless
+    ``allow_cartesian``) patterns disconnected from the rest of the
+    query.
+    """
+    if not patterns:
+        raise ValueError("empty basic graph pattern")
+
+    def vars_of(pat: tuple[str, str, str]) -> list[str]:
+        return [t for t in pat if _is_var(t)]
+
+    def bound_count(pat: tuple[str, str, str]) -> int:
+        return sum(0 if _is_var(t) else 1 for t in pat)
+
+    all_vars: list[str] = []
+    for pat in patterns:
+        if len(pat) != 3:
+            raise ValueError(f"pattern must be a 3-tuple: {pat!r}")
+        if not vars_of(pat):
+            raise ValueError(
+                f"constant-only pattern {pat!r}: an existence test, not a "
+                "bindings producer — filter the triples table directly"
+            )
+        for v in vars_of(pat):
+            if v not in all_vars:
+                all_vars.append(v)
+
+    if select is None:
+        sel = [v.lstrip("?") for v in all_vars]
+    else:
+        sel = [s.lstrip("?") for s in select]
+        known = {v.lstrip("?") for v in all_vars}
+        unknown = [s for s in sel if s not in known]
+        if unknown:
+            raise ValueError(f"select variables not in any pattern: {unknown}")
+
+    def scan(pat: tuple[str, str, str]) -> DataFrame:
+        """One pattern -> filtered, variable-named projection."""
+        df = triples
+        seen: dict[str, str] = {}  # var name -> first column bound to it
+        proj = []
+        for term, col in zip(pat, _POS_COLS):
+            if _is_var(term):
+                name = term.lstrip("?")
+                if name in seen:
+                    # repeated variable within the pattern: equality
+                    df = df.filter(F.col(seen[name]) == F.col(col))
+                else:
+                    seen[name] = col
+                    proj.append(F.col(col).alias(name))
+            else:
+                df = df.filter(F.col(col) == term)
+        return df.select(*proj)
+
+    # selectivity order: most bound terms first; ties prefer a bound
+    # predicate (the highest-skew position); stable on input order
+    order = sorted(
+        range(len(patterns)),
+        key=lambda i: (-bound_count(patterns[i]), _is_var(patterns[i][1]), i),
+    )
+    remaining = list(order)
+    first = remaining.pop(0)
+    joined = scan(patterns[first])
+    joined_vars = {v.lstrip("?") for v in vars_of(patterns[first])}
+
+    while remaining:
+        # greedy: next-most-selective pattern CONNECTED to the prefix
+        pick = next(
+            (
+                j
+                for j in remaining
+                if joined_vars & {v.lstrip("?") for v in vars_of(patterns[j])}
+            ),
+            None,
+        )
+        if pick is None:
+            if not allow_cartesian:
+                raise ValueError(
+                    "disconnected basic graph pattern (cartesian product); "
+                    "pass allow_cartesian=True only if you mean it"
+                )
+            pick = remaining[0]
+        remaining.remove(pick)
+        pat_vars = {v.lstrip("?") for v in vars_of(patterns[pick])}
+        on = sorted(joined_vars & pat_vars)
+        nxt = scan(patterns[pick])
+        joined = joined.join(nxt, on=on, how="inner") if on else joined.crossJoin(nxt)
+        joined_vars |= pat_vars
+
+    out = joined.select(*sel)
+    return out.distinct() if distinct else out

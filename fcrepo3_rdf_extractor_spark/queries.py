@@ -3662,6 +3662,72 @@ def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classifier_score(docs, w)
 
 
+@_q(
+    "kg_bgp_star_query",
+    f"""SELECT 'info:fedora/order:' || o_orderkey AS obj,
+              'info:fedora/collection:' || (o_custkey % 100) AS coll,
+              'cust:' || o_custkey AS owner
+       FROM orders WHERE o_orderstatus = 'O'""",
+)
+def kg_bgp_star_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL-style BGP over the constructed graph — the star shape:
+    three patterns sharing the subject variable, one of them fully
+    ground on pred+obj (the selective one; the compiler's bound-count
+    ordering starts there). All joins key on ?obj = subj, so one
+    subject partitioning serves the whole chain (operators/bgp.py).
+    The triple projection is persisted first — it models the
+    materialized graph table; unpersisted, each pattern's scan would
+    re-run the extraction UDF."""
+    from .operators.bgp import bgp_query
+
+    rel = "info:fedora/fedora-system:def/relations-external#isMemberOfCollection"
+    source = synthesize_foxml_from_orders(spark, sf_dir)
+    triples = (
+        triples_only(extract_triples(source))
+        .select("subj", "pred", "obj_value")
+        .persist()
+    )
+    return bgp_query(
+        triples,
+        [
+            ("?obj", rel, "?coll"),
+            ("?obj", OWNER, "?owner"),
+            ("?obj", STATE, ACTIVE),
+        ],
+        select=["obj", "coll", "owner"],
+    )
+
+
+@_q(
+    "kg_bgp_path_query",
+    """SELECT 'info:fedora/order:' || o_orderkey AS obj,
+              'info:fedora/order:' || o_orderkey || '/DC' AS ds
+       FROM orders""",
+)
+def kg_bgp_path_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BGP path shape: the join variable is pattern 1's OBJECT and
+    pattern 2's SUBJECT (?obj disseminates ?ds . ?ds mimeType
+    'text/xml') — the traversal join a star rewrite can't express.
+    Equi-join on ?ds; the mimeType pattern is fully bound on pred+obj
+    and ordered first."""
+    from .operators.bgp import bgp_query
+
+    source = synthesize_foxml_from_orders(spark, sf_dir)
+    triples = (
+        triples_only(extract_triples(source))
+        .select("subj", "pred", "obj_value")
+        .persist()
+    )
+    return bgp_query(
+        triples,
+        [
+            ("?obj", DISSEMINATES, "?ds"),
+            ("?ds", MIME_TYPE, "text/xml"),
+        ],
+        select=["obj", "ds"],
+    )
+
+
 def _kcore_oracle(k: int, rounds: int) -> str:
     """Unrolled parallel-peel k-core as a CTE chain: round i recomputes
     degrees over the subgraph induced by round i-1's survivors. Peeling

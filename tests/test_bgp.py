@@ -1,0 +1,115 @@
+"""BGP compiler semantics: pattern scans, shared-variable joins, the
+selectivity ordering's plan shape, and the compile-time rejections."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fcrepo3_rdf_extractor_spark.operators.bgp import bgp_query
+
+
+@pytest.fixture(scope="module")
+def triples(spark):
+    rows = [
+        # two people, one collection membership each, one shared
+        ("p:1", "rel:member", "c:a"),
+        ("p:2", "rel:member", "c:a"),
+        ("p:3", "rel:member", "c:b"),
+        ("p:1", "m:owner", "alice"),
+        ("p:2", "m:owner", "bob"),
+        ("p:3", "m:owner", "alice"),
+        ("p:1", "m:state", "Active"),
+        ("p:2", "m:state", "Deleted"),
+        ("p:3", "m:state", "Active"),
+        # a traversal edge and a self-loop
+        ("p:1", "v:sees", "p:2"),
+        ("p:2", "v:sees", "p:2"),
+    ]
+    return spark.createDataFrame(rows, "subj string, pred string, obj_value string")
+
+
+def test_star_pattern_bindings(triples):
+    got = bgp_query(
+        triples,
+        [
+            ("?x", "rel:member", "?c"),
+            ("?x", "m:owner", "?o"),
+            ("?x", "m:state", "Active"),
+        ],
+        select=["x", "c", "o"],
+    ).collect()
+    assert sorted((r.x, r.c, r.o) for r in got) == [
+        ("p:1", "c:a", "alice"),
+        ("p:3", "c:b", "alice"),
+    ]
+
+
+def test_path_pattern_object_subject_join(triples):
+    got = bgp_query(
+        triples,
+        [("?a", "v:sees", "?b"), ("?b", "m:owner", "?w")],
+        select=["a", "b", "w"],
+    ).collect()
+    assert sorted((r.a, r.b, r.w) for r in got) == [
+        ("p:1", "p:2", "bob"),
+        ("p:2", "p:2", "bob"),
+    ]
+
+
+def test_repeated_variable_within_pattern(triples):
+    got = bgp_query(triples, [("?x", "v:sees", "?x")]).collect()
+    assert [(r.x,) for r in got] == [("p:2",)]
+
+
+def test_default_select_and_distinct(triples):
+    # default projection = all vars in first-mention order; distinct
+    # collapses the two members of c:a to one owner row
+    out = bgp_query(
+        triples,
+        [("?x", "rel:member", "c:a"), ("?x", "m:owner", "?o")],
+    )
+    assert out.columns == ["x", "o"]
+    dis = bgp_query(
+        triples,
+        [("?x", "rel:member", "?c"), ("?x", "m:state", "Active")],
+        select=["c"],
+        distinct=True,
+    ).collect()
+    assert sorted(r.c for r in dis) == ["c:a", "c:b"]
+
+
+def test_compile_time_rejections(triples):
+    with pytest.raises(ValueError, match="empty"):
+        bgp_query(triples, [])
+    with pytest.raises(ValueError, match="constant-only"):
+        bgp_query(triples, [("p:1", "m:owner", "alice")])
+    with pytest.raises(ValueError, match="select variables"):
+        bgp_query(triples, [("?x", "m:owner", "?o")], select=["nope"])
+    with pytest.raises(ValueError, match="disconnected"):
+        bgp_query(triples, [("?x", "m:owner", "?o"), ("?y", "m:state", "?s")])
+    # ... unless the cartesian is explicit
+    n = bgp_query(
+        triples,
+        [("?x", "m:owner", "alice"), ("?y", "m:state", "Deleted")],
+        allow_cartesian=True,
+    ).count()
+    assert n == 2  # 2 alice-owned x 1 deleted
+
+
+def test_star_plan_no_nested_loop_join(triples):
+    """Connected patterns must compile to equi-joins: no cartesian, no
+    BroadcastNestedLoopJoin anywhere in the physical plan (the
+    OR-of-equalities failure mode cannot arise — each join is a plain
+    column-equality on the shared variables)."""
+    out = bgp_query(
+        triples,
+        [
+            ("?x", "rel:member", "?c"),
+            ("?x", "m:owner", "?o"),
+            ("?x", "m:state", "Active"),
+        ],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
