@@ -61,6 +61,7 @@ def bgp_query(
     select: Sequence[str] | None = None,
     distinct: bool = False,
     allow_cartesian: bool = False,
+    optional_patterns: Sequence[Sequence[tuple[str, str, str]]] | None = None,
 ) -> DataFrame:
     """Evaluate a SPARQL-style basic graph pattern.
 
@@ -71,8 +72,17 @@ def bgp_query(
     WITHIN one pattern becomes an equality predicate on that scan.
 
     ``select``: variables (with or without the ``?``) to project, in
-    order; defaults to every variable in first-mention order. SPARQL
-    bag semantics by default; ``distinct=True`` for set semantics.
+    order; defaults to every variable in first-mention order (required
+    patterns first, then optional groups). SPARQL bag semantics by
+    default; ``distinct=True`` for set semantics.
+
+    ``optional_patterns``: a list of OPTIONAL groups, each itself a
+    list of patterns. Each group is compiled as its own BGP and
+    LEFT-joined to the required part on their shared variables (the
+    SPARQL OPTIONAL left-outer semantics); variables bound only inside
+    a group come back NULL where the group found no match. A group
+    sharing no variable with the required part is rejected — that is a
+    cartesian, not an optional.
 
     Returns one column per selected variable. Raises ``ValueError`` on
     unknown select variables, constant-only patterns, or (unless
@@ -101,11 +111,21 @@ def bgp_query(
             if v not in all_vars:
                 all_vars.append(v)
 
+    opt_groups = [list(g) for g in (optional_patterns or [])]
+    opt_vars: list[str] = []
+    for group in opt_groups:
+        if not group:
+            raise ValueError("empty OPTIONAL group")
+        for pat in group:
+            for v in vars_of(pat):
+                if v not in all_vars and v not in opt_vars:
+                    opt_vars.append(v)
+
     if select is None:
-        sel = [v.lstrip("?") for v in all_vars]
+        sel = [v.lstrip("?") for v in all_vars + opt_vars]
     else:
         sel = [s.lstrip("?") for s in select]
-        known = {v.lstrip("?") for v in all_vars}
+        known = {v.lstrip("?") for v in all_vars + opt_vars}
         unknown = [s for s in sel if s not in known]
         if unknown:
             raise ValueError(f"select variables not in any pattern: {unknown}")
@@ -162,6 +182,21 @@ def bgp_query(
         nxt = scan(patterns[pick])
         joined = joined.join(nxt, on=on, how="inner") if on else joined.crossJoin(nxt)
         joined_vars |= pat_vars
+
+    for group in opt_groups:
+        sub = bgp_query(
+            triples,
+            group,
+            allow_cartesian=allow_cartesian,
+        )
+        on = sorted(joined_vars & set(sub.columns))
+        if not on:
+            raise ValueError(
+                "OPTIONAL group shares no variable with the required "
+                "patterns — that is a cartesian, not an optional"
+            )
+        joined = joined.join(sub, on=on, how="left")
+        joined_vars |= set(sub.columns)
 
     out = joined.select(*sel)
     return out.distinct() if distinct else out

@@ -3728,6 +3728,39 @@ def kg_bgp_path_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "kg_bgp_optional_query",
+    """SELECT 'info:fedora/order:' || o_orderkey AS obj,
+              'info:fedora/collection:' || (o_custkey % 100) AS coll,
+              CASE WHEN o_orderkey % 2 = 0 THEN 'cust:' || o_custkey END AS owner
+       FROM orders""",
+)
+def kg_bgp_optional_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL OPTIONAL: membership is required, ownership is optional —
+    compiled as a LEFT join of the optional group's sub-BGP on the
+    shared ?obj variable, NULL owner where the group found no match.
+    The graph is made sparse deterministically (owner triples kept for
+    even orders only) so the optional actually exercises both branches;
+    the oracle restates the same parity from orders."""
+    from .operators.bgp import bgp_query
+
+    rel = "info:fedora/fedora-system:def/relations-external#isMemberOfCollection"
+    source = synthesize_foxml_from_orders(spark, sf_dir)
+    okey = F.regexp_extract(F.col("subj"), r"order:(\d+)", 1).cast("long")
+    triples = (
+        triples_only(extract_triples(source))
+        .select("subj", "pred", "obj_value")
+        .filter(~((F.col("pred") == OWNER) & (okey % 2 == 1)))
+        .persist()
+    )
+    return bgp_query(
+        triples,
+        [("?obj", rel, "?coll")],
+        select=["obj", "coll", "owner"],
+        optional_patterns=[[("?obj", OWNER, "?owner")]],
+    )
+
+
 def _kcore_oracle(k: int, rounds: int) -> str:
     """Unrolled parallel-peel k-core as a CTE chain: round i recomputes
     degrees over the subgraph induced by round i-1's survivors. Peeling

@@ -113,3 +113,38 @@ def test_star_plan_no_nested_loop_join(triples):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_optional_group_left_join(triples):
+    """OPTIONAL semantics: required bindings survive with NULLs where
+    the optional group misses; a multi-pattern optional group joins as
+    one unit; a disconnected optional is rejected."""
+    got = bgp_query(
+        triples,
+        [("?x", "rel:member", "?c")],
+        select=["x", "c", "seen"],
+        optional_patterns=[[("?x", "v:sees", "?seen")]],
+    ).collect()
+    by_x = {r.x: (r.c, r.seen) for r in got}
+    assert by_x == {
+        "p:1": ("c:a", "p:2"),
+        "p:2": ("c:a", "p:2"),
+        "p:3": ("c:b", None),
+    }
+    # multi-pattern group: sees ?y AND ?y owned by ?w — one left join
+    got2 = {
+        r.x: r.w
+        for r in bgp_query(
+            triples,
+            [("?x", "rel:member", "?c")],
+            select=["x", "w"],
+            optional_patterns=[[("?x", "v:sees", "?y"), ("?y", "m:owner", "?w")]],
+        ).collect()
+    }
+    assert got2 == {"p:1": "bob", "p:2": "bob", "p:3": None}
+    with pytest.raises(ValueError, match="OPTIONAL group shares no"):
+        bgp_query(
+            triples,
+            [("?x", "rel:member", "?c")],
+            optional_patterns=[[("?z", "m:owner", "?w")]],
+        )
