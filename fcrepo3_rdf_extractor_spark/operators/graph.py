@@ -577,3 +577,60 @@ def kcore(
         "raise max_iter (peel cascades longer than the bound exist in "
         "this graph). Partial cores would over-report membership."
     )
+
+
+def transitive_closure(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Directed transitive closure with shortest hop counts: every
+    (src, dst) pair connected by a directed path, ``depth`` = fewest
+    edges on any such path. This is SPARQL's ``pred+`` property path
+    over the constructed graph (the one recursive construct BGPs can't
+    express as a fixed join chain), and the provenance/derivation-chain
+    query every KG eventually needs.
+
+    Semi-naive evaluation (the datalog standard): the per-round join
+    input is the DELTA (pairs first reached last round), never the full
+    closure — round d joins the depth-d frontier against the edge
+    table, then anti-joins the accumulated closure to keep only truly
+    new pairs, so total join work is proportional to the closure size,
+    not closure x diameter. Rounds = longest shortest path; each round
+    is one equi-join hashed on the hop column plus one left_anti hashed
+    on (src, dst). Same localCheckpoint-per-round lineage discipline as
+    :func:`connected_components`. Cycles are safe: a revisited pair is
+    dropped by the anti-join, so the frontier drains instead of
+    looping. Raises if the frontier is still non-empty after
+    ``max_iter`` rounds (truncated closure = silently wrong answers).
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    hop = e.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    reached = e.withColumn("depth", F.lit(1)).localCheckpoint()
+    frontier = reached.drop("depth")
+    for d in range(2, max_iter + 2):
+        nxt = (
+            frontier.join(hop, "v")
+            .select("u", F.col("w").alias("v"))
+            .distinct()
+            .join(reached.select("u", "v"), ["u", "v"], "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            return reached.select(
+                F.col("u").alias(src),
+                F.col("v").alias(dst),
+                F.col("depth").cast("long").alias("depth"),
+            )
+        reached = reached.union(nxt.withColumn("depth", F.lit(d))).localCheckpoint()
+        frontier = nxt
+    raise RuntimeError(
+        f"transitive_closure frontier non-empty after {max_iter} rounds; "
+        "raise max_iter (the graph has longer shortest paths)"
+    )

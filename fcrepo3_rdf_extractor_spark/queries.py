@@ -3761,6 +3761,47 @@ def kg_bgp_optional_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "graph_transitive_closure",
+    """WITH RECURSIVE e AS (
+          SELECT c_custkey AS src, c_custkey // 2 AS dst
+          FROM customer WHERE c_custkey > 1
+          UNION
+          SELECT c_custkey, c_custkey // 3 FROM customer WHERE c_custkey > 2),
+        r AS (
+          SELECT src AS u, dst AS v, 1 AS depth FROM e
+          UNION
+          SELECT r.u, e.dst AS v, r.depth + 1 FROM r JOIN e ON r.v = e.src)
+       SELECT u AS src, v AS dst, CAST(min(depth) AS BIGINT) AS depth
+       FROM r GROUP BY u, v""",
+)
+def graph_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL ``parent+`` property path: shortest-hop transitive closure
+    by semi-naive frontier iteration (operators/graph.py:
+    transitive_closure). The parent DAG is derived deterministically
+    from customer keys with TWO parent rules (k -> k//2 and k -> k//3),
+    so many pairs have multiple paths and the shortest-depth semantics
+    is actually exercised; the oracle is a recursive CTE with a min()
+    rollup."""
+    from .operators.graph import transitive_closure
+
+    cust = _read(spark, sf_dir, "customer")
+    e = (
+        cust.filter(F.col("c_custkey") > 1)
+        .select(
+            F.col("c_custkey").alias("src"),
+            (F.col("c_custkey") / 2).cast("long").alias("dst"),
+        )
+        .union(
+            cust.filter(F.col("c_custkey") > 2).select(
+                F.col("c_custkey").alias("src"),
+                (F.col("c_custkey") / 3).cast("long").alias("dst"),
+            )
+        )
+    )
+    return transitive_closure(e, "src", "dst")
+
+
 def _kcore_oracle(k: int, rounds: int) -> str:
     """Unrolled parallel-peel k-core as a CTE chain: round i recomputes
     degrees over the subgraph induced by round i-1's survivors. Peeling

@@ -1796,3 +1796,25 @@ def test_kcore_known_graph(spark):
     got3 = {r.id: r.core_degree for r in kcore(clique, k=3).collect()}
     assert got3 == {0: 3, 1: 3, 2: 3, 3: 3}
     assert kcore(clique, k=4).count() == 0
+
+
+def test_transitive_closure_shortest_depths(spark):
+    """Diamond 1->2->4, 1->3->4, plus shortcut 1->4: depth(1,4) must be
+    the SHORTEST (1, via the shortcut), and a cycle drains instead of
+    looping."""
+    from fcrepo3_rdf_extractor_spark.operators.graph import transitive_closure
+
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4), (1, 4), (4, 5)],
+        "src long, dst long",
+    )
+    got = {(r.src, r.dst): r.depth for r in transitive_closure(e).collect()}
+    assert got[(1, 4)] == 1
+    assert got[(1, 5)] == 2
+    assert got[(2, 5)] == 2 and got[(2, 4)] == 1
+    assert len(got) == 9  # 1->{2,3,4,5}, 2->{4,5}, 3->{4,5}, 4->5
+
+    cyc = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src long, dst long")
+    gc = {(r.src, r.dst): r.depth for r in transitive_closure(cyc).collect()}
+    # every ordered pair incl. self via the cycle
+    assert gc[(1, 1)] == 3 and gc[(1, 3)] == 2 and len(gc) == 9
