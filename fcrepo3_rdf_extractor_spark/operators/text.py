@@ -1037,3 +1037,95 @@ def bigram_logprob(
             "per_token_logprob",
         )
     )
+
+
+def _bpe_encode(word: Column) -> Column:
+    """Word -> wrapped-symbol string: 'the' -> '(t)(h)(e)'. Wrapping
+    every symbol in its own delimiters makes canonical BPE merge
+    application expressible as ONE literal replace: replacing
+    '(a)(b)' with '(ab)' is left-to-right, non-overlapping, and can
+    never consume a neighboring symbol's boundary or match inside a
+    longer symbol — exactly the per-word scan Sennrich's reference
+    implementation performs, as a codegen string op."""
+    return F.regexp_replace(word, r"(.)", r"($1)")
+
+
+def _bpe_symbols(enc: Column) -> Column:
+    """Wrapped-symbol string back to the symbol array."""
+    return F.split(enc.substr(F.lit(2), F.length(enc) - F.lit(2)), r"\)\(")
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn BPE merges from the corpus (Sennrich et al. 2016): start
+    from characters, repeatedly merge the most frequent adjacent symbol
+    pair. Returns the merge table ``(rank, lhs, rhs, pair_count)`` —
+    rank 1 is the first merge learned. Ties break deterministically on
+    (count DESC, lhs ASC, rhs ASC); words containing parentheses are
+    excluded (they would collide with the wrapped-symbol encoding — a
+    production build picks non-printing delimiters).
+
+    Completes the tokenizer story: :func:`bpe_piece_count` is the
+    pre-tokenizer upper bound, :func:`vocab_token_count` counts against
+    a GIVEN vocabulary, and this trains the vocabulary itself.
+
+    Scale shape — the key fact about BPE training is that after ONE
+    corpus aggregation it is a vocabulary-sized problem: the corpus
+    explodes to tokens exactly once (groupBy word -> counts), and every
+    training round operates on the word-count table (10^5-10^7 rows at
+    web scale), weighted by the counts. Each round = one pair-count
+    partial aggregation + a 1-row argmax collect (the bounded
+    driver-loop discipline of ``kmeans_train``) + one literal-replace
+    projection; per-round state is localCheckpoint-ed so the plan never
+    grows with the merge count. No Python ever touches row data."""
+    words = (
+        df.select(F.explode(tokens_col(F.col(text_col))).alias("word"))
+        .filter(~F.col("word").contains("(") & ~F.col("word").contains(")"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .select(_bpe_encode(F.col("word")).alias("enc"), "n")
+        .localCheckpoint()
+    )
+    spark = df.sparkSession
+    merges = []
+    for rank in range(1, n_merges + 1):
+        sy = words.select(_bpe_symbols(F.col("enc")).alias("sy"), "n")
+        pairs = (
+            sy.filter(F.size("sy") >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("sy") - 1),
+                        lambda i: F.struct(
+                            F.element_at("sy", i).alias("lhs"),
+                            F.element_at("sy", i + F.lit(1)).alias("rhs"),
+                        ),
+                    )
+                ).alias("p"),
+                "n",
+            )
+            .groupBy("p.lhs", "p.rhs")
+            .agg(F.sum("n").alias("pair_count"))
+        )
+        best = pairs.orderBy(
+            F.desc("pair_count"), F.asc("lhs"), F.asc("rhs")
+        ).limit(1).collect()
+        if not best:
+            break
+        b = best[0]
+        merges.append((rank, b.lhs, b.rhs, int(b.pair_count)))
+        words = words.select(
+            F.replace(
+                F.col("enc"),
+                F.lit(f"({b.lhs})({b.rhs})"),
+                F.lit(f"({b.lhs}{b.rhs})"),
+            ).alias("enc"),
+            "n",
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "rank int, lhs string, rhs string, pair_count bigint"
+    )

@@ -3802,6 +3802,72 @@ def graph_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transitive_closure(e, "src", "dst")
 
 
+def _bpe_oracle(n_merges: int) -> str:
+    """Unrolled BPE training rounds. Each round: adjacent-pair counts
+    over the wrapped-symbol word table, deterministic argmax, literal
+    replace applied to every word. MATERIALIZED because each level is
+    referenced twice (pair counts + the next word table)."""
+    ctes = [
+        """toks AS MATERIALIZED (
+           SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+           FROM documents)""",
+        r"""w0 AS MATERIALIZED (
+           SELECT regexp_replace(term, '(.)', '(\1)', 'g') AS enc,
+                  count(*) AS n
+           FROM toks
+           WHERE term NOT LIKE '%(%' AND term NOT LIKE '%)%'
+             AND len(term) > 0
+           GROUP BY term)""",
+    ]
+    for i in range(1, n_merges + 1):
+        ctes.append(
+            f"""sy{i} AS MATERIALIZED (
+           SELECT string_split(substring(enc, 2, length(enc) - 2), ')(') AS sy, n
+           FROM w{i - 1})"""
+        )
+        ctes.append(
+            f"""p{i} AS MATERIALIZED (
+           SELECT l AS lhs, r AS rhs, sum(n) AS pair_count FROM (
+             SELECT unnest(sy[1:len(sy) - 1]) AS l,
+                    unnest(sy[2:len(sy)]) AS r, n
+             FROM sy{i} WHERE len(sy) >= 2)
+           GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"""b{i} AS MATERIALIZED (
+           SELECT lhs, rhs, pair_count FROM p{i}
+           ORDER BY pair_count DESC, lhs, rhs LIMIT 1)"""
+        )
+        if i < n_merges:
+            ctes.append(
+                f"""w{i} AS MATERIALIZED (
+           SELECT replace(enc, '(' || b.lhs || ')(' || b.rhs || ')',
+                          '(' || b.lhs || b.rhs || ')') AS enc, n
+           FROM w{i - 1} CROSS JOIN b{i} b)"""
+            )
+    finals = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS INTEGER) AS rank, lhs, rhs, "
+        f"CAST(pair_count AS BIGINT) AS pair_count FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    chain = ",\n        ".join(ctes)
+    return f"WITH {chain}\n{finals}"
+
+
+@_q("docs_bpe_train", _bpe_oracle(8))
+def docs_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING over the corpus (Sennrich et al. 2016):
+    the 8 most valuable merges, learned by iterated adjacent-pair
+    counting on the word-count table. After one corpus aggregation the
+    whole loop is vocabulary-sized; merge application is a literal
+    replace over the wrapped-symbol encoding, identical byte-for-byte
+    in the DuckDB oracle's unrolled rounds
+    (operators/text.py:bpe_train)."""
+    from .operators.text import bpe_train
+
+    return bpe_train(_read(spark, sf_dir, "documents"), n_merges=8)
+
+
 def _kcore_oracle(k: int, rounds: int) -> str:
     """Unrolled parallel-peel k-core as a CTE chain: round i recomputes
     degrees over the subgraph induced by round i-1's survivors. Peeling

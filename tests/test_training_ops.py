@@ -1818,3 +1818,63 @@ def test_transitive_closure_shortest_depths(spark):
     gc = {(r.src, r.dst): r.depth for r in transitive_closure(cyc).collect()}
     # every ordered pair incl. self via the cycle
     assert gc[(1, 1)] == 3 and gc[(1, 3)] == 2 and len(gc) == 9
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """The wrapped-symbol literal-replace merge application must equal
+    canonical (Sennrich) per-word left-to-right non-overlapping merging
+    — including the run-of-repeats case ('aaaaaa' -> aa aa aa, where a
+    naive space-delimited replace diverges) — and the learned merge
+    sequence must match a pure-Python trainer with the same
+    (count DESC, lhs, rhs) tiebreak."""
+    from collections import Counter
+
+    from fcrepo3_rdf_extractor_spark.operators.text import bpe_train
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "aaaaaa aaaa aa",
+        "wide wider widest wide",
+        "low new wide aaaaaa",
+    ]
+
+    def py_bpe(texts, n_merges):
+        words = Counter()
+        for t in texts:
+            for w in t.lower().split():
+                words[tuple(w)] += 1
+        merges = []
+        for rank in range(1, n_merges + 1):
+            pairs = Counter()
+            for sym, n in words.items():
+                for a, b in zip(sym, sym[1:]):
+                    pairs[(a, b)] += n
+            if not pairs:
+                break
+            # count DESC, then lexicographic (lhs, rhs) ASC
+            (l, r), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((rank, l, r, cnt))
+            out = Counter()
+            for sym, n in words.items():
+                new, i = [], 0
+                while i < len(sym):
+                    if i + 1 < len(sym) and sym[i] == l and sym[i + 1] == r:
+                        new.append(l + r)
+                        i += 2
+                    else:
+                        new.append(sym[i])
+                        i += 1
+                out[tuple(new)] += n
+            words = out
+        return merges
+
+    expected = py_bpe(texts, 6)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r.rank, r.lhs, r.rhs, r.pair_count)
+        for r in bpe_train(df, n_merges=6).orderBy("rank").collect()
+    ]
+    assert got == expected
