@@ -87,6 +87,26 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 
+def _delta_filter(spark, docs, old_path: str):
+    """Restrict the input to the CDC delta vs a previous snapshot:
+    keep documents whose doc_id is new or whose content digest changed
+    (operators/snapshot.py). Removed documents simply don't appear —
+    downstream state (dedup witnesses, band indexes) keys on doc_id and
+    is unaffected by absence. One digest-compared full-outer join plus
+    a left_semi on doc_id; document bodies never ride either exchange."""
+    from pyspark.sql import functions as F
+
+    from fcrepo3_rdf_extractor_spark.operators.snapshot import snapshot_diff
+
+    old = spark.read.parquet(old_path)
+    delta_ids = (
+        snapshot_diff(old, docs)
+        .filter(F.col("status").isin("added", "changed"))
+        .select("doc_id")
+    )
+    return docs.join(delta_ids, "doc_id", "left_semi")
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--docs", required=True, help="documents parquet path")
@@ -150,6 +170,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--state", default=None,
                     help="per-document state directory for incremental "
                          "waves (see module docstring); absent = one-shot")
+    ap.add_argument("--delta-against", default=None,
+                    help="path to the PREVIOUS corpus snapshot (parquet); "
+                         "the input is restricted to documents that are "
+                         "added or content-changed relative to it "
+                         "(snapshot_diff CDC) before any curation stage — "
+                         "the rebuilt-crawl shape where the source can't "
+                         "emit a wave itself")
     ap.add_argument("--local", type=int, default=None)
     ap.add_argument("--input-partitions", type=int, default=None,
                     help="repartition the input scan (a 100-TB corpus gets "
@@ -208,6 +235,8 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     docs = spark.read.parquet(args.docs)
+    if args.delta_against:
+        docs = _delta_filter(spark, docs, args.delta_against)
     if args.input_partitions:
         docs = docs.repartition(args.input_partitions)
     stage_sec: dict[str, float] = {}
@@ -481,6 +510,8 @@ def _run_incremental_wave(spark, args) -> dict:
     wdir = os.path.join(args.state, f"w{wave_id:04d}")
 
     new_docs = spark.read.parquet(args.docs)
+    if args.delta_against:
+        new_docs = _delta_filter(spark, new_docs, args.delta_against)
     if args.input_partitions:
         new_docs = new_docs.repartition(args.input_partitions)
     new_docs = new_docs.persist()

@@ -361,3 +361,24 @@ def curate_code_filter(spark, base: Path) -> dict:
                           "--quality-min", "0.3", "--neardup-threshold",
                           "0", "--local", "4"])
     return {"with": with_flag, "without": without}
+
+
+@scenario
+def curate_delta_against(spark, base: Path) -> dict:
+    """CDC input mode: curate only what changed vs a previous snapshot."""
+    t = ("the quick brown fox jumps over the lazy dog and runs into the "
+         "deep green forest to find some quiet rest for the long night")
+    old = _write_docs(spark, [
+        (0, t), (1, t + " one"), (2, t + " two"), (3, t + " three"),
+    ], base / "old")
+    new = _write_docs(spark, [
+        (0, t),                       # unchanged
+        (1, t + " one"),              # unchanged
+        (2, t + " two edited now"),   # changed
+        (4, t + " four brand new"),   # added (3 removed)
+    ], base / "new")
+    out = str(base / "curated")
+    res = run_curate(["--docs", new, "--delta-against", old, "--out", out,
+                      "--quality-min", "0", "--neardup-threshold", "0",
+                      "--local", "2"])
+    return {"run": res, "out": out}

@@ -1878,3 +1878,19 @@ def test_bpe_train_matches_python_reference(spark):
         for r in bpe_train(df, n_merges=6).orderBy("rank").collect()
     ]
     assert got == expected
+
+
+def test_curate_delta_against(spark, cli_results):
+    """--delta-against restricts the curate input to the CDC delta:
+    of 4 docs in the new snapshot, only the changed one and the added
+    one enter the pipeline (removed docs simply don't appear)."""
+    from conftest import cli_art
+
+    art = cli_art(cli_results, "curate_delta_against")
+    assert art["run"]["rc"] == 0, art["run"]["stderr"][-2000:]
+    s = art["run"]["summary"]
+    assert s["stages"]["input"] == 2
+    import pyspark.sql.functions as F
+
+    kept = spark.read.parquet(art["out"])
+    assert sorted(r.doc_id for r in kept.select("doc_id").collect()) == [2, 4]
