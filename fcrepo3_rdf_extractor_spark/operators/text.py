@@ -1129,3 +1129,43 @@ def bpe_train(
     return spark.createDataFrame(
         merges, "rank int, lhs string, rhs string, pair_count bigint"
     )
+
+
+def bpe_token_count(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Count TRUE BPE tokens per document under a trained merge list
+    (rank order — e.g. ``bpe_train(...).collect()``): every word is
+    wrapped-symbol encoded, the merges are applied in order as literal
+    replaces, and the token count is simply the number of '(' symbol
+    wrappers left. The billable number :func:`bpe_piece_count` upper-
+    bounds and :func:`vocab_token_count` approximates (greedy longest-
+    match ignores merge ORDER; canonical BPE does not).
+
+    Scale shape: the merge list is driver-held metadata that constant-
+    folds into ONE codegen projection — a chain of k literal replaces
+    over the per-document encoded string, then two length() calls. No
+    join, no shuffle, no Python. Words are joined with a space the
+    merges can never cross (pairs are counted within words at training
+    time, so no merge contains a space). Production vocabularies
+    (k ~ 32000) exceed what an expression chain should hold — there the
+    same per-word merge loop moves into a batch UDF with the merge list
+    in the closure (the ``vocab_token_count`` discipline); at the
+    demo/oracle scale the pure-JVM chain is the point."""
+    toks = tokens_col(F.col(text_col))
+    clean = F.filter(
+        toks,
+        lambda w: (F.length(w) > 0)
+        & ~w.contains("(")
+        & ~w.contains(")"),
+    )
+    enc = F.array_join(
+        F.transform(clean, lambda w: F.regexp_replace(w, r"(.)", r"($1)")),
+        " ",
+    )
+    for lhs, rhs in merges:
+        enc = F.replace(enc, F.lit(f"({lhs})({rhs})"), F.lit(f"({lhs}{rhs})"))
+    n = F.length(enc) - F.length(F.replace(enc, F.lit("("), F.lit("")))
+    return df.select("doc_id", n.cast("long").alias("n_tokens"))

@@ -3802,7 +3802,7 @@ def graph_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transitive_closure(e, "src", "dst")
 
 
-def _bpe_oracle(n_merges: int) -> str:
+def _bpe_train_ctes(n_merges: int) -> list[str]:
     """Unrolled BPE training rounds. Each round: adjacent-pair counts
     over the wrapped-symbol word table, deterministic argmax, literal
     replace applied to every word. MATERIALIZED because each level is
@@ -3845,13 +3845,47 @@ def _bpe_oracle(n_merges: int) -> str:
                           '(' || b.lhs || b.rhs || ')') AS enc, n
            FROM w{i - 1} CROSS JOIN b{i} b)"""
             )
+    return ctes
+
+
+def _bpe_oracle(n_merges: int) -> str:
     finals = "\nUNION ALL\n".join(
         f"SELECT CAST({i} AS INTEGER) AS rank, lhs, rhs, "
         f"CAST(pair_count AS BIGINT) AS pair_count FROM b{i}"
         for i in range(1, n_merges + 1)
     )
-    chain = ",\n        ".join(ctes)
+    chain = ",\n        ".join(_bpe_train_ctes(n_merges))
     return f"WITH {chain}\n{finals}"
+
+
+def _bpe_count_oracle(n_merges: int) -> str:
+    """Train n merges (shared CTE chain), then apply them IN ORDER to
+    every document's wrapped-word encoding and count the '(' wrappers
+    left — the same constant-folded replace chain the Spark side runs."""
+    ctes = _bpe_train_ctes(n_merges)
+    ctes.append(
+        r"""d0 AS MATERIALIZED (
+       SELECT doc_id, array_to_string(
+         list_transform(
+           list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                       w -> len(w) > 0 AND w NOT LIKE '%(%'
+                            AND w NOT LIKE '%)%'),
+           w -> regexp_replace(w, '(.)', '(\1)', 'g')), ' ') AS enc
+       FROM documents)"""
+    )
+    for i in range(1, n_merges + 1):
+        ctes.append(
+            f"""d{i} AS MATERIALIZED (
+       SELECT doc_id, replace(enc, '(' || b.lhs || ')(' || b.rhs || ')',
+                      '(' || b.lhs || b.rhs || ')') AS enc
+       FROM d{i - 1} CROSS JOIN b{i} b)"""
+        )
+    chain = ",\n        ".join(ctes)
+    return (
+        f"WITH {chain}\n"
+        f"SELECT doc_id, CAST(length(enc) - length(replace(enc, '(', ''))"
+        f" AS BIGINT) AS n_tokens FROM d{n_merges}"
+    )
 
 
 @_q("docs_bpe_train", _bpe_oracle(8))
@@ -3866,6 +3900,22 @@ def docs_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import bpe_train
 
     return bpe_train(_read(spark, sf_dir, "documents"), n_merges=8)
+
+
+@_q("docs_bpe_token_count", _bpe_count_oracle(4))
+def docs_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True BPE token counts under 4 trained merges: train (bounded
+    driver loop), collect the metadata-sized merge list, and count via
+    ONE constant-folded replace-chain projection — no join, no shuffle,
+    no Python (operators/text.py:bpe_token_count). The oracle trains
+    with the same unrolled rounds and applies the same chain."""
+    from .operators.text import bpe_token_count, bpe_train
+
+    docs = _read(spark, sf_dir, "documents")
+    merges = [
+        (r.lhs, r.rhs) for r in bpe_train(docs, n_merges=4).orderBy("rank").collect()
+    ]
+    return bpe_token_count(docs, merges)
 
 
 def _kcore_oracle(k: int, rounds: int) -> str:

@@ -1894,3 +1894,45 @@ def test_curate_delta_against(spark, cli_results):
 
     kept = spark.read.parquet(art["out"])
     assert sorted(r.doc_id for r in kept.select("doc_id").collect()) == [2, 4]
+
+
+def test_bpe_token_count_matches_python_apply(spark):
+    """Counting under trained merges must equal applying canonical BPE
+    merges per word in Python and summing the pieces — and the whole
+    count must be one join-free, shuffle-free projection."""
+    from fcrepo3_rdf_extractor_spark.operators.text import (
+        bpe_token_count,
+        bpe_train,
+    )
+
+    texts = ["low lower lowest", "new newer lowest low", "aaaaaa aa low"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = [
+        (r.lhs, r.rhs)
+        for r in bpe_train(df, n_merges=3).orderBy("rank").collect()
+    ]
+
+    def apply(word):
+        sym = list(word)
+        for l, r in merges:
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == l and sym[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = out
+        return len(sym)
+
+    expected = {
+        i: sum(apply(w) for w in t.lower().split()) for i, t in enumerate(texts)
+    }
+    out = bpe_token_count(df, merges)
+    got = {r.doc_id: r.n_tokens for r in out.collect()}
+    assert got == expected
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
