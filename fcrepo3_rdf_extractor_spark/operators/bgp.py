@@ -131,7 +131,35 @@ def bgp_query(
             raise ValueError(f"select variables not in any pattern: {unknown}")
 
     def scan(pat: tuple[str, str, str]) -> DataFrame:
-        """One pattern -> filtered, variable-named projection."""
+        """One pattern -> filtered, variable-named projection. A
+        constant predicate ending in ``+`` is SPARQL's one-or-more
+        property path: the pattern's bindings are the transitive
+        closure of that predicate's edge set (shortest-hop closure via
+        :func:`..graph.transitive_closure` — semi-naive delta-frontier
+        iteration, the one recursive construct a fixed join chain can't
+        express). Subject/object constants on a path pattern filter the
+        closure exactly like an ordinary scan."""
+        if not _is_var(pat[1]) and pat[1].endswith("+"):
+            from .graph import transitive_closure
+
+            edges = triples.filter(F.col("pred") == pat[1][:-1]).select(
+                F.col("subj"), F.col("obj_value")
+            )
+            closure = transitive_closure(edges, "subj", "obj_value").drop(
+                "depth"
+            )
+            df, proj, seen_path = closure, [], set()
+            for term, col in zip((pat[0], pat[2]), ("subj", "obj_value")):
+                if _is_var(term):
+                    name = term.lstrip("?")
+                    if name in seen_path:  # (?x, p+, ?x): cycle membership
+                        df = df.filter(F.col("subj") == F.col("obj_value"))
+                    else:
+                        seen_path.add(name)
+                        proj.append(F.col(col).alias(name))
+                else:
+                    df = df.filter(F.col(col) == term)
+            return df.select(*proj)
         df = triples
         seen: dict[str, str] = {}  # var name -> first column bound to it
         proj = []

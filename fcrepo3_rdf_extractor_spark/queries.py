@@ -3802,6 +3802,51 @@ def graph_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transitive_closure(e, "src", "dst")
 
 
+@_q(
+    "kg_bgp_property_path",
+    """WITH RECURSIVE e AS (
+          SELECT c_custkey AS s, c_custkey // 2 AS d
+          FROM customer WHERE c_custkey > 1),
+        r AS (
+          SELECT s AS u, d AS v FROM e
+          UNION
+          SELECT r.u, e.d FROM r JOIN e ON r.v = e.s)
+       SELECT 'c:' || u AS x, 'c:' || v AS y
+       FROM r JOIN customer c ON c.c_custkey = r.v
+       WHERE c.c_mktsegment = 'BUILDING'""",
+)
+def kg_bgp_property_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL property path INSIDE a BGP: ``?x kg:parent+ ?y . ?y
+    kg:segment 'BUILDING'`` — the `+` pattern expands to the
+    shortest-hop transitive closure of that predicate's edges (semi-
+    naive iteration) and then joins the rest of the pattern like any
+    scan. Triples synthesized from customer keys (parent = k -> k//2
+    chain, segment = c_mktsegment) so the oracle is a recursive CTE
+    joined back to customer."""
+    from .operators.bgp import bgp_query
+
+    cust = _read(spark, sf_dir, "customer")
+    ckey = F.concat(F.lit("c:"), F.col("c_custkey"))
+    parent = cust.filter(F.col("c_custkey") > 1).select(
+        ckey.alias("subj"),
+        F.lit("kg:parent").alias("pred"),
+        F.concat(F.lit("c:"), (F.col("c_custkey") / 2).cast("long")).alias(
+            "obj_value"
+        ),
+    )
+    segment = cust.select(
+        ckey.alias("subj"),
+        F.lit("kg:segment").alias("pred"),
+        F.col("c_mktsegment").alias("obj_value"),
+    )
+    triples = parent.union(segment).persist()
+    return bgp_query(
+        triples,
+        [("?x", "kg:parent+", "?y"), ("?y", "kg:segment", "BUILDING")],
+        select=["x", "y"],
+    )
+
+
 def _bpe_train_ctes(n_merges: int) -> list[str]:
     """Unrolled BPE training rounds. Each round: adjacent-pair counts
     over the wrapped-symbol word table, deterministic argmax, literal

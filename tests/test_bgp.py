@@ -148,3 +148,40 @@ def test_optional_group_left_join(triples):
             [("?x", "rel:member", "?c")],
             optional_patterns=[[("?z", "m:owner", "?w")]],
         )
+
+
+def test_property_path_plus(spark):
+    """`pred+` patterns bind the transitive closure: chain 1->2->3 via
+    kg:p gives (1,2),(1,3),(2,3); constants filter the closure; the
+    cycle form (?x, p+, ?x) finds cycle members."""
+    rows = [
+        ("n:1", "kg:p", "n:2"),
+        ("n:2", "kg:p", "n:3"),
+        ("n:3", "kg:tag", "leaf"),
+    ]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj_value string")
+    got = sorted(
+        (r.x, r.y)
+        for r in bgp_query(t, [("?x", "kg:p+", "?y")]).collect()
+    )
+    assert got == [("n:1", "n:2"), ("n:1", "n:3"), ("n:2", "n:3")]
+    # join the path head with an ordinary pattern on the tail
+    got2 = sorted(
+        r.x
+        for r in bgp_query(
+            t, [("?x", "kg:p+", "?y"), ("?y", "kg:tag", "leaf")], select=["x"]
+        ).collect()
+    )
+    assert got2 == ["n:1", "n:2"]
+    # constant object filters the closure
+    got3 = sorted(
+        r.x for r in bgp_query(t, [("?x", "kg:p+", "n:3")]).collect()
+    )
+    assert got3 == ["n:1", "n:2"]
+    # cycle membership
+    cyc = spark.createDataFrame(
+        [("a", "kg:p", "b"), ("b", "kg:p", "a"), ("c", "kg:p", "a")],
+        "subj string, pred string, obj_value string",
+    )
+    got4 = sorted(r.x for r in bgp_query(cyc, [("?x", "kg:p+", "?x")]).collect())
+    assert got4 == ["a", "b"]
