@@ -1169,3 +1169,56 @@ def bpe_token_count(
         enc = F.replace(enc, F.lit(f"({lhs})({rhs})"), F.lit(f"({lhs}{rhs})"))
     n = F.length(enc) - F.length(F.replace(enc, F.lit("("), F.lit("")))
     return df.select("doc_id", n.cast("long").alias("n_tokens"))
+
+
+#: Detection order matters: an explicit SPDX tag always wins; phrase
+#: heuristics follow in a fixed order so a file quoting several license
+#: names classifies deterministically.
+_PERMISSIVE = ("MIT", "Apache-2.0", "BSD-3-Clause", "ISC", "Unlicense")
+
+
+def license_detect(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """License detection for code corpora (The Stack / StarCoder
+    pipelines keep only permissive-licensed files): per document, the
+    detected license id and a ``permissive`` verdict. An explicit
+    ``SPDX-License-Identifier:`` tag is authoritative; otherwise a
+    fixed-order chain of header-phrase heuristics (MIT's "permission is
+    hereby granted", Apache's name+version, GPL, BSD's redistribution
+    clause). Unknown -> NULL license, permissive = 0 (the pipelines'
+    conservative default: no license, no training).
+
+    One narrow codegen projection — staged lowered text, one
+    regexp_extract + a CASE chain of contains() tests; no explode, no
+    join, no shuffle. The phrase list is deliberately small and
+    documented: production detection (askalono, go-license-detector)
+    ranks against full license TEXTS; this is the cheap high-precision
+    header pass those tools also run first."""
+    spdx = F.regexp_extract(
+        F.col(text_col), r"SPDX-License-Identifier:\s*([A-Za-z0-9.+\-]+)", 1
+    )
+    staged = df.select(
+        "doc_id",
+        F.lower(F.col(text_col)).alias("_t"),
+        F.when(spdx != "", spdx).alias("_spdx"),
+    )
+    t = F.col("_t")
+    lic = F.coalesce(
+        F.col("_spdx"),
+        F.when(t.contains("permission is hereby granted"), "MIT")
+        .when(
+            t.contains("apache license") & t.contains("version 2.0"),
+            "Apache-2.0",
+        )
+        .when(t.contains("gnu general public license"), "GPL-3.0-only")
+        .when(
+            t.contains("redistribution and use in source and binary forms"),
+            "BSD-3-Clause",
+        ),
+    )
+    return staged.select(
+        "doc_id",
+        lic.alias("license"),
+        F.when(lic.isin(*_PERMISSIVE), 1).otherwise(0).cast("int").alias(
+            "permissive"
+        ),
+    )

@@ -3847,6 +3847,84 @@ def kg_bgp_property_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: deterministic license-header augmentation both engines derive from
+#: doc_id (the synthetic corpus contains no license text of its own)
+_LIC_HEADER_SQL = """CASE doc_id % 4
+       WHEN 0 THEN '// SPDX-License-Identifier: MPL-2.0' || chr(10)
+       WHEN 1 THEN '# Licensed under the Apache License, Version 2.0' || chr(10)
+       WHEN 2 THEN '/* Permission is hereby granted, free of charge */' || chr(10)
+       ELSE '' END || text"""
+
+
+@_q(
+    "docs_license_detect",
+    f"""WITH aug AS (SELECT doc_id, {_LIC_HEADER_SQL} AS text FROM documents)
+       SELECT doc_id,
+              coalesce(
+                nullif(regexp_extract(text,
+                  'SPDX-License-Identifier:\\s*([A-Za-z0-9.+\\-]+)', 1), ''),
+                CASE
+                  WHEN contains(lower(text), 'permission is hereby granted')
+                    THEN 'MIT'
+                  WHEN contains(lower(text), 'apache license')
+                       AND contains(lower(text), 'version 2.0')
+                    THEN 'Apache-2.0'
+                  WHEN contains(lower(text), 'gnu general public license')
+                    THEN 'GPL-3.0-only'
+                  WHEN contains(lower(text),
+                       'redistribution and use in source and binary forms')
+                    THEN 'BSD-3-Clause'
+                END) AS license,
+              CAST(CASE WHEN coalesce(
+                nullif(regexp_extract(text,
+                  'SPDX-License-Identifier:\\s*([A-Za-z0-9.+\\-]+)', 1), ''),
+                CASE
+                  WHEN contains(lower(text), 'permission is hereby granted')
+                    THEN 'MIT'
+                  WHEN contains(lower(text), 'apache license')
+                       AND contains(lower(text), 'version 2.0')
+                    THEN 'Apache-2.0'
+                  WHEN contains(lower(text), 'gnu general public license')
+                    THEN 'GPL-3.0-only'
+                  WHEN contains(lower(text),
+                       'redistribution and use in source and binary forms')
+                    THEN 'BSD-3-Clause'
+                END) IN ('MIT', 'Apache-2.0', 'BSD-3-Clause', 'ISC',
+                         'Unlicense')
+                THEN 1 ELSE 0 END AS INTEGER) AS permissive
+       FROM aug""",
+)
+def docs_license_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Stack-style license gate: SPDX tag wins, then fixed-order
+    header-phrase heuristics, permissive verdict for training
+    admission. One codegen projection (operators/text.py:
+    license_detect); the corpus is augmented with deterministic
+    doc_id%4 license headers both engines derive identically (SPDX
+    non-permissive / Apache phrase / MIT phrase / none)."""
+    from .operators.text import license_detect
+
+    docs = _read(spark, sf_dir, "documents")
+    header = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.lit("// SPDX-License-Identifier: MPL-2.0\n"),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.lit("# Licensed under the Apache License, Version 2.0\n"),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.lit("/* Permission is hereby granted, free of charge */\n"),
+        )
+        .otherwise(F.lit(""))
+    )
+    aug = docs.select(
+        "doc_id", F.concat(header, F.col("text")).alias("text")
+    )
+    return license_detect(aug)
+
+
 def _bpe_train_ctes(n_merges: int) -> list[str]:
     """Unrolled BPE training rounds. Each round: adjacent-pair counts
     over the wrapped-symbol word table, deterministic argmax, literal

@@ -1936,3 +1936,32 @@ def test_bpe_token_count_matches_python_apply(spark):
     assert got == expected
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_license_detect_precedence_and_plan(spark):
+    """SPDX beats phrases (a GPL-phrased file with an MIT SPDX tag is
+    MIT); unknown -> NULL + permissive 0; and the operator is one
+    join-free, shuffle-free projection."""
+    from fcrepo3_rdf_extractor_spark.operators.text import license_detect
+
+    rows = [
+        (1, "// SPDX-License-Identifier: MIT\nGNU General Public License"),
+        (2, "Permission is hereby granted, free of charge"),
+        (3, "Licensed under the Apache License, Version 2.0 (the License)"),
+        (4, "This file is released under the GNU General Public License v3"),
+        (5, "Redistribution and use in source and binary forms, with or"),
+        (6, "def main(): pass"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = license_detect(df)
+    got = {r.doc_id: (r.license, r.permissive) for r in out.collect()}
+    assert got == {
+        1: ("MIT", 1),
+        2: ("MIT", 1),
+        3: ("Apache-2.0", 1),
+        4: ("GPL-3.0-only", 0),
+        5: ("BSD-3-Clause", 1),
+        6: (None, 0),
+    }
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
