@@ -1193,11 +1193,19 @@ def license_detect(df: DataFrame, text_col: str = "text") -> DataFrame:
     documented: production detection (askalono, go-license-detector)
     ranks against full license TEXTS; this is the cheap high-precision
     header pass those tools also run first."""
+    return with_license(df, text_col).select("doc_id", "license", "permissive")
+
+
+def with_license(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """In-place form of :func:`license_detect`: every input column plus
+    ``license`` and ``permissive`` — the join-free annotate-then-filter
+    shape the curate CLI's stages use (same discipline as
+    :func:`with_quality` / :func:`with_code_filter`)."""
     spdx = F.regexp_extract(
         F.col(text_col), r"SPDX-License-Identifier:\s*([A-Za-z0-9.+\-]+)", 1
     )
     staged = df.select(
-        "doc_id",
+        "*",
         F.lower(F.col(text_col)).alias("_t"),
         F.when(spdx != "", spdx).alias("_spdx"),
     )
@@ -1216,7 +1224,7 @@ def license_detect(df: DataFrame, text_col: str = "text") -> DataFrame:
         ),
     )
     return staged.select(
-        "doc_id",
+        *df.columns,
         lic.alias("license"),
         F.when(lic.isin(*_PERMISSIVE), 1).otherwise(0).cast("int").alias(
             "permissive"

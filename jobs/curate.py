@@ -27,6 +27,9 @@ at most once, in the near-dup signature stage):
                            alphabetic-word fraction, autogen markers
                            (--code-filter; pure row predicate, so the
                            wave path applies it at export unchanged)
+  4.6 license gate (opt-in) keep permissively-licensed docs only
+                           (--license-filter; SPDX tag or header phrase,
+                           no license = dropped; pure row predicate)
   5. stratified sampling   per-source keep rates, md5-deterministic
   5.5 PII redaction (opt-in) emails/phones/IPv4s -> placeholders
                            (--pii-redact; n_pii stamped per doc)
@@ -141,6 +144,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="apply the Stack/StarCoder structural source "
                          "filters (line shape, alnum fraction, autogen "
                          "markers) as a keep predicate")
+    ap.add_argument("--license-filter", action="store_true",
+                    help="keep only permissively-licensed documents "
+                         "(SPDX tag or header-phrase detection; no "
+                         "license = dropped, the Stack's conservative "
+                         "default)")
     ap.add_argument("--vocab-file", default=None,
                     help="tokenizer vocabulary (one piece per line): "
                          "n_tokens becomes the TRUE greedy longest-match "
@@ -413,6 +421,18 @@ def main(argv: list[str] | None = None) -> int:
             with_code_filter(annotated)
             .filter(F.col("code_keep")).drop("code_keep"),
             "after_code_filter",
+        )
+
+    # 4.6 (opt-in). license gate — join-free in-place predicate
+    # (operators/text.py:with_license); own stage boundary
+    if args.license_filter:
+        from fcrepo3_rdf_extractor_spark.operators.text import with_license
+
+        annotated = staged(
+            with_license(annotated)
+            .filter(F.col("permissive") == 1)
+            .drop("license", "permissive"),
+            "after_license_filter",
         )
 
     # 5. deterministic stratified sampling by source
@@ -700,6 +720,12 @@ def _run_incremental_wave(spark, args) -> dict:
         from fcrepo3_rdf_extractor_spark.operators.text import with_code_filter
 
         kept = with_code_filter(kept).filter(F.col("code_keep")).drop("code_keep")
+    if args.license_filter:
+        # pure row predicate, same reasoning as --code-filter
+        from fcrepo3_rdf_extractor_spark.operators.text import with_license
+
+        kept = (with_license(kept).filter(F.col("permissive") == 1)
+                .drop("license", "permissive"))
     rates = json.loads(args.rates) if args.rates else {}
     if rates or args.default_rate < 1.0:
         kept = stratified_sample(

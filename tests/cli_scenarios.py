@@ -382,3 +382,21 @@ def curate_delta_against(spark, base: Path) -> dict:
                       "--quality-min", "0", "--neardup-threshold", "0",
                       "--local", "2"])
     return {"run": res, "out": out}
+
+
+@scenario
+def curate_license_filter(spark, base: Path) -> dict:
+    """--license-filter keeps permissive docs, drops GPL and unlicensed."""
+    pad = ("the quick brown fox jumps over the lazy dog and runs far "
+           "into the deep green forest to find some quiet rest tonight")
+    docs = _write_docs(spark, [
+        (0, "// SPDX-License-Identifier: MIT\n" + pad),
+        (1, "licensed under the apache license, version 2.0\n" + pad),
+        (2, "gnu general public license applies here\n" + pad),
+        (3, pad),
+    ], base / "docs")
+    out = str(base / "curated")
+    res = run_curate(["--docs", docs, "--out", out, "--quality-min", "0",
+                      "--neardup-threshold", "0", "--license-filter",
+                      "--local", "2"])
+    return {"run": res, "out": out}

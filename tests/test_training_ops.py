@@ -1965,3 +1965,17 @@ def test_license_detect_precedence_and_plan(spark):
     }
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_curate_license_filter(spark, cli_results):
+    """The license gate keeps the SPDX-MIT and Apache-phrase docs and
+    drops GPL and unlicensed ones, with its own stage boundary in the
+    summary."""
+    from conftest import cli_art
+
+    art = cli_art(cli_results, "curate_license_filter")
+    assert art["run"]["rc"] == 0, art["run"]["stderr"][-2000:]
+    s = art["run"]["summary"]
+    assert s["stages"]["after_license_filter"] == 2
+    kept = spark.read.parquet(art["out"])
+    assert sorted(r.doc_id for r in kept.select("doc_id").collect()) == [0, 1]
