@@ -185,3 +185,29 @@ def test_property_path_plus(spark):
     )
     got4 = sorted(r.x for r in bgp_query(cyc, [("?x", "kg:p+", "?x")]).collect())
     assert got4 == ["a", "b"]
+
+
+def test_star_pattern_constants_push_to_scan(spark, tmp_path):
+    """Over a parquet triples table (the materialized-graph model),
+    every pattern constant must reach the scan as a PushedFilter, and
+    the fully-bound anchor must broadcast — the plan PLANS.md walks
+    through."""
+    rows = [
+        (f"s{i % 100}", p, f"o{i % 7}")
+        for i in range(1000)
+        for p in ("rel:m", "m:o", "m:s")
+    ]
+    path = str(tmp_path / "triples")
+    spark.createDataFrame(
+        rows, "subj string, pred string, obj_value string"
+    ).write.parquet(path)
+    t = spark.read.parquet(path)
+    out = bgp_query(
+        t, [("?x", "rel:m", "?c"), ("?x", "m:o", "?o"), ("?x", "m:s", "o1")]
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for pushed in ("EqualTo(pred,m:s)", "EqualTo(obj_value,o1)",
+                   "EqualTo(pred,rel:m)", "EqualTo(pred,m:o)"):
+        assert pushed in plan, f"missing pushdown {pushed}\n{plan}"
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
