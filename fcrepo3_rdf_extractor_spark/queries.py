@@ -3925,6 +3925,40 @@ def docs_license_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return license_detect(aug)
 
 
+@_q(
+    "agg_cube_events",
+    """SELECT event_type,
+              CAST(date_part('dow', ts) AS BIGINT) AS dow,
+              CAST(GROUPING(event_type, date_part('dow', ts)) AS BIGINT)
+                AS gid,
+              CAST(count(*) AS BIGINT) AS n_events,
+              round(sum(value), 4) AS sum_value
+       FROM events
+       GROUP BY CUBE (event_type, date_part('dow', ts))""",
+)
+def agg_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^2 grouping sets of (event_type, day-of-week) in one
+    pass with grouping_id disambiguating the NULL-as-aggregated rows —
+    the OLAP companion to agg_rollup_orders. Spark expands the cube
+    map-side (each input row feeds all 4 sets through one partial agg),
+    so the shuffle carries at most 4x the distinct-group count, never
+    4x the data."""
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type",
+        (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+        "value",
+    )
+    return (
+        ev.cube("event_type", "dow")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select("event_type", "dow", "gid", "n_events", "sum_value")
+    )
+
+
 def _bpe_train_ctes(n_merges: int) -> list[str]:
     """Unrolled BPE training rounds. Each round: adjacent-pair counts
     over the wrapped-symbol word table, deterministic argmax, literal
