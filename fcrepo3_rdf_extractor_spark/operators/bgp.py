@@ -62,6 +62,7 @@ def bgp_query(
     distinct: bool = False,
     allow_cartesian: bool = False,
     optional_patterns: Sequence[Sequence[tuple[str, str, str]]] | None = None,
+    filters: Sequence[tuple[str, str, object]] | None = None,
 ) -> DataFrame:
     """Evaluate a SPARQL-style basic graph pattern.
 
@@ -75,6 +76,16 @@ def bgp_query(
     order; defaults to every variable in first-mention order (required
     patterns first, then optional groups). SPARQL bag semantics by
     default; ``distinct=True`` for set semantics.
+
+    ``filters``: SPARQL FILTER constraints as (variable, op, value)
+    tuples, op in {'=', '!=', '<', '<=', '>', '>=', 'contains',
+    'regex'}. Declared once over the joined bindings and applied AFTER
+    the joins — Catalyst then pushes each predicate down through the
+    join tree into the single pattern scan that binds the variable
+    (pinned in tests), so declaring late costs nothing and keeps the
+    surface declarative. Filters on required-pattern variables only
+    (filtering an OPTIONAL binding would silently change its left-join
+    semantics — SPARQL evaluates those filters inside the group).
 
     ``optional_patterns``: a list of OPTIONAL groups, each itself a
     list of patterns. Each group is compiled as its own BGP and
@@ -210,6 +221,26 @@ def bgp_query(
         nxt = scan(patterns[pick])
         joined = joined.join(nxt, on=on, how="inner") if on else joined.crossJoin(nxt)
         joined_vars |= pat_vars
+
+    _OPS = {
+        "=": lambda c, v: c == v,
+        "!=": lambda c, v: c != v,
+        "<": lambda c, v: c < v,
+        "<=": lambda c, v: c <= v,
+        ">": lambda c, v: c > v,
+        ">=": lambda c, v: c >= v,
+        "contains": lambda c, v: c.contains(v),
+        "regex": lambda c, v: c.rlike(v),
+    }
+    for var, op, value in filters or []:
+        name = var.lstrip("?")
+        if name not in joined_vars:
+            raise ValueError(
+                f"FILTER on {var!r}: not bound by any required pattern"
+            )
+        if op not in _OPS:
+            raise ValueError(f"unknown FILTER op {op!r}")
+        joined = joined.filter(_OPS[op](F.col(name), value))
 
     for group in opt_groups:
         sub = bgp_query(

@@ -3926,6 +3926,40 @@ def docs_license_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "kg_bgp_filter_query",
+    """SELECT 'info:fedora/order:' || o_orderkey AS obj,
+              'info:fedora/collection:' || (o_custkey % 100) AS coll,
+              'cust:' || o_custkey AS owner
+       FROM orders
+       WHERE contains('info:fedora/collection:' || (o_custkey % 100),
+                      'collection:1')
+         AND 'cust:' || o_custkey <> 'cust:5'""",
+)
+def kg_bgp_filter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL FILTER over BGP bindings: declared once on the joined
+    result, pushed by Catalyst into the single pattern scan that binds
+    each variable (tests pin the contains() predicate landing below the
+    join). Two constraints: a substring test on ?coll and an inequality
+    on ?owner."""
+    from .operators.bgp import bgp_query
+
+    rel = "info:fedora/fedora-system:def/relations-external#isMemberOfCollection"
+    source = synthesize_foxml_from_orders(spark, sf_dir)
+    triples = (
+        triples_only(extract_triples(source))
+        .select("subj", "pred", "obj_value")
+        .persist()
+    )
+    return bgp_query(
+        triples,
+        [("?obj", rel, "?coll"), ("?obj", OWNER, "?owner")],
+        select=["obj", "coll", "owner"],
+        filters=[("?coll", "contains", "collection:1"),
+                 ("?owner", "!=", "cust:5")],
+    )
+
+
+@_q(
     "agg_cube_events",
     """SELECT event_type,
               CAST(date_part('dow', ts) AS BIGINT) AS dow,

@@ -211,3 +211,37 @@ def test_star_pattern_constants_push_to_scan(spark, tmp_path):
         assert pushed in plan, f"missing pushdown {pushed}\n{plan}"
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_filters_semantics_and_pushdown(spark, tmp_path, triples):
+    """FILTER constraints: applied to the joined bindings, rejected on
+    unbound vars/unknown ops; over a parquet triples table the contains
+    predicate must push below the join into the one scan that binds the
+    variable."""
+    got = bgp_query(
+        triples,
+        [("?x", "rel:member", "?c"), ("?x", "m:owner", "?o")],
+        filters=[("?o", "!=", "bob"), ("?c", "contains", ":a")],
+    ).collect()
+    assert [(r.x, r.c, r.o) for r in got] == [("p:1", "c:a", "alice")]
+    with pytest.raises(ValueError, match="not bound"):
+        bgp_query(triples, [("?x", "m:owner", "?o")],
+                  filters=[("?z", "=", "v")])
+    with pytest.raises(ValueError, match="unknown FILTER op"):
+        bgp_query(triples, [("?x", "m:owner", "?o")],
+                  filters=[("?o", "~", "v")])
+
+    rows = [(f"s{i % 50}", p, f"val{i % 9}") for i in range(600)
+            for p in ("rel:m", "m:o")]
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        rows, "subj string, pred string, obj_value string"
+    ).write.parquet(path)
+    t = spark.read.parquet(path)
+    out = bgp_query(
+        t,
+        [("?x", "rel:m", "?c"), ("?x", "m:o", "?o")],
+        filters=[("?c", "contains", "al5")],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "StringContains(obj_value,al5)" in plan, plan
