@@ -634,3 +634,49 @@ def transitive_closure(
         f"transitive_closure frontier non-empty after {max_iter} rounds; "
         "raise max_iter (the graph has longer shortest paths)"
     )
+
+
+def contamination_closure(
+    flags: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    flag_col: str = "contaminated",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Propagate a per-document boolean flag across near-duplicate
+    clusters: a document is closure-flagged if IT is flagged or any
+    member of its connected component is. The decontamination subtlety
+    production pipelines handle explicitly — dropping a benchmark-
+    contaminated document while keeping its near-duplicate leaks the
+    benchmark anyway, so the drop set must be the CLUSTER closure of
+    the contamination flags (same reasoning as the leakage-safe
+    cluster-level train/test split).
+
+    ``flags``: (id_col, flag_col in {0,1}); every document, flagged or
+    not. ``pairs``: the undirected near-dup edge list. Returns
+    (id_col, flag_col, cluster_<flag_col>).
+
+    Scale shape: connected components label the pair graph (isolated
+    docs ride in as singleton vertices), then two hash joins — flags
+    onto labels on the id, and a cluster-sized max() rollup back onto
+    members on cluster_id, reusing the labeling's own partitioning. No
+    step is ever pairwise in cluster size.
+    """
+    cc = connected_components(
+        pairs, vertices=flags.select(id_col), src=src, dst=dst
+    )
+    labeled = flags.select(
+        F.col(id_col).alias("id"), F.col(flag_col)
+    ).join(cc, "id")
+    clus = labeled.groupBy("cluster_id").agg(
+        F.max(flag_col).alias("_any")
+    )
+    return (
+        labeled.join(clus, "cluster_id")
+        .select(
+            F.col("id").alias(id_col),
+            F.col(flag_col),
+            F.col("_any").cast("int").alias(f"cluster_{flag_col}"),
+        )
+    )

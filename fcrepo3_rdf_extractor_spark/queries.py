@@ -3960,6 +3960,59 @@ def kg_bgp_filter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "docs_contamination_closure",
+    f"""WITH RECURSIVE
+        prs AS (SELECT doc_a, doc_b FROM ({_MINHASH_NEARDUP_SQL}) mm),
+        e AS (SELECT doc_a AS a, doc_b AS b FROM prs
+              UNION SELECT doc_b, doc_a FROM prs),
+        r(id, lab) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.b, r.lab FROM r JOIN e ON e.a = r.id),
+        lab AS (SELECT id AS doc_id, min(lab) AS cluster_id
+                FROM r GROUP BY id),
+        t AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+        g AS (SELECT doc_id, unnest(list_distinct({_5GRAMS})) AS gram FROM t),
+        bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+        tot AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+        hit AS (SELECT g.doc_id, count(*) AS n_hits
+                FROM g JOIN bench USING (gram) GROUP BY g.doc_id),
+        cont AS (SELECT doc_id,
+                        CAST(round(coalesce(n_hits, 0) / n_grams, 4) >= 0.5
+                             AS INT) AS contaminated
+                 FROM tot LEFT JOIN hit USING (doc_id)),
+        clus AS (SELECT cluster_id, max(contaminated) AS anyc
+                 FROM lab JOIN cont USING (doc_id) GROUP BY 1)
+       SELECT lab.doc_id, cont.contaminated,
+              CAST(clus.anyc AS INTEGER) AS cluster_contaminated
+       FROM lab JOIN cont USING (doc_id) JOIN clus USING (cluster_id)""",
+)
+def docs_contamination_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination CLOSURE: a near-duplicate of a benchmark-
+    contaminated document leaks the benchmark too, so the drop set is
+    the connected-component closure of the contamination flags
+    (operators/graph.py:contamination_closure) — the same cluster-level
+    reasoning as the leakage-safe train/test split. Oracle composes the
+    recursive-CTE component labeling with the 5-gram contamination
+    flags and a per-cluster max."""
+    from .operators.dedup_approx import minhash_near_duplicates
+    from .operators.graph import contamination_closure
+    from .operators.text import ngram_contamination, shingles_of, tokens_col
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(docs, threshold=0.5, num_hashes=8, bands=4)
+    bench = (
+        docs.filter(F.col("doc_id") % 50 == 0)
+        .select(tokens_col(F.col("text")).alias("_w"))
+        .select(F.explode(shingles_of(F.col("_w"), 5)).alias("gram"))
+    )
+    flags = ngram_contamination(docs, bench, k=5, threshold=0.5).select(
+        "doc_id", "contaminated"
+    )
+    return contamination_closure(flags, pairs)
+
+
+@_q(
     "agg_cube_events",
     """SELECT event_type,
               CAST(date_part('dow', ts) AS BIGINT) AS dow,

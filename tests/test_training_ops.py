@@ -1979,3 +1979,27 @@ def test_curate_license_filter(spark, cli_results):
     assert s["stages"]["after_license_filter"] == 2
     kept = spark.read.parquet(art["out"])
     assert sorted(r.doc_id for r in kept.select("doc_id").collect()) == [0, 1]
+
+
+def test_contamination_closure_propagates_across_cluster(spark):
+    """A flag on one member flags the whole component; isolated docs
+    keep their own flag only."""
+    from fcrepo3_rdf_extractor_spark.operators.graph import (
+        contamination_closure,
+    )
+
+    flags = spark.createDataFrame(
+        [(1, 1), (2, 0), (3, 0), (4, 0), (5, 0)],
+        "doc_id long, contaminated int",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "doc_a long, doc_b long"
+    )
+    got = {
+        r.doc_id: (r.contaminated, r.cluster_contaminated)
+        for r in contamination_closure(flags, pairs).collect()
+    }
+    assert got == {
+        1: (1, 1), 2: (0, 1), 3: (0, 1),  # closure of the flagged doc
+        4: (0, 0), 5: (0, 0),             # clean component stays clean
+    }
