@@ -30,39 +30,81 @@ def asof_join(
     by: list[str],
     right_values: list[str],
     suffix: str = "_asof",
+    direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
-    """Left as-of join: every left row, plus the latest (by ``on``)
-    right row at-or-before it within the ``by`` group; right value
-    columns arrive suffixed, NULL when no prior right row exists.
+    """Left as-of join: every left row, plus the nearest right row
+    within the ``by`` group; right value columns arrive suffixed, NULL
+    when no qualifying right row exists.
 
-    Ties (right.on == left.on) match, right-before-left — DuckDB/kdb
-    ``<=`` semantics. The right row's values travel as ONE struct, so
-    the match is always a single consistent right row even when some of
-    its columns are NULL (independent per-column carry-forward could
-    stitch values from different rows). Among right rows sharing
-    (by, on), the struct-greatest one wins deterministically;
-    pre-aggregate the right side if that tiebreak is not the one you
-    want.
+    ``direction``: "backward" (default) matches the latest right row
+    at-or-before the left row (DuckDB/kdb ``<=`` semantics); "forward"
+    matches the earliest right row at-or-after it (``>=``). Both are
+    the same one-shuffle union + linear carry pass — forward just runs
+    the window the other way (first over [current, following]).
+
+    ``tolerance``: maximum |left.on - right.on| for a match (pandas
+    merge_asof semantics: nearest first, then the gap test — a nearer
+    but out-of-tolerance right row does NOT fall through to an older
+    in-tolerance one). In SECONDS for timestamp columns, plain
+    difference for numerics (both compare via a double cast). Applied
+    as a codegen predicate on the carried match; no extra shuffle.
+
+    Ties (right.on == left.on) match in both directions. The right
+    row's values travel as ONE struct, so the match is always a single
+    consistent right row even when some of its columns are NULL
+    (independent per-column carry-forward could stitch values from
+    different rows). Among right rows sharing (by, on), the
+    struct-greatest wins backward and the struct-least forward,
+    deterministically; pre-aggregate the right side if that tiebreak is
+    not the one you want.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction {direction!r}")
     lcols = left.columns
     unioned = _asof_union(left, right, on, by, right_values)
 
-    # right rows sort before left rows at equal `on` so <= ties match;
-    # struct order makes same-instant right rows deterministic
-    w = (
-        Window.partitionBy(*by)
-        .orderBy(F.col(on).asc(), F.col("_src").asc(), F.col("_rv").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    if direction == "backward":
+        # right rows sort before left rows at equal `on` so <= ties
+        # match; struct order makes same-instant right rows deterministic
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col(on).asc(), F.col("_src").asc(), F.col("_rv").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        match = F.last("_rv", ignorenulls=True).over(w)
+    else:
+        # right rows sort after left rows at equal `on` so >= ties match
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col(on).asc(), F.col("_src").desc(), F.col("_rv").asc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        match = F.first("_rv", ignorenulls=True).over(w)
     carried = unioned.select(
         *lcols, "_src",
-        F.last("_rv", ignorenulls=True).over(w).alias("_rv"),
+        match.alias("_rv"),
     )
+    rv = F.col("_rv")
+    if tolerance is not None:
+        # TIMESTAMP_NTZ refuses a direct double cast under ANSI; route
+        # timestamps through TIMESTAMP first (epoch seconds, fractional
+        # micros preserved; the session pins UTC so ntz reinterpretation
+        # is identity)
+        def _num(c):
+            if isinstance(
+                left.schema[on].dataType, (T.TimestampType, T.TimestampNTZType)
+            ):
+                return c.cast("timestamp").cast("double")
+            return c.cast("double")
+
+        gap = F.abs(_num(F.col(on)) - _num(F.col("_rv")["__on"]))
+        rv = F.when(gap <= F.lit(float(tolerance)), F.col("_rv"))
     return (
         carried.filter(F.col("_src") == 1)
         .select(
             *lcols,
-            *[F.col("_rv")[c].alias(c + suffix) for c in right_values],
+            *[rv[c].alias(c + suffix) for c in right_values],
         )
     )
 
@@ -77,10 +119,17 @@ def _asof_union(
     """The tagged union both as-of variants sort: left rows carry their
     columns + a NULL right-value struct + _src=1; right rows carry only
     (by, on) + their values as ONE struct + _src=0 (a whole-struct match
-    can never stitch values from different right rows)."""
+    can never stitch values from different right rows). The struct's
+    first field is the right row's own ``on`` value (``__on``) — the
+    tolerance predicate needs the matched instant, and leading with it
+    changes no tiebreak (rows equal on (on, _src) have equal __on, so
+    comparison falls through to the value fields as before)."""
+    if "__on" in right_values:
+        raise ValueError("right_values may not contain the reserved '__on'")
     lcols = left.columns
     rv_type = T.StructType([
-        T.StructField(c, right.schema[c].dataType) for c in right_values
+        T.StructField("__on", right.schema[on].dataType),
+        *[T.StructField(c, right.schema[c].dataType) for c in right_values],
     ])
     l_tagged = left.select(
         *lcols,
@@ -98,7 +147,7 @@ def _asof_union(
             else F.lit(None).cast(left.schema[c].dataType).alias(c)
             for c in lcols
         ],
-        F.struct(*right_values).alias("_rv"),
+        F.struct(F.col(on).alias("__on"), *right_values).alias("_rv"),
         F.lit(0).alias("_src"),
     )
     return l_tagged.unionByName(r_tagged)

@@ -4013,6 +4013,55 @@ def docs_contamination_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "events_asof_forward_tolerance",
+    """WITH clicks AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'click'),
+            purch AS (SELECT user_id, ts, max(value) AS pvalue
+                      FROM events WHERE event_type = 'purchase'
+                      GROUP BY 1, 2)
+       SELECT c.event_id, c.user_id,
+              CASE WHEN epoch(p.ts) - epoch(c.ts) <= 3600
+                   THEN strftime(p.ts, '%Y-%m-%dT%H:%M:%S.%f') END
+                AS purchase_ts_asof,
+              CASE WHEN epoch(p.ts) - epoch(c.ts) <= 3600
+                   THEN round(p.pvalue, 4) END AS purchase_value_asof
+       FROM clicks c ASOF LEFT JOIN purch p
+         ON c.user_id = p.user_id AND p.ts >= c.ts""",
+)
+def events_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of with a tolerance window: each click matched to the
+    user's earliest at-or-after purchase, NULLed when it lands more
+    than an hour later (pandas merge_asof semantics: nearest first,
+    then the gap test). Same union + carry composition run the other
+    way; the oracle is DuckDB's native forward ASOF JOIN with the gap
+    CASE applied after."""
+    from .operators.relational import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pvalue"))
+        .withColumn("purchase_ts", F.col("ts"))
+    )
+    out = asof_join(
+        clicks, purch, on="ts", by=["user_id"],
+        right_values=["purchase_ts", "pvalue"],
+        direction="forward", tolerance=3600,
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.date_format(
+            "purchase_ts_asof", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+        ).alias("purchase_ts_asof"),
+        F.round("pvalue_asof", 4).alias("purchase_value_asof"),
+    )
+
+
+@_q(
     "agg_cube_events",
     """SELECT event_type,
               CAST(date_part('dow', ts) AS BIGINT) AS dow,

@@ -187,3 +187,51 @@ def test_grouped_trend_null_pairs_excluded_like_regr_slope(spark):
            for r in grouped_trend(df, "user_id", "ts", "value").collect()}
     assert isclose(got["u1"][0], 2.0) and got["u1"][1] == 3
     assert got["u2"] == (None, 2)
+
+
+def test_asof_forward_and_tolerance(spark):
+    """Forward direction matches the earliest at-or-after right row
+    (ties match); tolerance NULLs a nearest-but-too-far match instead
+    of falling back to an older one (pandas merge_asof semantics)."""
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [(1, 100, 10.0), (1, 250, 20.0), (2, 50, 30.0)],
+        "k long, t long, lv double",
+    ).select("k", F.col("t").cast("double").alias("t"), "lv")
+    right = spark.createDataFrame(
+        [(1, 100, "a"), (1, 240, "b"), (1, 400, "c"), (2, 500, "d")],
+        "k long, t long, rv string",
+    ).select("k", F.col("t").cast("double").alias("t"), "rv")
+
+    fwd = {
+        (r.k, r.t): r.rv_asof
+        for r in asof_join(
+            left, right, on="t", by=["k"], right_values=["rv"],
+            direction="forward",
+        ).collect()
+    }
+    # tie at t=100 matches; 250 -> 400 ('c'); 50 -> 500 ('d')
+    assert fwd == {(1, 100.0): "a", (1, 250.0): "c", (2, 50.0): "d"}
+
+    tol = {
+        (r.k, r.t): r.rv_asof
+        for r in asof_join(
+            left, right, on="t", by=["k"], right_values=["rv"],
+            direction="forward", tolerance=160,
+        ).collect()
+    }
+    # 250 -> 400 is 150 <= 160 (kept); 50 -> 500 is 450 (NULLed, no
+    # fallback); tie gap 0 kept
+    assert tol == {(1, 100.0): "a", (1, 250.0): "c", (2, 50.0): None}
+
+    back = {
+        (r.k, r.t): r.rv_asof
+        for r in asof_join(
+            left, right, on="t", by=["k"], right_values=["rv"],
+            tolerance=5,
+        ).collect()
+    }
+    # backward: 250's nearest prior is 240 (gap 10 > 5 -> NULL, no
+    # fallback to 100); 100 ties at gap 0
+    assert back == {(1, 100.0): "a", (1, 250.0): None, (2, 50.0): None}
