@@ -7,12 +7,16 @@ NO codec: PNG/GIF/JPEG store dimensions in their first bytes, and
 the dominant metadata case runs codec-free and Python-free. Pixel-level
 decode / feature-extraction / resize / frame-sampling run as
 Arrow-batched ``mapInPandas`` stages; the decode libraries
-(Pillow/ffmpeg/etc.) are NOT in this container, so only the PIXEL codec
+(Pillow/ffmpeg/etc.) are NOT in this container, so the COMPRESSED-codec
 step is a clearly-marked stub: ``decode_stub='fake'`` derives
 deterministic features from the bytes (so the plumbing — schema, batch
 shape, partitioning — is real and tested), and ``decode_stub='raise'``
 shows the production wiring (NotImplementedError at the codec call
-site).
+site). One pixel path IS real end-to-end: binary PPM (P6) stores raw
+RGB behind a text header, and :func:`decode_ppm` /
+:func:`extract_ppm_features` parse and reduce genuine pixels with no
+codec library — oracled via JVM-synthesized valid payloads
+(``documents_as_ppm_media``).
 
 Scale notes: binary payloads dominate row size, so the operators select
 the narrowest possible projection before the UDF and bound Arrow batch
@@ -320,6 +324,128 @@ def documents_as_image_media(docs: DataFrame) -> DataFrame:
         F.when(kind == 0, F.lit("image/png"))
         .when(kind == 1, F.lit("image/gif"))
         .otherwise(F.lit("image/jpeg")).alias("mime"),
+        payload.alias("payload"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.sha2(payload, 256).alias("payload_sha256"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Real pixel decode for a codec-free format: Netpbm P6 (binary PPM).
+# The pixel-level stub above exists because compressed codecs (JPEG/PNG
+# pixel data) need libraries this container lacks — but PPM stores raw
+# RGB bytes behind a text header, so the engine can carry one GENUINE
+# end-to-end image path: parse header, slice pixels, reduce features,
+# with the same mapInPandas plumbing production decoders plug into.
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Parse a binary PPM (P6): returns (width, height, maxval,
+    pixel_bytes). Full header grammar: '#' comments anywhere between
+    tokens, arbitrary whitespace runs, exactly ONE whitespace byte
+    between maxval and the raster. Raises ValueError on malformed
+    input (callers map that to NULL feature rows, E1-style)."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(payload) and payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos == start:
+            raise ValueError("truncated PPM header")
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    width, height, maxval = tokens
+    if maxval <= 0 or maxval > 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    n = width * height * 3
+    raster = payload[pos : pos + n]
+    if len(raster) != n:
+        raise ValueError("truncated PPM raster")
+    return width, height, maxval, raster
+
+
+_PPM_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+    ]
+)
+
+
+def extract_ppm_features(media: DataFrame) -> DataFrame:
+    """REAL image decode + feature reduction (per-channel means) for P6
+    payloads — no stub, no codec library. Non-PPM or malformed payloads
+    yield NULL feature rows (error isolation, not task failure). Same
+    scale shape as the stubbed extractor: narrow projection before the
+    Arrow-batched mapInPandas, embarrassingly parallel, no shuffle;
+    means are exact (integer sums in float64), so the DuckDB oracle can
+    restate them from the synthesis formula."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    w, h, _, raster = decode_ppm(bytes(payload))
+                except (ValueError, TypeError):
+                    rows.append((media_id, None, None, None, None, None))
+                    continue
+                px = np.frombuffer(raster, dtype=np.uint8).reshape(-1, 3)
+                m = px.mean(axis=0)
+                rows.append(
+                    (media_id, w, h,
+                     round(float(m[0]), 6), round(float(m[1]), 6),
+                     round(float(m[2]), 6))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height",
+                         "mean_r", "mean_g", "mean_b"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=_PPM_FEATURES_SCHEMA
+    )
+
+
+def documents_as_ppm_media(docs: DataFrame) -> DataFrame:
+    """Synthesize a VALID P6 image per document, entirely JVM-side:
+    dimensions and every pixel byte are pure functions of doc_id
+    (pixel i = (doc_id*7 + i*13) % 256), so the DuckDB oracle can state
+    the expected decode output from the same arithmetic without ever
+    constructing bytes — the FOXML-synthesis trick applied to images.
+    Payload built as header ++ unhex(pixel hex): binary concat of a
+    format_string header and a transform/lpad/hex pixel raster."""
+    d = F.col("doc_id")
+    w = (F.lit(4) + d % 5).cast("int")
+    h = (F.lit(3) + d % 4).cast("int")
+    header = F.encode(F.format_string("P6\n%d %d\n255\n", w, h), "UTF-8")
+    n = (w * h * F.lit(3)).cast("int")
+    pix_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n - F.lit(1)),
+            lambda i: F.lpad(F.hex((d * 7 + i * 13) % 256), 2, "0"),
+        ),
+        "",
+    )
+    payload = F.concat(header, F.unhex(pix_hex))
+    return docs.select(
+        d.alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("image/x-portable-pixmap").alias("mime"),
         payload.alias("payload"),
         F.octet_length(payload).cast("long").alias("n_bytes"),
         F.sha2(payload, 256).alias("payload_sha256"),

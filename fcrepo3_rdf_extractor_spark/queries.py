@@ -4062,6 +4062,39 @@ def events_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @_q(
+    "mm_ppm_decode",
+    """WITH dims AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+                     FROM documents),
+        px AS (SELECT doc_id, w, h, unnest(range(0, w * h * 3)) AS i
+               FROM dims)
+       SELECT doc_id AS media_id,
+              CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+              round(avg(CASE WHEN i % 3 = 0
+                             THEN (doc_id * 7 + i * 13) % 256 END), 6)
+                AS mean_r,
+              round(avg(CASE WHEN i % 3 = 1
+                             THEN (doc_id * 7 + i * 13) % 256 END), 6)
+                AS mean_g,
+              round(avg(CASE WHEN i % 3 = 2
+                             THEN (doc_id * 7 + i * 13) % 256 END), 6)
+                AS mean_b
+       FROM px GROUP BY doc_id, w, h""",
+)
+def mm_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENUINE pixel decode end-to-end, no codec library: valid P6 PPM
+    payloads synthesized JVM-side as pure functions of doc_id, parsed
+    by the real decode_ppm header/raster parser in the mapInPandas
+    stage, per-channel means reduced with numpy. The oracle restates
+    the expected decode from the synthesis arithmetic — an image
+    round-trip correctness check with no image bytes in the oracle
+    (operators/multimodal.py:decode_ppm/extract_ppm_features)."""
+    from .operators.multimodal import documents_as_ppm_media, extract_ppm_features
+
+    media = documents_as_ppm_media(_read(spark, sf_dir, "documents"))
+    return extract_ppm_features(media)
+
+
+@_q(
     "agg_cube_events",
     """SELECT event_type,
               CAST(date_part('dow', ts) AS BIGINT) AS dow,

@@ -2003,3 +2003,27 @@ def test_contamination_closure_propagates_across_cluster(spark):
         1: (1, 1), 2: (0, 1), 3: (0, 1),  # closure of the flagged doc
         4: (0, 0), 5: (0, 0),             # clean component stays clean
     }
+
+
+def test_ppm_decode_real_bytes_and_error_isolation(spark):
+    """decode_ppm parses a hand-built golden P6 (with a header comment)
+    to exact channel means; malformed and non-PPM payloads come back as
+    NULL rows, not task failures."""
+    from fcrepo3_rdf_extractor_spark.operators.multimodal import (
+        decode_ppm,
+        extract_ppm_features,
+    )
+
+    # 2x1 image: red pixel (255,0,0), mid pixel (10,20,30)
+    golden = b"P6\n# comment\n2 1\n255\n" + bytes([255, 0, 0, 10, 20, 30])
+    w, h, maxval, raster = decode_ppm(golden)
+    assert (w, h, maxval) == (2, 1, 255) and len(raster) == 6
+
+    media = spark.createDataFrame(
+        [(1, golden), (2, b"not an image"), (3, b"P6\n2 1\n255\n\x00")],
+        "media_id long, payload binary",
+    )
+    got = {r.media_id: r for r in extract_ppm_features(media).collect()}
+    assert (got[1].width, got[1].height) == (2, 1)
+    assert (got[1].mean_r, got[1].mean_g, got[1].mean_b) == (132.5, 10.0, 15.0)
+    assert got[2].width is None and got[3].width is None  # isolated, not fatal
