@@ -69,8 +69,11 @@ are rejected with --state: corpus-level text rewriting changes as the
 corpus grows, which would invalidate stored signatures.
 ``--containment-threshold`` IS wave-capable (cindex/cpairs state above;
 the flag must be set from the first wave on, so every stored wave
-carries its index). PII redaction and token counting run at export
-(same relative order as the one-shot path).
+carries its index). ``--delta-against`` is also rejected with --state:
+a CDC delta can contain CHANGED documents, which keep their original
+doc_ids and would violate the append-only id requirement. PII redaction
+and token counting run at export (same relative order as the one-shot
+path).
 
 Stage timing: each stage boundary is persisted and counted before the next
 stage builds on it, so the wall time of that persist+count action is the
@@ -228,6 +231,16 @@ def main(argv: list[str] | None = None) -> int:
                   "--state (corpus-level line dedup rewrites text as the "
                   "corpus grows, invalidating stored signatures)",
                   file=sys.stderr)
+            spark.stop()
+            return 2
+        if args.delta_against:
+            print("error: --delta-against is incompatible with --state: "
+                  "a CDC delta can contain CHANGED documents, which keep "
+                  "their original doc_ids and violate the wave contract's "
+                  "append-only id requirement (stored dedup witnesses and "
+                  "cluster minima assume ids never recur). Feed waves "
+                  "append-only input, or run one-shot with "
+                  "--delta-against.", file=sys.stderr)
             spark.stop()
             return 2
         if args.dedup_substrings_k > 0:
@@ -530,8 +543,6 @@ def _run_incremental_wave(spark, args) -> dict:
     wdir = os.path.join(args.state, f"w{wave_id:04d}")
 
     new_docs = spark.read.parquet(args.docs)
-    if args.delta_against:
-        new_docs = _delta_filter(spark, new_docs, args.delta_against)
     if args.input_partitions:
         new_docs = new_docs.repartition(args.input_partitions)
     new_docs = new_docs.persist()

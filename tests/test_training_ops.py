@@ -2027,3 +2027,21 @@ def test_ppm_decode_real_bytes_and_error_isolation(spark):
     assert (got[1].width, got[1].height) == (2, 1)
     assert (got[1].mean_r, got[1].mean_g, got[1].mean_b) == (132.5, 10.0, 15.0)
     assert got[2].width is None and got[3].width is None  # isolated, not fatal
+
+
+def test_curate_delta_against_rejected_with_state(tmp_path):
+    """--delta-against + --state is refused: changed docs keep their ids,
+    violating the wave contract's append-only requirement."""
+    import subprocess
+    import sys as _sys
+    from pathlib import Path
+
+    repo = str(Path(__file__).resolve().parents[1])
+    r = subprocess.run(
+        [_sys.executable, "jobs/curate.py", "--docs", "x", "--out", "y",
+         "--state", str(tmp_path / "st"), "--delta-against", "z",
+         "--local", "2"],
+        capture_output=True, text=True, cwd=repo, timeout=300,
+    )
+    assert r.returncode == 2
+    assert "incompatible with --state" in r.stderr
