@@ -40,6 +40,10 @@ def snapshot_diff(
     keeps the (typically dominant) unchanged rows — the default drops
     them scan-adjacent, so the output is delta-sized.
 
+    ``key`` must be unique within each snapshot (the corpus contract);
+    duplicate keys would fan out through the full-outer join and count
+    one document several times.
+
     Digest = md5(content). A digest collision would mis-classify a
     changed document as unchanged; md5's 2^-128 collision rate is the
     standard trade for never moving document bodies through the join

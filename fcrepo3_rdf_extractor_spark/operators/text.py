@@ -946,6 +946,10 @@ def badwords_filter(
     staged token array, evaluated once (CollapseProject keeps the
     staging projection because ``_w`` is non-cheap and referenced
     twice)."""
+    if not badwords:
+        raise ValueError("empty blocklist: an empty literal array has no "
+                         "element type and every document would trivially "
+                         "pass — pass the real list")
     lits = F.array(*[F.lit(w) for w in sorted(set(w.lower() for w in badwords))])
     staged = df.select(
         "doc_id", tokens_col(F.col(text_col)).alias("_w")
