@@ -1234,3 +1234,36 @@ def with_license(df: DataFrame, text_col: str = "text") -> DataFrame:
             "permissive"
         ),
     )
+
+
+def code_clone_key(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Type-2 code-clone detection key (Roy & Cordy's taxonomy: clones
+    identical up to identifier names, literal values, comments, and
+    whitespace): strip comments, abstract every identifier to ``v`` and
+    every numeric literal to ``0``, collapse whitespace, and hash the
+    result. Documents sharing a ``clone_key`` are type-2 exact clones —
+    the renamed-copy modality whole-text exact dedup misses and MinHash
+    only catches above its similarity threshold.
+
+    Normalization is deliberately lookaround-free (RE2-compatible, so
+    the DuckDB oracle replays it byte-for-byte): keywords abstract along
+    with identifiers, the standard trade for a single-regex-pass
+    normalizer; structure (operators, punctuation, nesting) is what
+    survives, which is exactly what type-2 similarity is defined over.
+
+    One codegen projection per document plus one count aggregation on
+    the key (map-side combine) joined back broadcast-free on the key
+    itself. Returns (doc_id, clone_key, clone_group_size)."""
+    t = F.col(text_col)
+    t = F.regexp_replace(t, r"(?s)/\*.*?\*/", " ")      # block comments
+    t = F.regexp_replace(t, r"(?m)(//|#)[^\n]*", " ")   # line comments
+    t = F.regexp_replace(t, r"[A-Za-z_][A-Za-z0-9_]*", "v")  # identifiers
+    t = F.regexp_replace(t, r"[0-9]+(\.[0-9]+)?", "0")  # numeric literals
+    t = F.trim(F.regexp_replace(t, r"\s+", " "))        # whitespace
+    keyed = df.select("doc_id", F.md5(t).alias("clone_key"))
+    sizes = keyed.groupBy("clone_key").agg(
+        F.count("*").cast("long").alias("clone_group_size")
+    )
+    return keyed.join(sizes, "clone_key").select(
+        "doc_id", "clone_key", "clone_group_size"
+    )

@@ -4062,6 +4062,37 @@ def events_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @_q(
+    "docs_code_clone_key",
+    r"""WITH keyed AS (
+          SELECT doc_id,
+                 md5(trim(regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(text, '(?s)/\*.*?\*/', ' ', 'g'),
+                         '(?m)(//|#)[^\n]*', ' ', 'g'),
+                       '[A-Za-z_][A-Za-z0-9_]*', 'v', 'g'),
+                     '[0-9]+(\.[0-9]+)?', '0', 'g'),
+                   '\s+', ' ', 'g'))) AS clone_key
+          FROM documents),
+        sizes AS (SELECT clone_key, CAST(count(*) AS BIGINT)
+                    AS clone_group_size
+                  FROM keyed GROUP BY 1)
+       SELECT doc_id, clone_key, clone_group_size
+       FROM keyed JOIN sizes USING (clone_key)""",
+)
+def docs_code_clone_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 code-clone keys (identical up to identifier names,
+    literals, comments, whitespace — the renamed-copy modality): one
+    lookaround-free regex normalization pass, md5 key, group sizes.
+    The oracle replays the identical RE2-compatible regex chain
+    (operators/text.py:code_clone_key)."""
+    from .operators.text import code_clone_key
+
+    return code_clone_key(_read(spark, sf_dir, "documents"))
+
+
+@_q(
     "mm_ppm_decode",
     """WITH dims AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
                      FROM documents),

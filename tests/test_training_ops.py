@@ -2045,3 +2045,20 @@ def test_curate_delta_against_rejected_with_state(tmp_path):
     )
     assert r.returncode == 2
     assert "incompatible with --state" in r.stderr
+
+
+def test_code_clone_key_type2_semantics(spark):
+    """Renamed identifiers + changed literals + different comments =
+    SAME key; changed structure (operator, call shape) = different key."""
+    from fcrepo3_rdf_extractor_spark.operators.text import code_clone_key
+
+    a = "def total(xs):\n    # sum them\n    return sum(xs) + 1\n"
+    b = "def acc(items):\n    /* other note */\n    return sum(items) + 42\n"
+    c = "def total(xs):\n    return sum(xs) * 1\n"   # * not + -> structure
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.clone_key, r.clone_group_size)
+           for r in code_clone_key(df).collect()}
+    assert got[1][0] == got[2][0] and got[1][1] == 2
+    assert got[3][0] != got[1][0] and got[3][1] == 1
