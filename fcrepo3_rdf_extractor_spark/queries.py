@@ -4093,6 +4093,41 @@ def docs_code_clone_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "tpch_q17_small_quantity_revenue",
+    """SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+       FROM lineitem l
+       JOIN part p ON p.p_partkey = l.l_partkey
+       JOIN (SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_bound
+             FROM lineitem GROUP BY l_partkey) b
+         ON b.l_partkey = l.l_partkey
+       WHERE p.p_brand = 'Brand#13' AND p.p_type = 'ECONOMY'
+         AND l.l_quantity < b.qty_bound""",
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): the correlated scalar
+    subquery (per-part 0.2*avg bound) DECORRELATED into a grouped
+    aggregate joined back on partkey — the rewrite every serious
+    optimizer performs, stated explicitly (testdata part table has
+    brand/type, not container; same plan shape). The part dimension filter is
+    tiny and broadcasts; the per-part bound table is partkey-partitioned
+    by its own groupBy, so the probe join reuses that exchange. One
+    1-row result."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#13") & (F.col("p_type") == "ECONOMY")
+    ).select("p_partkey")
+    bound = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_bound")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(bound, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_bound"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
+
+
+@_q(
     "mm_ppm_decode",
     """WITH dims AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
                      FROM documents),
