@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..operators.text import with_language, with_quality
+from ..operators.text import with_language, with_license, with_quality
 
 DOC_SCHEMA = T.StructType(
     [
@@ -68,6 +68,7 @@ def streaming_curate_front(
     quality_min: float = 0.5,
     langs: list[str] | None = None,
     dedup_state_watermark: str | None = None,
+    license_filter: bool = False,
 ) -> DataFrame:
     """Exact dedup (stateful, cross-micro-batch) + quality/language
     annotate + filter. Returns the curated stream with the batch job's
@@ -97,11 +98,17 @@ def streaming_curate_front(
     out = annotated.filter(F.col("quality") >= quality_min)
     if langs:
         out = out.filter(F.col("pred_lang").isin(list(langs)))
+    if license_filter:
+        # join-free projection, stateless -> stream-safe unchanged
+        # (the batch job's stage 4.6, shared by construction)
+        out = (with_license(out).filter(F.col("permissive") == 1)
+               .drop("license", "permissive"))
     return out
 
 
 def batch_curate_front(
-    docs: DataFrame, quality_min: float = 0.5, langs: list[str] | None = None
+    docs: DataFrame, quality_min: float = 0.5,
+    langs: list[str] | None = None, license_filter: bool = False,
 ) -> DataFrame:
     """The batch twin over a bounded DataFrame — the same expressions
     (shared with jobs/curate.py stages 1+3+4) with the batch job's
@@ -116,6 +123,9 @@ def batch_curate_front(
     out = annotated.filter(F.col("quality") >= quality_min)
     if langs:
         out = out.filter(F.col("pred_lang").isin(list(langs)))
+    if license_filter:
+        out = (with_license(out).filter(F.col("permissive") == 1)
+               .drop("license", "permissive"))
     return out
 
 

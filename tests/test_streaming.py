@@ -263,3 +263,44 @@ def test_with_quality_language_match_narrow_ops(spark):
     assert inplace == {d: (q[d], l[d]) for d in q}
     # in-place forms keep every input column
     assert set(docs.columns) <= set(with_language(with_quality(docs)).columns)
+
+
+def test_streaming_curate_front_license_gate(spark, tmp_path):
+    """The license gate is a stateless projection, so stream == batch
+    holds with it enabled: a GPL-phrased doc is dropped, SPDX-MIT and
+    Apache-phrase docs survive in both engines."""
+    from fcrepo3_rdf_extractor_spark.streaming.curate_stream import (
+        batch_curate_front,
+        read_doc_stream,
+        streaming_curate_front,
+        write_curated_stream,
+    )
+
+    pad = ("the quick brown fox jumps over the lazy dog and runs far "
+           "into the deep green forest to find some quiet rest tonight")
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    rows1 = [(0, "// SPDX-License-Identifier: MIT\n" + pad, "en", "srcA", 1)]
+    rows2 = [
+        (10, "licensed under the apache license, version 2.0\n" + pad,
+         "en", "srcA", 1),
+        (11, "gnu general public license applies\n" + pad, "en", "srcA", 1),
+    ]
+    src = str(tmp_path / "lsrc")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append").parquet(src)
+
+    curated = streaming_curate_front(
+        read_doc_stream(spark, src, max_files_per_trigger=1),
+        quality_min=0.0, license_filter=True,
+    )
+    q = write_curated_stream(curated, str(tmp_path / "lout"),
+                             str(tmp_path / "lcp"), available_now=True)
+    q.awaitTermination(120)
+    got = {r.doc_id for r in spark.read.parquet(str(tmp_path / "lout")).collect()}
+    assert got == {0, 10}
+    want = batch_curate_front(
+        spark.createDataFrame(rows1 + rows2, schema),
+        quality_min=0.0, license_filter=True,
+    )
+    assert {r.doc_id for r in want.collect()} == {0, 10}
