@@ -153,7 +153,11 @@ def bgp_query(
         if not _is_var(pat[1]) and pat[1].endswith("+"):
             from .graph import transitive_closure
 
-            edges = triples.filter(F.col("pred") == pat[1][:-1]).select(
+            # alternation inside the path: "p|q+" = one-or-more steps,
+            # each over EITHER predicate (SPARQL (p|q)+) — the edge set
+            # is the union, i.e. an isin filter on the same scan
+            preds = pat[1][:-1].split("|")
+            edges = triples.filter(F.col("pred").isin(preds)).select(
                 F.col("subj"), F.col("obj_value")
             )
             closure = transitive_closure(edges, "subj", "obj_value").drop(

@@ -375,3 +375,49 @@ def leakage_safe_split(
         slot < F.lit(rate_threshold(test_rate)), F.lit("test")
     ).otherwise(F.lit("train"))
     return clusters.select("doc_id", "cluster_id", side.alias("split"))
+
+
+def shuffle_rank(
+    df: DataFrame,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic corpus-wide training order: every row gets a dense
+    0-based ``shuffle_rank`` equal to its position when the corpus is
+    sorted by (md5(key), key) — the reproducible global shuffle a
+    pretraining loader consumes (feed documents in rank order and every
+    re-run, engine, and partitioning sees the same sequence; compose
+    with :func:`sequence_pack` ordered by this rank for shuffled
+    context-window placement). md5 order is uncorrelated with crawl
+    order, source, and length — the properties an unshuffled corpus
+    violates.
+
+    Scale shape: the naive ``row_number() OVER (ORDER BY md5)`` is ONE
+    global window partition — a single task sorts the corpus. Rank here
+    is two-level, the :func:`source_quota` discipline with a corpus-
+    wide stratum: 256 md5-prefix buckets, exclusive offsets from a
+    window over the 256-row counts table, in-bucket row_number whose
+    window partitions hold ~1/256 of the corpus each. Equality with the
+    naive global rank is pytest-enforced."""
+    from pyspark.sql import Window
+
+    slot = _hash_slot(F.col(key_col))
+    staged = df.withColumn("_slot", slot).withColumn(
+        "_b", F.substring("_slot", 1, 2)
+    )
+    counts = staged.groupBy("_b").agg(F.count("*").alias("_cnt"))
+    w_off = (
+        Window.orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "_before", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).cast("long")
+    ).select("_b", "_before")
+    w_rank = Window.partitionBy("_b").orderBy("_slot", key_col)
+    return (
+        staged.join(F.broadcast(offsets), "_b")
+        .withColumn(
+            "shuffle_rank",
+            (F.col("_before") + F.row_number().over(w_rank) - 1).cast("long"),
+        )
+        .drop("_slot", "_b", "_before")
+    )

@@ -4128,6 +4128,28 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @_q(
+    "docs_shuffle_rank",
+    """SELECT doc_id,
+              CAST(row_number() OVER (
+                ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8),
+                         doc_id) - 1 AS BIGINT) AS shuffle_rank
+       FROM documents""",
+)
+def docs_shuffle_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training order: dense rank by (md5(key),
+    key) — the reproducible corpus shuffle a pretraining loader feeds
+    from. Two-level rank (256 md5-prefix buckets + broadcast offsets),
+    so no task ever sorts the whole corpus; the oracle IS the naive
+    single-window form, proving the decomposition exact
+    (operators/sampling.py:shuffle_rank)."""
+    from .operators.sampling import shuffle_rank
+
+    return shuffle_rank(
+        _read(spark, sf_dir, "documents").select("doc_id")
+    ).select("doc_id", "shuffle_rank")
+
+
+@_q(
     "mm_ppm_decode",
     """WITH dims AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
                      FROM documents),

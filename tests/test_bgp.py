@@ -245,3 +245,26 @@ def test_filters_semantics_and_pushdown(spark, tmp_path, triples):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "StringContains(obj_value,al5)" in plan, plan
+
+
+def test_property_path_alternation(spark):
+    """(p|q)+ paths: each hop may take either predicate — a chain
+    alternating kg:p and kg:q is fully reachable, while p+ alone only
+    sees the p edges."""
+    rows = [
+        ("n:1", "kg:p", "n:2"),
+        ("n:2", "kg:q", "n:3"),
+        ("n:3", "kg:p", "n:4"),
+    ]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj_value string")
+    both = sorted(
+        (r.x, r.y) for r in bgp_query(t, [("?x", "kg:p|kg:q+", "?y")]).collect()
+    )
+    assert both == [
+        ("n:1", "n:2"), ("n:1", "n:3"), ("n:1", "n:4"),
+        ("n:2", "n:3"), ("n:2", "n:4"), ("n:3", "n:4"),
+    ]
+    only_p = sorted(
+        (r.x, r.y) for r in bgp_query(t, [("?x", "kg:p+", "?y")]).collect()
+    )
+    assert only_p == [("n:1", "n:2"), ("n:3", "n:4")]

@@ -2062,3 +2062,24 @@ def test_code_clone_key_type2_semantics(spark):
            for r in code_clone_key(df).collect()}
     assert got[1][0] == got[2][0] and got[1][1] == 2
     assert got[3][0] != got[1][0] and got[3][1] == 1
+
+
+def test_shuffle_rank_dense_and_decorrelated(spark):
+    """Ranks are a dense 0..n-1 permutation equal to the naive global
+    (md5, key) sort, and the order is not the key order (the point of
+    shuffling)."""
+    import hashlib
+
+    from fcrepo3_rdf_extractor_spark.operators.sampling import shuffle_rank
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    got = {r.doc_id: r.shuffle_rank for r in shuffle_rank(df).collect()}
+    assert sorted(got.values()) == list(range(200))
+    naive = sorted(
+        range(200),
+        key=lambda k: (hashlib.md5(str(k).encode()).hexdigest()[:8], k),
+    )
+    assert got == {k: i for i, k in enumerate(naive)}
+    assert [k for k, _ in sorted(got.items(), key=lambda kv: kv[1])] != list(
+        range(200)
+    )
