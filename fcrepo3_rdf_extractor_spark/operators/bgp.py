@@ -143,6 +143,10 @@ def bgp_query(
 
     def scan(pat: tuple[str, str, str]) -> DataFrame:
         """One pattern -> filtered, variable-named projection. A
+        constant predicate starting with ``^`` is SPARQL's inverse
+        path: the pattern matches with subject and object swapped
+        (``?coll ^member ?doc`` ≡ ``?doc member ?coll``) — compiled by
+        swapping the pattern's terms, zero plan cost. A
         constant predicate ending in ``+`` is SPARQL's one-or-more
         property path: the pattern's bindings are the transitive
         closure of that predicate's edge set (shortest-hop closure via
@@ -150,6 +154,8 @@ def bgp_query(
         iteration, the one recursive construct a fixed join chain can't
         express). Subject/object constants on a path pattern filter the
         closure exactly like an ordinary scan."""
+        if not _is_var(pat[1]) and pat[1].startswith("^"):
+            pat = (pat[2], pat[1][1:], pat[0])
         if not _is_var(pat[1]) and pat[1].endswith("+"):
             from .graph import transitive_closure
 

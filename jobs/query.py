@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""BGP query runner — the engine's query surface as a CLI.
+
+    python jobs/query.py --triples /data/triples_parquet \
+        --pattern '?obj rel:isMemberOfCollection ?coll' \
+        --pattern '?obj model:state model:Active' \
+        --optional '?obj model:ownerId ?owner' \
+        --filter '?coll contains collection:1' \
+        --select obj,coll,owner --limit 20
+
+Runs a SPARQL-style basic graph pattern (operators/bgp.py: conjunctive
+patterns, OPTIONAL groups, FILTER constraints, `pred+` / `^pred` /
+`(p|q)+` property paths) against a triples table (parquet columns subj,
+pred, obj_value — the `materialize_graph` output). Results stream to
+stdout as JSON lines (bounded by --limit) or to parquet via --out; the
+LAST stdout line is always one JSON summary (n_rows, elapsed seconds,
+plan echo) — the same exit contract as jobs/curate.py.
+
+Term syntax (whitespace-tokenized, three terms per pattern — the
+engine's vocabulary has no spaces inside URIs): `?name` is a variable,
+anything else a constant. Each --optional flag is ONE group of
+'.'-separated patterns; each --filter is '?var op value' with op in
+{=, !=, <, <=, >, >=, contains, regex} (value may contain spaces).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def _parse_pattern(text: str) -> tuple[str, str, str]:
+    parts = text.split()
+    if len(parts) != 3:
+        raise SystemExit(
+            f"error: pattern must be exactly three whitespace-separated "
+            f"terms, got {text!r}"
+        )
+    return (parts[0], parts[1], parts[2])
+
+
+def _parse_filter(text: str) -> tuple[str, str, str]:
+    parts = text.split(None, 2)
+    if len(parts) != 3:
+        raise SystemExit(
+            f"error: filter must be '?var op value', got {text!r}"
+        )
+    return (parts[0], parts[1], parts[2])
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--triples", required=True,
+                    help="triples parquet path (subj, pred, obj_value)")
+    ap.add_argument("--pattern", action="append", required=True,
+                    help="one triple pattern '?s pred ?o' (repeatable)")
+    ap.add_argument("--optional", action="append", default=[],
+                    help="one OPTIONAL group: patterns joined by ' . ' "
+                         "(repeatable)")
+    ap.add_argument("--filter", action="append", default=[],
+                    help="'?var op value' constraint (repeatable)")
+    ap.add_argument("--select", default=None,
+                    help="comma-separated variables to project")
+    ap.add_argument("--distinct", action="store_true")
+    ap.add_argument("--limit", type=int, default=20,
+                    help="max rows printed to stdout (ignored with --out)")
+    ap.add_argument("--out", default=None,
+                    help="write full results as parquet instead of printing")
+    ap.add_argument("--local", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    if args.local:
+        from fcrepo3_rdf_extractor_spark.session import build_session
+
+        spark = build_session("query", cores=args.local)
+    else:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("query")
+            .config("spark.sql.adaptive.enabled", "true")
+            .getOrCreate()
+        )
+
+    from fcrepo3_rdf_extractor_spark.operators.bgp import bgp_query
+
+    t0 = time.perf_counter()
+    try:
+        triples = spark.read.parquet(args.triples)
+        result = bgp_query(
+            triples,
+            [_parse_pattern(p) for p in args.pattern],
+            select=args.select.split(",") if args.select else None,
+            distinct=args.distinct,
+            optional_patterns=[
+                [_parse_pattern(p) for p in group.split(" . ")]
+                for group in args.optional
+            ],
+            filters=[_parse_filter(f) for f in args.filter],
+        )
+        if args.out:
+            result.write.mode("overwrite").parquet(args.out)
+            n = spark.read.parquet(args.out).count()
+        else:
+            rows = result.limit(args.limit).collect()
+            for r in rows:
+                print(json.dumps(r.asDict(), default=str))
+            n = len(rows)
+        print(json.dumps({
+            "n_rows": n,
+            "elapsed_sec": round(time.perf_counter() - t0, 3),
+            "columns": result.columns,
+            "out": args.out,
+        }))
+        return 0
+    except ValueError as e:
+        # compile-time BGP rejections (disconnected, unbound filter, ...)
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -400,3 +400,32 @@ def curate_license_filter(spark, base: Path) -> dict:
                       "--neardup-threshold", "0", "--license-filter",
                       "--local", "2"])
     return {"run": res, "out": out}
+
+
+@scenario
+def query_cli(spark, base: Path) -> dict:
+    """BGP query runner: star + filter + optional over a small triples
+    parquet, stdout rows + summary contract, compile-error exit code."""
+    rows = [
+        ("p:1", "rel:member", "c:a"), ("p:2", "rel:member", "c:a"),
+        ("p:3", "rel:member", "c:b"),
+        ("p:1", "m:owner", "alice"), ("p:2", "m:owner", "bob"),
+    ]
+    tdir = str(base / "triples")
+    spark.createDataFrame(
+        rows, "subj string, pred string, obj_value string"
+    ).write.parquet(tdir)
+    ok = _run_job("query.py", [
+        "--triples", tdir,
+        "--pattern", "?x rel:member ?c",
+        "--optional", "?x m:owner ?o",
+        "--filter", "?c contains :a",
+        "--select", "x,c,o", "--local", "2",
+    ])
+    bad = _run_job("query.py", [
+        "--triples", tdir,
+        "--pattern", "?x rel:member ?c",
+        "--pattern", "?y m:owner ?o",
+        "--local", "2",
+    ])
+    return {"ok": ok, "bad": bad}

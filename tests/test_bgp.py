@@ -3,6 +3,8 @@ selectivity ordering's plan shape, and the compile-time rejections."""
 
 from __future__ import annotations
 
+import json
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -268,3 +270,43 @@ def test_property_path_alternation(spark):
         (r.x, r.y) for r in bgp_query(t, [("?x", "kg:p+", "?y")]).collect()
     )
     assert only_p == [("n:1", "n:2"), ("n:3", "n:4")]
+
+
+def test_inverse_path(triples):
+    """^pred swaps subject/object: ?c ^rel:member ?x binds collections
+    to their members; composes with + for inverse closures."""
+    got = sorted(
+        (r.c, r.x)
+        for r in bgp_query(
+            triples, [("?c", "^rel:member", "?x")], select=["c", "x"]
+        ).collect()
+    )
+    assert got == [("c:a", "p:1"), ("c:a", "p:2"), ("c:b", "p:3")]
+
+
+def test_inverse_closure(spark):
+    rows = [("n:1", "kg:p", "n:2"), ("n:2", "kg:p", "n:3")]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj_value string")
+    got = sorted(
+        (r.y, r.x)
+        for r in bgp_query(t, [("?y", "^kg:p+", "?x")]).collect()
+    )
+    # inverse closure: descendants seen from above, reversed
+    assert got == [("n:2", "n:1"), ("n:3", "n:1"), ("n:3", "n:2")]
+
+
+def test_query_cli(spark, cli_results):
+    """jobs/query.py: JSON-lines rows + one summary line; a
+    disconnected BGP exits 2 with the compiler's message."""
+    from conftest import cli_art
+
+    art = cli_art(cli_results, "query_cli")
+    ok = art["ok"]
+    assert ok["rc"] == 0, ok["stderr"][-2000:]
+    lines = [json.loads(x) for x in ok["stdout"].strip().splitlines()]
+    summary = lines[-1]
+    assert summary["n_rows"] == 2 and summary["columns"] == ["x", "c", "o"]
+    got = {(r["x"], r["c"], r["o"]) for r in lines[:-1]}
+    assert got == {("p:1", "c:a", "alice"), ("p:2", "c:a", "bob")}
+    bad = art["bad"]
+    assert bad["rc"] == 2 and "disconnected" in bad["stderr"]
