@@ -1139,6 +1139,7 @@ def bpe_token_count(
     df: DataFrame,
     merges: list[tuple[str, str]],
     text_col: str = "text",
+    max_jvm_merges: int = 64,
 ) -> DataFrame:
     """Count TRUE BPE tokens per document under a trained merge list
     (rank order — e.g. ``bpe_train(...).collect()``): every word is
@@ -1148,16 +1149,33 @@ def bpe_token_count(
     bounds and :func:`vocab_token_count` approximates (greedy longest-
     match ignores merge ORDER; canonical BPE does not).
 
-    Scale shape: the merge list is driver-held metadata that constant-
-    folds into ONE codegen projection — a chain of k literal replaces
-    over the per-document encoded string, then two length() calls. No
-    join, no shuffle, no Python. Words are joined with a space the
-    merges can never cross (pairs are counted within words at training
-    time, so no merge contains a space). Production vocabularies
-    (k ~ 32000) exceed what an expression chain should hold — there the
-    same per-word merge loop moves into a batch UDF with the merge list
-    in the closure (the ``vocab_token_count`` discipline); at the
-    demo/oracle scale the pure-JVM chain is the point."""
+    Scale shape — two implementations behind one semantic, dispatched
+    on merge-list size (``max_jvm_merges``, default 64):
+
+    - small lists constant-fold into ONE codegen projection — a chain
+      of k literal replaces over the per-document encoded string, then
+      two length() calls. No join, no shuffle, no Python. Words are
+      joined with a space the merges can never cross (pairs are counted
+      within words at training time, so no merge contains a space).
+    - production vocabularies (k ~ 32000) exceed what an expression
+      chain should hold (analyzer cost grows with k and codegen methods
+      hit JVM limits) — there the same canonical per-word merge loop
+      runs in an Arrow-batched pandas UDF with the merge list held once
+      in the closure as a rank dict, applying the classic
+      lowest-rank-pair-first algorithm per word with per-batch word
+      memoization (corpora repeat words; each distinct word is merged
+      once per batch). Equality of the two paths is pytest-enforced.
+
+    Precondition (holds for any list ``bpe_train`` produces): each
+    merge's components must be buildable only from EARLIER merges —
+    true of trained lists by construction, since a pair can only be
+    counted after its parts exist. Under it, sequential-per-merge
+    application (the JVM chain) and lowest-rank-first iteration (the
+    UDF, the Sennrich/HF algorithm) provably coincide; a hand-written
+    list violating it (e.g. rank-0 ('ab','c') before rank-1 ('a','b'))
+    can diverge between the arms."""
+    if len(merges) > max_jvm_merges:
+        return _bpe_token_count_udf(df, merges, text_col)
     toks = tokens_col(F.col(text_col))
     clean = F.filter(
         toks,
@@ -1173,6 +1191,74 @@ def bpe_token_count(
         enc = F.replace(enc, F.lit(f"({lhs})({rhs})"), F.lit(f"({lhs}{rhs})"))
     n = F.length(enc) - F.length(F.replace(enc, F.lit("("), F.lit("")))
     return df.select("doc_id", n.cast("long").alias("n_tokens"))
+
+
+def _bpe_token_count_udf(
+    df: DataFrame, merges: list[tuple[str, str]], text_col: str
+) -> DataFrame:
+    """The large-vocabulary arm of :func:`bpe_token_count`: canonical
+    per-word BPE with the merge-rank dict in the closure. Lowest-rank
+    pair merged first (the tokenizer-standard priority application —
+    equivalent to applying merges in rank order sequentially), words
+    memoized per batch. Arrow-batched mapInPandas; one Python stage, no
+    shuffle."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    def count_word(word: str, cache: dict) -> int:
+        hit = cache.get(word)
+        if hit is not None:
+            return hit
+        sym = list(word)
+        while len(sym) > 1:
+            best, best_rank = None, None
+            for j in range(len(sym) - 1):
+                r = ranks.get((sym[j], sym[j + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best, best_rank = j, r
+            if best is None:
+                break
+            l, r_ = merges[best_rank]
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == l and sym[i + 1] == r_:
+                    out.append(l + r_)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = out
+        cache[word] = len(sym)
+        return len(sym)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cache: dict = {}
+            counts = []
+            for text in pdf[text_col]:
+                n = 0
+                for w in (text or "").strip().lower().split():
+                    if w and "(" not in w and ")" not in w:
+                        n += count_word(w, cache)
+                counts.append(n)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "n_tokens": counts}
+            )
+
+    import pyspark.sql.types as T
+
+    return df.select("doc_id", text_col).mapInPandas(
+        run,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("n_tokens", T.LongType()),
+            ]
+        ),
+    )
 
 
 #: Detection order matters: an explicit SPDX tag always wins; phrase

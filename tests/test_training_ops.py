@@ -2083,3 +2083,34 @@ def test_shuffle_rank_dense_and_decorrelated(spark):
     assert [k for k, _ in sorted(got.items(), key=lambda kv: kv[1])] != list(
         range(200)
     )
+
+
+def test_bpe_token_count_udf_arm_matches_jvm_chain(spark):
+    """The large-vocabulary pandas-UDF arm must count exactly what the
+    constant-folded JVM replace chain counts for trained merges (the
+    documented precondition), across repeats, singletons, and the
+    run-of-'a's case."""
+    from fcrepo3_rdf_extractor_spark.operators.text import (
+        bpe_token_count,
+        bpe_train,
+    )
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "aaaaaa aaaa aa",
+        "solo",
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = [
+        (r.lhs, r.rhs)
+        for r in bpe_train(df, n_merges=6).orderBy("rank").collect()
+    ]
+    jvm = {r.doc_id: r.n_tokens
+           for r in bpe_token_count(df, merges).collect()}
+    udf = {r.doc_id: r.n_tokens
+           for r in bpe_token_count(df, merges, max_jvm_merges=0).collect()}
+    assert jvm == udf and udf[4] == 0
