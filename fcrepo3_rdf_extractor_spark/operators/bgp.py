@@ -269,3 +269,42 @@ def bgp_query(
 
     out = joined.select(*sel)
     return out.distinct() if distinct else out
+
+
+def bgp_union(
+    triples: DataFrame,
+    branches: Sequence[Sequence[tuple[str, str, str]]],
+    select: Sequence[str],
+    distinct: bool = False,
+    allow_cartesian: bool = False,
+) -> DataFrame:
+    """SPARQL UNION: evaluate each branch as its own BGP and concatenate
+    the binding sets. ``select`` is required (it defines the shared
+    output shape); a branch that does not bind one of the selected
+    variables contributes NULL there — SPARQL's unbound semantics.
+    Bag semantics by default (UNION ALL); ``distinct=True`` dedups.
+
+    Plan shape: a plain Union of the branch plans — each branch keeps
+    its own pushed-down scans and join ordering, and Spark unions
+    partitions without a shuffle (the filter+union double-evaluation
+    gotcha does not apply when the triples input is a table scan; for a
+    UDF-backed plan, persist it first, same as bgp_query)."""
+    if not branches:
+        raise ValueError("empty UNION")
+    sel = [s.lstrip("?") for s in select]
+    outs = []
+    for patterns in branches:
+        sub = bgp_query(
+            triples, patterns, allow_cartesian=allow_cartesian
+        )
+        cols = [
+            F.col(v).cast("string").alias(v)
+            if v in sub.columns
+            else F.lit(None).cast("string").alias(v)
+            for v in sel
+        ]
+        outs.append(sub.select(*cols))
+    out = outs[0]
+    for nxt in outs[1:]:
+        out = out.unionByName(nxt)
+    return out.distinct() if distinct else out

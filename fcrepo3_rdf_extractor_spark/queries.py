@@ -4150,6 +4150,40 @@ def docs_shuffle_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "kg_bgp_union_query",
+    """SELECT 'info:fedora/order:' || o_orderkey AS obj,
+              CAST(NULL AS VARCHAR) AS owner
+       FROM orders WHERE o_orderstatus = 'O'
+       UNION ALL
+       SELECT 'info:fedora/order:' || o_orderkey, 'cust:' || o_custkey
+       FROM orders""",
+)
+def kg_bgp_union_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL UNION: two BGP branches concatenated, with variables a
+    branch does not bind coming back NULL (SPARQL unbound semantics).
+    Branch 1 is itself a two-pattern join (Active AND hasModel — state
+    alone also matches datastream nodes); each branch keeps its own
+    pushed scans and the Union is shuffle-free
+    (operators/bgp.py:bgp_union)."""
+    from .operators.bgp import bgp_union
+
+    source = synthesize_foxml_from_orders(spark, sf_dir)
+    triples = (
+        triples_only(extract_triples(source))
+        .select("subj", "pred", "obj_value")
+        .persist()
+    )
+    return bgp_union(
+        triples,
+        [
+            [("?obj", STATE, ACTIVE), ("?obj", HAS_MODEL, FEDORA_OBJECT)],
+            [("?obj", OWNER, "?owner")],
+        ],
+        select=["obj", "owner"],
+    )
+
+
+@_q(
     "mm_ppm_decode",
     """WITH dims AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
                      FROM documents),

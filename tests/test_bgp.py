@@ -310,3 +310,31 @@ def test_query_cli(spark, cli_results):
     assert got == {("p:1", "c:a", "alice"), ("p:2", "c:a", "bob")}
     bad = art["bad"]
     assert bad["rc"] == 2 and "disconnected" in bad["stderr"]
+
+
+def test_bgp_union_branches(triples):
+    """UNION concatenates branch bindings; a variable unbound in one
+    branch comes back NULL there; distinct dedups across branches."""
+    from fcrepo3_rdf_extractor_spark.operators.bgp import bgp_union
+
+    got = bgp_union(
+        triples,
+        [
+            [("?x", "m:state", "Active")],
+            [("?x", "m:owner", "?o")],
+        ],
+        select=["x", "o"],
+    ).collect()
+    rows = sorted(((r.x, r.o) for r in got), key=lambda t: (t[0], t[1] or ""))
+    assert rows == [
+        ("p:1", None), ("p:1", "alice"),
+        ("p:2", "bob"),
+        ("p:3", None), ("p:3", "alice"),
+    ]
+    dis = bgp_union(
+        triples,
+        [[("?x", "m:state", "Active")], [("?x", "m:owner", "alice")]],
+        select=["x"],
+        distinct=True,
+    ).collect()
+    assert sorted(r.x for r in dis) == ["p:1", "p:3"]
