@@ -429,3 +429,29 @@ def query_cli(spark, base: Path) -> dict:
         "--local", "2",
     ])
     return {"ok": ok, "bad": bad}
+
+
+@scenario
+def extract_then_query(spark, base: Path) -> dict:
+    """The full product journey: bulk-extract the reference's 7 fixture
+    objects with jobs/extract.py, then BGP-query the materialized
+    triples table with jobs/query.py."""
+    from fcrepo3_rdf_extractor_spark.sources.source_table import (
+        fixture_source,
+    )
+
+    src = str(base / "src")
+    fixture_source(spark).write.parquet(src)
+    out = str(base / "triples")
+    ext = _run_job("extract.py", [
+        "--source", src, "--out", out,
+        "--skip-empty-literals", "--buckets", "8", "--local", "2",
+    ])
+    qry = _run_job("query.py", [
+        "--triples", out,
+        "--pattern",
+        "?obj info:fedora/fedora-system:def/model#hasModel "
+        "info:fedora/fedora-system:FedoraObject-3.0",
+        "--select", "obj", "--limit", "50", "--local", "2",
+    ])
+    return {"extract": ext, "query": qry, "out": out}

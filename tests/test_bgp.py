@@ -338,3 +338,18 @@ def test_bgp_union_branches(triples):
         distinct=True,
     ).collect()
     assert sorted(r.x for r in dis) == ["p:1", "p:3"]
+
+
+def test_extract_then_query_journey(spark, cli_results):
+    """extract CLI -> query CLI over its output: the 7 fixture objects
+    all answer the hasModel BGP."""
+    from conftest import cli_art
+
+    art = cli_art(cli_results, "extract_then_query")
+    assert art["extract"]["rc"] == 0, art["extract"]["stderr"][-2000:]
+    q = art["query"]
+    assert q["rc"] == 0, q["stderr"][-2000:]
+    lines = [json.loads(x) for x in q["stdout"].strip().splitlines()]
+    assert lines[-1]["n_rows"] == 7
+    objs = {r["obj"] for r in lines[:-1]}
+    assert all(o.startswith("info:fedora/") for o in objs) and len(objs) == 7
