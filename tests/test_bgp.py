@@ -353,3 +353,73 @@ def test_extract_then_query_journey(spark, cli_results):
     assert lines[-1]["n_rows"] == 7
     objs = {r["obj"] for r in lines[:-1]}
     assert all(o.startswith("info:fedora/") for o in objs) and len(objs) == 7
+
+
+def test_bgp_differential_random(spark):
+    """Differential fuzz: 25 seeded-random (triples, patterns) cases,
+    bgp_query vs a naive nested-loop BGP evaluator, compared as BAGS
+    over all variables (join order must not matter). Disconnected and
+    constant-only pattern sets are skipped the same way the compiler
+    rejects them."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(4242)
+    subs = [f"s{i}" for i in range(4)]
+    preds = [f"p{i}" for i in range(3)]
+    objs = [f"o{i}" for i in range(3)] + subs
+    vars_pool = ["?a", "?b", "?c"]
+
+    def naive(triples, patterns):
+        sols = [dict()]
+        for pat in patterns:
+            nxt = []
+            for s in sols:
+                for t in triples:
+                    b = dict(s)
+                    ok = True
+                    for term, val in zip(pat, t):
+                        if term.startswith("?"):
+                            if b.get(term, val) != val:
+                                ok = False
+                                break
+                            b[term] = val
+                        elif term != val:
+                            ok = False
+                            break
+                    if ok:
+                        nxt.append(b)
+            sols = nxt
+        return sols
+
+    checked = 0
+    for case in range(60):
+        triples = list({
+            (rng.choice(subs), rng.choice(preds), rng.choice(objs))
+            for _ in range(rng.randint(3, 10))
+        })
+        n_pat = rng.randint(1, 3)
+        patterns = []
+        for _ in range(n_pat):
+            mk = lambda pool: (
+                rng.choice(vars_pool) if rng.random() < 0.5 else rng.choice(pool)
+            )
+            patterns.append((mk(subs), mk(preds), mk(objs)))
+        # the compiler rejects what the naive evaluator can't mirror
+        all_vars = [v for p in patterns for v in p if v.startswith("?")]
+        if not all(any(t.startswith("?") for t in p) for p in patterns):
+            continue
+        df = spark.createDataFrame(
+            triples, "subj string, pred string, obj_value string"
+        )
+        sel = sorted(set(all_vars))
+        try:
+            got = bgp_query(df, patterns, select=sel).collect()
+        except ValueError:
+            continue  # disconnected — naive would cross-join instead
+        want = naive(triples, patterns)
+        got_bag = Counter(tuple(r[v.lstrip("?")] for v in sel) for r in got)
+        want_bag = Counter(tuple(b[v] for v in sel) for b in want)
+        assert got_bag == want_bag, (triples, patterns)
+        checked += 1
+    assert checked >= 25  # enough accepted cases to mean something
