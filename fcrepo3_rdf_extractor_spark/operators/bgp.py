@@ -83,7 +83,12 @@ def bgp_query(
     the joins — Catalyst then pushes each predicate down through the
     join tree into the single pattern scan that binds the variable
     (pinned in tests), so declaring late costs nothing and keeps the
-    surface declarative. Filters on required-pattern variables only
+    surface declarative. Ordering ops with a NUMERIC ``value`` compare
+    on ``try_cast('double')`` of the binding (SPARQL numeric-FILTER
+    semantics: non-numeric bindings drop as type errors, never an ANSI
+    cast abort); with a string value they compare lexicographically —
+    pass an int/float when you mean numbers. Filters on
+    required-pattern variables only
     (filtering an OPTIONAL binding would silently change its left-join
     semantics — SPARQL evaluates those filters inside the group).
 
@@ -242,6 +247,7 @@ def bgp_query(
         "contains": lambda c, v: c.contains(v),
         "regex": lambda c, v: c.rlike(v),
     }
+    _ORDERING = {"<", "<=", ">", ">="}
     for var, op, value in filters or []:
         name = var.lstrip("?")
         if name not in joined_vars:
@@ -250,7 +256,19 @@ def bgp_query(
             )
         if op not in _OPS:
             raise ValueError(f"unknown FILTER op {op!r}")
-        joined = joined.filter(_OPS[op](F.col(name), value))
+        col = F.col(name)
+        if op in _ORDERING and isinstance(value, (int, float)) and not isinstance(
+            value, bool
+        ):
+            # SPARQL numeric FILTER: bindings are string lexical forms,
+            # so compare on try_cast(double) — a non-numeric binding
+            # becomes NULL and is filtered out (SPARQL type-error
+            # semantics), instead of an ANSI CAST abort (a plain cast
+            # would kill the job on the first non-numeric row) or a
+            # silently-lexicographic string compare ('10' < '5').
+            col = col.try_cast("double")
+            value = float(value)
+        joined = joined.filter(_OPS[op](col, value))
 
     for group in opt_groups:
         sub = bgp_query(

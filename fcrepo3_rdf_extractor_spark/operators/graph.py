@@ -556,11 +556,7 @@ def kcore(
             .localCheckpoint()
         )
         n = survivors.count()
-        if n == prev_n:
-            return survivors.select(
-                F.col("u").alias("id"), F.col("deg").cast("long").alias("core_degree")
-            )
-        if n == 0:
+        if n == prev_n or n == 0:
             return survivors.select(
                 F.col("u").alias("id"), F.col("deg").cast("long").alias("core_degree")
             )

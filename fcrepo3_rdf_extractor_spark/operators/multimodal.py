@@ -365,6 +365,10 @@ def decode_ppm(payload: bytes) -> tuple[int, int, int, bytes]:
     width, height, maxval = tokens
     if maxval <= 0 or maxval > 255:
         raise ValueError(f"unsupported maxval {maxval}")
+    if width <= 0 or height <= 0:
+        # a zero-pixel "image" would mean a NaN channel mean downstream;
+        # reject it so callers take the NULL-feature-row path instead
+        raise ValueError(f"degenerate dimensions {width}x{height}")
     n = width * height * 3
     raster = payload[pos : pos + n]
     if len(raster) != n:

@@ -49,16 +49,26 @@ def snapshot_diff(
     standard trade for never moving document bodies through the join
     (the same digest-for-identity discipline as ``dedup_exact``).
     """
+    # presence is decided by explicit per-side markers, NEVER by digest
+    # nullness: md5(NULL content) is NULL, so a digest-based presence
+    # test would classify a present-but-NULL-text document as 'added'
+    # on every diff. NULL content itself digests to the sentinel 'null'
+    # (both-NULL = unchanged; real -> NULL = changed).
+    digest = F.coalesce(F.md5(F.col(content_col)), F.lit("null"))
     o = old.select(
-        F.col(key).alias("k"), F.md5(F.col(content_col)).alias("old_digest")
+        F.col(key).alias("k"),
+        digest.alias("old_digest"),
+        F.lit(1).alias("_in_old"),
     )
     n = new.select(
-        F.col(key).alias("k"), F.md5(F.col(content_col)).alias("new_digest")
+        F.col(key).alias("k"),
+        digest.alias("new_digest"),
+        F.lit(1).alias("_in_new"),
     )
     joined = o.join(n, "k", "full_outer")
     status = (
-        F.when(F.col("old_digest").isNull(), "added")
-        .when(F.col("new_digest").isNull(), "removed")
+        F.when(F.col("_in_old").isNull(), "added")
+        .when(F.col("_in_new").isNull(), "removed")
         .when(F.col("old_digest") == F.col("new_digest"), "unchanged")
         .otherwise("changed")
     )

@@ -892,9 +892,12 @@ def perplexity_buckets(df: DataFrame, text_col: str = "text") -> DataFrame:
     scale exactness is the point.
 
     Buckets: score <= t1 -> 'tail', <= t2 -> 'middle', else 'head'."""
+    # four actions read this plan (count, two kth collects, the
+    # returned frame) — materialize once or the explode+join scoring
+    # re-runs per action
     lp = unigram_logprob(df, text_col).select(
         "doc_id", "per_token_logprob"
-    )
+    ).localCheckpoint()
     n = lp.count()
     k1, k2 = -(-n // 3), -(-2 * n // 3)  # ceil
     ordered = lp.orderBy("per_token_logprob", "doc_id")

@@ -4456,13 +4456,17 @@ def docs_badwords_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
        SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
               CASE WHEN o.doc_id IS NULL THEN 'added'
                    WHEN n.doc_id IS NULL THEN 'removed'
-                   WHEN md5(o.text) = md5(n.text) THEN 'unchanged'
+                   WHEN coalesce(md5(o.text), 'null')
+                        = coalesce(md5(n.text), 'null') THEN 'unchanged'
                    ELSE 'changed' END AS status,
-              md5(o.text) AS old_digest,
-              md5(n.text) AS new_digest
+              CASE WHEN o.doc_id IS NOT NULL
+                   THEN coalesce(md5(o.text), 'null') END AS old_digest,
+              CASE WHEN n.doc_id IS NOT NULL
+                   THEN coalesce(md5(n.text), 'null') END AS new_digest
        FROM documents o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id
        WHERE NOT (o.doc_id IS NOT NULL AND n.doc_id IS NOT NULL
-                  AND md5(o.text) = md5(n.text))""",
+                  AND coalesce(md5(o.text), 'null')
+                      = coalesce(md5(n.text), 'null'))""",
 )
 def docs_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC over two corpus snapshots: added/removed/changed rows from a

@@ -44,13 +44,22 @@ def _parse_pattern(text: str) -> tuple[str, str, str]:
     return (parts[0], parts[1], parts[2])
 
 
-def _parse_filter(text: str) -> tuple[str, str, str]:
+def _parse_filter(text: str):
     parts = text.split(None, 2)
     if len(parts) != 3:
         raise SystemExit(
             f"error: filter must be '?var op value', got {text!r}"
         )
-    return (parts[0], parts[1], parts[2])
+    var, op, value = parts
+    # ordering ops with a numeric-looking value get SPARQL numeric
+    # semantics (bgp_query compares on try_cast(double)); everything
+    # else stays a string comparison
+    if op in ("<", "<=", ">", ">="):
+        try:
+            return (var, op, float(value))
+        except ValueError:
+            pass
+    return (var, op, value)
 
 
 def main(argv: list[str] | None = None) -> int:

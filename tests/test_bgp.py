@@ -423,3 +423,25 @@ def test_bgp_differential_random(spark):
         assert got_bag == want_bag, (triples, patterns)
         checked += 1
     assert checked >= 25  # enough accepted cases to mean something
+
+
+def test_filter_numeric_semantics(spark):
+    """Ordering FILTERs with a numeric value compare numerically via
+    try_cast (non-numeric bindings drop, no ANSI abort); with a string
+    value they stay lexicographic."""
+    t = spark.createDataFrame(
+        [("a", "m:n", "10"), ("b", "m:n", "5"), ("c", "m:n", "oops")],
+        "subj string, pred string, obj_value string",
+    )
+    num = sorted(
+        r.x for r in bgp_query(
+            t, [("?x", "m:n", "?q")], select=["x"], filters=[("?q", ">", 5)]
+        ).collect()
+    )
+    assert num == ["a"]  # 10 > 5 numerically; 'oops' dropped, no abort
+    lex = sorted(
+        r.x for r in bgp_query(
+            t, [("?x", "m:n", "?q")], select=["x"], filters=[("?q", ">", "5")]
+        ).collect()
+    )
+    assert lex == ["c"]  # lexicographic: 'oops' > '5', '10' < '5'

@@ -2114,3 +2114,32 @@ def test_bpe_token_count_udf_arm_matches_jvm_chain(spark):
     udf = {r.doc_id: r.n_tokens
            for r in bpe_token_count(df, merges, max_jvm_merges=0).collect()}
     assert jvm == udf and udf[4] == 0
+
+
+def test_ppm_zero_pixel_and_snapshot_null_text(spark):
+    """A valid-header zero-pixel P6 yields a NULL feature row (never
+    NaN means); snapshot_diff classifies a present-but-NULL-text doc by
+    row presence, not digest nullness (NULL->NULL = unchanged,
+    real->NULL = changed)."""
+    from fcrepo3_rdf_extractor_spark.operators.multimodal import (
+        extract_ppm_features,
+    )
+    from fcrepo3_rdf_extractor_spark.operators.snapshot import snapshot_diff
+
+    media = spark.createDataFrame(
+        [(1, b"P6\n0 0\n255\n")], "media_id long, payload binary"
+    )
+    row = extract_ppm_features(media).collect()[0]
+    assert row.width is None and row.mean_r is None
+
+    old = spark.createDataFrame(
+        [(1, None), (2, "hello"), (3, "x")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.status
+        for r in snapshot_diff(old, new, include_unchanged=True).collect()
+    }
+    assert got == {1: "unchanged", 2: "changed", 3: "unchanged"}
