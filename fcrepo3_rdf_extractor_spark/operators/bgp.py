@@ -50,6 +50,20 @@ from pyspark.sql import functions as F
 
 _POS_COLS = ("subj", "pred", "obj_value")
 
+# FILTER / HAVING comparison operators, shared by bgp_query's FILTER
+# constraints and bgp_aggregate's HAVING constraints.
+_OPS = {
+    "=": lambda c, v: c == v,
+    "!=": lambda c, v: c != v,
+    "<": lambda c, v: c < v,
+    "<=": lambda c, v: c <= v,
+    ">": lambda c, v: c > v,
+    ">=": lambda c, v: c >= v,
+    "contains": lambda c, v: c.contains(v),
+    "regex": lambda c, v: c.rlike(v),
+}
+_ORDERING = {"<", "<=", ">", ">="}
+
 
 def _is_var(term: str) -> bool:
     return term.startswith("?")
@@ -237,17 +251,6 @@ def bgp_query(
         joined = joined.join(nxt, on=on, how="inner") if on else joined.crossJoin(nxt)
         joined_vars |= pat_vars
 
-    _OPS = {
-        "=": lambda c, v: c == v,
-        "!=": lambda c, v: c != v,
-        "<": lambda c, v: c < v,
-        "<=": lambda c, v: c <= v,
-        ">": lambda c, v: c > v,
-        ">=": lambda c, v: c >= v,
-        "contains": lambda c, v: c.contains(v),
-        "regex": lambda c, v: c.rlike(v),
-    }
-    _ORDERING = {"<", "<=", ">", ">="}
     for var, op, value in filters or []:
         name = var.lstrip("?")
         if name not in joined_vars:
@@ -326,3 +329,121 @@ def bgp_union(
     for nxt in outs[1:]:
         out = out.unionByName(nxt)
     return out.distinct() if distinct else out
+
+
+def bgp_aggregate(
+    triples: DataFrame,
+    patterns: Sequence[tuple[str, str, str]],
+    group_by: Sequence[str],
+    aggs: Sequence[tuple[str, str, str]],
+    having: Sequence[tuple[str, str, object]] | None = None,
+    allow_cartesian: bool = False,
+    optional_patterns: Sequence[Sequence[tuple[str, str, str]]] | None = None,
+    filters: Sequence[tuple[str, str, object]] | None = None,
+) -> DataFrame:
+    """SPARQL 1.1 aggregates: GROUP BY over a basic graph pattern's
+    bindings (SPARQL 1.1 Query §11), the missing third of the query
+    surface next to the join core and the solution modifiers.
+
+    ``group_by``: variables to group on (with or without ``?``); empty
+    means one global group (SPARQL's implicit grouping when any
+    aggregate appears).
+
+    ``aggs``: (fn, var, alias) triples, fn in {'count', 'count_distinct',
+    'sum', 'avg', 'min', 'max', 'group_concat', 'sample'}; ``var='*'``
+    is allowed only with ``count`` (count of solutions). SPARQL-specific
+    semantics, mapped deterministically:
+
+    - ``sum``/``avg`` operate on NUMERIC bindings, but bindings in the
+      triples table are string lexical forms — so they aggregate
+      ``try_cast('double')`` of the binding: non-numeric bindings drop
+      as SPARQL type errors instead of an ANSI cast abort, mirroring
+      the numeric-FILTER rule in :func:`bgp_query`.
+    - ``group_concat`` in the spec concatenates in ARBITRARY order; an
+      arbitrary order is nondeterministic across partitionings, so this
+      engine pins the sorted order: ``array_join(array_sort(
+      collect_list(x)), sep)`` — same bag, deterministic bytes. The
+      separator is the SPARQL default ``' '`` (pass a custom one by
+      using fn ``'group_concat:<sep>'``). ``group_concat_distinct``
+      (SPARQL's ``GROUP_CONCAT(DISTINCT x)``) concatenates the distinct
+      set via ``collect_set``, same sorted determinism.
+    - ``sample`` in the spec picks an ARBITRARY element; this engine
+      pins ``min`` — a valid SAMPLE under the spec, and the same value
+      on every engine and every partitioning.
+
+    ``having``: (alias, op, value) constraints over the aggregated
+    columns (SPARQL HAVING), same op set as FILTER.
+
+    Plan shape: the BGP join chain from :func:`bgp_query`, then ONE
+    hash aggregate with a map-side partial phase (sum/count/min/max
+    combine; collect_list partials ship lists). When the group key is
+    the join variable the chain already hashes on — the dominant shape,
+    e.g. grouping a star pattern by its subject — the aggregation
+    reuses the join's exchange and the groupBy is shuffle-free.
+    ``count_distinct`` plans as Spark's two-phase distinct aggregate
+    (partial distinct before the exchange), never a driver-side set.
+    """
+    if not aggs:
+        raise ValueError("bgp_aggregate needs at least one aggregate")
+    keys = [v.lstrip("?") for v in group_by]
+
+    # variables the aggregation actually consumes
+    needed = list(keys)
+    for fn, var, _alias in aggs:
+        if var != "*" and var.lstrip("?") not in needed:
+            needed.append(var.lstrip("?"))
+
+    bindings = bgp_query(
+        triples,
+        patterns,
+        select=needed,
+        allow_cartesian=allow_cartesian,
+        optional_patterns=optional_patterns,
+        filters=filters,
+    )
+
+    exprs = []
+    for fn, var, alias in aggs:
+        sep = " "
+        if fn.startswith(("group_concat:", "group_concat_distinct:")):
+            fn, sep = fn.split(":", 1)
+        if var == "*":
+            if fn != "count":
+                raise ValueError(f"'*' is only valid with count, got {fn!r}")
+            exprs.append(F.count(F.lit(1)).alias(alias))
+            continue
+        col = F.col(var.lstrip("?"))
+        if fn == "count":
+            exprs.append(F.count(col).alias(alias))
+        elif fn == "count_distinct":
+            exprs.append(F.count_distinct(col).alias(alias))
+        elif fn in ("sum", "avg"):
+            agg = F.sum if fn == "sum" else F.avg
+            exprs.append(agg(col.try_cast("double")).alias(alias))
+        elif fn in ("min", "max"):
+            exprs.append((F.min if fn == "min" else F.max)(col).alias(alias))
+        elif fn == "group_concat":
+            exprs.append(
+                F.array_join(F.array_sort(F.collect_list(col)), sep).alias(alias)
+            )
+        elif fn == "group_concat_distinct":
+            # SPARQL GROUP_CONCAT(DISTINCT x; separator=sep): the
+            # distinct bag via collect_set (partial sets merge map-side)
+            exprs.append(
+                F.array_join(F.array_sort(F.collect_set(col)), sep).alias(alias)
+            )
+        elif fn == "sample":
+            exprs.append(F.min(col).alias(alias))
+        else:
+            raise ValueError(f"unknown aggregate {fn!r}")
+
+    out = bindings.groupBy(*keys).agg(*exprs) if keys else bindings.agg(*exprs)
+
+    aliases = {a for _f, _v, a in aggs}
+    for alias, op, value in having or []:
+        if alias not in aliases:
+            raise ValueError(f"HAVING on unknown aggregate alias {alias!r}")
+        if op not in _OPS:
+            raise ValueError(f"unknown HAVING op {op!r}")
+        out = out.filter(_OPS[op](F.col(alias), value))
+    return out

@@ -3960,6 +3960,55 @@ def kg_bgp_filter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "kg_bgp_aggregate_query",
+    """SELECT 'info:fedora/collection:' || (o_custkey % 100) AS coll,
+              COUNT(*) AS n_members,
+              COUNT(DISTINCT 'cust:' || o_custkey) AS n_owners,
+              MIN('info:fedora/order:' || o_orderkey) AS first_member,
+              string_agg(DISTINCT 'cust:' || o_custkey, '|'
+                         ORDER BY 'cust:' || o_custkey) AS owner_concat
+       FROM orders WHERE o_orderstatus = 'O'
+       GROUP BY 1
+       HAVING COUNT(*) >= 2""",
+)
+def kg_bgp_aggregate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 aggregates over a BGP (operators/bgp.py:
+    bgp_aggregate): per-collection membership stats for ACTIVE objects
+    — COUNT(*), COUNT(DISTINCT ?owner), MIN(?obj) as the deterministic
+    SAMPLE, and GROUP_CONCAT over the distinct owner set (sorted, so
+    the spec's arbitrary order becomes reproducible bytes), with a
+    HAVING floor. The group key ?coll is a join variable of the star,
+    and the aggregate is one hash aggregate with map-side partials over
+    the join output. GROUP_CONCAT's distinct arm composes through a
+    collect_set; the oracle states the same five columns from orders."""
+    from .operators.bgp import bgp_aggregate
+
+    rel = "info:fedora/fedora-system:def/relations-external#isMemberOfCollection"
+    source = synthesize_foxml_from_orders(spark, sf_dir)
+    triples = (
+        triples_only(extract_triples(source))
+        .select("subj", "pred", "obj_value")
+        .persist()
+    )
+    return bgp_aggregate(
+        triples,
+        [
+            ("?obj", rel, "?coll"),
+            ("?obj", OWNER, "?owner"),
+            ("?obj", STATE, ACTIVE),
+        ],
+        group_by=["?coll"],
+        aggs=[
+            ("count", "*", "n_members"),
+            ("count_distinct", "?owner", "n_owners"),
+            ("sample", "?obj", "first_member"),
+            ("group_concat_distinct:|", "?owner", "owner_concat"),
+        ],
+        having=[("n_members", ">=", 2)],
+    )
+
+
+@_q(
     "docs_contamination_closure",
     f"""WITH RECURSIVE
         prs AS (SELECT doc_a, doc_b FROM ({_MINHASH_NEARDUP_SQL}) mm),

@@ -21,6 +21,13 @@ engine's vocabulary has no spaces inside URIs): `?name` is a variable,
 anything else a constant. Each --optional flag is ONE group of
 '.'-separated patterns; each --filter is '?var op value' with op in
 {=, !=, <, <=, >, >=, contains, regex} (value may contain spaces).
+
+SPARQL 1.1 aggregates: --group-by '?coll' with one or more
+--agg 'fn ?var alias' (fn in {count, count_distinct, sum, avg, min,
+max, group_concat[:sep], group_concat_distinct[:sep], sample}; var may
+be '*' with count) switch the query to bgp_aggregate; --having
+'alias op value' constrains the aggregated rows. --group-by '' (empty)
+means one global group.
 """
 
 from __future__ import annotations
@@ -76,6 +83,15 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--select", default=None,
                     help="comma-separated variables to project")
     ap.add_argument("--distinct", action="store_true")
+    ap.add_argument("--group-by", default=None,
+                    help="comma-separated group variables ('' = one "
+                         "global group); requires at least one --agg")
+    ap.add_argument("--agg", action="append", default=[],
+                    help="'fn ?var alias' aggregate (repeatable; see "
+                         "module docstring for fns)")
+    ap.add_argument("--having", action="append", default=[],
+                    help="'alias op value' constraint on aggregates "
+                         "(repeatable)")
     ap.add_argument("--limit", type=int, default=20,
                     help="max rows printed to stdout (ignored with --out)")
     ap.add_argument("--out", default=None,
@@ -96,22 +112,60 @@ def main(argv: list[str] | None = None) -> int:
             .getOrCreate()
         )
 
-    from fcrepo3_rdf_extractor_spark.operators.bgp import bgp_query
+    from fcrepo3_rdf_extractor_spark.operators.bgp import bgp_aggregate, bgp_query
+
+    if (args.group_by is not None) != bool(args.agg):
+        print("error: --group-by and --agg go together", file=sys.stderr)
+        spark.stop()
+        return 2
 
     t0 = time.perf_counter()
     try:
         triples = spark.read.parquet(args.triples)
-        result = bgp_query(
-            triples,
-            [_parse_pattern(p) for p in args.pattern],
-            select=args.select.split(",") if args.select else None,
-            distinct=args.distinct,
-            optional_patterns=[
-                [_parse_pattern(p) for p in group.split(" . ")]
-                for group in args.optional
-            ],
-            filters=[_parse_filter(f) for f in args.filter],
-        )
+        patterns = [_parse_pattern(p) for p in args.pattern]
+        optional = [
+            [_parse_pattern(p) for p in group.split(" . ")]
+            for group in args.optional
+        ]
+        filters = [_parse_filter(f) for f in args.filter]
+        if args.group_by is not None:
+            def parse_agg(text: str) -> tuple[str, str, str]:
+                parts = text.split()
+                if len(parts) != 3:
+                    raise SystemExit(
+                        f"error: agg must be 'fn ?var alias', got {text!r}"
+                    )
+                return (parts[0], parts[1], parts[2])
+
+            def parse_having(text: str):
+                alias, op, value = _parse_filter(text)
+                # HAVING compares real aggregate types (counts/sums),
+                # not string lexical forms — coerce numerics for = too
+                if not isinstance(value, float):
+                    try:
+                        value = float(value)
+                    except ValueError:
+                        pass
+                return (alias, op, value)
+
+            result = bgp_aggregate(
+                triples,
+                patterns,
+                group_by=[v for v in args.group_by.split(",") if v],
+                aggs=[parse_agg(a) for a in args.agg],
+                having=[parse_having(h) for h in args.having],
+                optional_patterns=optional,
+                filters=filters,
+            )
+        else:
+            result = bgp_query(
+                triples,
+                patterns,
+                select=args.select.split(",") if args.select else None,
+                distinct=args.distinct,
+                optional_patterns=optional,
+                filters=filters,
+            )
         if args.out:
             result.write.mode("overwrite").parquet(args.out)
             n = spark.read.parquet(args.out).count()

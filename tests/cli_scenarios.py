@@ -428,7 +428,16 @@ def query_cli(spark, base: Path) -> dict:
         "--pattern", "?y m:owner ?o",
         "--local", "2",
     ])
-    return {"ok": ok, "bad": bad}
+    agg = _run_job("query.py", [
+        "--triples", tdir,
+        "--pattern", "?x rel:member ?c",
+        "--group-by", "?c",
+        "--agg", "count * n",
+        "--agg", "sample ?x first_x",
+        "--having", "n >= 2",
+        "--local", "2",
+    ])
+    return {"ok": ok, "bad": bad, "agg": agg}
 
 
 @scenario

@@ -310,6 +310,11 @@ def test_query_cli(spark, cli_results):
     assert got == {("p:1", "c:a", "alice"), ("p:2", "c:a", "bob")}
     bad = art["bad"]
     assert bad["rc"] == 2 and "disconnected" in bad["stderr"]
+    agg = art["agg"]
+    assert agg["rc"] == 0, agg["stderr"][-2000:]
+    alines = [json.loads(x) for x in agg["stdout"].strip().splitlines()]
+    assert alines[-1]["n_rows"] == 1
+    assert alines[0] == {"c": "c:a", "n": 2, "first_x": "p:1"}
 
 
 def test_bgp_union_branches(triples):
@@ -445,3 +450,113 @@ def test_filter_numeric_semantics(spark):
         ).collect()
     )
     assert lex == ["c"]  # lexicographic: 'oops' > '5', '10' < '5'
+
+
+def test_aggregate_group_count_min_concat(triples):
+    from fcrepo3_rdf_extractor_spark.operators.bgp import bgp_aggregate
+
+    got = bgp_aggregate(
+        triples,
+        [("?x", "rel:member", "?c"), ("?x", "m:owner", "?o")],
+        group_by=["?c"],
+        aggs=[
+            ("count", "*", "n"),
+            ("count_distinct", "?o", "n_owners"),
+            ("sample", "?x", "first_x"),
+            ("group_concat_distinct:|", "?o", "owners"),
+        ],
+    ).collect()
+    by_c = {r.c: r for r in got}
+    assert by_c["c:a"].n == 2 and by_c["c:a"].n_owners == 2
+    assert by_c["c:a"].first_x == "p:1"
+    assert by_c["c:a"].owners == "alice|bob"
+    assert by_c["c:b"].n == 1 and by_c["c:b"].owners == "alice"
+
+
+def test_aggregate_global_group_and_having(triples):
+    from fcrepo3_rdf_extractor_spark.operators.bgp import bgp_aggregate
+
+    # empty group_by = one global group (SPARQL implicit grouping)
+    got = bgp_aggregate(
+        triples,
+        [("?x", "m:owner", "?o")],
+        group_by=[],
+        aggs=[("count", "*", "n"), ("max", "?o", "last_owner")],
+    ).collect()
+    assert len(got) == 1 and got[0].n == 3 and got[0].last_owner == "bob"
+
+    # HAVING prunes the singleton group
+    kept = bgp_aggregate(
+        triples,
+        [("?x", "rel:member", "?c")],
+        group_by=["?c"],
+        aggs=[("count", "*", "n")],
+        having=[("n", ">=", 2)],
+    ).collect()
+    assert [(r.c, r.n) for r in kept] == [("c:a", 2)]
+
+
+def test_aggregate_numeric_sum_type_errors(spark):
+    from fcrepo3_rdf_extractor_spark.operators.bgp import bgp_aggregate
+
+    # SPARQL numeric aggregates over string lexical forms: non-numeric
+    # bindings drop as type errors (never an ANSI cast abort)
+    t = spark.createDataFrame(
+        [("d:1", "m:size", "10"), ("d:2", "m:size", "2.5"),
+         ("d:3", "m:size", "huge")],
+        "subj string, pred string, obj_value string",
+    )
+    got = bgp_aggregate(
+        t,
+        [("?x", "m:size", "?s")],
+        group_by=[],
+        aggs=[("sum", "?s", "total"), ("avg", "?s", "mean")],
+    ).collect()[0]
+    assert got.total == 12.5 and got.mean == 6.25
+
+
+def test_aggregate_rejections(triples):
+    from fcrepo3_rdf_extractor_spark.operators.bgp import bgp_aggregate
+
+    with pytest.raises(ValueError, match="at least one aggregate"):
+        bgp_aggregate(triples, [("?x", "m:owner", "?o")], ["?o"], [])
+    with pytest.raises(ValueError, match="only valid with count"):
+        bgp_aggregate(
+            triples, [("?x", "m:owner", "?o")], [], [("sum", "*", "t")]
+        )
+    with pytest.raises(ValueError, match="unknown aggregate"):
+        bgp_aggregate(
+            triples, [("?x", "m:owner", "?o")], [], [("median", "?o", "m")]
+        )
+    with pytest.raises(ValueError, match="unknown aggregate alias"):
+        bgp_aggregate(
+            triples,
+            [("?x", "m:owner", "?o")],
+            [],
+            [("count", "*", "n")],
+            having=[("missing", ">=", 1)],
+        )
+
+
+def test_aggregate_reuses_join_partitioning(triples):
+    """Grouping on the star's join variable: the hash aggregate after
+    the join must NOT add an exchange for the final aggregation — the
+    join already partitions on x, so the plan shows partial+final
+    HashAggregate with no Exchange between them."""
+    from fcrepo3_rdf_extractor_spark.operators.bgp import bgp_aggregate
+
+    out = bgp_aggregate(
+        triples,
+        [("?x", "rel:member", "?c"), ("?x", "m:owner", "?o")],
+        group_by=["?x"],
+        aggs=[("count", "*", "n")],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # walk top-down: the first HashAggregate pair (final+partial for the
+    # groupBy on x) must appear with no Exchange between them
+    agg_idx = [i for i, ln in enumerate(plan.splitlines())
+               if "HashAggregate" in ln]
+    lines = plan.splitlines()
+    assert len(agg_idx) >= 2, plan
+    between = lines[agg_idx[0] + 1: agg_idx[1]]
+    assert not any("Exchange" in ln for ln in between), plan
