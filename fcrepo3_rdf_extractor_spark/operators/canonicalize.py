@@ -94,6 +94,111 @@ def pid_prefix_aliases(spark, prefixes: list[str]) -> DataFrame:
     return spark.createDataFrame(rows, ALIAS_SCHEMA)
 
 
+def fuzzy_entity_match(
+    mentions: DataFrame,
+    entities: DataFrame,
+    max_distance: int = 2,
+    block_len: int = 4,
+    max_block: int = 10_000,
+) -> DataFrame:
+    """Blocked approximate entity matching: link dirty MENTION strings to
+    a canonical entity registry by bounded edit distance — the
+    entity-linking modality the exact paths (broadcast alias dictionary,
+    owl:sameAs closure) cannot express: a mention with a typo, dropped
+    character, or spacing difference matches no exact key.
+
+    ``mentions``: (mention_id, mention); ``entities``: (entity_id, name).
+    Returns (mention_id, entity_id, name, distance) — the single BEST
+    match per mention (min distance, entity_id tiebreak — a total order,
+    so the winner is the same on every engine and partitioning).
+    Mentions with no candidate within ``max_distance`` produce no row
+    (left-join against the output to find the unlinked residue).
+
+    Scale shape — never all-pairs:
+
+    - Candidate generation is MULTI-PASS BLOCKING (the record-linkage
+      standard): both sides normalize (lowercase, strip non-alnum) and
+      key by the normalized PREFIX and SUFFIX of ``block_len`` chars;
+      a pair is a candidate if it shares either key. One edit inside the
+      prefix still shares the suffix block and vice versa — only a
+      mention corrupted at BOTH ends within ``block_len`` of each edge
+      is missed (recall is tunable by block_len, the classic tradeoff).
+    - Each side explodes to exactly 2 keyed rows; candidates come from a
+      hash EQUI-join on the block key — a 10^9-mention corpus never sees
+      a cartesian. AQE broadcasts the registry side when it is small.
+    - Skew guard: a block shared by more than ``max_block`` entities is
+      a degenerate key (boilerplate prefix — the ``info:fedora/`` of
+      names) and is dropped from the ENTITY side before the join, the
+      same df-bounding discipline as containment dedup; the count rides
+      a window over the entity-key table only (registry-sized, never
+      the mention stream).
+    - The distance predicate uses Spark's bounded ``levenshtein(l, r,
+      threshold)`` — computation aborts early once the running distance
+      exceeds ``max_distance`` (O(len*k) not O(len^2)) and returns -1,
+      which the filter drops.
+    - Best-match is one ``min(struct(distance, entity_id, name))``
+      partial aggregate keyed on mention_id (never a frankenrow, never
+      a row_number window over the raw candidate stream); duplicate
+      candidates from the two blocking passes collapse in the same agg,
+      so no distinct shuffle is spent on pair dedup.
+    """
+    from pyspark.sql.window import Window
+
+    def norm(col):
+        return F.regexp_replace(F.lower(col), "[^a-z0-9]", "")
+
+    def keyed(df, name_col):
+        n = norm(F.col(name_col))
+        return (
+            df.withColumn("_norm", n)
+            .withColumn(
+                "_key",
+                F.explode(
+                    F.array_distinct(
+                        F.array(
+                            F.substring(F.col("_norm"), 1, block_len),
+                            F.substring(F.col("_norm"), -block_len, block_len),
+                        )
+                    )
+                ),
+            )
+        )
+
+    ent = keyed(
+        entities.select("entity_id", "name"), "name"
+    ).withColumnRenamed("_norm", "_norm_e")
+    # df-bound: drop degenerate blocks (count rides one window over the
+    # registry-side keyed table; <= 2 rows per entity by construction)
+    ent = (
+        ent.withColumn("_bsz", F.count(F.lit(1)).over(Window.partitionBy("_key")))
+        .filter(F.col("_bsz") <= max_block)
+        .drop("_bsz")
+    )
+    men = keyed(
+        mentions.select("mention_id", "mention"), "mention"
+    ).withColumnRenamed("_norm", "_norm_m")
+
+    cand = men.join(ent, on="_key", how="inner")
+    dist = F.levenshtein(F.col("_norm_m"), F.col("_norm_e"), max_distance)
+    matched = cand.withColumn("_dist", dist).filter(F.col("_dist") >= 0)
+
+    best = matched.groupBy("mention_id").agg(
+        F.min(
+            F.struct(
+                F.col("_dist").cast("bigint").alias("distance"),
+                F.col("entity_id"),
+                F.col("name"),
+            )
+        ).alias("_best")
+    )
+    return best.select(
+        "mention_id",
+        F.col("_best.entity_id").alias("entity_id"),
+        F.col("_best.name").alias("name"),
+        F.col("_best.distance").alias("distance"),
+    )
+
+
 def canonicalize_prefixes(triples: DataFrame, prefix_map: dict[str, str]) -> DataFrame:
     """Unbounded-alias variant: rewrite URI *prefixes* purely with column
     expressions (no join, no broadcast, stays in whole-stage codegen).

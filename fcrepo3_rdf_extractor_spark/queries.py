@@ -584,6 +584,69 @@ def kg_canonicalize_sameas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("subj", "obj_value")
 
 
+# deterministic dirty-mention synthesis for fuzzy entity matching: every
+# third part keeps its exact name, the rest drop ONE character at a
+# key-derived position near the tail (inside the suffix block for some
+# keys, outside for others — both blocking passes get exercised)
+_FUZZY_POS = "CAST(length(p_name) - 3 - p_partkey % 5 AS INT)"
+_FUZZY_MENTION_SQL = f"""CASE WHEN p_partkey % 3 = 0 THEN p_name
+    ELSE substr(p_name, 1, {_FUZZY_POS} - 1) || substr(p_name, {_FUZZY_POS} + 1)
+    END"""
+
+
+@_q(
+    "kg_entity_fuzzy_match",
+    f"""WITH ents AS (SELECT p_partkey AS entity_id, p_name AS name FROM part),
+        mens AS (SELECT p_partkey AS mention_id,
+                        {_FUZZY_MENTION_SQL} AS mention FROM part),
+        ek AS (SELECT entity_id, name,
+                      regexp_replace(lower(name), '[^a-z0-9]', '', 'g') AS norm_e
+               FROM ents),
+        ekk AS (SELECT entity_id, name, norm_e,
+                       unnest(list_distinct([substr(norm_e, 1, 4),
+                                             right(norm_e, 4)])) AS key
+                FROM ek),
+        ekb AS (SELECT entity_id, name, norm_e, key FROM
+                  (SELECT *, count(*) OVER (PARTITION BY key) AS bsz FROM ekk)
+                WHERE bsz <= 10000),
+        mk AS (SELECT mention_id,
+                      regexp_replace(lower(mention), '[^a-z0-9]', '', 'g') AS norm_m
+               FROM mens),
+        mkk AS (SELECT mention_id, norm_m,
+                       unnest(list_distinct([substr(norm_m, 1, 4),
+                                             right(norm_m, 4)])) AS key
+                FROM mk),
+        cand AS (SELECT DISTINCT mention_id, entity_id, name,
+                        levenshtein(norm_m, norm_e) AS d
+                 FROM mkk JOIN ekb USING (key)
+                 WHERE levenshtein(norm_m, norm_e) <= 2),
+        best AS (SELECT mention_id, entity_id, name, CAST(d AS BIGINT) AS distance,
+                        row_number() OVER (PARTITION BY mention_id
+                                           ORDER BY d, entity_id) AS rn
+                 FROM cand)
+       SELECT mention_id, entity_id, name, distance FROM best WHERE rn = 1""",
+)
+def kg_entity_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity linking (operators/canonicalize.py:
+    fuzzy_entity_match): dirty mentions — part names with one character
+    deterministically dropped — link back to the part registry by
+    bounded edit distance over prefix+suffix blocks. The exact-alias
+    dictionary would miss every corrupted mention; this is the
+    approximate arm of the entity-linking surface. The oracle restates
+    blocking, bounded levenshtein, and the (distance, entity_id) argmin."""
+    from .operators.canonicalize import fuzzy_entity_match
+
+    part = _read(spark, sf_dir, "part")
+    ents = part.select(
+        F.col("p_partkey").alias("entity_id"), F.col("p_name").alias("name")
+    )
+    mens = part.select(
+        F.col("p_partkey").alias("mention_id"),
+        F.expr(_FUZZY_MENTION_SQL).alias("mention"),
+    )
+    return fuzzy_entity_match(mens, ents, max_distance=2, block_len=4)
+
+
 @_q(
     "kg_managed_lookup_join",
     """SELECT l.l_orderkey, l.l_linenumber, p.p_name AS blob_content

@@ -795,3 +795,66 @@ def test_read_source_json_and_csv(spark, tmp_path):
         got = read_source(spark, loc, fmt=fmt)
         assert got.columns == ["repo", "path", "commit", "lang", "content"]
         assert {(r.path, r.content) for r in got.collect()} == want, fmt
+
+
+def test_fuzzy_entity_match_links_typos(spark):
+    """Blocked fuzzy matching: exact names at distance 0, a dropped
+    character at distance 1, a prefix-corrupted mention still caught by
+    the suffix block; the (distance, entity_id) argmin is deterministic."""
+    from fcrepo3_rdf_extractor_spark.operators.canonicalize import (
+        fuzzy_entity_match,
+    )
+
+    ents = spark.createDataFrame(
+        [(1, "Smithsonian Archives"), (2, "Smithsonian Gardens"),
+         (3, "National Zoo")],
+        "entity_id long, name string",
+    )
+    mens = spark.createDataFrame(
+        [(10, "Smithsonian Archives"),   # exact -> 1 at distance 0
+         (11, "Smithsonian Archive"),    # dropped tail char -> 1 at 1
+         (12, "Xmithsonian Gardens"),    # corrupted PREFIX: only the
+                                          # suffix block can catch it
+         (13, "completely unrelated")],  # no candidate within 2
+        "mention_id long, mention string",
+    )
+    out = fuzzy_entity_match(mens, ents, max_distance=2, block_len=4)
+    # candidates come from a hash EQUI-join on the block key — never a
+    # nested-loop pair scan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan, plan
+    got = {r.mention_id: r for r in out.collect()}
+    assert got[10].entity_id == 1 and got[10].distance == 0
+    assert got[11].entity_id == 1 and got[11].distance == 1
+    assert got[12].entity_id == 2 and got[12].distance == 1
+    assert 13 not in got
+
+
+def test_fuzzy_entity_match_tiebreak_and_block_bound(spark):
+    from fcrepo3_rdf_extractor_spark.operators.canonicalize import (
+        fuzzy_entity_match,
+    )
+
+    # two entities at the SAME distance 1: min entity_id wins
+    ents = spark.createDataFrame(
+        [(7, "abcdeX"), (5, "abcdeY")], "entity_id long, name string"
+    )
+    mens = spark.createDataFrame(
+        [(1, "abcde")], "mention_id long, mention string"
+    )
+    got = fuzzy_entity_match(mens, ents, max_distance=2).collect()
+    assert [(r.mention_id, r.entity_id, r.distance) for r in got] == [(1, 5, 1)]
+
+    # a degenerate block (shared by > max_block entities) is dropped
+    # from the registry side, so nothing links through it
+    many = spark.createDataFrame(
+        [(i, f"prefix-shared-{i:04d}") for i in range(30)],
+        "entity_id long, name string",
+    )
+    mens2 = spark.createDataFrame(
+        [(1, "prefix-shared-0001")], "mention_id long, mention string"
+    )
+    # prefix block 'pref' holds 30 entities > max_block=10; suffix
+    # blocks are distinct per entity, so the exact suffix still links
+    got2 = fuzzy_entity_match(mens2, many, max_distance=1, max_block=10).collect()
+    assert [(r.mention_id, r.entity_id) for r in got2] == [(1, 1)]
