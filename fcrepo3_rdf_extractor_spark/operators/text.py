@@ -116,6 +116,57 @@ def winnow_fingerprint(
     )
 
 
+def chunk_windows(
+    df: DataFrame,
+    window: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping token-window chunking — the retrieval/RAG preparation
+    step: every document splits into windows of ``window`` tokens
+    starting every ``stride`` tokens (overlap = window - stride), each
+    chunk independently addressable by a deterministic
+    ``chunk_id = doc_id#idx``. Chunks feed the embedding + ANN surface
+    (operators/similarity.py); unlike :func:`..sampling.sequence_pack`
+    (which places docs into a CONCATENATED global token stream) chunking
+    is per-document, so it needs no prefix sum — pure scan-side column
+    arithmetic: stage the token array once (CollapseProject keeps the
+    non-cheap alias), explode a ``sequence(0, n-1, stride)`` of start
+    offsets, slice per start. No shuffle, no Python, no UDF; a 100 TB
+    corpus chunks at scan speed and the output is already partitioned
+    like its input (write bucketed by chunk_id hash for the ANN side).
+
+    The final window may be shorter than ``window`` (the tail); a
+    document shorter than one window yields exactly one chunk. Output:
+    (id_col, chunk_idx, chunk_id, start_token, n_tokens, chunk_text).
+    """
+    if not (0 < stride <= window):
+        raise ValueError(f"need 0 < stride <= window, got {stride}/{window}")
+    staged = df.select(id_col, tokens_col(F.col(text_col)).alias("_toks"))
+    exploded = staged.select(
+        id_col,
+        "_toks",
+        F.explode(
+            F.sequence(F.lit(0), F.size("_toks") - 1, F.lit(stride))
+        ).alias("_start"),
+    )
+    chunked = exploded.select(
+        id_col,
+        "_start",
+        F.slice(F.col("_toks"), F.col("_start") + 1, window).alias("_chunk"),
+    )
+    idx = (F.col("_start") / stride).cast("bigint")
+    return chunked.select(
+        id_col,
+        idx.alias("chunk_idx"),
+        F.concat_ws("#", F.col(id_col), idx).alias("chunk_id"),
+        F.col("_start").cast("bigint").alias("start_token"),
+        F.size("_chunk").cast("bigint").alias("n_tokens"),
+        F.array_join(F.col("_chunk"), " ").alias("chunk_text"),
+    )
+
+
 def unigram_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document unigram log-likelihood under the corpus's own
     unigram distribution: sum over tokens of ln(count(term)/total) — the

@@ -961,6 +961,33 @@ def docs_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "docs_chunk_windows",
+    f"""WITH t AS (SELECT doc_id, {_WORDS} AS toks FROM documents),
+        st AS (SELECT doc_id, toks,
+                      unnest(range(0, len(toks), 48)) AS start FROM t),
+        c AS (SELECT doc_id, start,
+                     toks[start + 1 : start + 64] AS chunk FROM st)
+       SELECT doc_id,
+              CAST(start // 48 AS BIGINT) AS chunk_idx,
+              doc_id || '#' || CAST(start // 48 AS BIGINT) AS chunk_id,
+              CAST(start AS BIGINT) AS start_token,
+              CAST(len(chunk) AS BIGINT) AS n_tokens,
+              array_to_string(chunk, ' ') AS chunk_text
+       FROM c""",
+)
+def docs_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunking (operators/text.py: chunk_windows): 64-token windows
+    every 48 tokens (16-token overlap), deterministic chunk ids, tail
+    windows shorter. Scan-side only — staged token array, exploded
+    start-offset sequence, per-start slice; no shuffle, no Python."""
+    from .operators.text import chunk_windows
+
+    return chunk_windows(
+        _read(spark, sf_dir, "documents"), window=64, stride=48
+    )
+
+
+@_q(
     "docs_bpe_piece_count",
     r"""SELECT doc_id,
                CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)

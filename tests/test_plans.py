@@ -428,3 +428,17 @@ def test_repo_forks_candidate_join_is_equi(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_chunk_windows_scan_side_no_shuffle(spark):
+    """RAG chunking is pure scan-side column arithmetic: token array
+    staged ONCE (no re-inlined split), and the whole plan has no
+    exchange and no Python stage."""
+    from fcrepo3_rdf_extractor_spark.operators.text import chunk_windows
+
+    out = chunk_windows(_docs(spark), window=8, stride=4)
+    plan = _optimized(out)
+    assert plan.count("split(") == 1, plan.count("split(")
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    for node in ("Exchange", "MapInPandas", "BatchEvalPython"):
+        assert node not in phys, node

@@ -2143,3 +2143,32 @@ def test_ppm_zero_pixel_and_snapshot_null_text(spark):
         for r in snapshot_diff(old, new, include_unchanged=True).collect()
     }
     assert got == {1: "unchanged", 2: "changed", 3: "unchanged"}
+
+
+def test_chunk_windows_semantics(spark):
+    """Overlapping windows with a shorter tail; a short doc yields one
+    chunk; chunk ids deterministic."""
+    from fcrepo3_rdf_extractor_spark.operators.text import chunk_windows
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "only three words")],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        chunk_windows(docs, window=6, stride=4).collect(),
+        key=lambda r: (r.doc_id, r.chunk_idx),
+    )
+    d1 = [r for r in got if r.doc_id == 1]
+    # starts 0,4,8 over 10 tokens: 6,6,2 tokens
+    assert [(r.chunk_idx, r.start_token, r.n_tokens) for r in d1] == [
+        (0, 0, 6), (1, 4, 6), (2, 8, 2)]
+    assert d1[0].chunk_text == "t0 t1 t2 t3 t4 t5"
+    assert d1[1].chunk_text.startswith("t4 t5")  # overlap of 2
+    assert d1[2].chunk_text == "t8 t9"
+    assert d1[0].chunk_id == "1#0" and d1[2].chunk_id == "1#2"
+    d2 = [r for r in got if r.doc_id == 2]
+    assert len(d2) == 1 and d2[0].n_tokens == 3
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="stride"):
+        chunk_windows(docs, window=4, stride=5)
