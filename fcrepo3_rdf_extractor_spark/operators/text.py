@@ -1407,3 +1407,67 @@ def code_clone_key(df: DataFrame, text_col: str = "text") -> DataFrame:
     return keyed.join(sizes, "clone_key").select(
         "doc_id", "clone_key", "clone_group_size"
     )
+
+
+#: (kind, regex-with-one-capture) import/include/require statement shapes.
+#: RE2-compatible (no lookaround) so the DuckDB oracle replays them
+#: byte-for-byte; (?m) anchors ^ at line starts in both engines.
+IMPORT_PATTERNS: list[tuple[str, str]] = [
+    ("py_import", r"(?m)^\s*import\s+([A-Za-z_][A-Za-z0-9_.]*)"),
+    ("py_from", r"(?m)^\s*from\s+([A-Za-z_][A-Za-z0-9_.]*)\s+import"),
+    ("c_include", r"(?m)^\s*#include\s+[<\"]([^>\"]+)[>\"]"),
+    ("js_require", r"require\(\s*['\"]([^'\"]+)['\"]\s*\)"),
+    ("js_import", r"(?m)^\s*import\s+[^\n]*\s+from\s+['\"]([^'\"]+)['\"]"),
+]
+
+
+def code_import_triples(
+    files: DataFrame,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    content_col: str = "content",
+) -> DataFrame:
+    """KG construction over source code: extract the IMPORT GRAPH from
+    file contents as (subj = src:<repo>/<path>, pred = code:imports,
+    obj_value = module, kind) triples — the dependency edges that turn a
+    code corpus into a queryable knowledge graph (feed them to the BGP
+    compiler, transitive_closure for reachability, pagerank for module
+    centrality, connected_components for package clustering).
+
+    One-pass extraction: ALL patterns evaluate inside a single
+    projection — per pattern a ``regexp_extract_all`` over the content,
+    tagged with its kind via ``transform``, flattened and exploded ONCE
+    — so a 100 TB content scan happens once, not once per language (a
+    filter+union per pattern would re-read the scan per branch). No
+    shuffle, no Python; files with no imports simply emit nothing.
+    Patterns are deliberately language-agnostic (a Python file never
+    contains ``#include`` at a line start, and a cross-match tags its
+    true kind), so no per-row language dispatch is needed.
+    """
+    c = F.col(content_col)
+
+    def tagged(kind: str, rx: str):
+        # NB: the lambda must take exactly ONE parameter — a two-arg
+        # transform() lambda means (element, index), so a default-arg
+        # closure trick would silently bind the kind to the index
+        return F.transform(
+            F.regexp_extract_all(c, F.lit(rx), 1),
+            lambda m: F.struct(F.lit(kind).alias("kind"), m.alias("module")),
+        )
+
+    entries = F.flatten(
+        F.array(*[tagged(kind, rx) for kind, rx in IMPORT_PATTERNS])
+    )
+    exploded = files.select(
+        F.col(repo_col).alias("_repo"),
+        F.col(path_col).alias("_path"),
+        F.explode(entries).alias("_e"),
+    )
+    return exploded.select(
+        F.concat(F.lit("src:"), F.col("_repo"), F.lit("/"), F.col("_path")).alias(
+            "subj"
+        ),
+        F.lit("code:imports").alias("pred"),
+        F.col("_e.module").alias("obj_value"),
+        F.col("_e.kind").alias("kind"),
+    )

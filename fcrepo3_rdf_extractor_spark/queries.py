@@ -3506,6 +3506,72 @@ def _repo_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.unionByName(fork)
 
 
+def _import_pats_values() -> str:
+    from .operators.text import IMPORT_PATTERNS
+
+    return ", ".join(
+        "('" + kind + "', '" + rx.replace("'", "''") + "')"
+        for kind, rx in IMPORT_PATTERNS
+    )
+
+
+# deterministic code-file synthesis over the source-contract shape:
+# every doc plants a py import + a py from-import; every 3rd adds a
+# C include; the raw text follows as the final line (any organic
+# import-shaped words parse identically in both engines)
+_CODE_CONTENT_SQL = """'import mod' || CAST(doc_id % 50 AS VARCHAR) || chr(10)
+    || 'from pkg' || CAST(doc_id % 7 AS VARCHAR) || ' import thing' || chr(10)
+    || CASE WHEN doc_id % 3 = 0
+            THEN '#include <lib' || CAST(doc_id % 5 AS VARCHAR) || '.h>' || chr(10)
+            ELSE '' END
+    || text"""
+
+
+@_q(
+    "src_import_triples",
+    f"""WITH files AS (
+          SELECT 'r' || CAST(doc_id % 40 AS VARCHAR) AS repo,
+                 'src/f' || CAST(doc_id AS VARCHAR) || '.py' AS path,
+                 {_CODE_CONTENT_SQL} AS content
+          FROM documents),
+        pats(kind, pat) AS (VALUES {_import_pats_values()}),
+        hits AS (SELECT repo, path, kind,
+                        unnest(regexp_extract_all(content, pat, 1)) AS module
+                 FROM files CROSS JOIN pats)
+       SELECT 'src:' || repo || '/' || path AS subj,
+              'code:imports' AS pred,
+              module AS obj_value,
+              kind
+       FROM hits""",
+)
+def src_import_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG construction over source code (the north rule's corpus shape):
+    extract the import graph from synthesized code files as
+    (src:<repo>/<path>, code:imports, module) triples. One content scan
+    evaluates ALL language patterns (operators/text.py:
+    code_import_triples — per-pattern regexp_extract_all, kind-tagged,
+    flattened, exploded once); the edges feed the BGP compiler,
+    transitive closure, and pagerank like any other triple set."""
+    from .operators.text import code_import_triples
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    inc = F.when(
+        d % 3 == 0,
+        F.concat(F.lit("#include <lib"), (d % 5).cast("string"), F.lit(".h>\n")),
+    ).otherwise(F.lit(""))
+    files = docs.select(
+        F.concat(F.lit("r"), (d % 40).cast("string")).alias("repo"),
+        F.concat(F.lit("src/f"), d.cast("string"), F.lit(".py")).alias("path"),
+        F.concat(
+            F.lit("import mod"), (d % 50).cast("string"), F.lit("\n"),
+            F.lit("from pkg"), (d % 7).cast("string"),
+            F.lit(" import thing\n"), inc, F.col("text"),
+        ).alias("content"),
+    )
+    return code_import_triples(files)
+
+
 @_q(
     "src_repo_forks",
     f"""WITH files AS ({_REPO_FILES_SQL}),

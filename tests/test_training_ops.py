@@ -2172,3 +2172,38 @@ def test_chunk_windows_semantics(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="stride"):
         chunk_windows(docs, window=4, stride=5)
+
+
+def test_code_import_triples_kinds(spark):
+    """Import-graph extraction: each pattern kind fires on its own
+    statement shape, all from ONE content scan; edges compose with the
+    BGP compiler like any other triples."""
+    from fcrepo3_rdf_extractor_spark.operators.bgp import bgp_query
+    from fcrepo3_rdf_extractor_spark.operators.text import code_import_triples
+
+    files = spark.createDataFrame(
+        [
+            ("r1", "a.py", "import os.path\nfrom collections import deque\nx=1"),
+            ("r1", "b.c", '#include <stdio.h>\n#include "local.h"\nint main(){}'),
+            ("r2", "c.js", "const x = require('lodash')\nimport {y} from 'react'"),
+            ("r2", "d.txt", "no imports here at all"),
+        ],
+        "repo string, path string, content string",
+    )
+    got = code_import_triples(files)
+    rows = {(r.subj, r.obj_value, r.kind) for r in got.collect()}
+    assert rows == {
+        ("src:r1/a.py", "os.path", "py_import"),
+        ("src:r1/a.py", "collections", "py_from"),
+        ("src:r1/b.c", "stdio.h", "c_include"),
+        ("src:r1/b.c", "local.h", "c_include"),
+        ("src:r2/c.js", "lodash", "js_require"),
+        ("src:r2/c.js", "react", "js_import"),
+    }
+    # the edges are BGP-queryable triples: which files import lodash?
+    hits = bgp_query(
+        got.select("subj", "pred", "obj_value"),
+        [("?f", "code:imports", "lodash")],
+        select=["f"],
+    ).collect()
+    assert [r.f for r in hits] == ["src:r2/c.js"]
