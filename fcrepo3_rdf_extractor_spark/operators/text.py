@@ -1471,3 +1471,74 @@ def code_import_triples(
         F.col("_e.module").alias("obj_value"),
         F.col("_e.kind").alias("kind"),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 lexical retrieval (Robertson-Sparck Jones, the Lucene idf
+    variant): score every document against a bag of query terms and
+    return the top k — the sparse-retrieval twin of the dense ANN
+    surface (operators/similarity.py), and with :func:`chunk_windows`
+    upstream, the classic RAG hybrid-retrieval pair.
+
+    Scale shape: the exploded corpus filters to the QUERY TERMS first —
+    an ``isin`` over driver-held literals, so the (doc, term) stream
+    entering the tf aggregation is query-sized, not corpus-sized. Corpus
+    stats (N, avgdl) are ONE row crossJoined broadcast (the
+    documented-fine scalar BNLJ); per-term document frequencies are a
+    ≤|query|-row broadcast join. Scores round to 4 decimals BEFORE the
+    ranking so the float sum's last ulp can never reorder engines, and
+    ties break on doc_id; the final top-k is a TakeOrderedAndProject,
+    never a global sort. Documents containing no query term emit no row.
+    """
+    if not query_terms:
+        raise ValueError("bm25_topk needs at least one query term")
+    staged = df.select("doc_id", tokens_col(F.col(text_col)).alias("_toks"))
+    lens = staged.select(
+        "doc_id", F.size("_toks").cast("double").alias("_len"), "_toks"
+    )
+    stats = lens.agg(
+        F.count(F.lit(1)).cast("double").alias("_n_docs"),
+        F.avg("_len").alias("_avgdl"),
+    )
+    hits = lens.select(
+        "doc_id", "_len", F.explode("_toks").alias("term")
+    ).filter(F.col("term").isin(query_terms))
+    tf = hits.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("_tf"),
+        F.max("_len").alias("_len"),
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("_df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("_n_docs") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "_s",
+            F.col("_idf")
+            * F.col("_tf")
+            * (k1 + 1.0)
+            / (
+                F.col("_tf")
+                + k1 * (1.0 - b + b * F.col("_len") / F.col("_avgdl"))
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("_s"), 4).alias("score"))
+        .orderBy(F.desc("score"), F.col("doc_id"))
+        .limit(k)
+    )

@@ -961,6 +961,40 @@ def docs_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "docs_bm25_topk",
+    f"""WITH t AS (SELECT doc_id, {_WORDS} AS toks FROM documents),
+        lens AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS l, toks FROM t),
+        stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(l) AS avgdl
+                  FROM lens),
+        hits AS (SELECT doc_id, l, unnest(toks) AS term FROM lens),
+        qh AS (SELECT * FROM hits WHERE term IN ('hash', 'join', 'vector')),
+        tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf,
+                      max(l) AS l
+               FROM qh GROUP BY doc_id, term),
+        dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+                  FROM tf GROUP BY term),
+        scored AS (SELECT doc_id,
+                          ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                          * tf * 2.2
+                          / (tf + 1.2 * (1.0 - 0.75 + 0.75 * l / avgdl)) AS s
+                   FROM tf JOIN dfreq USING (term) CROSS JOIN stats)
+       SELECT doc_id, round(sum(s), 4) AS score
+       FROM scored GROUP BY doc_id
+       ORDER BY score DESC, doc_id LIMIT 10""",
+)
+def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for the query {hash, join, vector} (operators/text.py:
+    bm25_topk — query-term isin filter before the tf aggregation,
+    broadcast df/stats, rounded-then-ranked scores, doc_id tiebreak,
+    TakeOrderedAndProject)."""
+    from .operators.text import bm25_topk
+
+    return bm25_topk(
+        _read(spark, sf_dir, "documents"), ["hash", "join", "vector"], k=10
+    )
+
+
+@_q(
     "docs_chunk_windows",
     f"""WITH t AS (SELECT doc_id, {_WORDS} AS toks FROM documents),
         st AS (SELECT doc_id, toks,

@@ -2207,3 +2207,35 @@ def test_code_import_triples_kinds(spark):
         select=["f"],
     ).collect()
     assert [r.f for r in hits] == ["src:r2/c.js"]
+
+
+def test_bm25_topk_ranking(spark):
+    """BM25: term-frequency saturation and length normalization rank a
+    short on-topic doc above a long one; docs without query terms are
+    absent; the top-k plans as TakeOrderedAndProject."""
+    import math
+
+    from fcrepo3_rdf_extractor_spark.operators.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join join"),                      # short, tf=2
+            (2, "spark join " + "filler " * 20),         # long, tf=1
+            (3, "nothing relevant here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(docs, ["join"], k=10)
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in phys, phys
+    got = out.collect()
+    assert [r.doc_id for r in got] == [1, 2]
+    # hand-check doc 1: N=3, df('join')=2, len=3, avgdl=(3+22+3)/3
+    idf = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))
+    avgdl = (3 + 22 + 3) / 3
+    s1 = idf * 2 * 2.2 / (2 + 1.2 * (0.25 + 0.75 * 3 / avgdl))
+    assert abs(got[0].score - round(s1, 4)) < 1e-9
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="query term"):
+        bm25_topk(docs, [])
