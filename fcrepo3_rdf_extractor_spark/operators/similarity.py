@@ -882,3 +882,52 @@ def ivf_recall(
             ).alias("recall"),
         )
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    k_rrf: int = 60,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009): merge
+    several retrieval rankings into one by summing ``1 / (k_rrf + rank)``
+    per item — the standard hybrid-retrieval combiner (BM25 lexical arm
+    + dense ANN arm), robust because it uses only RANKS, never the
+    incomparable raw scores.
+
+    Every input must already be a TOP-K LIST — (id_col, score_col),
+    bounded, metadata-sized — which is what the retrieval operators
+    (:func:`..text.bm25_topk`, :func:`brute_force_topk`, the LSH/IVF/PQ
+    arms) return. The per-arm rank is a row_number over an unpartitioned
+    window: on a k-sized list that is one task over k rows by
+    construction, NOT a corpus-wide serial sort — do not feed unbounded
+    rankings. Ranks order by (score desc, id) — scores from those
+    operators are pre-rounded, so rank is engine-stable; fused scores
+    round to 6 before the final top-k (one bounded aggregation).
+    """
+    from pyspark.sql.window import Window
+
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    contribs = []
+    w = Window.orderBy(F.desc(score_col), F.col(id_col))
+    for r in rankings:
+        ranked = r.select(
+            F.col(id_col), F.row_number().over(w).alias("_rank")
+        )
+        contribs.append(
+            ranked.select(
+                id_col, (1.0 / (k_rrf + F.col("_rank"))).alias("_c")
+            )
+        )
+    allc = contribs[0]
+    for c in contribs[1:]:
+        allc = allc.unionByName(c)
+    return (
+        allc.groupBy(id_col)
+        .agg(F.round(F.sum("_c"), 6).alias("rrf_score"))
+        .orderBy(F.desc("rrf_score"), F.col(id_col))
+        .limit(k)
+    )

@@ -994,6 +994,68 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COS_SQL = (
+    "list_sum([x[1]*x[2] for x in list_zip({a}, {b})]) / "
+    "(sqrt(list_sum([x*x for x in {a}])) * sqrt(list_sum([x*x for x in {b}])))"
+)
+
+
+@_q(
+    "docs_hybrid_rrf",
+    f"""WITH t AS (SELECT doc_id, {_WORDS} AS toks FROM documents),
+        lens AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS l, toks FROM t),
+        stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(l) AS avgdl
+                  FROM lens),
+        qh AS (SELECT doc_id, l, unnest(toks) AS term FROM lens),
+        qf AS (SELECT * FROM qh WHERE term IN ('hash', 'join', 'vector')),
+        tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf,
+                      max(l) AS l FROM qf GROUP BY doc_id, term),
+        dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+                  FROM tf GROUP BY term),
+        bm AS (SELECT doc_id,
+                      ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2
+                      / (tf + 1.2 * (0.25 + 0.75 * l / avgdl)) AS s
+               FROM tf JOIN dfreq USING (term) CROSS JOIN stats),
+        lex AS (SELECT doc_id, round(sum(s), 4) AS score FROM bm
+                GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20),
+        q AS (SELECT embedding::DOUBLE[] AS q_emb FROM embeddings
+              WHERE vec_id = 0),
+        dense AS (SELECT vec_id AS doc_id,
+                         round({_COS_SQL.format(a='embedding::DOUBLE[]',
+                                                b='q_emb')}, 6) AS score
+                  FROM embeddings CROSS JOIN q WHERE vec_id <> 0
+                  ORDER BY score DESC, doc_id LIMIT 20),
+        lr AS (SELECT doc_id,
+                      row_number() OVER (ORDER BY score DESC, doc_id) AS r
+               FROM lex),
+        dr AS (SELECT doc_id,
+                      row_number() OVER (ORDER BY score DESC, doc_id) AS r
+               FROM dense),
+        c AS (SELECT doc_id, CAST(1.0 AS DOUBLE) / (60 + r) AS c FROM lr
+              UNION ALL
+              SELECT doc_id, CAST(1.0 AS DOUBLE) / (60 + r) FROM dr)
+       SELECT doc_id, round(sum(c), 6) AS rrf_score FROM c GROUP BY doc_id
+       ORDER BY rrf_score DESC, doc_id LIMIT 10""",
+)
+def docs_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-20 fused with dense cosine
+    top-20 by reciprocal-rank fusion (operators/similarity.py:
+    rrf_fuse). Both arms are the already-oracled retrieval operators;
+    fusion works on ranks only, so the arms' incomparable score scales
+    never matter. All windows and aggregations in the fusion run over
+    top-k-sized (metadata) lists."""
+    from .operators.similarity import brute_force_topk, rrf_fuse
+    from .operators.text import bm25_topk
+
+    lex = bm25_topk(
+        _read(spark, sf_dir, "documents"), ["hash", "join", "vector"], k=20
+    )
+    dense = brute_force_topk(
+        _read(spark, sf_dir, "embeddings"), query_id=0, k=20
+    ).select(F.col("vec_id").alias("doc_id"), F.col("cosine").alias("score"))
+    return rrf_fuse([lex, dense], k=10)
+
+
 @_q(
     "docs_chunk_windows",
     f"""WITH t AS (SELECT doc_id, {_WORDS} AS toks FROM documents),
@@ -2107,12 +2169,6 @@ def kg_dedup_exact_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- embeddings -----------------------------------------------------------
-
-_COS_SQL = (
-    "list_sum([x[1]*x[2] for x in list_zip({a}, {b})]) / "
-    "(sqrt(list_sum([x*x for x in {a}])) * sqrt(list_sum([x*x for x in {b}])))"
-)
-
 
 @_q(
     "emb_cosine_topk",

@@ -2239,3 +2239,27 @@ def test_bm25_topk_ranking(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="query term"):
         bm25_topk(docs, [])
+
+
+def test_rrf_fuse_semantics(spark):
+    """RRF: an item ranked well in BOTH arms beats each arm's solo
+    leader; items in one arm only still score; rejects empty input."""
+    from fcrepo3_rdf_extractor_spark.operators.similarity import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 5.0), (2, 4.0), (3, 3.0)], "doc_id long, score double"
+    )
+    dense = spark.createDataFrame(
+        [(2, 0.9), (4, 0.8), (1, 0.1)], "doc_id long, score double"
+    )
+    got = rrf_fuse([lex, dense], k=10, k_rrf=60).collect()
+    scores = {r.doc_id: r.rrf_score for r in got}
+    # doc 2: rank 2 lex + rank 1 dense; doc 1: rank 1 lex + rank 3 dense
+    assert scores[2] == round(1 / 62 + 1 / 61, 6)
+    assert scores[1] == round(1 / 61 + 1 / 63, 6)
+    assert scores[4] == round(1 / 62, 6)
+    assert got[0].doc_id == 2  # fused winner appears in both arms
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="at least one ranking"):
+        rrf_fuse([])
