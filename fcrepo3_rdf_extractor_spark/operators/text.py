@@ -1542,3 +1542,39 @@ def bm25_topk(
         .orderBy(F.desc("score"), F.col("doc_id"))
         .limit(k)
     )
+
+
+def distinct_token_stats(
+    df: DataFrame,
+    approx: bool = False,
+    rsd: float = 0.05,
+    by: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group vocabulary statistics: total tokens and DISTINCT terms
+    per ``by`` group. ``approx=False`` computes the exact distinct count
+    (Spark's two-phase distinct aggregate — partial distinct before the
+    exchange); ``approx=True`` switches to ``approx_count_distinct``
+    (HyperLogLog++), the 10^12-token path: HLL registers are
+    FIXED-SIZE and MERGEABLE, so the partial aggregation combines
+    map-side like any sum and the shuffle carries kilobytes per group
+    regardless of vocabulary size — an exact distinct at that scale
+    shuffles every (group, term) pair. ``rsd`` is the target relative
+    standard deviation; the error gate in tests/test_training_ops.py
+    MEASURES the deviation vs exact on the test corpus (the same
+    measured-not-guessed basis as the ANN recall gates). The approx arm
+    is deterministic for a fixed input (HLL hashing has no RNG) but is
+    engine-specific, so only the exact arm carries a DuckDB oracle —
+    the registered query uses exact; approx is the documented scale
+    switch."""
+    toks = df.select(
+        F.col(by), F.explode(tokens_col(F.col(text_col))).alias("term")
+    )
+    distinct_agg = (
+        F.approx_count_distinct("term", rsd) if approx
+        else F.count_distinct("term")
+    )
+    return toks.groupBy(by).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        distinct_agg.cast("long").alias("n_distinct_terms"),
+    )

@@ -994,6 +994,24 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "docs_distinct_token_stats",
+    f"""SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+              CAST(count(DISTINCT term) AS BIGINT) AS n_distinct_terms
+       FROM (SELECT source, unnest({_WORDS}) AS term FROM documents)
+       GROUP BY source""",
+)
+def docs_distinct_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary stats, exact arm (operators/text.py:
+    distinct_token_stats). The approx_count_distinct (HLL++) twin is the
+    10^12-token path — fixed-size mergeable registers instead of
+    shuffling every (source, term) pair — with its error measured in a
+    pytest gate rather than guessed."""
+    from .operators.text import distinct_token_stats
+
+    return distinct_token_stats(_read(spark, sf_dir, "documents"))
+
+
 _COS_SQL = (
     "list_sum([x[1]*x[2] for x in list_zip({a}, {b})]) / "
     "(sqrt(list_sum([x*x for x in {a}])) * sqrt(list_sum([x*x for x in {b}])))"

@@ -2263,3 +2263,23 @@ def test_rrf_fuse_semantics(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="at least one ranking"):
         rrf_fuse([])
+
+
+def test_distinct_token_stats_hll_error_gate(spark):
+    """Measured HLL++ error vs exact on a real corpus slice: every
+    per-source approx distinct count within 3x the requested rsd, and
+    the two arms agree on n_tokens exactly."""
+    from fcrepo3_rdf_extractor_spark.operators.text import distinct_token_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = {r.source: r for r in distinct_token_stats(docs).collect()}
+    approx = {
+        r.source: r
+        for r in distinct_token_stats(docs, approx=True, rsd=0.05).collect()
+    }
+    assert set(exact) == set(approx) and len(exact) >= 2
+    for src, e in exact.items():
+        a = approx[src]
+        assert a.n_tokens == e.n_tokens
+        rel = abs(a.n_distinct_terms - e.n_distinct_terms) / e.n_distinct_terms
+        assert rel <= 0.15, (src, e.n_distinct_terms, a.n_distinct_terms)
