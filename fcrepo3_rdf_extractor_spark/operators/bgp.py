@@ -77,6 +77,7 @@ def bgp_query(
     allow_cartesian: bool = False,
     optional_patterns: Sequence[Sequence[tuple[str, str, str]]] | None = None,
     filters: Sequence[tuple[str, str, object]] | None = None,
+    not_exists: Sequence[Sequence[tuple[str, str, str]]] | None = None,
 ) -> DataFrame:
     """Evaluate a SPARQL-style basic graph pattern.
 
@@ -113,6 +114,18 @@ def bgp_query(
     a group come back NULL where the group found no match. A group
     sharing no variable with the required part is rejected — that is a
     cartesian, not an optional.
+
+    ``not_exists``: a list of negation groups — SPARQL
+    ``FILTER NOT EXISTS { ... }``: a solution survives only if the
+    group (with the solution's bindings injected) matches nothing.
+    Each group compiles to a LEFT ANTI join of its sub-BGP on the
+    variables shared with the required part — on shared-variable
+    groups this is also exactly SPARQL ``MINUS`` (the two constructs
+    only diverge when the group shares no variable, and a no-shared-
+    variable group is rejected here: under NOT EXISTS it would mean
+    "drop everything if the group matches at all", which is a job-level
+    existence test, not a per-solution filter). Applied to the
+    required-part bindings, before OPTIONAL groups attach.
 
     Returns one column per selected variable. Raises ``ValueError`` on
     unknown select variables, constant-only patterns, or (unless
@@ -171,23 +184,47 @@ def bgp_query(
         closure of that predicate's edge set (shortest-hop closure via
         :func:`..graph.transitive_closure` — semi-naive delta-frontier
         iteration, the one recursive construct a fixed join chain can't
-        express). Subject/object constants on a path pattern filter the
+        express). ``*`` (zero-or-more) is the closure UNIONed with the
+        identity relation over every term of the graph, and ``?``
+        (zero-or-one) is the single-step edge set unioned with the same
+        identity — per SPARQL 1.1 §9.1 a zero-length path matches EVERY
+        graph term, so the identity side is a distinct over the graph's
+        subjects and objects (one exchange over the narrow term
+        projection; bind a constant on either side to prune it).
+        Subject/object constants on a path pattern filter the
         closure exactly like an ordinary scan."""
         if not _is_var(pat[1]) and pat[1].startswith("^"):
             pat = (pat[2], pat[1][1:], pat[0])
-        if not _is_var(pat[1]) and pat[1].endswith("+"):
+        if not _is_var(pat[1]) and pat[1][-1] in "+*?" and len(pat[1]) > 1:
             from .graph import transitive_closure
 
             # alternation inside the path: "p|q+" = one-or-more steps,
             # each over EITHER predicate (SPARQL (p|q)+) — the edge set
             # is the union, i.e. an isin filter on the same scan
+            mod = pat[1][-1]
             preds = pat[1][:-1].split("|")
             edges = triples.filter(F.col("pred").isin(preds)).select(
                 F.col("subj"), F.col("obj_value")
             )
-            closure = transitive_closure(edges, "subj", "obj_value").drop(
-                "depth"
-            )
+            if mod == "+":
+                closure = transitive_closure(edges, "subj", "obj_value").drop(
+                    "depth"
+                )
+            else:
+                nodes = (
+                    triples.select(F.col("subj").alias("_n"))
+                    .union(triples.select(F.col("obj_value").alias("_n")))
+                    .distinct()
+                )
+                identity = nodes.select(
+                    F.col("_n").alias("subj"), F.col("_n").alias("obj_value")
+                )
+                steps = (
+                    transitive_closure(edges, "subj", "obj_value").drop("depth")
+                    if mod == "*"
+                    else edges
+                )
+                closure = steps.union(identity).distinct()
             df, proj, seen_path = closure, [], set()
             for term, col in zip((pat[0], pat[2]), ("subj", "obj_value")):
                 if _is_var(term):
@@ -273,6 +310,16 @@ def bgp_query(
             value = float(value)
         joined = joined.filter(_OPS[op](col, value))
 
+    for group in not_exists or []:
+        sub = bgp_query(triples, group, allow_cartesian=allow_cartesian)
+        on = sorted(joined_vars & set(sub.columns))
+        if not on:
+            raise ValueError(
+                "NOT EXISTS group shares no variable with the required "
+                "patterns — a per-solution filter needs a shared binding"
+            )
+        joined = joined.join(sub.select(*on), on=on, how="left_anti")
+
     for group in opt_groups:
         sub = bgp_query(
             triples,
@@ -340,6 +387,7 @@ def bgp_aggregate(
     allow_cartesian: bool = False,
     optional_patterns: Sequence[Sequence[tuple[str, str, str]]] | None = None,
     filters: Sequence[tuple[str, str, object]] | None = None,
+    not_exists: Sequence[Sequence[tuple[str, str, str]]] | None = None,
 ) -> DataFrame:
     """SPARQL 1.1 aggregates: GROUP BY over a basic graph pattern's
     bindings (SPARQL 1.1 Query §11), the missing third of the query
@@ -400,6 +448,7 @@ def bgp_aggregate(
         allow_cartesian=allow_cartesian,
         optional_patterns=optional_patterns,
         filters=filters,
+        not_exists=not_exists,
     )
 
     exprs = []
@@ -447,3 +496,72 @@ def bgp_aggregate(
             raise ValueError(f"unknown HAVING op {op!r}")
         out = out.filter(_OPS[op](F.col(alias), value))
     return out
+
+
+def bgp_construct(
+    triples: DataFrame,
+    patterns: Sequence[tuple[str, str, str]],
+    template: Sequence[tuple[str, str, str]],
+    distinct: bool = True,
+    allow_cartesian: bool = False,
+    optional_patterns: Sequence[Sequence[tuple[str, str, str]]] | None = None,
+    filters: Sequence[tuple[str, str, object]] | None = None,
+    not_exists: Sequence[Sequence[tuple[str, str, str]]] | None = None,
+) -> DataFrame:
+    """SPARQL CONSTRUCT: instantiate a triple TEMPLATE once per BGP
+    solution, producing a NEW graph — which makes every template a
+    materializable inference rule (body = the WHERE patterns, head =
+    the template; e.g. invert membership edges, add type triples,
+    flatten two-hop paths). Output: (subj, pred, obj_value).
+
+    The template is a list of (s, p, o) terms, each a ``?variable``
+    bound by the WHERE clause or a constant. Per the spec: the result
+    is a GRAPH, so set semantics by default (``distinct=False`` for the
+    bag); a solution that leaves any slot of a template triple NULL (an
+    OPTIONAL variable that did not bind) skips THAT triple only.
+
+    Plan shape: all template triples instantiate from ONE evaluation of
+    the solution plan — an array-of-structs projection exploded once —
+    never a per-template filter+union, which would re-run the BGP join
+    tree once per template triple (the documented union double-
+    evaluation gotcha). The trailing distinct is one exchange on the
+    output triples.
+    """
+    if not template:
+        raise ValueError("empty CONSTRUCT template")
+    tvars = sorted(
+        {t.lstrip("?") for pat in template for t in pat if _is_var(t)}
+    )
+    bindings = bgp_query(
+        triples,
+        patterns,
+        select=tvars or None,
+        allow_cartesian=allow_cartesian,
+        optional_patterns=optional_patterns,
+        filters=filters,
+        not_exists=not_exists,
+    )
+
+    def slot(term: str):
+        return F.col(term.lstrip("?")) if _is_var(term) else F.lit(term)
+
+    entries = F.array(
+        *[
+            F.struct(
+                slot(s).alias("subj"),
+                slot(p).alias("pred"),
+                slot(o).alias("obj_value"),
+            )
+            for s, p, o in template
+        ]
+    )
+    out = (
+        bindings.select(F.explode(entries).alias("_t"))
+        .select("_t.subj", "_t.pred", "_t.obj_value")
+        .filter(
+            F.col("subj").isNotNull()
+            & F.col("pred").isNotNull()
+            & F.col("obj_value").isNotNull()
+        )
+    )
+    return out.distinct() if distinct else out

@@ -4273,6 +4273,105 @@ def kg_bgp_aggregate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "kg_bgp_not_exists_query",
+    """SELECT 'info:fedora/order:' || o_orderkey AS obj,
+              'info:fedora/collection:' || (o_custkey % 100) AS coll
+       FROM orders WHERE o_orderkey % 2 = 1""",
+)
+def kg_bgp_not_exists_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL FILTER NOT EXISTS: collection members with NO owner triple
+    (ownership deterministically dropped for odd orders) — compiled as a
+    LEFT ANTI join of the negation sub-BGP on the shared ?obj variable;
+    on shared-variable groups this is also exactly MINUS."""
+    from .operators.bgp import bgp_query
+
+    rel = "info:fedora/fedora-system:def/relations-external#isMemberOfCollection"
+    source = synthesize_foxml_from_orders(spark, sf_dir)
+    okey = F.regexp_extract(F.col("subj"), r"order:(\d+)", 1).cast("long")
+    triples = (
+        triples_only(extract_triples(source))
+        .select("subj", "pred", "obj_value")
+        .filter(~((F.col("pred") == OWNER) & (okey % 2 == 1)))
+        .persist()
+    )
+    return bgp_query(
+        triples,
+        [("?obj", rel, "?coll")],
+        select=["obj", "coll"],
+        not_exists=[[("?obj", OWNER, "?owner")]],
+    )
+
+
+@_q(
+    "kg_bgp_construct_query",
+    """SELECT 'info:fedora/collection:' || (o_custkey % 100) AS subj,
+              'ex:contains' AS pred,
+              'info:fedora/order:' || o_orderkey AS obj_value
+       FROM orders WHERE o_orderstatus = 'O'
+       UNION
+       SELECT 'info:fedora/order:' || o_orderkey,
+              'rdf:type', 'ex:ActiveObject'
+       FROM orders WHERE o_orderstatus = 'O'""",
+)
+def kg_bgp_construct_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL CONSTRUCT as a materialized inference rule: from ACTIVE
+    membership bindings, derive the INVERTED containment edge and a type
+    triple. Both template triples instantiate from ONE evaluation of the
+    solution plan (array-of-structs exploded once — never a
+    per-template filter+union); set semantics via one distinct."""
+    from .operators.bgp import bgp_construct
+
+    rel = "info:fedora/fedora-system:def/relations-external#isMemberOfCollection"
+    source = synthesize_foxml_from_orders(spark, sf_dir)
+    triples = (
+        triples_only(extract_triples(source))
+        .select("subj", "pred", "obj_value")
+        .persist()
+    )
+    return bgp_construct(
+        triples,
+        [("?obj", rel, "?coll"), ("?obj", STATE, ACTIVE)],
+        template=[
+            ("?coll", "ex:contains", "?obj"),
+            ("?obj", "rdf:type", "ex:ActiveObject"),
+        ],
+    )
+
+
+@_q(
+    "kg_bgp_path_star",
+    """WITH RECURSIVE
+        e AS (SELECT 'urn:' || c_custkey AS s, 'urn:' || (c_custkey // 2) AS o
+              FROM customer WHERE c_custkey > 1),
+        nodes AS (SELECT s AS n FROM e UNION SELECT o FROM e),
+        r AS (SELECT s AS u, o AS v FROM e
+              UNION
+              SELECT r.u, e.o FROM r JOIN e ON r.v = e.s)
+       SELECT u AS x, v AS y FROM r
+       UNION
+       SELECT n, n FROM nodes""",
+)
+def kg_bgp_path_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL zero-or-more property path (``next*``): the transitive
+    closure UNIONed with the identity relation over every graph term
+    (SPARQL 1.1 §9.1 — a zero-length path matches every term). Edge set
+    = the halving chain over customer keys; the oracle is the recursive
+    closure plus an identity union."""
+    from .operators.bgp import bgp_query
+
+    cust = _read(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    triples = cust.filter(key > 1).select(
+        F.concat(F.lit("urn:"), key.cast("string")).alias("subj"),
+        F.lit("next").alias("pred"),
+        F.concat(F.lit("urn:"), (key / 2).cast("long").cast("string")).alias(
+            "obj_value"
+        ),
+    )
+    return bgp_query(triples, [("?x", "next*", "?y")], select=["x", "y"])
+
+
+@_q(
     "docs_contamination_closure",
     f"""WITH RECURSIVE
         prs AS (SELECT doc_a, doc_b FROM ({_MINHASH_NEARDUP_SQL}) mm),

@@ -28,6 +28,13 @@ max, group_concat[:sep], group_concat_distinct[:sep], sample}; var may
 be '*' with count) switch the query to bgp_aggregate; --having
 'alias op value' constrains the aggregated rows. --group-by '' (empty)
 means one global group.
+
+Negation: each --not-exists flag is ONE FILTER NOT EXISTS group
+('.'-separated patterns, left-anti-joined on shared variables).
+CONSTRUCT: one or more --construct '?s pred ?o' template triples switch
+the output to derived subj/pred/obj_value triples (set semantics).
+Property paths in patterns: pred+ (one or more), pred* (zero or more),
+pred? (zero or one), ^pred (inverse), (p|q)+ (alternation).
 """
 
 from __future__ import annotations
@@ -78,6 +85,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--optional", action="append", default=[],
                     help="one OPTIONAL group: patterns joined by ' . ' "
                          "(repeatable)")
+    ap.add_argument("--not-exists", action="append", default=[],
+                    help="one FILTER NOT EXISTS group: patterns joined "
+                         "by ' . ' (repeatable)")
+    ap.add_argument("--construct", action="append", default=[],
+                    help="CONSTRUCT template triple '?s pred ?o' "
+                         "(repeatable; switches output to subj/pred/"
+                         "obj_value triples, set semantics)")
     ap.add_argument("--filter", action="append", default=[],
                     help="'?var op value' constraint (repeatable)")
     ap.add_argument("--select", default=None,
@@ -112,10 +126,18 @@ def main(argv: list[str] | None = None) -> int:
             .getOrCreate()
         )
 
-    from fcrepo3_rdf_extractor_spark.operators.bgp import bgp_aggregate, bgp_query
+    from fcrepo3_rdf_extractor_spark.operators.bgp import (
+        bgp_aggregate,
+        bgp_construct,
+        bgp_query,
+    )
 
     if (args.group_by is not None) != bool(args.agg):
         print("error: --group-by and --agg go together", file=sys.stderr)
+        spark.stop()
+        return 2
+    if args.construct and args.group_by is not None:
+        print("error: --construct and --group-by are exclusive", file=sys.stderr)
         spark.stop()
         return 2
 
@@ -128,7 +150,20 @@ def main(argv: list[str] | None = None) -> int:
             for group in args.optional
         ]
         filters = [_parse_filter(f) for f in args.filter]
-        if args.group_by is not None:
+        negation = [
+            [_parse_pattern(p) for p in group.split(" . ")]
+            for group in args.not_exists
+        ]
+        if args.construct:
+            result = bgp_construct(
+                triples,
+                patterns,
+                template=[_parse_pattern(p) for p in args.construct],
+                optional_patterns=optional,
+                filters=filters,
+                not_exists=negation,
+            )
+        elif args.group_by is not None:
             def parse_agg(text: str) -> tuple[str, str, str]:
                 parts = text.split()
                 if len(parts) != 3:
@@ -156,6 +191,7 @@ def main(argv: list[str] | None = None) -> int:
                 having=[parse_having(h) for h in args.having],
                 optional_patterns=optional,
                 filters=filters,
+                not_exists=negation,
             )
         else:
             result = bgp_query(
@@ -165,6 +201,7 @@ def main(argv: list[str] | None = None) -> int:
                 distinct=args.distinct,
                 optional_patterns=optional,
                 filters=filters,
+                not_exists=negation,
             )
         if args.out:
             result.write.mode("overwrite").parquet(args.out)

@@ -437,7 +437,14 @@ def query_cli(spark, base: Path) -> dict:
         "--having", "n >= 2",
         "--local", "2",
     ])
-    return {"ok": ok, "bad": bad, "agg": agg}
+    con = _run_job("query.py", [
+        "--triples", tdir,
+        "--pattern", "?x rel:member ?c",
+        "--not-exists", "?x m:owner ?o",
+        "--construct", "?c ex:contains ?x",
+        "--local", "2",
+    ])
+    return {"ok": ok, "bad": bad, "agg": agg, "construct": con}
 
 
 @scenario

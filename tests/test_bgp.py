@@ -315,6 +315,13 @@ def test_query_cli(spark, cli_results):
     alines = [json.loads(x) for x in agg["stdout"].strip().splitlines()]
     assert alines[-1]["n_rows"] == 1
     assert alines[0] == {"c": "c:a", "n": 2, "first_x": "p:1"}
+    con = art["construct"]
+    assert con["rc"] == 0, con["stderr"][-2000:]
+    clines = [json.loads(x) for x in con["stdout"].strip().splitlines()]
+    # only p:3 lacks an owner -> one derived containment triple
+    assert clines[-1]["n_rows"] == 1
+    assert clines[0] == {
+        "subj": "c:b", "pred": "ex:contains", "obj_value": "p:3"}
 
 
 def test_bgp_union_branches(triples):
@@ -560,3 +567,105 @@ def test_aggregate_reuses_join_partitioning(triples):
     assert len(agg_idx) >= 2, plan
     between = lines[agg_idx[0] + 1: agg_idx[1]]
     assert not any("Exchange" in ln for ln in between), plan
+
+
+def test_not_exists_anti_join(triples):
+    """FILTER NOT EXISTS drops solutions the negation group matches;
+    a group with no shared variable is rejected."""
+    from fcrepo3_rdf_extractor_spark.operators.bgp import bgp_query
+
+    # members whose x has NO sees-edge: p:3 only (p:1 and p:2 see)
+    got = bgp_query(
+        triples,
+        [("?x", "rel:member", "?c")],
+        select=["x", "c"],
+        not_exists=[[("?x", "v:sees", "?other")]],
+    ).collect()
+    assert [(r.x, r.c) for r in got] == [("p:3", "c:b")]
+
+    with pytest.raises(ValueError, match="NOT EXISTS group shares no"):
+        bgp_query(
+            triples,
+            [("?x", "rel:member", "?c")],
+            not_exists=[[("?y", "v:sees", "?z")]],
+        )
+
+
+def test_construct_template_rules(triples):
+    """CONSTRUCT instantiates every template triple per solution, set
+    semantics, and OPTIONAL-null slots skip only their own triple."""
+    from fcrepo3_rdf_extractor_spark.operators.bgp import bgp_construct
+
+    got = bgp_construct(
+        triples,
+        [("?x", "rel:member", "?c")],
+        template=[
+            ("?c", "ex:contains", "?x"),
+            ("?x", "rdf:type", "ex:Member"),
+            ("?x", "ex:ownedBy", "?o"),
+        ],
+        optional_patterns=[[("?x", "m:owner", "?o")]],
+    ).collect()
+    rows = {(r.subj, r.pred, r.obj_value) for r in got}
+    assert ("c:a", "ex:contains", "p:1") in rows
+    assert ("p:3", "rdf:type", "ex:Member") in rows
+    assert ("p:1", "ex:ownedBy", "alice") in rows
+    # every member has contains + type; all three have owners here
+    assert len(rows) == 3 + 3 + 3
+
+    with pytest.raises(ValueError, match="empty CONSTRUCT"):
+        bgp_construct(triples, [("?x", "m:owner", "?o")], template=[])
+
+
+def test_construct_null_slot_skips_triple(spark):
+    from fcrepo3_rdf_extractor_spark.operators.bgp import bgp_construct
+
+    t = spark.createDataFrame(
+        [("a", "p", "b"), ("c", "p", "d"), ("a", "own", "x")],
+        "subj string, pred string, obj_value string",
+    )
+    rows = {
+        (r.subj, r.pred, r.obj_value)
+        for r in bgp_construct(
+            t,
+            [("?s", "p", "?v")],
+            template=[("?s", "has", "?v"), ("?s", "ownedBy", "?o")],
+            optional_patterns=[[("?s", "own", "?o")]],
+        ).collect()
+    }
+    # c has no owner: its ownedBy triple is skipped, has-triple kept
+    assert rows == {
+        ("a", "has", "b"), ("c", "has", "d"), ("a", "ownedBy", "x")}
+
+
+def test_path_star_and_optional_step(spark):
+    """p* = closure + identity over every graph term; p? = single step
+    + identity."""
+    from fcrepo3_rdf_extractor_spark.operators.bgp import bgp_query
+
+    t = spark.createDataFrame(
+        [("a", "next", "b"), ("b", "next", "c")],
+        "subj string, pred string, obj_value string",
+    )
+    star = {
+        (r.x, r.y)
+        for r in bgp_query(t, [("?x", "next*", "?y")], select=["x", "y"]).collect()
+    }
+    assert star == {
+        ("a", "a"), ("b", "b"), ("c", "c"),      # identity: every term
+        ("a", "b"), ("b", "c"), ("a", "c"),      # closure
+    }
+    opt = {
+        (r.x, r.y)
+        for r in bgp_query(t, [("?x", "next?", "?y")], select=["x", "y"]).collect()
+    }
+    assert opt == {
+        ("a", "a"), ("b", "b"), ("c", "c"),
+        ("a", "b"), ("b", "c"),                  # single steps only
+    }
+    # a bound subject prunes the identity side
+    frm_b = {
+        r.y
+        for r in bgp_query(t, [("b", "next*", "?y")], select=["y"]).collect()
+    }
+    assert frm_b == {"b", "c"}
