@@ -565,3 +565,34 @@ def bgp_construct(
         )
     )
     return out.distinct() if distinct else out
+
+
+def bgp_ask(
+    triples: DataFrame,
+    patterns: Sequence[tuple[str, str, str]],
+    allow_cartesian: bool = False,
+    optional_patterns: Sequence[Sequence[tuple[str, str, str]]] | None = None,
+    filters: Sequence[tuple[str, str, object]] | None = None,
+    not_exists: Sequence[Sequence[tuple[str, str, str]]] | None = None,
+) -> DataFrame:
+    """SPARQL ASK: does the pattern match at all? Returns a one-row
+    DataFrame ``(matched boolean)`` — with SELECT (:func:`bgp_query`),
+    aggregates (:func:`bgp_aggregate`) and CONSTRUCT
+    (:func:`bgp_construct`) this completes the SPARQL query verbs.
+
+    Plan shape: a LIMIT 1 over the solution plan — LocalLimit runs on
+    every partition and GlobalLimit stops the job after the FIRST
+    matching solution anywhere (Spark's incremental limit scheduling
+    runs one partition, then a growing subset, so a selective ASK
+    touches a fraction of the input), then a count-to-boolean over at
+    most one row. Never a full count of the solution set.
+    """
+    first = bgp_query(
+        triples,
+        patterns,
+        allow_cartesian=allow_cartesian,
+        optional_patterns=optional_patterns,
+        filters=filters,
+        not_exists=not_exists,
+    ).limit(1)
+    return first.agg((F.count(F.lit(1)) > 0).alias("matched"))

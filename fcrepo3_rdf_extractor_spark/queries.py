@@ -4339,6 +4339,35 @@ def kg_bgp_construct_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "kg_bgp_ask_query",
+    """SELECT EXISTS(SELECT 1 FROM orders
+                     WHERE o_orderstatus NOT IN ('O', 'F')
+                       AND o_custkey % 100 = 5) AS matched""",
+)
+def kg_bgp_ask_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL ASK — is any DELETED-state object a member of
+    collection:5? Compiles to LIMIT 1 over the solution plan (the job
+    stops at the first match anywhere) then a count-to-boolean; with
+    SELECT, aggregates, and CONSTRUCT this completes the query verbs."""
+    from .operators.bgp import bgp_ask
+
+    rel = "info:fedora/fedora-system:def/relations-external#isMemberOfCollection"
+    source = synthesize_foxml_from_orders(spark, sf_dir)
+    triples = (
+        triples_only(extract_triples(source))
+        .select("subj", "pred", "obj_value")
+        .persist()
+    )
+    return bgp_ask(
+        triples,
+        [
+            ("?obj", STATE, DELETED),
+            ("?obj", rel, "info:fedora/collection:5"),
+        ],
+    )
+
+
+@_q(
     "kg_bgp_path_star",
     """WITH RECURSIVE
         e AS (SELECT 'urn:' || c_custkey AS s, 'urn:' || (c_custkey // 2) AS o

@@ -669,3 +669,21 @@ def test_path_star_and_optional_step(spark):
         for r in bgp_query(t, [("b", "next*", "?y")], select=["y"]).collect()
     }
     assert frm_b == {"b", "c"}
+
+
+def test_ask_verb(triples):
+    """ASK: one-row boolean; true when the pattern matches, false when
+    not; composes with negation groups."""
+    from fcrepo3_rdf_extractor_spark.operators.bgp import bgp_ask
+
+    yes = bgp_ask(triples, [("?x", "m:state", "Active")]).collect()
+    assert yes == [__import__("pyspark").sql.Row(matched=True)]
+    no = bgp_ask(triples, [("?x", "m:state", "Zombie")]).collect()
+    assert [r.matched for r in no] == [False]
+    # any member WITHOUT an owner? (all three have owners)
+    none = bgp_ask(
+        triples,
+        [("?x", "rel:member", "?c")],
+        not_exists=[[("?x", "m:owner", "?o")]],
+    ).collect()
+    assert [r.matched for r in none] == [False]
