@@ -192,10 +192,30 @@ def bgp_query(
         subjects and objects (one exchange over the narrow term
         projection; bind a constant on either side to prune it).
         Subject/object constants on a path pattern filter the
-        closure exactly like an ordinary scan."""
-        if not _is_var(pat[1]) and pat[1].startswith("^"):
+        closure exactly like an ordinary scan.
+
+        ESCAPE HATCH: a constant wrapped in angle brackets (``<...>``)
+        matches LITERALLY with the brackets stripped and no path /
+        inverse reading — needed because this engine's URI resolution
+        deliberately preserves bare trailing ``?``/``#`` markers
+        (rdfxml.resolve_uri), so a predicate like ``http://ex/p?`` can
+        exist in the graph; ``<http://ex/p?>`` queries it as-is where
+        the unbracketed form would evaluate a zero-or-one path over
+        ``http://ex/p``."""
+        wrapped = [
+            not _is_var(t) and len(t) > 2 and t[0] == "<" and t[-1] == ">"
+            for t in pat
+        ]
+        pat = tuple(t[1:-1] if w else t for t, w in zip(pat, wrapped))
+        literal_pred = wrapped[1]
+        if not literal_pred and not _is_var(pat[1]) and pat[1].startswith("^"):
             pat = (pat[2], pat[1][1:], pat[0])
-        if not _is_var(pat[1]) and pat[1][-1] in "+*?" and len(pat[1]) > 1:
+        if (
+            not literal_pred
+            and not _is_var(pat[1])
+            and pat[1][-1] in "+*?"
+            and len(pat[1]) > 1
+        ):
             from .graph import transitive_closure
 
             # alternation inside the path: "p|q+" = one-or-more steps,
@@ -494,7 +514,19 @@ def bgp_aggregate(
             raise ValueError(f"HAVING on unknown aggregate alias {alias!r}")
         if op not in _OPS:
             raise ValueError(f"unknown HAVING op {op!r}")
-        out = out.filter(_OPS[op](F.col(alias), value))
+        col = F.col(alias)
+        if op in _ORDERING and isinstance(value, (int, float)) and not isinstance(
+            value, bool
+        ):
+            # same numeric rule as FILTER: a STRING-typed aggregate
+            # (min/max/sample/group_concat) ordered against a number
+            # must not take the raw comparison path — under ANSI a
+            # non-numeric aggregate value would abort the job instead
+            # of dropping as a SPARQL type error. try_cast is a no-op
+            # widening for the already-numeric count/sum/avg columns.
+            col = col.try_cast("double")
+            value = float(value)
+        out = out.filter(_OPS[op](col, value))
     return out
 
 
@@ -580,12 +612,16 @@ def bgp_ask(
     aggregates (:func:`bgp_aggregate`) and CONSTRUCT
     (:func:`bgp_construct`) this completes the SPARQL query verbs.
 
-    Plan shape: a LIMIT 1 over the solution plan — LocalLimit runs on
-    every partition and GlobalLimit stops the job after the FIRST
-    matching solution anywhere (Spark's incremental limit scheduling
-    runs one partition, then a growing subset, so a selective ASK
-    touches a fraction of the input), then a count-to-boolean over at
-    most one row. Never a full count of the solution set.
+    Plan shape: a LIMIT 1 over the solution plan, then a
+    count-to-boolean. Because the aggregate sits ABOVE the limit, the
+    limit plans as LocalLimit-per-partition + a single-partition
+    exchange + GlobalLimit — every partition's task is still scheduled,
+    but each one STOPS at its first local match and ships at most one
+    row, so the work per task is the probe, not the partition. (It is
+    NOT Spark's incremental CollectLimit scheduling — that only applies
+    when the limit is the terminal collect; use :func:`bgp_ask_value`
+    for the driver-side form that gets it.) Never a full count of the
+    solution set either way.
     """
     first = bgp_query(
         triples,
@@ -596,3 +632,17 @@ def bgp_ask(
         not_exists=not_exists,
     ).limit(1)
     return first.agg((F.count(F.lit(1)) > 0).alias("matched"))
+
+
+def bgp_ask_value(
+    triples: DataFrame,
+    patterns: Sequence[tuple[str, str, str]],
+    **kwargs,
+) -> bool:
+    """Driver-side ASK returning a plain bool via ``isEmpty()`` —
+    a terminal take(1), so Spark's INCREMENTAL limit scheduling applies:
+    one partition runs first, then a geometrically growing subset, and
+    a selective ASK over a large table touches a fraction of the
+    partitions. Prefer this in driver logic; :func:`bgp_ask` is the
+    DataFrame form for composition and the oracle contract."""
+    return not bgp_query(triples, patterns, **kwargs).isEmpty()

@@ -140,6 +140,19 @@ def main(argv: list[str] | None = None) -> int:
         print("error: --construct and --group-by are exclusive", file=sys.stderr)
         spark.stop()
         return 2
+    if (args.construct or args.group_by is not None) and (
+        args.select or args.distinct
+    ):
+        # neither mode takes a projection: CONSTRUCT output is the
+        # template triples (set semantics built in), aggregate output
+        # is group keys + aliases — reject instead of silently ignoring
+        print(
+            "error: --select/--distinct do not apply with --construct "
+            "or --group-by",
+            file=sys.stderr,
+        )
+        spark.stop()
+        return 2
 
     t0 = time.perf_counter()
     try:
@@ -175,8 +188,12 @@ def main(argv: list[str] | None = None) -> int:
             def parse_having(text: str):
                 alias, op, value = _parse_filter(text)
                 # HAVING compares real aggregate types (counts/sums),
-                # not string lexical forms — coerce numerics for = too
-                if not isinstance(value, float):
+                # not string lexical forms — coerce numeric-looking
+                # values for comparison ops (= too: 'n = 2' means the
+                # count), but NEVER for contains/regex, whose argument
+                # must stay a string (a double literal there is an
+                # AnalysisException, not a match)
+                if op not in ("contains", "regex") and not isinstance(value, float):
                     try:
                         value = float(value)
                     except ValueError:

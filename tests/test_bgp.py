@@ -687,3 +687,54 @@ def test_ask_verb(triples):
         not_exists=[[("?x", "m:owner", "?o")]],
     ).collect()
     assert [r.matched for r in none] == [False]
+
+
+def test_having_numeric_on_string_aggregate(spark):
+    """HAVING with a numeric value over a STRING aggregate follows the
+    numeric-FILTER rule: non-numeric values drop as type errors, never
+    an ANSI cast abort."""
+    from fcrepo3_rdf_extractor_spark.operators.bgp import bgp_aggregate
+
+    t = spark.createDataFrame(
+        [("d:1", "m:size", "10"), ("d:2", "m:size", "huge"),
+         ("d:3", "m:size", "3")],
+        "subj string, pred string, obj_value string",
+    )
+    got = bgp_aggregate(
+        t,
+        [("?x", "m:size", "?s")],
+        group_by=["?x"],
+        aggs=[("min", "?s", "lo")],
+        having=[("lo", ">", 5)],
+    ).collect()
+    # 'huge' drops as a type error; only the 10 survives the > 5
+    assert [(r.x, r.lo) for r in got] == [("d:1", "10")]
+
+
+def test_literal_bracket_escape(spark):
+    """<...>-wrapped constants match literally: a predicate whose URI
+    ends in '?' (rdfxml keeps bare markers) is queryable as-is, where
+    the unbracketed form evaluates a zero-or-one path."""
+    t = spark.createDataFrame(
+        [("a", "http://ex/p?", "b"), ("a", "http://ex/p", "c")],
+        "subj string, pred string, obj_value string",
+    )
+    lit = bgp_query(
+        t, [("?x", "<http://ex/p?>", "?y")], select=["x", "y"]
+    ).collect()
+    assert [(r.x, r.y) for r in lit] == [("a", "b")]
+    # unbracketed: zero-or-one path over http://ex/p (identity + step)
+    path = {
+        (r.x, r.y)
+        for r in bgp_query(
+            t, [("?x", "http://ex/p?", "?y")], select=["x", "y"]
+        ).collect()
+    }
+    assert ("a", "c") in path and ("b", "b") in path
+
+
+def test_ask_value_driver_side(triples):
+    from fcrepo3_rdf_extractor_spark.operators.bgp import bgp_ask_value
+
+    assert bgp_ask_value(triples, [("?x", "m:state", "Active")]) is True
+    assert bgp_ask_value(triples, [("?x", "m:state", "Zombie")]) is False
