@@ -34,6 +34,11 @@ at most once, in the near-dup signature stage):
   5.5 PII redaction (opt-in) emails/phones/IPv4s -> placeholders
                            (--pii-redact; n_pii stamped per doc)
   6. annotation            token counts stamped on the surviving rows
+  7. chunking (opt-in)     overlapping token-window chunks of the
+                           curated corpus as a side table (--chunk-out,
+                           --chunk-window/--chunk-stride; retrieval
+                           prep, reads the written output so it never
+                           re-runs the pipeline; one-shot mode only)
 
 Exit contract: ONE JSON summary line (per-stage survivor counts, per-stage
 wall seconds + output path) on stdout; the curated parquet carries the
@@ -188,6 +193,12 @@ def main(argv: list[str] | None = None) -> int:
                          "(snapshot_diff CDC) before any curation stage — "
                          "the rebuilt-crawl shape where the source can't "
                          "emit a wave itself")
+    ap.add_argument("--chunk-out", default=None,
+                    help="also write overlapping token-window chunks of "
+                         "the curated corpus (retrieval prep) to this "
+                         "parquet path")
+    ap.add_argument("--chunk-window", type=int, default=64)
+    ap.add_argument("--chunk-stride", type=int, default=48)
     ap.add_argument("--local", type=int, default=None)
     ap.add_argument("--input-partitions", type=int, default=None,
                     help="repartition the input scan (a 100-TB corpus gets "
@@ -247,6 +258,14 @@ def main(argv: list[str] | None = None) -> int:
             print("error: --dedup-substrings-k is incompatible with "
                   "--state (substring dedup rewrites text as the corpus "
                   "grows, invalidating stored signatures)",
+                  file=sys.stderr)
+            spark.stop()
+            return 2
+        if args.chunk_out:
+            print("error: --chunk-out is incompatible with --state: a "
+                  "wave writes only its own docs, so its chunk table "
+                  "would cover one wave, not the corpus; chunk the "
+                  "accumulated output in a one-shot pass instead",
                   file=sys.stderr)
             spark.stop()
             return 2
@@ -483,6 +502,22 @@ def main(argv: list[str] | None = None) -> int:
     curated = annotated.join(toks, "doc_id")
     curated.write.mode("overwrite").parquet(args.out)
     mark("write")
+    if args.chunk_out:
+        # retrieval-prep side output: overlapping token windows over the
+        # CURATED corpus (reads the just-written parquet, so chunking
+        # never re-runs the pipeline); scan-side only, zero shuffles
+        from fcrepo3_rdf_extractor_spark.operators.text import chunk_windows
+
+        chunk_windows(
+            spark.read.parquet(args.out),
+            window=args.chunk_window,
+            stride=args.chunk_stride,
+        ).write.mode("overwrite").parquet(args.chunk_out)
+        mark("chunk")
+        extra_summary["chunk_out"] = args.chunk_out
+        extra_summary["n_chunks"] = (
+            spark.read.parquet(args.chunk_out).count()
+        )
     stage_sec["total"] = round(time.perf_counter() - t0, 3)
 
     written = spark.read.parquet(args.out)

@@ -471,3 +471,25 @@ def extract_then_query(spark, base: Path) -> dict:
         "--select", "obj", "--limit", "50", "--local", "2",
     ])
     return {"extract": ext, "query": qry, "out": out}
+
+
+@scenario
+def curate_chunk_out(spark, base: Path) -> dict:
+    """--chunk-out writes overlapping token-window chunks of the CURATED
+    corpus as a side output; refused in wave mode."""
+    pad = " ".join(f"w{i}" for i in range(10))
+    docs = _write_docs(spark, [(0, pad), (1, "short doc")], base / "docs")
+    out = str(base / "curated")
+    chunks = str(base / "chunks")
+    run = run_curate([
+        "--docs", docs, "--out", out, "--quality-min", "0",
+        "--neardup-threshold", "0",
+        "--chunk-out", chunks, "--chunk-window", "6", "--chunk-stride", "4",
+        "--local", "2",
+    ])
+    refused = run_curate([
+        "--docs", docs, "--out", str(base / "c2"),
+        "--state", str(base / "state"), "--chunk-out", str(base / "ch2"),
+        "--local", "2",
+    ])
+    return {"run": run, "chunks": chunks, "refused": refused}

@@ -2283,3 +2283,25 @@ def test_distinct_token_stats_hll_error_gate(spark):
         assert a.n_tokens == e.n_tokens
         rel = abs(a.n_distinct_terms - e.n_distinct_terms) / e.n_distinct_terms
         assert rel <= 0.15, (src, e.n_distinct_terms, a.n_distinct_terms)
+
+
+def test_curate_chunk_out_cli(spark, cli_results):
+    """curate --chunk-out: chunk table matches chunk_windows over the
+    curated output; wave mode refuses the flag."""
+    import json as _json
+
+    from conftest import cli_art
+
+    art = cli_art(cli_results, "curate_chunk_out")
+    run = art["run"]
+    assert run["rc"] == 0, run["stderr"][-2000:]
+    summary = _json.loads(run["stdout"].strip().splitlines()[-1])
+    # doc 0: 10 tokens -> starts 0,4,8 = 3 chunks; doc 1: 1 chunk
+    assert summary["n_chunks"] == 4
+    got = {
+        (r.doc_id, r.chunk_idx, r.n_tokens)
+        for r in spark.read.parquet(art["chunks"]).collect()
+    }
+    assert got == {(0, 0, 6), (0, 1, 6), (0, 2, 2), (1, 0, 2)}
+    refused = art["refused"]
+    assert refused["rc"] == 2 and "--chunk-out is incompatible" in refused["stderr"]
