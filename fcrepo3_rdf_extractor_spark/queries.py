@@ -4534,6 +4534,42 @@ def docs_code_clone_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "tpch_q4_order_priority",
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+       FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o_orderdate < TIMESTAMP '1997-01-01'
+         AND EXISTS (SELECT 1 FROM lineitem
+                     WHERE l_orderkey = o_orderkey
+                       AND l_returnflag = 'R')
+       GROUP BY o_orderpriority""",
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H Q4 shape: a correlated EXISTS subquery decorrelated to
+    a LEFT SEMI join (existence only — no row multiplication, no
+    distinct needed), then one partial-agg groupBy on the surviving
+    orders. The date filter pushes to the orders scan; the lineitem
+    side projects two columns and filters before the join. (This
+    testdata's lineitem has no commit/receipt dates, so the existence
+    predicate is a returned line — same plan shape as the spec's
+    late-delivery test.)"""
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    windowed = orders.filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        windowed.join(
+            returned, windowed.o_orderkey == returned.l_orderkey, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+    )
+
+
+@_q(
     "tpch_q17_small_quantity_revenue",
     """SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
        FROM lineitem l
