@@ -78,6 +78,9 @@ def bgp_query(
     optional_patterns: Sequence[Sequence[tuple[str, str, str]]] | None = None,
     filters: Sequence[tuple[str, str, object]] | None = None,
     not_exists: Sequence[Sequence[tuple[str, str, str]]] | None = None,
+    order_by: Sequence[tuple[str, str]] | None = None,
+    limit: int | None = None,
+    offset: int = 0,
 ) -> DataFrame:
     """Evaluate a SPARQL-style basic graph pattern.
 
@@ -127,11 +130,27 @@ def bgp_query(
     existence test, not a per-solution filter). Applied to the
     required-part bindings, before OPTIONAL groups attach.
 
+    Solution modifiers (SPARQL 1.1 §15): ``order_by`` is a list of
+    (variable, 'asc'|'desc') pairs; ``limit``/``offset`` slice the
+    ordered solutions. With ``order_by`` + ``limit`` and no offset the
+    plan is a TakeOrderedAndProject (top-k per partition, merge on the
+    driver — never a global sort); an ``offset`` keeps the top
+    ``offset+limit`` per partition then skips driver-side. ORDER BY
+    without LIMIT forces a global sort — on a 10^12-triple store order
+    the CONSUMER instead (or add the limit you actually mean).
+    ``offset`` without ``order_by`` is rejected: an offset into an
+    unordered bag is nondeterministic across partitionings.
+
     Returns one column per selected variable. Raises ``ValueError`` on
     unknown select variables, constant-only patterns, or (unless
     ``allow_cartesian``) patterns disconnected from the rest of the
     query.
     """
+    if offset and not order_by:
+        raise ValueError(
+            "OFFSET without ORDER BY: an offset into an unordered bag is "
+            "nondeterministic — add order_by"
+        )
     if not patterns:
         raise ValueError("empty basic graph pattern")
 
@@ -356,7 +375,24 @@ def bgp_query(
         joined_vars |= set(sub.columns)
 
     out = joined.select(*sel)
-    return out.distinct() if distinct else out
+    if distinct:
+        out = out.distinct()
+    if order_by:
+        cols = []
+        for var, direction in order_by:
+            name = var.lstrip("?")
+            if name not in sel:
+                raise ValueError(f"ORDER BY {var!r}: not a selected variable")
+            if direction not in ("asc", "desc"):
+                raise ValueError(f"ORDER BY direction must be asc/desc: {direction!r}")
+            c = F.col(name)
+            cols.append(c.desc() if direction == "desc" else c.asc())
+        out = out.orderBy(*cols)
+    if offset:
+        out = out.offset(offset)
+    if limit is not None:
+        out = out.limit(limit)
+    return out
 
 
 def bgp_union(

@@ -34,7 +34,11 @@ Negation: each --not-exists flag is ONE FILTER NOT EXISTS group
 CONSTRUCT: one or more --construct '?s pred ?o' template triples switch
 the output to derived subj/pred/obj_value triples (set semantics).
 Property paths in patterns: pred+ (one or more), pred* (zero or more),
-pred? (zero or one), ^pred (inverse), (p|q)+ (alternation).
+pred? (zero or one), ^pred (inverse), (p|q)+ (alternation); wrap a
+constant in <angle brackets> to match it literally (no path reading).
+Solution modifiers: --order-by '?var asc|desc' (repeatable) makes
+--limit the QUERY limit (TakeOrderedAndProject) and enables --offset
+for deterministic paging.
 """
 
 from __future__ import annotations
@@ -106,8 +110,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--having", action="append", default=[],
                     help="'alias op value' constraint on aggregates "
                          "(repeatable)")
+    ap.add_argument("--order-by", action="append", default=[],
+                    help="'?var asc|desc' solution modifier (repeatable; "
+                         "with --limit plans as TakeOrderedAndProject)")
+    ap.add_argument("--offset", type=int, default=0,
+                    help="skip N ordered solutions (requires --order-by)")
     ap.add_argument("--limit", type=int, default=20,
-                    help="max rows printed to stdout (ignored with --out)")
+                    help="max rows printed to stdout; with --order-by it "
+                         "is the QUERY limit (deterministic page)")
     ap.add_argument("--out", default=None,
                     help="write full results as parquet instead of printing")
     ap.add_argument("--local", type=int, default=None)
@@ -141,14 +151,15 @@ def main(argv: list[str] | None = None) -> int:
         spark.stop()
         return 2
     if (args.construct or args.group_by is not None) and (
-        args.select or args.distinct
+        args.select or args.distinct or args.order_by or args.offset
     ):
-        # neither mode takes a projection: CONSTRUCT output is the
-        # template triples (set semantics built in), aggregate output
-        # is group keys + aliases — reject instead of silently ignoring
+        # neither mode takes a projection or solution modifiers:
+        # CONSTRUCT output is the template triples (set semantics built
+        # in), aggregate output is group keys + aliases — reject
+        # instead of silently ignoring
         print(
-            "error: --select/--distinct do not apply with --construct "
-            "or --group-by",
+            "error: --select/--distinct/--order-by/--offset do not apply "
+            "with --construct or --group-by",
             file=sys.stderr,
         )
         spark.stop()
@@ -211,6 +222,15 @@ def main(argv: list[str] | None = None) -> int:
                 not_exists=negation,
             )
         else:
+            def parse_order(text: str) -> tuple[str, str]:
+                parts = text.split()
+                if len(parts) != 2 or parts[1] not in ("asc", "desc"):
+                    raise SystemExit(
+                        f"error: order-by must be '?var asc|desc', got {text!r}"
+                    )
+                return (parts[0], parts[1])
+
+            order = [parse_order(o) for o in args.order_by]
             result = bgp_query(
                 triples,
                 patterns,
@@ -219,6 +239,9 @@ def main(argv: list[str] | None = None) -> int:
                 optional_patterns=optional,
                 filters=filters,
                 not_exists=negation,
+                order_by=order,
+                offset=args.offset if order else 0,
+                limit=args.limit if order else None,
             )
         if args.out:
             result.write.mode("overwrite").parquet(args.out)

@@ -420,7 +420,9 @@ def query_cli(spark, base: Path) -> dict:
         "--pattern", "?x rel:member ?c",
         "--optional", "?x m:owner ?o",
         "--filter", "?c contains :a",
-        "--select", "x,c,o", "--local", "2",
+        "--select", "x,c,o",
+        "--order-by", "?x asc", "--offset", "1", "--limit", "5",
+        "--local", "2",
     ])
     bad = _run_job("query.py", [
         "--triples", tdir,

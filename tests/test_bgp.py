@@ -305,9 +305,10 @@ def test_query_cli(spark, cli_results):
     assert ok["rc"] == 0, ok["stderr"][-2000:]
     lines = [json.loads(x) for x in ok["stdout"].strip().splitlines()]
     summary = lines[-1]
-    assert summary["n_rows"] == 2 and summary["columns"] == ["x", "c", "o"]
-    got = {(r["x"], r["c"], r["o"]) for r in lines[:-1]}
-    assert got == {("p:1", "c:a", "alice"), ("p:2", "c:a", "bob")}
+    # order-by ?x asc + offset 1 skips the p:1 solution deterministically
+    assert summary["n_rows"] == 1 and summary["columns"] == ["x", "c", "o"]
+    got = [(r["x"], r["c"], r["o"]) for r in lines[:-1]]
+    assert got == [("p:2", "c:a", "bob")]
     bad = art["bad"]
     assert bad["rc"] == 2 and "disconnected" in bad["stderr"]
     agg = art["agg"]
@@ -738,3 +739,47 @@ def test_ask_value_driver_side(triples):
 
     assert bgp_ask_value(triples, [("?x", "m:state", "Active")]) is True
     assert bgp_ask_value(triples, [("?x", "m:state", "Zombie")]) is False
+
+
+def test_solution_modifiers_order_limit_offset(triples):
+    """ORDER BY + LIMIT plans as TakeOrderedAndProject; OFFSET pages
+    deterministically; OFFSET without ORDER BY is rejected."""
+    from fcrepo3_rdf_extractor_spark.operators.bgp import bgp_query
+
+    page1 = bgp_query(
+        triples,
+        [("?x", "rel:member", "?c")],
+        select=["x", "c"],
+        order_by=[("?x", "asc")],
+        limit=2,
+    )
+    phys = page1._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in phys, phys
+    assert [r.x for r in page1.collect()] == ["p:1", "p:2"]
+
+    page2 = bgp_query(
+        triples,
+        [("?x", "rel:member", "?c")],
+        select=["x", "c"],
+        order_by=[("?x", "asc")],
+        limit=2,
+        offset=2,
+    ).collect()
+    assert [r.x for r in page2] == ["p:3"]
+
+    desc = bgp_query(
+        triples,
+        [("?x", "rel:member", "?c")],
+        select=["x"],
+        order_by=[("?x", "desc")],
+        limit=1,
+    ).collect()
+    assert [r.x for r in desc] == ["p:3"]
+
+    with pytest.raises(ValueError, match="OFFSET without ORDER BY"):
+        bgp_query(triples, [("?x", "rel:member", "?c")], offset=1)
+    with pytest.raises(ValueError, match="not a selected variable"):
+        bgp_query(
+            triples, [("?x", "rel:member", "?c")], select=["x"],
+            order_by=[("?c", "asc")],
+        )
