@@ -783,3 +783,92 @@ def test_solution_modifiers_order_limit_offset(triples):
             triples, [("?x", "rel:member", "?c")], select=["x"],
             order_by=[("?c", "asc")],
         )
+
+
+def test_bgp_aggregate_differential_random(spark):
+    """Differential fuzz for aggregates: seeded-random (triples,
+    patterns, group var) cases, bgp_aggregate vs a naive evaluator
+    computing count/count_distinct/min/sorted-group_concat per group
+    over the naive solution bag."""
+    import random
+    from collections import defaultdict
+
+    from fcrepo3_rdf_extractor_spark.operators.bgp import bgp_aggregate
+
+    rng = random.Random(999)
+    subs = [f"s{i}" for i in range(4)]
+    preds = [f"p{i}" for i in range(3)]
+    objs = [f"o{i}" for i in range(3)] + subs
+    vars_pool = ["?a", "?b", "?c"]
+
+    def naive_solutions(triples, patterns):
+        sols = [dict()]
+        for pat in patterns:
+            nxt = []
+            for s in sols:
+                for t in triples:
+                    b = dict(s)
+                    ok = True
+                    for term, val in zip(pat, t):
+                        if term.startswith("?"):
+                            if b.get(term, val) != val:
+                                ok = False
+                                break
+                            b[term] = val
+                        elif term != val:
+                            ok = False
+                            break
+                    if ok:
+                        nxt.append(b)
+            sols = nxt
+        return sols
+
+    checked = 0
+    for _case in range(80):
+        triples = list({
+            (rng.choice(subs), rng.choice(preds), rng.choice(objs))
+            for _ in range(rng.randint(3, 10))
+        })
+        patterns = []
+        for _ in range(rng.randint(1, 3)):
+            mk = lambda pool: (
+                rng.choice(vars_pool) if rng.random() < 0.5 else rng.choice(pool)
+            )
+            patterns.append((mk(subs), mk(preds), mk(objs)))
+        if not all(any(t.startswith("?") for t in p) for p in patterns):
+            continue
+        all_vars = sorted({v for p in patterns for v in p if v.startswith("?")})
+        if len(all_vars) < 2:
+            continue
+        gvar, avar = rng.sample(all_vars, 2)
+        df = spark.createDataFrame(
+            triples, "subj string, pred string, obj_value string"
+        )
+        try:
+            got = bgp_aggregate(
+                df,
+                patterns,
+                group_by=[gvar],
+                aggs=[
+                    ("count", "*", "n"),
+                    ("count_distinct", avar, "nd"),
+                    ("min", avar, "lo"),
+                    ("group_concat:|", avar, "cc"),
+                ],
+            ).collect()
+        except ValueError:
+            continue
+        sols = naive_solutions(triples, patterns)
+        groups = defaultdict(list)
+        for b in sols:
+            groups[b[gvar]].append(b[avar])
+        want = {
+            g: (len(vs), len(set(vs)), min(vs), "|".join(sorted(vs)))
+            for g, vs in groups.items()
+        }
+        got_map = {
+            r[gvar.lstrip("?")]: (r.n, r.nd, r.lo, r.cc) for r in got
+        }
+        assert got_map == want, (triples, patterns, gvar, avar)
+        checked += 1
+    assert checked >= 20
