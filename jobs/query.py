@@ -33,6 +33,7 @@ Negation: each --not-exists flag is ONE FILTER NOT EXISTS group
 ('.'-separated patterns, left-anti-joined on shared variables).
 CONSTRUCT: one or more --construct '?s pred ?o' template triples switch
 the output to derived subj/pred/obj_value triples (set semantics).
+ASK: --ask prints one {matched: bool} row (existence, LIMIT-1 plan).
 Property paths in patterns: pred+ (one or more), pred* (zero or more),
 pred? (zero or one), ^pred (inverse), (p|q)+ (alternation); wrap a
 constant in <angle brackets> to match it literally (no path reading).
@@ -96,6 +97,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="CONSTRUCT template triple '?s pred ?o' "
                          "(repeatable; switches output to subj/pred/"
                          "obj_value triples, set semantics)")
+    ap.add_argument("--ask", action="store_true",
+                    help="ASK: print one {matched: bool} row instead of "
+                         "bindings")
     ap.add_argument("--filter", action="append", default=[],
                     help="'?var op value' constraint (repeatable)")
     ap.add_argument("--select", default=None,
@@ -138,6 +142,7 @@ def main(argv: list[str] | None = None) -> int:
 
     from fcrepo3_rdf_extractor_spark.operators.bgp import (
         bgp_aggregate,
+        bgp_ask,
         bgp_construct,
         bgp_query,
     )
@@ -146,11 +151,12 @@ def main(argv: list[str] | None = None) -> int:
         print("error: --group-by and --agg go together", file=sys.stderr)
         spark.stop()
         return 2
-    if args.construct and args.group_by is not None:
-        print("error: --construct and --group-by are exclusive", file=sys.stderr)
+    if sum([bool(args.construct), args.group_by is not None, args.ask]) > 1:
+        print("error: --construct / --group-by / --ask are exclusive",
+              file=sys.stderr)
         spark.stop()
         return 2
-    if (args.construct or args.group_by is not None) and (
+    if (args.construct or args.group_by is not None or args.ask) and (
         args.select or args.distinct or args.order_by or args.offset
     ):
         # neither mode takes a projection or solution modifiers:
@@ -159,7 +165,7 @@ def main(argv: list[str] | None = None) -> int:
         # instead of silently ignoring
         print(
             "error: --select/--distinct/--order-by/--offset do not apply "
-            "with --construct or --group-by",
+            "with --construct, --group-by, or --ask",
             file=sys.stderr,
         )
         spark.stop()
@@ -178,7 +184,15 @@ def main(argv: list[str] | None = None) -> int:
             [_parse_pattern(p) for p in group.split(" . ")]
             for group in args.not_exists
         ]
-        if args.construct:
+        if args.ask:
+            result = bgp_ask(
+                triples,
+                patterns,
+                optional_patterns=optional,
+                filters=filters,
+                not_exists=negation,
+            )
+        elif args.construct:
             result = bgp_construct(
                 triples,
                 patterns,
