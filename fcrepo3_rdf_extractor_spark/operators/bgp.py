@@ -43,7 +43,7 @@ table by persisting once.
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Mapping, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -81,6 +81,8 @@ def bgp_query(
     order_by: Sequence[tuple[str, str]] | None = None,
     limit: int | None = None,
     offset: int = 0,
+    graph: str | None = None,
+    values: Sequence[Mapping[str, str]] | None = None,
 ) -> DataFrame:
     """Evaluate a SPARQL-style basic graph pattern.
 
@@ -141,6 +143,42 @@ def bgp_query(
     ``offset`` without ``order_by`` is rejected: an offset into an
     unordered bag is nondeterministic across partitionings.
 
+    ``graph``: SPARQL named-graph scoping — ``GRAPH g { ... }`` around
+    the whole WHERE clause (required patterns, OPTIONAL groups, and
+    NOT EXISTS groups alike; the store is a quad table and this engine
+    defaults to the union-default-graph convention when ``graph`` is
+    None). A CONSTANT pins every pattern to that one named graph — it
+    compiles to a pushed-down equality on the ``graph`` column of every
+    scan, so a store partitioned by graph prunes files. A VARIABLE
+    (``"?g"``) binds the graph each solution lives in: every pattern
+    additionally projects its quad's graph as that variable, and the
+    join chain then keys on it like any shared variable — the SPARQL
+    semantics that all patterns inside one ``GRAPH ?g`` group match
+    within the SAME named graph. A graph variable repeated as a pattern
+    term (``GRAPH ?g { ?g ?p ?o }``) becomes an equality on the scan,
+    same as a variable repeated within a pattern. Property paths work
+    under both forms: a CONSTANT graph pre-filters the closure's edge
+    set, and a graph VARIABLE computes the closure PER NAMED GRAPH
+    (grouped semi-naive iteration — a path never crosses graphs, per
+    the GRAPH scoping semantics) with ?g binding the graph each path
+    lives in.
+
+    ``values``: SPARQL VALUES — an inline solution sequence joined with
+    the evaluated group (SPARQL 1.1 §10.2: VALUES joins AFTER the rest
+    of the WHERE clause, so it is applied after OPTIONAL groups and
+    before DISTINCT / solution modifiers). Each element is a
+    ``{var: value}`` mapping; a variable a row leaves out is SPARQL's
+    ``UNDEF`` — a wildcard for that row. Rows are grouped by their
+    defined-variable signature and each signature becomes ONE
+    broadcast-hash inner join on exactly those variables (the inline
+    table is driver-held and tiny by construction); the per-signature
+    results union back, which reproduces SPARQL's multiset join —
+    a solution matching two VALUES rows appears twice, unless
+    ``distinct``. Every VALUES variable must be bound somewhere in the
+    WHERE clause, and a row defining NO variable is rejected (it would
+    match every solution — almost certainly a typo, and a cartesian
+    multiplier if meant).
+
     Returns one column per selected variable. Raises ``ValueError`` on
     unknown select variables, constant-only patterns, or (unless
     ``allow_cartesian``) patterns disconnected from the rest of the
@@ -160,6 +198,24 @@ def bgp_query(
     def bound_count(pat: tuple[str, str, str]) -> int:
         return sum(0 if _is_var(t) else 1 for t in pat)
 
+    # GRAPH scoping: a constant pre-filters the whole store once (the
+    # filter is cloned into every scan by Catalyst and pushed down); a
+    # variable makes every pattern additionally bind its quad's graph.
+    gvar: str | None = None
+    store = triples
+    if graph is not None:
+        if "graph" not in triples.columns:
+            raise ValueError(
+                "graph= needs a quad table with a 'graph' column; this "
+                "triples input has none"
+            )
+        if _is_var(graph):
+            gvar = graph.lstrip("?")
+            if not gvar:
+                raise ValueError("graph variable must have a name: '?g'")
+        else:
+            store = triples.filter(F.col("graph") == graph)
+
     all_vars: list[str] = []
     for pat in patterns:
         if len(pat) != 3:
@@ -172,6 +228,18 @@ def bgp_query(
         for v in vars_of(pat):
             if v not in all_vars:
                 all_vars.append(v)
+    if gvar is not None and "?" + gvar not in all_vars:
+        all_vars.append("?" + gvar)
+
+    def pat_binds(pat: tuple[str, str, str]) -> set[str]:
+        """Variables a pattern's scan binds — the pattern's own plus,
+        under a graph VARIABLE, the graph binding every scan carries
+        (two patterns sharing only ?g ARE connected: the join on the
+        named graph is the GRAPH-group semantics, not a cartesian)."""
+        names = {v.lstrip("?") for v in vars_of(pat)}
+        if gvar is not None:
+            names.add(gvar)
+        return names
 
     opt_groups = [list(g) for g in (optional_patterns or [])]
     opt_vars: list[str] = []
@@ -239,44 +307,66 @@ def bgp_query(
 
             # alternation inside the path: "p|q+" = one-or-more steps,
             # each over EITHER predicate (SPARQL (p|q)+) — the edge set
-            # is the union, i.e. an isin filter on the same scan
+            # is the union, i.e. an isin filter on the same scan.
+            # Under a constant graph ``store`` is already pinned, so the
+            # closure never walks an edge homed in another graph; under
+            # a graph VARIABLE the closure is computed PER GRAPH (the
+            # grouped semi-naive iteration — a path never crosses named
+            # graphs, per SPARQL's GRAPH ?g scoping) and ?g binds the
+            # graph each path lives in.
             mod = pat[1][-1]
             preds = pat[1][:-1].split("|")
-            edges = triples.filter(F.col("pred").isin(preds)).select(
-                F.col("subj"), F.col("obj_value")
+            gsel = [F.col("graph")] if gvar is not None else []
+            gby = "graph" if gvar is not None else None
+            gk = ["graph"] if gvar is not None else []
+            edges = store.filter(F.col("pred").isin(preds)).select(
+                *gsel, F.col("subj"), F.col("obj_value")
             )
             if mod == "+":
-                closure = transitive_closure(edges, "subj", "obj_value").drop(
-                    "depth"
-                )
+                closure = transitive_closure(
+                    edges, "subj", "obj_value", group=gby
+                ).drop("depth")
             else:
+                # zero-length paths match EVERY graph term (per graph,
+                # under a graph variable: a term in two graphs matches
+                # zero-length in both)
                 nodes = (
-                    triples.select(F.col("subj").alias("_n"))
-                    .union(triples.select(F.col("obj_value").alias("_n")))
+                    store.select(*gsel, F.col("subj").alias("_n"))
+                    .union(store.select(*gsel, F.col("obj_value").alias("_n")))
                     .distinct()
                 )
                 identity = nodes.select(
-                    F.col("_n").alias("subj"), F.col("_n").alias("obj_value")
+                    *gk,
+                    F.col("_n").alias("subj"),
+                    F.col("_n").alias("obj_value"),
                 )
                 steps = (
-                    transitive_closure(edges, "subj", "obj_value").drop("depth")
+                    transitive_closure(
+                        edges, "subj", "obj_value", group=gby
+                    ).drop("depth")
                     if mod == "*"
                     else edges
                 )
                 closure = steps.union(identity).distinct()
-            df, proj, seen_path = closure, [], set()
+            df, proj = closure, []
+            bound: dict[str, str] = {}
             for term, col in zip((pat[0], pat[2]), ("subj", "obj_value")):
                 if _is_var(term):
                     name = term.lstrip("?")
-                    if name in seen_path:  # (?x, p+, ?x): cycle membership
-                        df = df.filter(F.col("subj") == F.col("obj_value"))
+                    if name in bound:  # (?x, p+, ?x): cycle membership
+                        df = df.filter(F.col(bound[name]) == F.col(col))
                     else:
-                        seen_path.add(name)
+                        bound[name] = col
                         proj.append(F.col(col).alias(name))
                 else:
                     df = df.filter(F.col(col) == term)
+            if gvar is not None:
+                if gvar in bound:  # GRAPH ?g { ?g p+ ?y }
+                    df = df.filter(F.col(bound[gvar]) == F.col("graph"))
+                else:
+                    proj.append(F.col("graph").alias(gvar))
             return df.select(*proj)
-        df = triples
+        df = store
         seen: dict[str, str] = {}  # var name -> first column bound to it
         proj = []
         for term, col in zip(pat, _POS_COLS):
@@ -290,6 +380,12 @@ def bgp_query(
                     proj.append(F.col(col).alias(name))
             else:
                 df = df.filter(F.col(col) == term)
+        if gvar is not None:
+            if gvar in seen:
+                # GRAPH ?g { ?g ?p ?o }: the graph IS a pattern term
+                df = df.filter(F.col(seen[gvar]) == F.col("graph"))
+            else:
+                proj.append(F.col("graph").alias(gvar))
         return df.select(*proj)
 
     # selectivity order: most bound terms first; ties prefer a bound
@@ -301,7 +397,7 @@ def bgp_query(
     remaining = list(order)
     first = remaining.pop(0)
     joined = scan(patterns[first])
-    joined_vars = {v.lstrip("?") for v in vars_of(patterns[first])}
+    joined_vars = pat_binds(patterns[first])
 
     while remaining:
         # greedy: next-most-selective pattern CONNECTED to the prefix
@@ -309,7 +405,7 @@ def bgp_query(
             (
                 j
                 for j in remaining
-                if joined_vars & {v.lstrip("?") for v in vars_of(patterns[j])}
+                if joined_vars & pat_binds(patterns[j])
             ),
             None,
         )
@@ -321,7 +417,7 @@ def bgp_query(
                 )
             pick = remaining[0]
         remaining.remove(pick)
-        pat_vars = {v.lstrip("?") for v in vars_of(patterns[pick])}
+        pat_vars = pat_binds(patterns[pick])
         on = sorted(joined_vars & pat_vars)
         nxt = scan(patterns[pick])
         joined = joined.join(nxt, on=on, how="inner") if on else joined.crossJoin(nxt)
@@ -350,7 +446,9 @@ def bgp_query(
         joined = joined.filter(_OPS[op](col, value))
 
     for group in not_exists or []:
-        sub = bgp_query(triples, group, allow_cartesian=allow_cartesian)
+        sub = bgp_query(
+            triples, group, allow_cartesian=allow_cartesian, graph=graph
+        )
         on = sorted(joined_vars & set(sub.columns))
         if not on:
             raise ValueError(
@@ -364,6 +462,7 @@ def bgp_query(
             triples,
             group,
             allow_cartesian=allow_cartesian,
+            graph=graph,
         )
         on = sorted(joined_vars & set(sub.columns))
         if not on:
@@ -373,6 +472,44 @@ def bgp_query(
             )
         joined = joined.join(sub, on=on, how="left")
         joined_vars |= set(sub.columns)
+
+    if values:
+        # SPARQL VALUES joins with the group result (§10.2). Restricted
+        # to variables bound by REQUIRED patterns: joining an inline
+        # value against an OPTIONAL-only binding would need SPARQL's
+        # unbound-is-compatible join (NULL matches anything), which an
+        # equi-join cannot express — rejecting keeps semantics exact.
+        required_names = {v.lstrip("?") for v in all_vars}
+        by_sig: dict[tuple[str, ...], list[dict[str, str]]] = {}
+        for row in values:
+            named = {k.lstrip("?"): v for k, v in row.items()}
+            if not named:
+                raise ValueError(
+                    "VALUES row defining no variable would match every "
+                    "solution — drop the row or bind something"
+                )
+            missing = sorted(set(named) - required_names)
+            if missing:
+                raise ValueError(
+                    f"VALUES variables {missing} not bound by any required "
+                    "pattern (OPTIONAL-only bindings need SPARQL's "
+                    "unbound-compatible join — bind them in the required "
+                    "part instead)"
+                )
+            by_sig.setdefault(tuple(sorted(named)), []).append(named)
+        spark = triples.sparkSession
+        parts = []
+        for sig, sig_rows in sorted(by_sig.items()):
+            inline = spark.createDataFrame(
+                [tuple(r[c] for c in sig) for r in sig_rows],
+                ", ".join(f"`{c}` string" for c in sig),
+            )
+            parts.append(
+                joined.join(F.broadcast(inline), on=list(sig), how="inner")
+            )
+        joined = parts[0]
+        for nxt in parts[1:]:
+            joined = joined.unionByName(nxt)
 
     out = joined.select(*sel)
     if distinct:
@@ -444,6 +581,8 @@ def bgp_aggregate(
     optional_patterns: Sequence[Sequence[tuple[str, str, str]]] | None = None,
     filters: Sequence[tuple[str, str, object]] | None = None,
     not_exists: Sequence[Sequence[tuple[str, str, str]]] | None = None,
+    graph: str | None = None,
+    values: Sequence[Mapping[str, str]] | None = None,
 ) -> DataFrame:
     """SPARQL 1.1 aggregates: GROUP BY over a basic graph pattern's
     bindings (SPARQL 1.1 Query §11), the missing third of the query
@@ -505,6 +644,8 @@ def bgp_aggregate(
         optional_patterns=optional_patterns,
         filters=filters,
         not_exists=not_exists,
+        graph=graph,
+        values=values,
     )
 
     exprs = []
@@ -575,6 +716,8 @@ def bgp_construct(
     optional_patterns: Sequence[Sequence[tuple[str, str, str]]] | None = None,
     filters: Sequence[tuple[str, str, object]] | None = None,
     not_exists: Sequence[Sequence[tuple[str, str, str]]] | None = None,
+    graph: str | None = None,
+    values: Sequence[Mapping[str, str]] | None = None,
 ) -> DataFrame:
     """SPARQL CONSTRUCT: instantiate a triple TEMPLATE once per BGP
     solution, producing a NEW graph — which makes every template a
@@ -608,6 +751,8 @@ def bgp_construct(
         optional_patterns=optional_patterns,
         filters=filters,
         not_exists=not_exists,
+        graph=graph,
+        values=values,
     )
 
     def slot(term: str):
@@ -642,6 +787,8 @@ def bgp_ask(
     optional_patterns: Sequence[Sequence[tuple[str, str, str]]] | None = None,
     filters: Sequence[tuple[str, str, object]] | None = None,
     not_exists: Sequence[Sequence[tuple[str, str, str]]] | None = None,
+    graph: str | None = None,
+    values: Sequence[Mapping[str, str]] | None = None,
 ) -> DataFrame:
     """SPARQL ASK: does the pattern match at all? Returns a one-row
     DataFrame ``(matched boolean)`` — with SELECT (:func:`bgp_query`),
@@ -666,6 +813,8 @@ def bgp_ask(
         optional_patterns=optional_patterns,
         filters=filters,
         not_exists=not_exists,
+        graph=graph,
+        values=values,
     ).limit(1)
     return first.agg((F.count(F.lit(1)) > 0).alias("matched"))
 
@@ -682,3 +831,61 @@ def bgp_ask_value(
     partitions. Prefer this in driver logic; :func:`bgp_ask` is the
     DataFrame form for composition and the oracle contract."""
     return not bgp_query(triples, patterns, **kwargs).isEmpty()
+
+
+def bgp_describe(
+    triples: DataFrame,
+    describe: str,
+    patterns: Sequence[tuple[str, str, str]] | None = None,
+    allow_cartesian: bool = False,
+    optional_patterns: Sequence[Sequence[tuple[str, str, str]]] | None = None,
+    filters: Sequence[tuple[str, str, object]] | None = None,
+    not_exists: Sequence[Sequence[tuple[str, str, str]]] | None = None,
+    graph: str | None = None,
+    values: Sequence[Mapping[str, str]] | None = None,
+) -> DataFrame:
+    """SPARQL DESCRIBE — the last of the four query verbs (SELECT /
+    ASK / CONSTRUCT / DESCRIBE): return the TRIPLES describing a
+    resource rather than variable bindings.
+
+    ``describe`` is either a constant URI (``DESCRIBE <uri>`` —
+    ``patterns`` may be omitted) or a variable (``DESCRIBE ?x WHERE
+    { ... }`` — the description covers every distinct binding of ?x in
+    the WHERE solutions).
+
+    The description form is implementation-defined by the spec (§16.4);
+    this engine returns the resource's OUTBOUND triples (every quad
+    whose subject is a described node). That is exactly the Concise
+    Bounded Description here, because this engine skolemizes blank
+    nodes at parse time (rdfxml.py) — CBD's recursive blank-node
+    closure has nothing left to recurse into. Filtering/graph scoping
+    applies to the WHERE clause only; the description itself is drawn
+    from the full quad store, per spec.
+
+    Plan shape: the WHERE clause evaluates once, its described-variable
+    column distincts into a node set (one exchange over a single
+    column), and the store is LEFT SEMI joined on ``subj`` — existence
+    only, no row multiplication, and the solution set never fans out
+    over the store's width. A selective WHERE yields a small node set
+    that AQE turns into a broadcast semi-join at runtime; DESCRIBE of a
+    constant is a pushed-down point filter with no join at all.
+    """
+    if not _is_var(describe):
+        return triples.filter(F.col("subj") == describe)
+    if not patterns:
+        raise ValueError(
+            "DESCRIBE of a variable needs WHERE patterns binding it"
+        )
+    nodes = bgp_query(
+        triples,
+        patterns,
+        select=[describe],
+        distinct=True,
+        allow_cartesian=allow_cartesian,
+        optional_patterns=optional_patterns,
+        filters=filters,
+        not_exists=not_exists,
+        graph=graph,
+        values=values,
+    ).withColumnRenamed(describe.lstrip("?"), "subj")
+    return triples.join(nodes, on="subj", how="left_semi")

@@ -580,6 +580,7 @@ def transitive_closure(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 30,
+    group: str | None = None,
 ) -> DataFrame:
     """Directed transitive closure with shortest hop counts: every
     (src, dst) pair connected by a directed path, ``depth`` = fewest
@@ -600,26 +601,43 @@ def transitive_closure(
     dropped by the anti-join, so the frontier drains instead of
     looping. Raises if the frontier is still non-empty after
     ``max_iter`` rounds (truncated closure = silently wrong answers).
+
+    ``group``: an optional partitioning column — the closure is
+    computed WITHIN each group independently (a path never crosses
+    groups), and the group rides along in every join key and in the
+    output. This is SPARQL's ``pred+`` inside ``GRAPH ?g`` (one closure
+    per named graph), and the multi-tenant/per-snapshot closure shape
+    generally. Same semi-naive rounds; the frontier drains when every
+    group's frontier drains, so rounds = the LONGEST shortest path over
+    all groups — groups are evaluated together in the same distributed
+    joins, never a per-group driver loop.
     """
+    gcols = [group] if group is not None else []
     e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        edges.select(
+            *[F.col(g).alias("g") for g in gcols],
+            F.col(src).alias("u"),
+            F.col(dst).alias("v"),
+        )
         .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint()
     )
-    hop = e.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    gk = ["g"] if group is not None else []
+    hop = e.select(*gk, F.col("u").alias("v"), F.col("v").alias("w"))
     reached = e.withColumn("depth", F.lit(1)).localCheckpoint()
     frontier = reached.drop("depth")
     for d in range(2, max_iter + 2):
         nxt = (
-            frontier.join(hop, "v")
-            .select("u", F.col("w").alias("v"))
+            frontier.join(hop, gk + ["v"])
+            .select(*gk, "u", F.col("w").alias("v"))
             .distinct()
-            .join(reached.select("u", "v"), ["u", "v"], "left_anti")
+            .join(reached.select(*gk, "u", "v"), gk + ["u", "v"], "left_anti")
             .localCheckpoint()
         )
         if nxt.isEmpty():
             return reached.select(
+                *[F.col("g").alias(group) for _ in gcols],
                 F.col("u").alias(src),
                 F.col("v").alias(dst),
                 F.col("depth").cast("long").alias("depth"),

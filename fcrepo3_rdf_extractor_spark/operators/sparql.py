@@ -1,0 +1,791 @@
+"""SPARQL text front-end: parse a SPARQL query STRING into the engine's
+BGP compiler calls.
+
+The reference pipeline feeds Fedora's Resource Index, which users query
+with SPARQL text — so "a user of the reference could switch" needs a
+string front-end, not only the programmatic pattern API. This module is
+a small recursive-descent parser over the subset the compiler
+(operators/bgp.py) implements, mapping 1:1 onto its functions — the
+parser produces exactly the (patterns, optional, filters, not_exists,
+graph, values, ...) structures, so every plan property pinned for the
+programmatic API holds verbatim for parsed queries. Parsing is
+driver-side metadata work; no Spark cost.
+
+Supported grammar (SPARQL 1.1 syntax, the compiler's semantic subset):
+
+- ``PREFIX pfx: <iri>`` prologue; ``a`` for rdf:type
+- verbs: ``SELECT [DISTINCT] (?v... | * | (AGG(?v) AS ?alias)...)``,
+  ``ASK``, ``CONSTRUCT { template }``, ``DESCRIBE (?v | <uri>)``
+- WHERE group: triple patterns ('.'-separated), ``OPTIONAL { ... }``,
+  ``FILTER(...)`` (comparisons, CONTAINS, REGEX), ``FILTER NOT EXISTS
+  { ... }`` / ``MINUS { ... }``, ``VALUES`` (single- and multi-var,
+  UNDEF), ``GRAPH g { ... }`` as the group wrapper, and top-level
+  ``{ A } UNION { B }`` alternation
+- property paths: ``pred+ pred* pred? ^pred (p|q)+`` (the compiler's
+  path subset)
+- aggregates: COUNT([DISTINCT] ?v | *), SUM, AVG, MIN, MAX,
+  GROUP_CONCAT([DISTINCT] ?v [; SEPARATOR = "s"]), SAMPLE, with
+  ``GROUP BY`` and ``HAVING(?alias op value)`` over projection aliases
+- solution modifiers: ``ORDER BY [ASC|DESC](?v)...``, ``LIMIT``,
+  ``OFFSET``
+
+Deliberate subset limits (each raises a clear SparqlParseError):
+nested OPTIONAL inside OPTIONAL, expressions beyond a single
+comparison/CONTAINS/REGEX per FILTER, UNION combined with
+OPTIONAL/aggregates in the same query (bgp_union takes plain branch
+patterns), bare alternation without a path modifier, and
+SELECT-expression arithmetic. These mirror the compiler's own surface —
+the parser never accepts syntax the engine would silently mis-run.
+
+Term mapping: IRIs and literals are emitted BRACKETED (``<...>``, the
+compiler's literal-match escape hatch) so a URI ending in ``+``/``?``
+or containing ``|`` can never be misread as a property path; the path
+readings are produced only from explicit path SYNTAX. Plain literals
+are emitted bracketed for the same reason (the store matches lexical
+forms, so ``"x"`` and ``<x>`` both mean obj_value == 'x'). Numeric
+FILTER literals become Python floats (the compiler's try_cast numeric
+semantics); quoted ones stay strings (lexicographic).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+class SparqlParseError(ValueError):
+    """Raised on syntax outside the supported SPARQL subset."""
+
+
+# --- lexer ------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<WS>\s+)
+  | (?P<COMMENT>\#[^\n]*)
+  | (?P<IRI><[^<>\s]*>)
+  | (?P<STRING>"(?:[^"\\]|\\.)*")
+  | (?P<VAR>[?$][A-Za-z_][A-Za-z0-9_]*)
+  | (?P<NUMBER>[+-]?\d+(?:\.\d+)?)
+  | (?P<PNAME>[A-Za-z_][A-Za-z0-9_-]*:[A-Za-z0-9_.-]*)
+  | (?P<KEYWORD>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<PUNCT>\(|\)|\{|\}|\.|;|,|\*|\+|\?|\^|\||=|!=|<=|>=|<|>)
+    """,
+    re.VERBOSE,
+)
+
+
+@dataclass
+class _Tok:
+    kind: str
+    text: str
+    pos: int
+
+
+def _lex(text: str) -> list[_Tok]:
+    toks, i = [], 0
+    while i < len(text):
+        m = _TOKEN_RE.match(text, i)
+        if not m:
+            raise SparqlParseError(f"unexpected character at {i}: {text[i:i+20]!r}")
+        kind = m.lastgroup
+        if kind not in ("WS", "COMMENT"):
+            toks.append(_Tok(kind, m.group(), i))
+        i = m.end()
+    toks.append(_Tok("EOF", "", len(text)))
+    return toks
+
+
+# --- parsed form ------------------------------------------------------------
+
+
+@dataclass
+class ParsedQuery:
+    """The compiler-call description a SPARQL string parses into."""
+
+    verb: str  # select | ask | construct | describe
+    patterns: list[tuple[str, str, str]] = field(default_factory=list)
+    select: list[str] | None = None
+    distinct: bool = False
+    optional_patterns: list[list[tuple[str, str, str]]] = field(default_factory=list)
+    filters: list[tuple[str, str, object]] = field(default_factory=list)
+    not_exists: list[list[tuple[str, str, str]]] = field(default_factory=list)
+    graph: str | None = None
+    values: list[dict[str, str]] = field(default_factory=list)
+    order_by: list[tuple[str, str]] = field(default_factory=list)
+    limit: int | None = None
+    offset: int = 0
+    union_branches: list[list[tuple[str, str, str]]] = field(default_factory=list)
+    group_by: list[str] | None = None
+    aggs: list[tuple[str, str, str]] = field(default_factory=list)
+    having: list[tuple[str, str, object]] = field(default_factory=list)
+    template: list[tuple[str, str, str]] = field(default_factory=list)
+    describe: str | None = None
+
+
+_AGG_FNS = {
+    "COUNT": "count",
+    "SUM": "sum",
+    "AVG": "avg",
+    "MIN": "min",
+    "MAX": "max",
+    "GROUP_CONCAT": "group_concat",
+    "SAMPLE": "sample",
+}
+
+
+class _Parser:
+    def __init__(self, text: str):
+        self.toks = _lex(text)
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+
+    # -- token helpers --
+    def peek(self, ahead: int = 0) -> _Tok:
+        return self.toks[min(self.i + ahead, len(self.toks) - 1)]
+
+    def next(self) -> _Tok:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def kw(self, word: str) -> bool:
+        t = self.peek()
+        if t.kind == "KEYWORD" and t.text.upper() == word:
+            self.next()
+            return True
+        return False
+
+    def expect_kw(self, word: str) -> None:
+        if not self.kw(word):
+            t = self.peek()
+            raise SparqlParseError(f"expected {word} at {t.pos}, got {t.text!r}")
+
+    def punct(self, ch: str) -> bool:
+        t = self.peek()
+        if t.kind == "PUNCT" and t.text == ch:
+            self.next()
+            return True
+        return False
+
+    def expect_punct(self, ch: str) -> None:
+        if not self.punct(ch):
+            t = self.peek()
+            raise SparqlParseError(f"expected {ch!r} at {t.pos}, got {t.text!r}")
+
+    # -- terms --
+    def _expand_pname(self, pname: str, pos: int) -> str:
+        pfx, local = pname.split(":", 1)
+        if pfx not in self.prefixes:
+            raise SparqlParseError(f"undeclared prefix {pfx!r}: at {pos}")
+        return self.prefixes[pfx] + local
+
+    def iri_or_pname(self) -> str:
+        """A raw IRI string (no brackets) — for PREFIX decls and DESCRIBE."""
+        t = self.peek()
+        if t.kind == "IRI":
+            self.next()
+            return t.text[1:-1]
+        if t.kind == "PNAME":
+            self.next()
+            return self._expand_pname(t.text, t.pos)
+        raise SparqlParseError(f"expected an IRI at {t.pos}, got {t.text!r}")
+
+    def term(self, position: str) -> str:
+        """One pattern term -> the compiler's term syntax. Constants are
+        BRACKETED (literal-match escape) unless path syntax applies."""
+        t = self.peek()
+        if t.kind == "VAR":
+            self.next()
+            return "?" + t.text[1:]
+        if t.kind == "STRING":
+            self.next()
+            return "<" + _unescape(t.text[1:-1]) + ">"
+        if t.kind == "NUMBER":
+            self.next()
+            return "<" + t.text + ">"
+        if position == "pred":
+            return self._predicate_path()
+        if t.kind in ("IRI", "PNAME"):
+            return "<" + self.iri_or_pname() + ">"
+        if t.kind == "KEYWORD" and t.text == "a":
+            self.next()
+            return "<" + _RDF_TYPE + ">"
+        raise SparqlParseError(f"expected a term at {t.pos}, got {t.text!r}")
+
+    def _predicate_path(self) -> str:
+        """Predicate position: plain IRI (bracketed literal), ``a``, or a
+        property path — ``^p``, ``p+ p* p?``, ``(p|q)+``. Path output is
+        the compiler's UNBRACKETED syntax; plain IRIs stay bracketed so
+        a URI's own trailing ``+`` can't be misread."""
+        t = self.peek()
+        inverse = False
+        if t.kind == "PUNCT" and t.text == "^":
+            self.next()
+            inverse = True
+        t = self.peek()
+        if t.kind == "PUNCT" and t.text == "(":
+            if inverse:
+                raise SparqlParseError(
+                    f"^(p|q) at {t.pos}: inverse of an alternation is not "
+                    "in the engine's path subset"
+                )
+            self.next()
+            alts = [self.iri_or_pname()]
+            while self.punct("|"):
+                alts.append(self.iri_or_pname())
+            self.expect_punct(")")
+            mod = self._path_mod()
+            if mod is None:
+                raise SparqlParseError(
+                    "bare alternation (p|q) without +/*/? is not in the "
+                    "engine's path subset — use a UNION of patterns"
+                )
+            return "|".join(alts) + mod
+        if t.kind == "KEYWORD" and t.text == "a":
+            self.next()
+            iri = _RDF_TYPE
+        else:
+            iri = self.iri_or_pname()
+        mod = self._path_mod()
+        if mod is not None:
+            if inverse:
+                raise SparqlParseError(
+                    "^p with a path modifier is not in the engine's subset"
+                )
+            return iri + mod
+        if inverse:
+            return "^" + iri
+        return "<" + iri + ">"
+
+    def _path_mod(self) -> str | None:
+        t = self.peek()
+        if t.kind == "PUNCT" and t.text in ("+", "*", "?"):
+            self.next()
+            return t.text
+        return None
+
+    # -- query --
+    def parse(self) -> ParsedQuery:
+        while self.kw("PREFIX"):
+            t = self.next()
+            if t.kind != "PNAME" or not t.text.endswith(":"):
+                # PNAME with empty local part is "pfx:"
+                if t.kind != "PNAME":
+                    raise SparqlParseError(
+                        f"expected 'pfx:' after PREFIX at {t.pos}"
+                    )
+            pfx = t.text[: t.text.index(":")]
+            iri_t = self.next()
+            if iri_t.kind != "IRI":
+                raise SparqlParseError(f"expected <iri> at {iri_t.pos}")
+            self.prefixes[pfx] = iri_t.text[1:-1]
+
+        if self.kw("SELECT"):
+            q = self._select()
+        elif self.kw("ASK"):
+            q = ParsedQuery(verb="ask")
+            self.kw("WHERE")
+            self._group(q)
+        elif self.kw("CONSTRUCT"):
+            q = ParsedQuery(verb="construct")
+            self.expect_punct("{")
+            q.template = self._triples_block()
+            self.expect_punct("}")
+            self.expect_kw("WHERE")
+            self._group(q)
+        elif self.kw("DESCRIBE"):
+            q = ParsedQuery(verb="describe")
+            t = self.peek()
+            if t.kind == "VAR":
+                self.next()
+                q.describe = "?" + t.text[1:]
+            else:
+                q.describe = self.iri_or_pname()
+            if self.kw("WHERE") or self.peek().text == "{":
+                self._group(q)
+        else:
+            t = self.peek()
+            raise SparqlParseError(
+                f"expected SELECT/ASK/CONSTRUCT/DESCRIBE at {t.pos}, "
+                f"got {t.text!r}"
+            )
+
+        if q.verb in ("select",):
+            self._solution_modifiers(q)
+        t = self.peek()
+        if t.kind != "EOF":
+            raise SparqlParseError(f"trailing input at {t.pos}: {t.text!r}")
+        self._check_shape(q)
+        return q
+
+    def _select(self) -> ParsedQuery:
+        q = ParsedQuery(verb="select")
+        q.distinct = self.kw("DISTINCT")
+        sel: list[str] = []
+        star = False
+        while True:
+            t = self.peek()
+            if t.kind == "VAR":
+                self.next()
+                sel.append(t.text[1:])
+            elif t.kind == "PUNCT" and t.text == "*" and not sel and not q.aggs:
+                self.next()
+                star = True
+                break
+            elif t.kind == "PUNCT" and t.text == "(":
+                self.next()
+                q.aggs.append(self._agg_projection())
+            else:
+                break
+        q.select = None if star else sel
+        self.kw("WHERE")
+        self._group(q)
+        return q
+
+    def _agg_projection(self) -> tuple[str, str, str]:
+        t = self.next()
+        fn = _AGG_FNS.get(t.text.upper()) if t.kind == "KEYWORD" else None
+        if fn is None:
+            raise SparqlParseError(
+                f"unsupported aggregate {t.text!r} at {t.pos} "
+                f"(supported: {sorted(_AGG_FNS)})"
+            )
+        self.expect_punct("(")
+        distinct = self.kw("DISTINCT")
+        t = self.peek()
+        if t.kind == "PUNCT" and t.text == "*":
+            self.next()
+            var = "*"
+        elif t.kind == "VAR":
+            self.next()
+            var = "?" + t.text[1:]
+        else:
+            raise SparqlParseError(f"expected ?var or * at {t.pos}")
+        sep = None
+        if self.punct(";"):
+            self.expect_kw("SEPARATOR")
+            self.expect_punct("=")
+            s = self.next()
+            if s.kind != "STRING":
+                raise SparqlParseError(f"expected a string separator at {s.pos}")
+            sep = _unescape(s.text[1:-1])
+        self.expect_punct(")")
+        self.expect_kw("AS")
+        a = self.next()
+        if a.kind != "VAR":
+            raise SparqlParseError(f"expected ?alias after AS at {a.pos}")
+        self.expect_punct(")")
+        if distinct:
+            if fn == "count":
+                fn = "count_distinct"
+            elif fn == "group_concat":
+                fn = "group_concat_distinct"
+            else:
+                raise SparqlParseError(
+                    f"DISTINCT inside {fn.upper()} is not in the subset"
+                )
+        if sep is not None:
+            if not fn.startswith("group_concat"):
+                raise SparqlParseError("SEPARATOR is only for GROUP_CONCAT")
+            fn = f"{fn}:{sep}"
+        return (fn, var, a.text[1:])
+
+    # -- group graph pattern --
+    def _group(self, q: ParsedQuery) -> None:
+        self.expect_punct("{")
+        # GRAPH wrapper around the whole group
+        if self.kw("GRAPH"):
+            t = self.peek()
+            if t.kind == "VAR":
+                self.next()
+                q.graph = "?" + t.text[1:]
+            else:
+                q.graph = self.iri_or_pname()
+            self._group_body(q)
+            self.expect_punct("}")  # GRAPH's own braces
+            self._group_tail(q)
+            self.expect_punct("}")
+            return
+        self._group_body_open(q)
+        self.expect_punct("}")
+
+    def _group_body(self, q: ParsedQuery) -> None:
+        self.expect_punct("{")
+        self._group_items(q)
+
+    def _group_body_open(self, q: ParsedQuery) -> None:
+        # first alternative: UNION of plain groups
+        if self.peek().text == "{":
+            save = self.i
+            self.next()
+            branch = self._triples_block()
+            if self.punct("}") and self.kw("UNION"):
+                q.union_branches.append(branch)
+                while True:
+                    self.expect_punct("{")
+                    q.union_branches.append(self._triples_block())
+                    self.expect_punct("}")
+                    if not self.kw("UNION"):
+                        break
+                return
+            self.i = save  # not a UNION — re-parse as ordinary items
+        self._group_items(q)
+
+    def _group_items(self, q: ParsedQuery) -> None:
+        while True:
+            t = self.peek()
+            if t.kind == "PUNCT" and t.text == "}":
+                return
+            if t.kind == "KEYWORD" and t.text.upper() == "OPTIONAL":
+                self.next()
+                self.expect_punct("{")
+                q.optional_patterns.append(self._triples_block())
+                self.expect_punct("}")
+                self.punct(".")
+                continue
+            if t.kind == "KEYWORD" and t.text.upper() == "MINUS":
+                self.next()
+                self.expect_punct("{")
+                q.not_exists.append(self._triples_block())
+                self.expect_punct("}")
+                self.punct(".")
+                continue
+            if t.kind == "KEYWORD" and t.text.upper() == "FILTER":
+                self.next()
+                if self.kw("NOT"):
+                    self.expect_kw("EXISTS")
+                    self.expect_punct("{")
+                    q.not_exists.append(self._triples_block())
+                    self.expect_punct("}")
+                else:
+                    q.filters.append(self._filter_constraint())
+                self.punct(".")
+                continue
+            if t.kind == "KEYWORD" and t.text.upper() == "VALUES":
+                self.next()
+                q.values.extend(self._values_block())
+                self.punct(".")
+                continue
+            if t.kind == "KEYWORD" and t.text.upper() == "GRAPH":
+                raise SparqlParseError(
+                    f"GRAPH at {t.pos}: only as the wrapper of the whole "
+                    "WHERE group in this subset"
+                )
+            pats = self._triples_block()
+            if not pats:
+                raise SparqlParseError(
+                    f"expected a triple pattern at {t.pos}, got {t.text!r}"
+                )
+            q.patterns.extend(pats)
+
+    def _triples_block(self) -> list[tuple[str, str, str]]:
+        """Dot-separated triple patterns with ';' predicate lists."""
+        out: list[tuple[str, str, str]] = []
+        while True:
+            t = self.peek()
+            if t.kind in ("PUNCT", "EOF") and t.text in ("}", ""):
+                return out
+            if t.kind == "KEYWORD" and t.text.upper() in (
+                "OPTIONAL", "FILTER", "MINUS", "VALUES", "GRAPH", "UNION",
+            ):
+                return out
+            subj = self.term("subj")
+            while True:
+                pred = self.term("pred")
+                obj = self.term("obj")
+                out.append((subj, pred, obj))
+                if self.punct(";"):
+                    continue
+                break
+            if not self.punct("."):
+                return out
+
+    def _filter_constraint(self) -> tuple[str, str, object]:
+        self.expect_punct("(")
+        t = self.peek()
+        if t.kind == "KEYWORD" and t.text.upper() in ("CONTAINS", "REGEX"):
+            op = t.text.lower()
+            self.next()
+            self.expect_punct("(")
+            v = self.next()
+            if v.kind != "VAR":
+                raise SparqlParseError(f"expected ?var at {v.pos}")
+            self.expect_punct(",")
+            s = self.next()
+            if s.kind != "STRING":
+                raise SparqlParseError(f"expected a string at {s.pos}")
+            self.expect_punct(")")
+            self.expect_punct(")")
+            return ("?" + v.text[1:], op, _unescape(s.text[1:-1]))
+        if t.kind != "VAR":
+            raise SparqlParseError(
+                f"FILTER supports '?var op value', CONTAINS, REGEX — "
+                f"got {t.text!r} at {t.pos}"
+            )
+        self.next()
+        var = "?" + t.text[1:]
+        opt = self.next()
+        if opt.kind != "PUNCT" or opt.text not in ("=", "!=", "<", "<=", ">", ">="):
+            raise SparqlParseError(f"unsupported FILTER op {opt.text!r} at {opt.pos}")
+        vt = self.next()
+        value: object
+        if vt.kind == "STRING":
+            value = _unescape(vt.text[1:-1])
+        elif vt.kind == "NUMBER":
+            value = float(vt.text)
+        elif vt.kind == "IRI":
+            value = vt.text[1:-1]
+        elif vt.kind == "PNAME":
+            value = self._expand_pname(vt.text, vt.pos)
+        else:
+            raise SparqlParseError(f"expected a FILTER value at {vt.pos}")
+        self.expect_punct(")")
+        return (var, opt.text, value)
+
+    def _values_block(self) -> list[dict[str, str]]:
+        t = self.peek()
+        rows: list[dict[str, str]] = []
+        if t.kind == "VAR":  # VALUES ?x { v1 v2 }
+            self.next()
+            var = "?" + t.text[1:]
+            self.expect_punct("{")
+            while not self.punct("}"):
+                rows.append({var: self._values_term()})
+            return rows
+        self.expect_punct("(")  # VALUES (?x ?y) { (a b) (c UNDEF) }
+        vars_: list[str] = []
+        while not self.punct(")"):
+            v = self.next()
+            if v.kind != "VAR":
+                raise SparqlParseError(f"expected ?var at {v.pos}")
+            vars_.append("?" + v.text[1:])
+        self.expect_punct("{")
+        while not self.punct("}"):
+            self.expect_punct("(")
+            row: dict[str, str] = {}
+            for var in vars_:
+                t = self.peek()
+                if t.kind == "KEYWORD" and t.text.upper() == "UNDEF":
+                    self.next()
+                    continue
+                row[var] = self._values_term()
+            self.expect_punct(")")
+            rows.append(row)
+        return rows
+
+    def _values_term(self) -> str:
+        t = self.next()
+        if t.kind == "STRING":
+            return _unescape(t.text[1:-1])
+        if t.kind == "NUMBER":
+            return t.text
+        if t.kind == "IRI":
+            return t.text[1:-1]
+        if t.kind == "PNAME":
+            return self._expand_pname(t.text, t.pos)
+        raise SparqlParseError(f"expected a VALUES term at {t.pos}")
+
+    def _group_tail(self, q: ParsedQuery) -> None:
+        """Nothing may follow a GRAPH wrapper inside the WHERE braces."""
+        t = self.peek()
+        if not (t.kind == "PUNCT" and t.text == "}"):
+            raise SparqlParseError(
+                f"GRAPH wraps the whole WHERE group in this subset; "
+                f"unexpected {t.text!r} at {t.pos}"
+            )
+
+    def _solution_modifiers(self, q: ParsedQuery) -> None:
+        if self.kw("GROUP"):
+            self.expect_kw("BY")
+            q.group_by = []
+            while self.peek().kind == "VAR":
+                q.group_by.append(self.next().text[1:])
+        if self.kw("HAVING"):
+            alias, op, value = self._filter_constraint()
+            if isinstance(value, str):
+                try:
+                    value = float(value)
+                except ValueError:
+                    pass
+            q.having.append((alias.lstrip("?"), op, value))
+        if self.kw("ORDER"):
+            self.expect_kw("BY")
+            while True:
+                t = self.peek()
+                if t.kind == "KEYWORD" and t.text.upper() in ("ASC", "DESC"):
+                    self.next()
+                    direction = t.text.lower()
+                    self.expect_punct("(")
+                    v = self.next()
+                    if v.kind != "VAR":
+                        raise SparqlParseError(f"expected ?var at {v.pos}")
+                    self.expect_punct(")")
+                    q.order_by.append((v.text[1:], direction))
+                elif t.kind == "VAR":
+                    self.next()
+                    q.order_by.append((t.text[1:], "asc"))
+                else:
+                    break
+        if self.kw("LIMIT"):
+            t = self.next()
+            if t.kind != "NUMBER":
+                raise SparqlParseError(f"expected a number at {t.pos}")
+            q.limit = int(t.text)
+        if self.kw("OFFSET"):
+            t = self.next()
+            if t.kind != "NUMBER":
+                raise SparqlParseError(f"expected a number at {t.pos}")
+            q.offset = int(t.text)
+
+    def _check_shape(self, q: ParsedQuery) -> None:
+        if q.aggs and q.group_by is None:
+            # SPARQL's implicit single group when any aggregate appears
+            q.group_by = []
+        if q.group_by is not None and not q.aggs:
+            raise SparqlParseError("GROUP BY without any aggregate projection")
+        if q.aggs and (q.select or q.order_by or q.limit is not None or q.offset):
+            # bgp_aggregate's output is keys + aliases; plain vars in the
+            # SELECT must be exactly the group keys
+            extra = [v for v in (q.select or []) if v not in (q.group_by or [])]
+            if extra:
+                raise SparqlParseError(
+                    f"non-grouped variables in an aggregate SELECT: {extra}"
+                )
+            if q.order_by or q.limit is not None or q.offset:
+                raise SparqlParseError(
+                    "ORDER BY/LIMIT/OFFSET with aggregates is not in the "
+                    "subset — order/limit the returned DataFrame"
+                )
+        if q.union_branches:
+            if (
+                q.patterns
+                or q.optional_patterns
+                or q.filters
+                or q.not_exists
+                or q.aggs
+                or q.values
+                or q.verb != "select"
+            ):
+                raise SparqlParseError(
+                    "UNION combines with nothing else in this subset: a "
+                    "UNION query is exactly '{ patterns } UNION "
+                    "{ patterns } ...'"
+                )
+            if not q.select:
+                raise SparqlParseError(
+                    "UNION needs an explicit SELECT list (it defines the "
+                    "shared output shape)"
+                )
+
+
+def _unescape(s: str) -> str:
+    return (
+        s.replace('\\"', '"')
+        .replace("\\\\", "\\")
+        .replace("\\n", "\n")
+        .replace("\\t", "\t")
+    )
+
+
+def parse_sparql(text: str) -> ParsedQuery:
+    """Parse SPARQL text into the engine's compiler-call description."""
+    return _Parser(text).parse()
+
+
+def sparql_query(triples: DataFrame, text: str) -> DataFrame:
+    """Evaluate a SPARQL string against a triples/quads DataFrame —
+    the one-call text front-end over the BGP compiler. Dispatches on
+    the parsed verb:
+
+    - SELECT -> :func:`.bgp.bgp_query` (or :func:`.bgp.bgp_union` for
+      branch alternation, :func:`.bgp.bgp_aggregate` for aggregates)
+    - ASK -> :func:`.bgp.bgp_ask` (one-row ``matched`` boolean)
+    - CONSTRUCT -> :func:`.bgp.bgp_construct` (derived triples)
+    - DESCRIBE -> :func:`.bgp.bgp_describe` (outbound quads)
+
+    The parse is driver-side; the returned DataFrame's plan is
+    byte-identical to the equivalent programmatic call, so every plan
+    pin (pushdown, broadcast, no-BNLJ) carries over.
+    """
+    from .bgp import bgp_aggregate, bgp_ask, bgp_construct, bgp_describe, bgp_query, bgp_union
+
+    q = parse_sparql(text)
+    if q.verb == "ask":
+        return bgp_ask(
+            triples,
+            q.patterns,
+            optional_patterns=q.optional_patterns or None,
+            filters=q.filters or None,
+            not_exists=q.not_exists or None,
+            graph=q.graph,
+            values=q.values or None,
+        )
+    if q.verb == "construct":
+        # template constants are EMITTED (F.lit), not matched — the
+        # bracket escape is a scan-matching device and must not leak
+        # into the constructed triples
+        def unbracket(t: str) -> str:
+            return (
+                t[1:-1]
+                if len(t) > 2 and t[0] == "<" and t[-1] == ">"
+                else t
+            )
+
+        return bgp_construct(
+            triples,
+            q.patterns,
+            template=[
+                tuple(x if x.startswith("?") else unbracket(x) for x in pat)
+                for pat in q.template
+            ],
+            optional_patterns=q.optional_patterns or None,
+            filters=q.filters or None,
+            not_exists=q.not_exists or None,
+            graph=q.graph,
+            values=q.values or None,
+        )
+    if q.verb == "describe":
+        return bgp_describe(
+            triples,
+            q.describe,
+            q.patterns or None,
+            optional_patterns=q.optional_patterns or None,
+            filters=q.filters or None,
+            not_exists=q.not_exists or None,
+            graph=q.graph,
+            values=q.values or None,
+        )
+    if q.union_branches:
+        return bgp_union(triples, q.union_branches, select=q.select)
+    if q.aggs:
+        return bgp_aggregate(
+            triples,
+            q.patterns,
+            group_by=q.group_by or [],
+            aggs=q.aggs,
+            having=q.having or None,
+            optional_patterns=q.optional_patterns or None,
+            filters=q.filters or None,
+            not_exists=q.not_exists or None,
+            graph=q.graph,
+            values=q.values or None,
+        )
+    return bgp_query(
+        triples,
+        q.patterns,
+        select=q.select or None,
+        distinct=q.distinct,
+        optional_patterns=q.optional_patterns or None,
+        filters=q.filters or None,
+        not_exists=q.not_exists or None,
+        order_by=q.order_by or None,
+        limit=q.limit,
+        offset=q.offset,
+        graph=q.graph,
+        values=q.values or None,
+    )

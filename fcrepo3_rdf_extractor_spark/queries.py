@@ -5014,6 +5014,184 @@ def docs_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob(_read(spark, sf_dir, "documents"), lam=0.8)
 
 
+# =========================================================================
+# SPARQL named graphs (GRAPH), inline bindings (VALUES), DESCRIBE
+# =========================================================================
+
+
+def _quads_from_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction output re-homed into per-order named graphs
+    (``graph:<orderkey % 4>``): the multi-graph quad store the GRAPH
+    queries run against. The reference's own output is single-graph
+    (`SingleGraphStreamRDF.java`), but its N-Quads data model is quads —
+    a store merging several extractions (one graph per source run) is
+    the standard Fedora Resource Index deployment shape."""
+    source = synthesize_foxml_from_orders(spark, sf_dir)
+    key = F.regexp_extract("subj", r"order:(\d+)", 1).cast("long")
+    return (
+        triples_only(extract_triples(source))
+        .select("subj", "pred", "obj_value")
+        .withColumn(
+            "graph",
+            F.concat(F.lit("graph:"), (key % 4).cast("string")),
+        )
+        .persist()
+    )
+
+
+@_q(
+    "kg_bgp_graph_query",
+    f"""SELECT 'info:fedora/order:' || o_orderkey AS obj,
+               'cust:' || o_custkey AS owner
+        FROM orders
+        WHERE o_orderstatus = 'O' AND o_orderkey % 4 = 1""",
+)
+def kg_bgp_graph_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL ``GRAPH <g> { ... }`` with a CONSTANT graph: both
+    patterns are pinned to named graph ``graph:1``. Compiles to a
+    pushed-down equality on the quad table's graph column cloned into
+    every pattern scan — on a graph-partitioned store this is partition
+    pruning, zero extra joins (operators/bgp.py)."""
+    from .operators.bgp import bgp_query
+
+    quads = _quads_from_orders(spark, sf_dir)
+    return bgp_query(
+        quads,
+        [("?obj", STATE, ACTIVE), ("?obj", OWNER, "?owner")],
+        select=["obj", "owner"],
+        graph="graph:1",
+    )
+
+
+@_q(
+    "kg_bgp_graph_var_query",
+    """SELECT 'graph:' || CAST(o_orderkey % 4 AS VARCHAR) AS g,
+              'info:fedora/order:' || o_orderkey AS obj,
+              'info:fedora/collection:' || (o_custkey % 100) AS coll
+       FROM orders""",
+)
+def kg_bgp_graph_var_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL ``GRAPH ?g { ... }`` with a graph VARIABLE: every
+    pattern additionally binds its quad's graph as ``?g`` and the join
+    chain keys on it — all patterns in the group must match within the
+    SAME named graph, and ?g reports which. The join stays a single
+    subject-keyed chain; g rides along as a second equi-join key
+    (operators/bgp.py; cross-graph exclusion pinned in test_bgp)."""
+    from .operators.bgp import bgp_query
+
+    rel = "info:fedora/fedora-system:def/relations-external#isMemberOfCollection"
+    quads = _quads_from_orders(spark, sf_dir)
+    return bgp_query(
+        quads,
+        [("?obj", rel, "?coll"), ("?obj", OWNER, "?owner")],
+        select=["g", "obj", "coll"],
+        graph="?g",
+    )
+
+
+@_q(
+    "kg_bgp_values_query",
+    f"""WITH base AS (
+          SELECT 'info:fedora/order:' || o_orderkey AS obj,
+                 'cust:' || o_custkey AS owner,
+                 {_STATE_SQL} AS st
+          FROM orders)
+        SELECT obj, owner, st FROM base WHERE owner = 'cust:1'
+        UNION ALL
+        SELECT obj, owner, st FROM base
+        WHERE owner = 'cust:2' AND st = '{ACTIVE}'""",
+)
+def kg_bgp_values_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL VALUES: an inline solution sequence joined with the
+    evaluated WHERE clause — here two rows with DIFFERENT defined-
+    variable signatures (one binds ?owner only, the other ?owner AND
+    ?st — the second row's missing variables are SPARQL UNDEF
+    wildcards). Each signature compiles to one broadcast-hash join of
+    the driver-held inline table; the per-signature results union back,
+    reproducing the spec's multiset join (operators/bgp.py)."""
+    from .operators.bgp import bgp_query
+
+    source = synthesize_foxml_from_orders(spark, sf_dir)
+    triples = (
+        triples_only(extract_triples(source))
+        .select("subj", "pred", "obj_value")
+        .persist()
+    )
+    return bgp_query(
+        triples,
+        [("?obj", OWNER, "?owner"), ("?obj", STATE, "?st")],
+        select=["obj", "owner", "st"],
+        values=[
+            {"?owner": "cust:1"},
+            {"?owner": "cust:2", "?st": ACTIVE},
+        ],
+    )
+
+
+@_q(
+    "kg_bgp_describe_query",
+    f"""WITH t AS MATERIALIZED ({_kg_orders_oracle()})
+        SELECT subj, pred, obj_value FROM t
+        WHERE subj IN (SELECT subj FROM t
+                       WHERE pred = '{STATE}' AND obj_value = '{DELETED}')""",
+)
+def kg_bgp_describe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL DESCRIBE — the fourth query verb: all OUTBOUND triples of
+    every DELETED-state object (``DESCRIBE ?obj WHERE { ?obj state
+    Deleted }``). The WHERE clause evaluates once, distincts the
+    described bindings into a node set, and the store is LEFT SEMI
+    joined on subj — existence-only, no row multiplication; outbound
+    triples = the Concise Bounded Description here because blank nodes
+    are skolemized at parse time (operators/bgp.py:bgp_describe)."""
+    from .operators.bgp import bgp_describe
+
+    source = synthesize_foxml_from_orders(spark, sf_dir)
+    triples = (
+        triples_only(extract_triples(source))
+        .select("subj", "pred", "obj_value")
+        .persist()
+    )
+    return bgp_describe(
+        triples, "?obj", [("?obj", STATE, DELETED)]
+    ).select("subj", "pred", "obj_value")
+
+
+@_q(
+    "kg_sparql_text_query",
+    """SELECT 'info:fedora/order:' || o_orderkey AS obj,
+              'info:fedora/collection:' || (o_custkey % 100) AS coll,
+              'cust:' || o_custkey AS owner
+       FROM orders WHERE o_orderstatus = 'O'""",
+)
+def kg_sparql_text_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SPARQL TEXT front-end end-to-end: the same star query as
+    kg_bgp_star_query, but arriving as a SPARQL string — PREFIX
+    expansion, WHERE block, term bracketing — through
+    operators/sparql.py:parse_sparql into the identical bgp_query plan
+    (the parser emits the compiler's own structures, so the pushdown /
+    broadcast / no-BNLJ plan pins carry over verbatim)."""
+    from .operators.sparql import sparql_query
+
+    source = synthesize_foxml_from_orders(spark, sf_dir)
+    triples = (
+        triples_only(extract_triples(source))
+        .select("subj", "pred", "obj_value")
+        .persist()
+    )
+    return sparql_query(
+        triples,
+        """
+        PREFIX rel: <info:fedora/fedora-system:def/relations-external#>
+        PREFIX m: <info:fedora/fedora-system:def/model#>
+        SELECT ?obj ?coll ?owner WHERE {
+          ?obj rel:isMemberOfCollection ?coll .
+          ?obj m:ownerId ?owner .
+          ?obj m:state m:Active .
+        }
+        """,
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(_T)
 

@@ -407,13 +407,13 @@ def query_cli(spark, base: Path) -> dict:
     """BGP query runner: star + filter + optional over a small triples
     parquet, stdout rows + summary contract, compile-error exit code."""
     rows = [
-        ("p:1", "rel:member", "c:a"), ("p:2", "rel:member", "c:a"),
-        ("p:3", "rel:member", "c:b"),
-        ("p:1", "m:owner", "alice"), ("p:2", "m:owner", "bob"),
+        ("p:1", "rel:member", "c:a", "g1"), ("p:2", "rel:member", "c:a", "g1"),
+        ("p:3", "rel:member", "c:b", "g2"),
+        ("p:1", "m:owner", "alice", "g1"), ("p:2", "m:owner", "bob", "g1"),
     ]
     tdir = str(base / "triples")
     spark.createDataFrame(
-        rows, "subj string, pred string, obj_value string"
+        rows, "subj string, pred string, obj_value string, graph string"
     ).write.parquet(tdir)
     ok = _run_job("query.py", [
         "--triples", tdir,
@@ -446,7 +446,18 @@ def query_cli(spark, base: Path) -> dict:
         "--construct", "?c ex:contains ?x",
         "--local", "2",
     ])
-    return {"ok": ok, "bad": bad, "agg": agg, "construct": con}
+    # DESCRIBE + GRAPH + VALUES in one run: the WHERE clause is scoped
+    # to named graph g2 and the inline VALUES row pins ?x, so the
+    # description covers exactly p:3's outbound triples
+    dsc = _run_job("query.py", [
+        "--triples", tdir,
+        "--pattern", "?x rel:member ?c",
+        "--graph", "g2",
+        "--values", '{"?x": "p:3"}',
+        "--describe", "?x",
+        "--local", "2",
+    ])
+    return {"ok": ok, "bad": bad, "agg": agg, "construct": con, "dsc": dsc}
 
 
 @scenario

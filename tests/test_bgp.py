@@ -323,6 +323,14 @@ def test_query_cli(spark, cli_results):
     assert clines[-1]["n_rows"] == 1
     assert clines[0] == {
         "subj": "c:b", "pred": "ex:contains", "obj_value": "p:3"}
+    dsc = art["dsc"]
+    assert dsc["rc"] == 0, dsc["stderr"][-2000:]
+    dlines = [json.loads(x) for x in dsc["stdout"].strip().splitlines()]
+    # GRAPH g2 + VALUES ?x=p:3 -> description = p:3's one outbound quad
+    assert dlines[-1]["n_rows"] == 1
+    assert dlines[0] == {
+        "subj": "p:3", "pred": "rel:member", "obj_value": "c:b",
+        "graph": "g2"}
 
 
 def test_bgp_union_branches(triples):
@@ -872,3 +880,168 @@ def test_bgp_aggregate_differential_random(spark):
         assert got_map == want, (triples, patterns, gvar, avar)
         checked += 1
     assert checked >= 20
+
+
+# --- named graphs (GRAPH), VALUES, DESCRIBE --------------------------------
+
+
+@pytest.fixture(scope="module")
+def quads(spark):
+    rows = [
+        ("a", "knows", "b", "g1"),
+        ("b", "type", "Person", "g1"),
+        ("b", "type", "Robot", "g2"),
+        ("c", "knows", "b", "g2"),
+        ("a", "type", "Person", "g2"),
+    ]
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj_value string, graph string"
+    )
+
+
+def test_graph_constant_scopes_and_pushes_down(spark, tmp_path, quads):
+    """A constant GRAPH pins every scan to one named graph, and the
+    equality reaches the parquet scan as a pushed filter."""
+    got = bgp_query(quads, [("?x", "knows", "?y")], graph="g1").collect()
+    assert [(r.x, r.y) for r in got] == [("a", "b")]
+
+    path = str(tmp_path / "quads")
+    quads.write.parquet(path)
+    stored = spark.read.parquet(path)
+    plan = (
+        bgp_query(stored, [("?x", "knows", "?y")], graph="g1")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("graph" in ln for ln in pushed), plan
+
+
+def test_graph_variable_joins_within_one_graph(quads):
+    """GRAPH ?g: all patterns in the group match within the SAME named
+    graph — the cross-graph row combination that the union-default
+    evaluation produces must be excluded, and ?g reports the graph."""
+    same = sorted(
+        (r.x, r.t, r.g)
+        for r in bgp_query(
+            quads, [("?x", "knows", "?y"), ("?y", "type", "?t")], graph="?g"
+        ).select("x", "t", "g").collect()
+    )
+    assert same == [("a", "Person", "g1"), ("c", "Robot", "g2")]
+    # union default graph (graph=None) includes the cross-graph matches
+    union = bgp_query(
+        quads, [("?x", "knows", "?y"), ("?y", "type", "?t")]
+    ).collect()
+    assert len(union) == 4
+    # the graph variable doubling as a pattern term is an equality:
+    # no subject is named g1/g2, so GRAPH ?g { ?g ?p ?o } is empty
+    assert bgp_query(quads, [("?g", "?p", "?o")], graph="?g").collect() == []
+
+
+def test_graph_requires_quad_table(triples):
+    with pytest.raises(ValueError, match="'graph' column"):
+        bgp_query(triples, [("?x", "rel:member", "?c")], graph="g1")
+
+
+def test_graph_paths_constant_and_per_graph_closure(spark, quads):
+    """Property paths under a CONSTANT graph iterate only that graph's
+    edges; under a graph VARIABLE the closure runs PER NAMED GRAPH —
+    a path never crosses graphs, and ?g binds the path's graph."""
+    got = bgp_query(quads, [("?x", "knows+", "?y")], graph="g2").collect()
+    assert [(r.x, r.y) for r in got] == [("c", "b")]
+    # chain a->b in g1, b->c in g2: the union-default closure would
+    # derive a->c, the per-graph closure must NOT
+    chain = spark.createDataFrame(
+        [("a", "p", "b", "g1"), ("b", "p", "c", "g2"), ("x", "p", "y", "g1"),
+         ("y", "p", "z", "g1")],
+        "subj string, pred string, obj_value string, graph string",
+    )
+    got = sorted(
+        (r.x, r.y, r.g)
+        for r in bgp_query(chain, [("?x", "p+", "?y")], graph="?g")
+        .select("x", "y", "g").collect()
+    )
+    assert got == [
+        ("a", "b", "g1"), ("b", "c", "g2"),
+        ("x", "y", "g1"), ("x", "z", "g1"), ("y", "z", "g1"),
+    ]
+    # zero-or-more under ?g: identity matches per graph a term is in
+    ident = sorted(
+        (r.x, r.g)
+        for r in bgp_query(chain, [("?x", "p*", "b")], graph="?g")
+        .select("x", "g").collect()
+    )
+    # b is a term of BOTH g1 (object) and g2 (subject): zero-length in
+    # both, one-step a->b only in g1
+    assert ident == [("a", "g1"), ("b", "g1"), ("b", "g2")]
+
+
+def test_values_multiset_and_mixed_signatures(spark, quads):
+    """VALUES joins the inline rows with the solutions: duplicate rows
+    multiply (multiset), rows with different defined-variable
+    signatures union their per-signature joins, and the inline side is
+    a broadcast."""
+    dup = bgp_query(
+        quads, [("?x", "knows", "?y")], values=[{"?x": "a"}, {"?x": "a"}]
+    ).collect()
+    assert [(r.x, r.y) for r in dup] == [("a", "b"), ("a", "b")]
+
+    mixed = sorted(
+        (r.x, r.t)
+        for r in bgp_query(
+            quads,
+            [("?x", "knows", "?y"), ("?y", "type", "?t")],
+            values=[{"?x": "a", "?t": "Person"}, {"?t": "Robot"}],
+        ).select("x", "t").collect()
+    )
+    assert mixed == [("a", "Person"), ("a", "Robot"), ("c", "Robot")]
+
+    plan = (
+        bgp_query(quads, [("?x", "knows", "?y")], values=[{"?x": "a"}])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_values_rejections(quads):
+    with pytest.raises(ValueError, match="no variable"):
+        bgp_query(quads, [("?x", "knows", "?y")], values=[{}])
+    with pytest.raises(ValueError, match="not bound"):
+        bgp_query(quads, [("?x", "knows", "?y")], values=[{"?zz": "1"}])
+    # OPTIONAL-only bindings need SPARQL's unbound-compatible join
+    with pytest.raises(ValueError, match="not bound"):
+        bgp_query(
+            quads,
+            [("?x", "knows", "?y")],
+            optional_patterns=[[("?y", "type", "?t")]],
+            values=[{"?t": "Person"}],
+        )
+
+
+def test_describe_constant_variable_and_plan(quads):
+    """DESCRIBE returns the outbound quads of the described nodes; the
+    variable form evaluates the WHERE clause once and LEFT SEMI joins
+    the store (existence only, no row multiplication)."""
+    from fcrepo3_rdf_extractor_spark.operators.bgp import bgp_describe
+
+    const = sorted(
+        (r.pred, r.obj_value) for r in bgp_describe(quads, "b").collect()
+    )
+    assert const == [("type", "Person"), ("type", "Robot")]
+
+    # WHERE scoped to g1, but the description reads the FULL store
+    var = sorted(
+        (r.subj, r.pred, r.obj_value, r.graph)
+        for r in bgp_describe(
+            quads, "?y", [("?x", "knows", "?y")], graph="g1"
+        ).collect()
+    )
+    assert var == [("b", "type", "Person", "g1"), ("b", "type", "Robot", "g2")]
+
+    plan = (
+        bgp_describe(quads, "?y", [("?x", "knows", "?y")])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftSemi" in plan, plan
+    with pytest.raises(ValueError, match="WHERE patterns"):
+        bgp_describe(quads, "?y")

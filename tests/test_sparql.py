@@ -1,0 +1,242 @@
+"""SPARQL text front-end: the parser's term/clause mapping, its
+rejections, and text-vs-programmatic execution equivalence (the parser
+must produce the compiler's own structures, nothing more)."""
+
+from __future__ import annotations
+
+import pytest
+
+from fcrepo3_rdf_extractor_spark.operators.bgp import (
+    bgp_aggregate,
+    bgp_query,
+)
+from fcrepo3_rdf_extractor_spark.operators.sparql import (
+    SparqlParseError,
+    parse_sparql,
+    sparql_query,
+)
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+# --- pure parse tests (no Spark) -------------------------------------------
+
+
+def test_parse_select_full_clause_set():
+    q = parse_sparql(
+        """
+        PREFIX rel: <info:fedora/rel#>
+        PREFIX m: <info:fedora/model#>
+        SELECT DISTINCT ?obj ?coll WHERE {
+          ?obj rel:member ?coll .
+          ?obj m:state m:Active .
+          OPTIONAL { ?obj m:owner ?owner }
+          FILTER(CONTAINS(?coll, "c:1"))
+          FILTER(?obj != "x")
+          FILTER NOT EXISTS { ?obj m:label "hidden" }
+          MINUS { ?obj m:flag "bad" }
+        }
+        ORDER BY DESC(?obj) LIMIT 7 OFFSET 3
+        """
+    )
+    assert q.verb == "select" and q.distinct
+    assert q.select == ["obj", "coll"]
+    assert q.patterns == [
+        ("?obj", "<info:fedora/rel#member>", "?coll"),
+        ("?obj", "<info:fedora/model#state>", "<info:fedora/model#Active>"),
+    ]
+    assert q.optional_patterns == [
+        [("?obj", "<info:fedora/model#owner>", "?owner")]
+    ]
+    assert q.filters == [("?coll", "contains", "c:1"), ("?obj", "!=", "x")]
+    assert q.not_exists == [
+        [("?obj", "<info:fedora/model#label>", "<hidden>")],
+        [("?obj", "<info:fedora/model#flag>", "<bad>")],
+    ]
+    assert q.order_by == [("obj", "desc")]
+    assert (q.limit, q.offset) == (7, 3)
+
+
+def test_parse_terms_paths_and_a():
+    q = parse_sparql(
+        "SELECT * WHERE { ?x <knows>+ ?y . ?z ^<knows> ?y . "
+        "?a (<p>|<q>)* ?b . ?s a ?t . ?u <p>? ?v }"
+    )
+    assert [p[1] for p in q.patterns] == [
+        "knows+", "^knows", "p|q*", f"<{RDF_TYPE}>", "p?"
+    ]
+
+
+def test_parse_predicate_lists_and_numbers():
+    q = parse_sparql('SELECT * WHERE { ?x <p> ?y ; <q> 5 ; <r> "s" . }')
+    assert q.patterns == [
+        ("?x", "<p>", "?y"), ("?x", "<q>", "<5>"), ("?x", "<r>", "<s>")
+    ]
+
+
+def test_parse_graph_and_values_forms():
+    q = parse_sparql('SELECT * WHERE { GRAPH ?g { ?x <p> ?y } }')
+    assert q.graph == "?g"
+    q = parse_sparql('SELECT * WHERE { GRAPH <g1> { ?x <p> ?y } }')
+    assert q.graph == "g1"
+    q = parse_sparql(
+        'SELECT * WHERE { ?x <p> ?y . VALUES ?x { "a" <b> } . '
+        'VALUES (?x ?y) { ("c" "d") ("e" UNDEF) } }'
+    )
+    assert q.values == [
+        {"?x": "a"}, {"?x": "b"}, {"?x": "c", "?y": "d"}, {"?x": "e"}
+    ]
+
+
+def test_parse_aggregates_and_having():
+    q = parse_sparql(
+        'SELECT ?c (COUNT(DISTINCT ?x) AS ?n) '
+        '(GROUP_CONCAT(?x; SEPARATOR = "|") AS ?xs) '
+        'WHERE { ?x <member> ?c } GROUP BY ?c HAVING(?n >= 2)'
+    )
+    assert q.aggs == [("count_distinct", "?x", "n"), ("group_concat:|", "?x", "xs")]
+    assert q.group_by == ["c"] and q.having == [("n", ">=", 2.0)]
+    # implicit single group when an aggregate appears without GROUP BY
+    q = parse_sparql('SELECT (COUNT(*) AS ?n) WHERE { ?x <p> ?y }')
+    assert q.group_by == [] and q.aggs == [("count", "*", "n")]
+
+
+def test_parse_rejections():
+    cases = [
+        ("SELECT ?x WHERE { ?x ex:p ?y }", "undeclared prefix"),
+        ("SELECT ?x WHERE { ?x <p> ?y } GROUP BY ?x", "GROUP BY without"),
+        ("SELECT ?x WHERE { ?x (<p>|<q>) ?y }", "bare alternation"),
+        ("SELECT (AVG(DISTINCT ?x) AS ?a) WHERE { ?s <p> ?x }",
+         "DISTINCT inside"),
+        ("SELECT ?x WHERE { ?x <p> ?y . GRAPH <g> { ?x <q> ?z } }",
+         "wrapper of the whole"),
+        ("SELECT ?y (COUNT(*) AS ?n) WHERE { ?x <p> ?y } "
+         "GROUP BY ?y ORDER BY ?y", "ORDER BY/LIMIT"),
+        ("ASK { ?x <p> ?y } trailing", "trailing input"),
+        ("FOO { ?x <p> ?y }", "expected SELECT"),
+    ]
+    for text, msg in cases:
+        with pytest.raises(SparqlParseError, match=msg):
+            parse_sparql(text)
+
+
+# --- execution equivalence (text plan == programmatic plan) -----------------
+
+
+@pytest.fixture(scope="module")
+def quads(spark):
+    rows = [
+        ("a", "knows", "b", "g1"),
+        ("b", "type", "Person", "g1"),
+        ("b", "type", "Robot", "g2"),
+        ("c", "knows", "b", "g2"),
+        ("b", "knows", "c", "g2"),
+        ("a", "type", "Person", "g2"),
+    ]
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj_value string, graph string"
+    )
+
+
+def test_text_equals_programmatic_select(quads):
+    """The parsed query must produce the same plan as the programmatic
+    call — compare both the results and the optimized-plan strings."""
+    text = sparql_query(
+        quads,
+        'SELECT ?x ?t ?g WHERE { GRAPH ?g { ?x <knows> ?y . '
+        '?y <type> ?t } }',
+    )
+    prog = bgp_query(
+        quads,
+        [("?x", "<knows>", "?y"), ("?y", "<type>", "?t")],
+        select=["x", "t", "g"],
+        graph="?g",
+    )
+    assert sorted(map(tuple, text.collect())) == sorted(
+        map(tuple, prog.collect())
+    )
+    import re
+
+    def norm(df):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        return re.sub(r"#\d+", "#", plan)  # expression ids differ per plan
+
+    assert norm(text) == norm(prog)
+
+
+def test_text_verbs_ask_construct_describe(quads):
+    assert sparql_query(quads, 'ASK { ?x <type> "Robot" }').collect()[0].matched
+    assert not sparql_query(quads, 'ASK { ?x <type> "Alien" }').collect()[0].matched
+
+    con = sorted(
+        (r.subj, r.pred, r.obj_value)
+        for r in sparql_query(
+            quads, 'CONSTRUCT { ?y <knownBy> ?x } WHERE { ?x <knows> ?y }'
+        ).collect()
+    )
+    assert con == [("b", "knownBy", "a"), ("b", "knownBy", "c"),
+                   ("c", "knownBy", "b")]
+
+    dsc = sorted(
+        (r.pred, r.obj_value)
+        for r in sparql_query(
+            quads, 'DESCRIBE ?y WHERE { ?x <knows> ?y . FILTER(?x = "a") }'
+        ).collect()
+    )
+    assert dsc == [("knows", "c"), ("type", "Person"), ("type", "Robot")]
+
+
+def test_text_aggregate_union_values(quads):
+    agg = sparql_query(
+        quads,
+        'SELECT ?y (COUNT(*) AS ?n) WHERE { ?x <knows> ?y } '
+        'GROUP BY ?y HAVING(?n >= 2)',
+    ).collect()
+    prog = bgp_aggregate(
+        quads, [("?x", "<knows>", "?y")], group_by=["y"],
+        aggs=[("count", "*", "n")], having=[("n", ">=", 2.0)],
+    ).collect()
+    assert sorted(map(tuple, agg)) == sorted(map(tuple, prog)) == [("b", 2)]
+
+    uni = sorted(
+        (r.x, str(r.c), str(r.o))
+        for r in sparql_query(
+            quads,
+            'SELECT ?x ?c ?o WHERE { { ?x <knows> ?c } UNION '
+            '{ ?x <type> ?o } }',
+        ).collect()
+    )
+    assert ("a", "b", "None") in uni and ("a", "None", "Person") in uni
+
+    vals = sparql_query(
+        quads,
+        'SELECT * WHERE { ?x <knows> ?y . VALUES ?x { "a" "zz" } }',
+    ).collect()
+    assert [(r.x, r.y) for r in vals] == [("a", "b")]
+
+
+def test_text_numeric_filter_and_paths(spark):
+    t = spark.createDataFrame(
+        [("n:1", "v", "10"), ("n:2", "v", "5"), ("n:3", "v", "oops"),
+         ("n:1", "p", "n:2"), ("n:2", "p", "n:3")],
+        "subj string, pred string, obj_value string",
+    )
+    # unquoted number -> numeric semantics ('10' > 6; 'oops' drops)
+    got = sorted(
+        r.x for r in sparql_query(
+            t, 'SELECT ?x WHERE { ?x <v> ?n . FILTER(?n > 6) }'
+        ).collect()
+    )
+    assert got == ["n:1"]
+    # quoted number -> lexicographic ('10' < '6' as strings)
+    got = sorted(
+        r.x for r in sparql_query(
+            t, 'SELECT ?x WHERE { ?x <v> ?n . FILTER(?n > "6") }'
+        ).collect()
+    )
+    assert got == ["n:3"]
+    closure = sorted(
+        (r.x, r.y)
+        for r in sparql_query(t, 'SELECT ?x ?y WHERE { ?x <p>+ ?y }').collect()
+    )
+    assert closure == [("n:1", "n:2"), ("n:1", "n:3"), ("n:2", "n:3")]
