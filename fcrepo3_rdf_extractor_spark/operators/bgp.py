@@ -296,7 +296,14 @@ def bgp_query(
         pat = tuple(t[1:-1] if w else t for t, w in zip(pat, wrapped))
         literal_pred = wrapped[1]
         if not literal_pred and not _is_var(pat[1]) and pat[1].startswith("^"):
-            pat = (pat[2], pat[1][1:], pat[0])
+            inner = pat[1][1:]
+            # ^<iri> = inverse of a LITERAL predicate: the escape
+            # brackets survive the ^ so an IRI whose own last character
+            # is +/*/? is still matched as-is, never re-read as a path
+            if len(inner) > 2 and inner[0] == "<" and inner[-1] == ">":
+                inner = inner[1:-1]
+                literal_pred = True
+            pat = (pat[2], inner, pat[0])
         if (
             not literal_pred
             and not _is_var(pat[1])
@@ -871,7 +878,27 @@ def bgp_describe(
     constant is a pushed-down point filter with no join at all.
     """
     if not _is_var(describe):
-        return triples.filter(F.col("subj") == describe)
+        if (
+            patterns
+            or optional_patterns
+            or filters
+            or not_exists
+            or graph is not None
+            or values
+        ):
+            # the spec describes a constant regardless of the pattern's
+            # solutions, so a WHERE clause here would be silently inert —
+            # reject instead (gate on bindings with DESCRIBE ?var)
+            raise ValueError(
+                "DESCRIBE of a constant takes no WHERE clause / filters "
+                "in this subset; use DESCRIBE ?var WHERE { ... } to "
+                "describe pattern bindings"
+            )
+        node = describe
+        # the <...> literal-match escape, same stripping as scan()
+        if len(node) > 2 and node[0] == "<" and node[-1] == ">":
+            node = node[1:-1]
+        return triples.filter(F.col("subj") == node)
     if not patterns:
         raise ValueError(
             "DESCRIBE of a variable needs WHERE patterns binding it"

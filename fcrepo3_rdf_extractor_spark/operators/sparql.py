@@ -71,7 +71,7 @@ _TOKEN_RE = re.compile(
   | (?P<STRING>"(?:[^"\\]|\\.)*")
   | (?P<VAR>[?$][A-Za-z_][A-Za-z0-9_]*)
   | (?P<NUMBER>[+-]?\d+(?:\.\d+)?)
-  | (?P<PNAME>[A-Za-z_][A-Za-z0-9_-]*:[A-Za-z0-9_.-]*)
+  | (?P<PNAME>[A-Za-z_][A-Za-z0-9_-]*:(?:[A-Za-z0-9_.-]*[A-Za-z0-9_-])?)
   | (?P<KEYWORD>[A-Za-z_][A-Za-z0-9_]*)
   | (?P<PUNCT>\(|\)|\{|\}|\.|;|,|\*|\+|\?|\^|\||=|!=|<=|>=|<|>)
     """,
@@ -259,7 +259,10 @@ class _Parser:
                 )
             return iri + mod
         if inverse:
-            return "^" + iri
+            # keep the literal-match brackets INSIDE the inverse marker:
+            # scan() strips ^ then the brackets, so an IRI whose own last
+            # character is +/*/? can never be re-read as a path
+            return "^<" + iri + ">"
         return "<" + iri + ">"
 
     def _path_mod(self) -> str | None:
@@ -273,12 +276,15 @@ class _Parser:
     def parse(self) -> ParsedQuery:
         while self.kw("PREFIX"):
             t = self.next()
+            # the declaration label must be exactly "pfx:" (a PNAME with
+            # an EMPTY local part) — "ex:junk" here is a typo, not a
+            # declaration, and accepting it would silently register "ex"
+            # and discard "junk"
             if t.kind != "PNAME" or not t.text.endswith(":"):
-                # PNAME with empty local part is "pfx:"
-                if t.kind != "PNAME":
-                    raise SparqlParseError(
-                        f"expected 'pfx:' after PREFIX at {t.pos}"
-                    )
+                raise SparqlParseError(
+                    f"expected 'pfx:' after PREFIX at {t.pos}, "
+                    f"got {t.text!r}"
+                )
             pfx = t.text[: t.text.index(":")]
             iri_t = self.next()
             if iri_t.kind != "IRI":
@@ -631,16 +637,24 @@ class _Parser:
                     q.order_by.append((t.text[1:], "asc"))
                 else:
                     break
-        if self.kw("LIMIT"):
-            t = self.next()
-            if t.kind != "NUMBER":
-                raise SparqlParseError(f"expected a number at {t.pos}")
-            q.limit = int(t.text)
-        if self.kw("OFFSET"):
-            t = self.next()
-            if t.kind != "NUMBER":
-                raise SparqlParseError(f"expected a number at {t.pos}")
-            q.offset = int(t.text)
+        # SPARQL 1.1 LimitOffsetClauses: LIMIT and OFFSET in EITHER order
+        while True:
+            if self.kw("LIMIT"):
+                t = self.next()
+                if t.kind != "NUMBER":
+                    raise SparqlParseError(f"expected a number at {t.pos}")
+                if q.limit is not None:
+                    raise SparqlParseError(f"duplicate LIMIT at {t.pos}")
+                q.limit = int(t.text)
+            elif self.kw("OFFSET"):
+                t = self.next()
+                if t.kind != "NUMBER":
+                    raise SparqlParseError(f"expected a number at {t.pos}")
+                if q.offset:
+                    raise SparqlParseError(f"duplicate OFFSET at {t.pos}")
+                q.offset = int(t.text)
+            else:
+                break
 
     def _check_shape(self, q: ParsedQuery) -> None:
         if q.aggs and q.group_by is None:
@@ -683,13 +697,15 @@ class _Parser:
                 )
 
 
+_ESCAPES = {"n": "\n", "t": "\t", "r": "\r", '"': '"', "\\": "\\"}
+_ESC_RE = re.compile(r"\\(.)")
+
+
 def _unescape(s: str) -> str:
-    return (
-        s.replace('\\"', '"')
-        .replace("\\\\", "\\")
-        .replace("\\n", "\n")
-        .replace("\\t", "\t")
-    )
+    # single pass over escape PAIRS (the lexer's STRING regex guarantees
+    # backslashes come in \x pairs) — sequential str.replace decoded
+    # '\\\\n' (escaped backslash + letter n) into a newline
+    return _ESC_RE.sub(lambda m: _ESCAPES.get(m.group(1), m.group(1)), s)
 
 
 def parse_sparql(text: str) -> ParsedQuery:
@@ -761,7 +777,30 @@ def sparql_query(triples: DataFrame, text: str) -> DataFrame:
             values=q.values or None,
         )
     if q.union_branches:
-        return bgp_union(triples, q.union_branches, select=q.select)
+        out = bgp_union(
+            triples, q.union_branches, select=q.select, distinct=q.distinct
+        )
+        # solution modifiers apply to the union result (SPARQL evaluates
+        # them over the combined solution sequence)
+        if q.order_by:
+            from pyspark.sql import functions as F
+
+            sel = [s.lstrip("?") for s in q.select]
+            cols = []
+            for var, direction in q.order_by:
+                name = var.lstrip("?")
+                if name not in sel:
+                    raise ValueError(
+                        f"ORDER BY ?{name}: not a selected variable"
+                    )
+                c = F.col(name)
+                cols.append(c.desc() if direction == "desc" else c.asc())
+            out = out.orderBy(*cols)
+        if q.offset:
+            out = out.offset(q.offset)
+        if q.limit is not None:
+            out = out.limit(q.limit)
+        return out
     if q.aggs:
         return bgp_aggregate(
             triples,

@@ -62,8 +62,10 @@ def test_parse_terms_paths_and_a():
         "SELECT * WHERE { ?x <knows>+ ?y . ?z ^<knows> ?y . "
         "?a (<p>|<q>)* ?b . ?s a ?t . ?u <p>? ?v }"
     )
+    # inverse keeps the literal-match brackets INSIDE the ^ marker so an
+    # IRI ending in +/*/? can never be re-read as a path by scan()
     assert [p[1] for p in q.patterns] == [
-        "knows+", "^knows", "p|q*", f"<{RDF_TYPE}>", "p?"
+        "knows+", "^<knows>", "p|q*", f"<{RDF_TYPE}>", "p?"
     ]
 
 
@@ -240,3 +242,82 @@ def test_text_numeric_filter_and_paths(spark):
         for r in sparql_query(t, 'SELECT ?x ?y WHERE { ?x <p>+ ?y }').collect()
     )
     assert closure == [("n:1", "n:2"), ("n:1", "n:3"), ("n:2", "n:3")]
+
+
+def test_parse_limit_offset_order_and_dups():
+    # SPARQL 1.1 LimitOffsetClauses: either order is legal
+    q = parse_sparql('SELECT ?x WHERE { ?x <p> ?y } OFFSET 2 LIMIT 5')
+    assert (q.limit, q.offset) == (5, 2)
+    q = parse_sparql('SELECT ?x WHERE { ?x <p> ?y } LIMIT 5 OFFSET 2')
+    assert (q.limit, q.offset) == (5, 2)
+    with pytest.raises(SparqlParseError, match="duplicate LIMIT"):
+        parse_sparql('SELECT ?x WHERE { ?x <p> ?y } LIMIT 1 LIMIT 2')
+    with pytest.raises(SparqlParseError, match="duplicate OFFSET"):
+        parse_sparql('SELECT ?x WHERE { ?x <p> ?y } OFFSET 1 OFFSET 2')
+
+
+def test_parse_escape_pairs_single_pass():
+    # '\\n' in the query text = escaped backslash + letter n: must decode
+    # to backslash+n, NEVER to a newline (the old sequential-replace bug)
+    q = parse_sparql('SELECT * WHERE { ?x <p> "a\\\\nb" }')
+    assert q.patterns[0][2] == "<a\\nb>" and "\n" not in q.patterns[0][2]
+    q = parse_sparql('SELECT * WHERE { ?x <p> "a\\nb" }')
+    assert q.patterns[0][2] == "<a\nb>"
+
+
+def test_parse_prefix_decl_rejects_nonempty_local():
+    # 'ex:junk' after PREFIX is a typo, not a declaration
+    with pytest.raises(SparqlParseError, match="expected 'pfx:'"):
+        parse_sparql('PREFIX ex:junk <http://e/> SELECT ?x WHERE { ?x <p> ?y }')
+
+
+def test_parse_pname_never_eats_triple_dot():
+    # PNAME local part cannot END with '.', so 'ex:q.' is the name ex:q
+    # followed by the triple terminator — not a name with a trailing dot
+    q = parse_sparql(
+        'PREFIX ex: <http://e/> SELECT * WHERE { ?x ex:p ex:q. ?x ex:r ?y }'
+    )
+    assert q.patterns == [
+        ("?x", "<http://e/p>", "<http://e/q>"),
+        ("?x", "<http://e/r>", "?y"),
+    ]
+
+
+def test_inverse_path_of_iri_ending_in_path_char(spark):
+    # an IRI whose last character is '+' must stay a literal predicate
+    # under ^ inversion, never re-read as a one-or-more path
+    t = spark.createDataFrame(
+        [("a", "knows+", "b"), ("b", "knows", "c")],
+        "subj string, pred string, obj_value string",
+    )
+    got = [r.z for r in sparql_query(
+        t, 'SELECT ?z WHERE { ?z ^<knows+> "a" }'
+    ).collect()]
+    assert got == ["b"]
+
+
+def test_union_solution_modifiers(quads):
+    # ORDER BY / LIMIT / DISTINCT apply to the COMBINED union solutions
+    got = [r.x for r in sparql_query(
+        quads,
+        'SELECT ?x WHERE { { ?x <knows> ?y } UNION { ?x <type> ?o } } '
+        'ORDER BY ?x LIMIT 3',
+    ).collect()]
+    assert got == ["a", "a", "b"]
+    got = sorted(r.x for r in sparql_query(
+        quads,
+        'SELECT DISTINCT ?x WHERE { { ?x <knows> ?y } UNION '
+        '{ ?x <type> ?o } }',
+    ).collect())
+    assert got == ["a", "b", "c"]
+
+
+def test_describe_constant_forms(quads):
+    rows = sorted(
+        (r.pred, r.obj_value)
+        for r in sparql_query(quads, 'DESCRIBE <a>').collect()
+    )
+    assert rows == [("knows", "b"), ("type", "Person")]
+    # a WHERE clause on a constant DESCRIBE would be silently inert
+    with pytest.raises(ValueError, match="takes no WHERE"):
+        sparql_query(quads, 'DESCRIBE <a> WHERE { ?x <p> ?y }')
