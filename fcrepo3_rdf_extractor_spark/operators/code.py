@@ -1,0 +1,234 @@
+"""KG construction over source-code corpora: definitions, resolved
+dependency edges, and vendored-file detection.
+
+The north-rule corpus is an Iceberg table of source-code repositories
+(repo, path, commit, lang, content). :mod:`.text` already extracts the
+raw import graph (``code_import_triples``); this module adds the rest
+of the code knowledge graph:
+
+- :func:`code_def_triples` — what each file DEFINES (functions/classes
+  across languages), the symbol nodes of the graph
+- :func:`resolve_import_edges` — entity linking: each textual import is
+  resolved to the repo file that defines the module, or marked external;
+  turns the raw import strings into real file->file dependency edges
+- :func:`vendored_file_stats` — cross-repo duplicate-content detection
+  (vendored/copied files), the repo-level hygiene signal a training-data
+  pipeline uses to avoid over-weighting popular vendored libraries
+
+All three are pure DataFrame column algebra (no Python on the hot
+path); the regex patterns are RE2-compatible with a single capture
+group so the DuckDB oracles replay them byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import IMPORT_PATTERNS
+
+#: (kind, regex-with-one-capture) definition-statement shapes. Same
+#: contract as text.IMPORT_PATTERNS: RE2-safe (no lookaround), (?m) for
+#: line anchoring, exactly one capture group = the defined name. The
+#: set is deliberately cross-match-safe: no two patterns capture the
+#: same line shape, so a file never emits duplicate (name, kind) pairs
+#: for one definition.
+DEF_PATTERNS: list[tuple[str, str]] = [
+    ("py_def", r"(?m)^\s*def\s+([A-Za-z_][A-Za-z0-9_]*)\s*\("),
+    ("py_class", r"(?m)^\s*class\s+([A-Za-z_][A-Za-z0-9_]*)"),
+    ("js_function", r"(?m)^\s*function\s+([A-Za-z_$][A-Za-z0-9_$]*)\s*\("),
+    ("go_func", r"(?m)^func\s+([A-Za-z_][A-Za-z0-9_]*)\s*\("),
+    ("rust_fn", r"(?m)^\s*fn\s+([A-Za-z_][A-Za-z0-9_]*)"),
+]
+
+
+def _tagged_matches(
+    content: F.Column, patterns: list[tuple[str, str]]
+) -> F.Column:
+    """All patterns evaluated inside ONE projection: per pattern a
+    ``regexp_extract_all``, kind-tagged via ``transform`` (single-arg
+    lambda — the two-arg form binds (element, index)), flattened so the
+    caller explodes ONCE. A filter+union per pattern would re-scan the
+    content per branch (the CollapseProject/filter+union class pinned in
+    tests/test_plans.py)."""
+
+    def tagged(kind: str, rx: str):
+        return F.transform(
+            F.regexp_extract_all(content, F.lit(rx), 1),
+            lambda m: F.struct(F.lit(kind).alias("kind"), m.alias("name")),
+        )
+
+    return F.flatten(F.array(*[tagged(kind, rx) for kind, rx in patterns]))
+
+
+def code_def_triples(
+    files: DataFrame,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    content_col: str = "content",
+) -> DataFrame:
+    """Definition extraction: (src:<repo>/<path>, code:defines, name,
+    kind) triples — the symbol-node half of the code KG (imports are
+    the edge half). One content scan evaluates every language pattern;
+    no shuffle, no Python; files defining nothing emit nothing.
+
+    Scale shape (10^12 files): identical to
+    :func:`.text.code_import_triples` — a narrow 3-column projection of
+    the scan, all regex work inside whole-stage-codegen-adjacent JVM
+    expressions, output partitioning inherited from the scan.
+    """
+    exploded = files.select(
+        F.col(repo_col).alias("_repo"),
+        F.col(path_col).alias("_path"),
+        F.explode(_tagged_matches(F.col(content_col), DEF_PATTERNS)).alias(
+            "_e"
+        ),
+    )
+    return exploded.select(
+        F.concat(
+            F.lit("src:"), F.col("_repo"), F.lit("/"), F.col("_path")
+        ).alias("subj"),
+        F.lit("code:defines").alias("pred"),
+        F.col("_e.name").alias("obj_value"),
+        F.col("_e.kind").alias("kind"),
+    )
+
+
+def _module_key(module: F.Column, kind: F.Column) -> F.Column:
+    """Normalize an imported-module string to the key a defining file is
+    registered under. Path-shaped imports (C includes, JS paths) keep
+    the basename with the file extension stripped; dotted Python modules
+    resolve via their FIRST segment (``import a.b.c`` is satisfied by
+    the file defining package ``a`` — the top-level-package rule, the
+    only one derivable from file paths alone)."""
+    pathish = kind.isin("c_include", "js_require", "js_import")
+    base = F.element_at(F.split(module, "/"), -1)
+    no_ext = F.regexp_replace(base, r"\.[A-Za-z0-9]+$", "")
+    first_seg = F.element_at(F.split(module, r"\."), 1)
+    return F.when(pathish, no_ext).otherwise(first_seg)
+
+
+def resolve_import_edges(
+    files: DataFrame,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    content_col: str = "content",
+) -> DataFrame:
+    """Entity linking over the import graph: resolve each textual
+    import to the file IN THE SAME REPO that defines the module, else
+    mark it external. Emits (subj = src:<repo>/<importing path>,
+    pred = code:dependsOn, obj_value = src:<repo>/<defining path> |
+    ext:<module>, kind, resolved) — the raw import strings become real
+    file->file edges, which is what makes the code graph queryable for
+    reachability/centrality instead of a bag of names.
+
+    Module registry: a file registers the module named by its path
+    basename sans extension (``src/util.py`` defines ``util``) — the
+    convention shared by Python modules, C headers, and JS files.
+    Basename collisions inside a repo resolve deterministically to the
+    lexicographically smallest path (``min``), so the output is stable
+    across partitionings.
+
+    Scale shape (10^12 files): both sides derive from the same scan but
+    carry only narrow columns; the registry is one map-side-combined
+    ``groupBy(repo, module)``; the link itself is a hash equi-join on
+    (repo, module_key) — co-partitioned by the join's own exchange, no
+    broadcast needed (the registry is file-count-sized), no skew
+    hotspot (module keys are prefixed by repo, so even ``util`` fans
+    out across repos).
+    """
+    imports = files.select(
+        F.col(repo_col).alias("_repo"),
+        F.col(path_col).alias("_path"),
+        F.explode(
+            _tagged_matches(F.col(content_col), IMPORT_PATTERNS)
+        ).alias("_e"),
+    ).select(
+        "_repo",
+        "_path",
+        F.col("_e.kind").alias("kind"),
+        F.col("_e.name").alias("_module"),
+    )
+    registry = (
+        files.select(
+            F.col(repo_col).alias("_repo"),
+            F.regexp_replace(
+                F.element_at(F.split(F.col(path_col), "/"), -1),
+                r"\.[A-Za-z0-9]+$",
+                "",
+            ).alias("_mkey"),
+            F.col(path_col).alias("_def_path"),
+        )
+        .filter(F.col("_mkey") != "")
+        .groupBy("_repo", "_mkey")
+        .agg(F.min("_def_path").alias("_def_path"))
+    )
+    linked = imports.withColumn(
+        "_mkey", _module_key(F.col("_module"), F.col("kind"))
+    ).join(registry, ["_repo", "_mkey"], "left")
+    return linked.select(
+        F.concat(
+            F.lit("src:"), F.col("_repo"), F.lit("/"), F.col("_path")
+        ).alias("subj"),
+        F.lit("code:dependsOn").alias("pred"),
+        F.when(
+            F.col("_def_path").isNotNull(),
+            F.concat(
+                F.lit("src:"), F.col("_repo"), F.lit("/"), F.col("_def_path")
+            ),
+        )
+        .otherwise(F.concat(F.lit("ext:"), F.col("_module")))
+        .alias("obj_value"),
+        F.col("kind"),
+        F.col("_def_path").isNotNull().alias("resolved"),
+    )
+
+
+def vendored_file_stats(
+    files: DataFrame,
+    repo_col: str = "repo",
+    content_col: str = "content",
+) -> DataFrame:
+    """Cross-repo duplicate-content detection: a file is VENDORED when
+    its exact content hash appears in more than one repo (copied /
+    checked-in dependencies — the files that make popular libraries
+    massively over-represented in a naive code corpus). Returns one row
+    per repo: (repo, n_files, n_vendored, vendored_frac).
+
+    This is the repo-level complement of :func:`.dedup_approx
+    .fileset_near_duplicates` (whole-repo fork detection): forks score
+    repo PAIRS, this scores each repo's own hygiene, and a curation
+    pipeline drops forks then down-weights high-vendored-frac repos.
+
+    Scale shape: hash the content once in the scan projection, ONE
+    two-phase ``count(distinct repo)`` aggregate per hash (partial
+    map-side), join the per-hash repo count back on the hash key (the
+    join's own exchange co-partitions both sides), then a map-side-
+    combined per-repo aggregate. No self-join, no pair blow-up — cost
+    is linear in file count at any corpus size. md5 keeps the key
+    portable to the DuckDB oracle; production would use xxhash64.
+    """
+    hashed = files.select(
+        F.col(repo_col).alias("_repo"), F.md5(F.col(content_col)).alias("_h")
+    )
+    spread = hashed.groupBy("_h").agg(
+        F.countDistinct("_repo").alias("_n_repos")
+    )
+    return (
+        hashed.join(spread, "_h")
+        .groupBy("_repo")
+        .agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.sum((F.col("_n_repos") > 1).cast("long"))
+            .cast("long")
+            .alias("n_vendored"),
+        )
+        .select(
+            F.col("_repo").alias("repo"),
+            "n_files",
+            "n_vendored",
+            F.round(F.col("n_vendored") / F.col("n_files"), 6).alias(
+                "vendored_frac"
+            ),
+        )
+    )

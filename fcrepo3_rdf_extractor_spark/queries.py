@@ -3711,6 +3711,175 @@ def src_repo_forks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _def_pats_values() -> str:
+    from .operators.code import DEF_PATTERNS
+
+    return ", ".join(
+        "('" + kind + "', '" + rx.replace("'", "''") + "')"
+        for kind, rx in DEF_PATTERNS
+    )
+
+
+# the source-contract file table with definitions planted next to the
+# imports of _CODE_CONTENT_SQL: every doc defines fn<d%9>; every 4th a
+# class C<d%6>; every 10th doc's PATH registers module mod<d%50> (so a
+# slice of the planted `import mod<d%50>` lines resolves in-repo and
+# the rest stay external — both resolution branches exercised)
+_SRC_CONTENT_SQL = f"""{_CODE_CONTENT_SQL}
+    || chr(10) || 'def fn' || CAST(doc_id % 9 AS VARCHAR) || '(x):'
+    || CASE WHEN doc_id % 4 = 0
+            THEN chr(10) || 'class C' || CAST(doc_id % 6 AS VARCHAR) || ':'
+            ELSE '' END"""
+
+_SRC_FILES_SQL = f"""
+    SELECT 'r' || CAST(doc_id % 40 AS VARCHAR) AS repo,
+           CASE WHEN doc_id % 10 = 0
+                THEN 'src/mod' || CAST(doc_id % 50 AS VARCHAR) || '.py'
+                ELSE 'src/f' || CAST(doc_id AS VARCHAR) || '.py' END AS path,
+           {_SRC_CONTENT_SQL} AS content
+    FROM documents
+"""
+
+
+def _src_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    inc = F.when(
+        d % 3 == 0,
+        F.concat(F.lit("#include <lib"), (d % 5).cast("string"), F.lit(".h>\n")),
+    ).otherwise(F.lit(""))
+    cls = F.when(
+        d % 4 == 0,
+        F.concat(F.lit("\nclass C"), (d % 6).cast("string"), F.lit(":")),
+    ).otherwise(F.lit(""))
+    return docs.select(
+        F.concat(F.lit("r"), (d % 40).cast("string")).alias("repo"),
+        F.when(
+            d % 10 == 0,
+            F.concat(F.lit("src/mod"), (d % 50).cast("string"), F.lit(".py")),
+        )
+        .otherwise(F.concat(F.lit("src/f"), d.cast("string"), F.lit(".py")))
+        .alias("path"),
+        F.concat(
+            F.lit("import mod"), (d % 50).cast("string"), F.lit("\n"),
+            F.lit("from pkg"), (d % 7).cast("string"),
+            F.lit(" import thing\n"), inc, F.col("text"),
+            F.lit("\ndef fn"), (d % 9).cast("string"), F.lit("(x):"), cls,
+        ).alias("content"),
+    )
+
+
+@_q(
+    "src_def_triples",
+    f"""WITH files AS ({_SRC_FILES_SQL}),
+        pats(kind, pat) AS (VALUES {_def_pats_values()}),
+        hits AS (SELECT repo, path, kind,
+                        unnest(regexp_extract_all(content, pat, 1)) AS name
+                 FROM files CROSS JOIN pats)
+       SELECT 'src:' || repo || '/' || path AS subj,
+              'code:defines' AS pred,
+              name AS obj_value,
+              kind
+       FROM hits""",
+)
+def src_def_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Definition extraction over the synthesized source files: the
+    symbol-node half of the code KG (operators/code.py:
+    code_def_triples — one scan evaluates every language pattern, no
+    shuffle, no Python)."""
+    from .operators.code import code_def_triples
+
+    return code_def_triples(_src_files(spark, sf_dir))
+
+
+@_q(
+    "src_resolve_imports",
+    f"""WITH files AS ({_SRC_FILES_SQL}),
+        pats(kind, pat) AS (VALUES {_import_pats_values()}),
+        imports AS (SELECT repo, path, kind,
+                           unnest(regexp_extract_all(content, pat, 1))
+                             AS module
+                    FROM files CROSS JOIN pats),
+        keyed AS (SELECT repo, path, kind, module,
+                    CASE WHEN kind IN ('c_include','js_require','js_import')
+                         THEN regexp_replace(
+                                list_extract(string_split(module, '/'), -1),
+                                '\\.[A-Za-z0-9]+$', '')
+                         ELSE string_split(module, '.')[1] END AS mkey
+                  FROM imports),
+        registry AS (SELECT repo, mkey, min(path) AS def_path
+                     FROM (SELECT repo,
+                                  regexp_replace(
+                                    list_extract(string_split(path, '/'), -1),
+                                    '\\.[A-Za-z0-9]+$', '') AS mkey,
+                                  path
+                           FROM files)
+                     WHERE mkey <> '' GROUP BY repo, mkey)
+       SELECT 'src:' || repo || '/' || path AS subj,
+              'code:dependsOn' AS pred,
+              CASE WHEN def_path IS NOT NULL
+                   THEN 'src:' || repo || '/' || def_path
+                   ELSE 'ext:' || module END AS obj_value,
+              kind,
+              def_path IS NOT NULL AS resolved
+       FROM keyed LEFT JOIN registry USING (repo, mkey)""",
+)
+def src_resolve_imports(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity linking over the import graph: each textual import
+    resolves to the same-repo file whose basename registers the module,
+    else is marked ext: — raw import strings become real file->file
+    dependency edges (operators/code.py:resolve_import_edges; hash
+    equi-join on (repo, module key), registry min-path deterministic)."""
+    from .operators.code import resolve_import_edges
+
+    return resolve_import_edges(_src_files(spark, sf_dir))
+
+
+@_q(
+    "src_vendored_files",
+    f"""WITH files AS ({_SRC_FILES_SQL}
+                       UNION ALL
+                       SELECT 'r' || CAST(doc_id % 40 AS VARCHAR),
+                              'vendor/shared' || CAST(doc_id AS VARCHAR)
+                                || '.py',
+                              '# vendored blob '
+                                || CAST(doc_id % 4 AS VARCHAR)
+                       FROM documents WHERE doc_id % 5 = 0),
+        hashed AS (SELECT repo, md5(content) AS h FROM files),
+        spread AS (SELECT h, count(DISTINCT repo) AS n_repos
+                   FROM hashed GROUP BY h)
+       SELECT repo,
+              CAST(count(*) AS BIGINT) AS n_files,
+              CAST(sum(CASE WHEN n_repos > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_vendored,
+              round(sum(CASE WHEN n_repos > 1 THEN 1 ELSE 0 END)
+                    / count(*), 6) AS vendored_frac
+       FROM hashed JOIN spread USING (h)
+       GROUP BY repo""",
+)
+def src_vendored_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-repo duplicate-content (vendored-file) detection: the
+    synthesized corpus plants 4 shared vendor blobs across repos on top
+    of the unique per-doc files; per-repo hygiene stats come from one
+    per-hash count(distinct repo) + a hash-key join back — linear, no
+    self-join (operators/code.py:vendored_file_stats)."""
+    from .operators.code import vendored_file_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    vendor = docs.filter(d % 5 == 0).select(
+        F.concat(F.lit("r"), (d % 40).cast("string")).alias("repo"),
+        F.concat(
+            F.lit("vendor/shared"), d.cast("string"), F.lit(".py")
+        ).alias("path"),
+        F.concat(F.lit("# vendored blob "), (d % 4).cast("string")).alias(
+            "content"
+        ),
+    )
+    files = _src_files(spark, sf_dir).unionByName(vendor)
+    return vendored_file_stats(files)
+
+
 @_q(
     "docs_dsir_weights",
     """WITH toks AS (SELECT doc_id,

@@ -430,6 +430,52 @@ def test_repo_forks_candidate_join_is_equi(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_code_def_triples_scan_side_no_shuffle(spark):
+    """Definition extraction is a narrow scan-side projection: every
+    language pattern evaluates inside ONE projection over ONE content
+    scan — no exchange, no Python stage, and no filter+union re-scan
+    per pattern (the plan contains a single generate/explode)."""
+    from fcrepo3_rdf_extractor_spark.operators.code import code_def_triples
+    from fcrepo3_rdf_extractor_spark.queries import _src_files
+
+    out = code_def_triples(_src_files(spark, SF_DIR))
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    for node in ("Exchange", "MapInPandas", "BatchEvalPython", "Union"):
+        assert node not in phys, node
+    assert phys.count("Generate") == 1, phys.count("Generate")
+
+
+def test_resolve_import_edges_join_shape(spark):
+    """Entity linking plans as a hash equi-join on (repo, module key):
+    no nested-loop/cartesian pairing, exactly one Generate (imports
+    explode once), and the registry side is a partial ('merge'-phased)
+    aggregate — map-side combined before its shuffle."""
+    from fcrepo3_rdf_extractor_spark.operators.code import resolve_import_edges
+    from fcrepo3_rdf_extractor_spark.queries import _src_files
+
+    out = resolve_import_edges(_src_files(spark, SF_DIR))
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in phys
+    assert "CartesianProduct" not in phys
+    assert phys.count("Generate") == 1, phys.count("Generate")
+    assert "partial_min" in phys or "partial_first" in phys, phys
+
+
+def test_vendored_stats_linear_no_self_join(spark):
+    """Vendored detection is linear: per-hash spread via a two-phase
+    count(distinct) (partial_count visible), joined back on the hash
+    key — never a self-join pair blow-up (no nested loop / cartesian),
+    and the final per-repo aggregate is map-side combined."""
+    from fcrepo3_rdf_extractor_spark.operators.code import vendored_file_stats
+    from fcrepo3_rdf_extractor_spark.queries import _src_files
+
+    out = vendored_file_stats(_src_files(spark, SF_DIR))
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in phys
+    assert "CartesianProduct" not in phys
+    assert "partial_count" in phys, phys
+
+
 def test_chunk_windows_scan_side_no_shuffle(spark):
     """RAG chunking is pure scan-side column arithmetic: token array
     staged ONCE (no re-inlined split), and the whole plan has no

@@ -2209,6 +2209,96 @@ def test_code_import_triples_kinds(spark):
     assert [r.f for r in hits] == ["src:r2/c.js"]
 
 
+def test_code_def_triples_kinds(spark):
+    """Definition extraction: each language pattern captures the defined
+    name from its own statement shape; files defining nothing emit
+    nothing; all patterns evaluate in ONE content scan."""
+    from fcrepo3_rdf_extractor_spark.operators.code import code_def_triples
+
+    files = spark.createDataFrame(
+        [
+            ("r1", "a.py", "def top(x):\n    pass\nclass Widget:\n  def m(self):..."),
+            ("r1", "b.go", "func Handler(w int) {}\nfunc helper() {}"),
+            ("r2", "c.rs", "fn main() {\n    let x = 1;\n}\npub fn util() {}"),
+            ("r2", "d.js", "function render(props) {}\nconst f = () => 1"),
+            ("r2", "e.txt", "nothing defined here"),
+        ],
+        "repo string, path string, content string",
+    )
+    rows = {
+        (r.subj, r.obj_value, r.kind) for r in code_def_triples(files).collect()
+    }
+    assert rows == {
+        ("src:r1/a.py", "top", "py_def"),
+        ("src:r1/a.py", "m", "py_def"),
+        ("src:r1/a.py", "Widget", "py_class"),
+        ("src:r1/b.go", "Handler", "go_func"),
+        ("src:r1/b.go", "helper", "go_func"),
+        ("src:r2/c.rs", "main", "rust_fn"),
+        ("src:r2/d.js", "render", "js_function"),
+    }
+    assert all(r.pred == "code:defines" for r in code_def_triples(files).collect())
+
+
+def test_resolve_import_edges_linking(spark):
+    """Entity linking: an import resolves to the same-repo file whose
+    basename registers the module (top-level package rule for dotted
+    Python modules, extension-stripped basename for path-shaped
+    includes); unresolvable imports become ext: nodes; a basename
+    collision resolves to the lexicographically smallest path; repos
+    never cross-link."""
+    from fcrepo3_rdf_extractor_spark.operators.code import resolve_import_edges
+
+    files = spark.createDataFrame(
+        [
+            ("r1", "app.py", "import util\nimport os.path\nfrom pkg.sub import x"),
+            ("r1", "util.py", "def helper(x): ..."),
+            ("r1", "pkg.py", "VERSION = 1"),
+            ("r1", "lib/util.py", "def shadowed(): ..."),   # collision: min path wins
+            ("r2", "main.c", '#include "util.h"\n#include <stdio.h>'),
+            ("r2", "util.h", "#define X 1"),
+            ("r2", "util.py", "unused = True"),             # r2's util: no crossover to r1
+        ],
+        "repo string, path string, content string",
+    )
+    got = {
+        (r.subj, r.obj_value, r.resolved)
+        for r in resolve_import_edges(files).collect()
+    }
+    assert ("src:r1/app.py", "src:r1/lib/util.py", True) in got   # min("lib/util.py","util.py")
+    assert ("src:r1/app.py", "ext:os.path", False) in got          # no os.py in repo
+    assert ("src:r1/app.py", "src:r1/pkg.py", True) in got         # pkg.sub -> top-level pkg
+    # C includes: util.h resolves in-repo, stdio.h is external (no stdio file),
+    # and BOTH util.h and util.py register "util" in r2 — min path util.h wins
+    assert ("src:r2/main.c", "src:r2/util.h", True) in got
+    assert ("src:r2/main.c", "ext:stdio.h", False) in got
+    assert not any(s.startswith("src:r1") and "r2" in o for (s, o, _) in got)
+
+
+def test_vendored_file_stats(spark):
+    """Vendored detection: a hash appearing in >1 repo marks every copy
+    vendored (including within the repos that share it); repo-unique
+    content — even duplicated WITHIN one repo — does not count."""
+    from fcrepo3_rdf_extractor_spark.operators.code import vendored_file_stats
+
+    files = spark.createDataFrame(
+        [
+            ("r1", "vendor/lib.js", "SHARED BLOB"),
+            ("r2", "third_party/lib.js", "SHARED BLOB"),
+            ("r1", "a.py", "unique to r1"),
+            ("r2", "b.py", "intra-dup"),
+            ("r2", "c.py", "intra-dup"),   # duplicated inside r2 only: NOT vendored
+            ("r3", "solo.py", "all alone"),
+        ],
+        "repo string, path string, content string",
+    )
+    stats = {r.repo: r for r in vendored_file_stats(files).collect()}
+    assert (stats["r1"].n_files, stats["r1"].n_vendored) == (2, 1)
+    assert (stats["r2"].n_files, stats["r2"].n_vendored) == (3, 1)
+    assert (stats["r3"].n_files, stats["r3"].n_vendored) == (1, 0)
+    assert stats["r1"].vendored_frac == 0.5
+
+
 def test_bm25_topk_ranking(spark):
     """BM25: term-frequency saturation and length normalization rank a
     short on-topic doc above a long one; docs without query terms are
