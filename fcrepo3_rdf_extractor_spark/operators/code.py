@@ -108,6 +108,35 @@ def _module_key(module: F.Column, kind: F.Column) -> F.Column:
     return F.when(pathish, no_ext).otherwise(first_seg)
 
 
+def module_registry(
+    files: DataFrame,
+    repo_col: str = "repo",
+    path_col: str = "path",
+) -> DataFrame:
+    """The (``_repo``, ``_mkey``, ``_def_path``) module registry: each
+    file registers the module named by its path basename sans extension
+    (``src/util.py`` defines ``util``) — the convention shared by Python
+    modules, C headers, and JS files. Basename collisions inside a repo
+    resolve deterministically to the lexicographically smallest path
+    (``min``), so resolution is stable across partitionings. One
+    map-side-combined groupBy over a 2-narrow-column projection — never
+    touches content."""
+    return (
+        files.select(
+            F.col(repo_col).alias("_repo"),
+            F.regexp_replace(
+                F.element_at(F.split(F.col(path_col), "/"), -1),
+                r"\.[A-Za-z0-9]+$",
+                "",
+            ).alias("_mkey"),
+            F.col(path_col).alias("_def_path"),
+        )
+        .filter(F.col("_mkey") != "")
+        .groupBy("_repo", "_mkey")
+        .agg(F.min("_def_path").alias("_def_path"))
+    )
+
+
 def resolve_import_edges(
     files: DataFrame,
     repo_col: str = "repo",
@@ -149,20 +178,7 @@ def resolve_import_edges(
         F.col("_e.kind").alias("kind"),
         F.col("_e.name").alias("_module"),
     )
-    registry = (
-        files.select(
-            F.col(repo_col).alias("_repo"),
-            F.regexp_replace(
-                F.element_at(F.split(F.col(path_col), "/"), -1),
-                r"\.[A-Za-z0-9]+$",
-                "",
-            ).alias("_mkey"),
-            F.col(path_col).alias("_def_path"),
-        )
-        .filter(F.col("_mkey") != "")
-        .groupBy("_repo", "_mkey")
-        .agg(F.min("_def_path").alias("_def_path"))
-    )
+    registry = module_registry(files, repo_col, path_col)
     linked = imports.withColumn(
         "_mkey", _module_key(F.col("_module"), F.col("kind"))
     ).join(registry, ["_repo", "_mkey"], "left")

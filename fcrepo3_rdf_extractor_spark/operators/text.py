@@ -1376,6 +1376,20 @@ def with_license(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def clone_key_expr(text_col: str = "text") -> F.Column:
+    """The type-2 clone-key normalization as a reusable column
+    expression (md5 over comment-stripped, identifier/literal-abstracted,
+    whitespace-collapsed text) — shared by :func:`code_clone_key` and
+    the code-KG pipeline's ``code:cloneKey`` annotation triple."""
+    t = F.col(text_col)
+    t = F.regexp_replace(t, r"(?s)/\*.*?\*/", " ")      # block comments
+    t = F.regexp_replace(t, r"(?m)(//|#)[^\n]*", " ")   # line comments
+    t = F.regexp_replace(t, r"[A-Za-z_][A-Za-z0-9_]*", "v")  # identifiers
+    t = F.regexp_replace(t, r"[0-9]+(\.[0-9]+)?", "0")  # numeric literals
+    t = F.trim(F.regexp_replace(t, r"\s+", " "))        # whitespace
+    return F.md5(t)
+
+
 def code_clone_key(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Type-2 code-clone detection key (Roy & Cordy's taxonomy: clones
     identical up to identifier names, literal values, comments, and
@@ -1394,13 +1408,7 @@ def code_clone_key(df: DataFrame, text_col: str = "text") -> DataFrame:
     One codegen projection per document plus one count aggregation on
     the key (map-side combine) joined back broadcast-free on the key
     itself. Returns (doc_id, clone_key, clone_group_size)."""
-    t = F.col(text_col)
-    t = F.regexp_replace(t, r"(?s)/\*.*?\*/", " ")      # block comments
-    t = F.regexp_replace(t, r"(?m)(//|#)[^\n]*", " ")   # line comments
-    t = F.regexp_replace(t, r"[A-Za-z_][A-Za-z0-9_]*", "v")  # identifiers
-    t = F.regexp_replace(t, r"[0-9]+(\.[0-9]+)?", "0")  # numeric literals
-    t = F.trim(F.regexp_replace(t, r"\s+", " "))        # whitespace
-    keyed = df.select("doc_id", F.md5(t).alias("clone_key"))
+    keyed = df.select("doc_id", clone_key_expr(text_col).alias("clone_key"))
     sizes = keyed.groupBy("clone_key").agg(
         F.count("*").cast("long").alias("clone_group_size")
     )

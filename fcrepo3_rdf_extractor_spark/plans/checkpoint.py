@@ -53,9 +53,14 @@ def chunk_manifest(extracted_chunk: DataFrame) -> DataFrame:
     Two-level aggregate: first per object (so the xor fingerprint sees
     each object's sha exactly once — xor of a value an even number of
     times would cancel out), then per chunk."""
+    errors = (
+        F.count(F.col("error_stage"))
+        if "error_stage" in extracted_chunk.columns
+        else F.lit(0)  # plans with no per-row error channel (code KG)
+    )
     per_object = extracted_chunk.groupBy("chunk_id", "path", "content_sha256").agg(
         F.count(F.col("subj")).alias("_t"),
-        F.count(F.col("error_stage")).alias("_e"),
+        errors.alias("_e"),
     )
     return per_object.groupBy("chunk_id").agg(
         F.count("*").alias("n_objects"),

@@ -1,0 +1,310 @@
+"""End-to-end code-KG construction: the source-code twin of
+``plans/pipeline.py``'s FOXML extraction plan.
+
+Input is the north-rule source contract table
+``(repo, path, commit, lang, content)``; output is the same quad schema
+the FOXML pipeline emits (graph, subj, pred, obj_value, obj_is_literal,
+obj_datatype, obj_lang) with the same per-row lineage columns
+(repo, path, commit, content_sha256), so every downstream stage —
+``dedup_exact`` on TRIPLE_KEY, ``materialize_graph`` subject-bucketed
+layout, ``write_nquads``, the BGP/SPARQL compiler, ``run_resumable``
+chunk checkpoints — is shared with the reference-parity pipeline
+unchanged.
+
+Emitted triples per file F = ``src:<repo>/<path>``:
+
+- constants: ``(F, code:repo|code:path|code:commit|code:lang, literal)``
+  and ``(F, code:sha256, sha2-256 hex)`` — the lineage invariant AS
+  DATA, so content equality vs any other extraction of the same corpus
+  is checkable by joining the graph itself.
+- definitions (symbol-node modeling): ``(F, code:defines, S)`` with
+  ``S = sym:<repo>/<path>#<name>``, plus ``(S, code:name, literal)``
+  and ``(S, code:kind, literal)`` — keeps kind queryable through BGP
+  (``?f code:defines ?s . ?s code:kind "py_class"``) without inventing
+  per-kind predicates.
+- imports: ``(F, code:imports, module literal)`` for every textual
+  import, and with ``resolve=True`` additionally
+  ``(F, code:dependsOn, src:<repo>/<defining path> | ext:<module>)`` —
+  the entity-linked file->file edge from
+  :func:`..operators.code.module_registry`.
+- optional annotations (flag-gated): ``code:license`` /
+  ``code:permissive`` (SPDX/header detection, The Stack's gate),
+  ``code:cloneKey`` (type-2 clone hash), ``code:vendored``
+  (cross-repo exact-content spread — the only corpus-global branch).
+
+Scale shape (10^12 files): the content column is scanned exactly TWICE
+— once for the constants+definitions+annotations branch (one
+projection, one Generate, zero shuffles) and once for the imports
+branch (one Generate, then one hash equi-join against the narrow
+module registry, which never reads content). Folding both into one
+explode would force the registry join's shuffle key onto every
+constant/definition row (null-keyed rows all hash to one reducer — a
+skew hotspot), so two column-pruned, embarrassingly-parallel passes
+are the cheaper plan. The optional vendored branch adds one
+hash-column pass + a per-hash count(distinct repo) aggregate, linear
+in file count. No Python anywhere — regex extraction cannot raise
+per-row, so unlike FOXML there is no error channel (malformed source
+text simply matches no patterns).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.code import (
+    DEF_PATTERNS,
+    _module_key,
+    _tagged_matches,
+    module_registry,
+)
+from ..operators.dedup import TRIPLE_KEY, dedup_exact
+from ..operators.text import IMPORT_PATTERNS, clone_key_expr, with_license
+
+XSD_BOOLEAN = "http://www.w3.org/2001/XMLSchema#boolean"
+
+DEFAULT_CODE_GRAPH = "#code"
+
+LINEAGE = ["repo", "path", "commit", "content_sha256"]
+
+
+@dataclass
+class CodeKgConfig:
+    graph: str = DEFAULT_CODE_GRAPH
+    resolve: bool = True        # emit code:dependsOn entity-linked edges
+    vendored: bool = False      # emit code:vendored (corpus-global agg)
+    license: bool = False       # emit code:license / code:permissive
+    clone_keys: bool = False    # emit code:cloneKey (type-2 clone hash)
+    dedup: bool = True          # collapse duplicate quads at the output
+    num_chunks: int = 64        # resumable-run granularity
+    chunks_per_wave: int = 16
+    subject_buckets: int = 256
+
+
+def _t(
+    subj: Column,
+    pred: str,
+    obj: Column,
+    is_literal: bool,
+    datatype: str | None = None,
+) -> Column:
+    """One triple struct; a NULL obj_value marks the slot absent and is
+    filtered before the explode (e.g. an undetected license)."""
+    return F.struct(
+        subj.alias("subj"),
+        F.lit(pred).alias("pred"),
+        obj.cast("string").alias("obj_value"),
+        F.lit(is_literal).alias("obj_is_literal"),
+        (F.lit(datatype) if datatype else F.lit(None).cast("string")).alias(
+            "obj_datatype"
+        ),
+    )
+
+
+def _file_uri() -> Column:
+    return F.concat(F.lit("src:"), F.col("repo"), F.lit("/"), F.col("path"))
+
+
+def _finish(branch: DataFrame, graph: str) -> DataFrame:
+    """Shared tail: explode the per-file triple array, attach graph and
+    the always-NULL obj_lang (no language-tagged literals in this
+    vocabulary), order columns to the pipeline's quad+lineage layout."""
+    exploded = branch.select(
+        *LINEAGE, F.explode("_triples").alias("_e")
+    )
+    return exploded.select(
+        F.lit(graph).alias("graph"),
+        F.col("_e.subj").alias("subj"),
+        F.col("_e.pred").alias("pred"),
+        F.col("_e.obj_value").alias("obj_value"),
+        F.col("_e.obj_is_literal").alias("obj_is_literal"),
+        F.col("_e.obj_datatype").alias("obj_datatype"),
+        F.lit(None).cast("string").alias("obj_lang"),
+        *LINEAGE,
+    )
+
+
+def _constants_branch(files: DataFrame, config: CodeKgConfig) -> DataFrame:
+    """Constants + definitions (+ license/clone-key annotations): ONE
+    content scan, one projection, one Generate. The definition matches
+    expand to three structs each inside a ``transform`` lambda, so the
+    whole branch is a single array concatenation exploded once — never
+    a filter+union re-running the scan per triple family."""
+    staged = files
+    if config.license:
+        staged = with_license(staged, text_col="content")
+    if config.clone_keys:
+        staged = staged.withColumn(
+            "clone_key", clone_key_expr("content")
+        )
+    staged = staged.withColumn(
+        "content_sha256", F.sha2(F.col("content"), 256)
+    )
+    furi = _file_uri()
+    consts = [
+        _t(furi, "code:repo", F.col("repo"), True),
+        _t(furi, "code:path", F.col("path"), True),
+        _t(furi, "code:commit", F.col("commit"), True),
+        _t(furi, "code:sha256", F.col("content_sha256"), True),
+    ]
+    if "lang" in files.columns:
+        consts.append(_t(furi, "code:lang", F.col("lang"), True))
+    if config.license:
+        consts.append(_t(furi, "code:license", F.col("license"), True))
+        consts.append(
+            _t(
+                furi,
+                "code:permissive",
+                F.when(F.col("permissive") == 1, "true").otherwise("false"),
+                True,
+                XSD_BOOLEAN,
+            )
+        )
+    if config.clone_keys:
+        consts.append(_t(furi, "code:cloneKey", F.col("clone_key"), True))
+
+    def sym(m: Column) -> Column:
+        return F.concat(
+            F.lit("sym:"),
+            F.col("repo"),
+            F.lit("/"),
+            F.col("path"),
+            F.lit("#"),
+            m["name"],
+        )
+
+    defs = F.flatten(
+        F.transform(
+            _tagged_matches(F.col("content"), DEF_PATTERNS),
+            lambda m: F.array(
+                _t(furi, "code:defines", sym(m), False),
+                _t(sym(m), "code:name", m["name"], True),
+                _t(sym(m), "code:kind", m["kind"], True),
+            ),
+        )
+    )
+    triples = F.filter(
+        F.concat(F.array(*consts), defs),
+        lambda s: s["obj_value"].isNotNull(),
+    )
+    return _finish(
+        staged.select(*LINEAGE, triples.alias("_triples")), config.graph
+    )
+
+
+def _imports_branch(
+    files: DataFrame, config: CodeKgConfig, corpus: DataFrame
+) -> DataFrame:
+    """Raw import literals and (with ``resolve``) entity-linked
+    dependsOn edges, BOTH projected from the same exploded-import frame
+    so the registry join runs once. Without ``resolve`` there is no
+    join at all. The registry builds over ``corpus`` (== ``files``
+    except in resumable waves, where a wave's imports must resolve
+    against the WHOLE corpus's modules or wave output would differ from
+    a one-shot run)."""
+    imp = files.select(
+        "repo",
+        "path",
+        "commit",
+        F.sha2(F.col("content"), 256).alias("content_sha256"),
+        F.explode(
+            _tagged_matches(F.col("content"), IMPORT_PATTERNS)
+        ).alias("_e"),
+    ).select(
+        *LINEAGE,
+        F.col("_e.kind").alias("_kind"),
+        F.col("_e.name").alias("_module"),
+    )
+    furi = _file_uri()
+    raw = _t(furi, "code:imports", F.col("_module"), True)
+    if not config.resolve:
+        return _finish(
+            imp.select(*LINEAGE, F.array(raw).alias("_triples")),
+            config.graph,
+        )
+    registry = module_registry(corpus).withColumnRenamed("_repo", "repo")
+    linked = imp.withColumn(
+        "_mkey", _module_key(F.col("_module"), F.col("_kind"))
+    ).join(registry, ["repo", "_mkey"], "left")
+    depends = _t(
+        furi,
+        "code:dependsOn",
+        F.when(
+            F.col("_def_path").isNotNull(),
+            F.concat(
+                F.lit("src:"), F.col("repo"), F.lit("/"), F.col("_def_path")
+            ),
+        ).otherwise(F.concat(F.lit("ext:"), F.col("_module"))),
+        False,
+    )
+    return _finish(
+        linked.select(*LINEAGE, F.array(raw, depends).alias("_triples")),
+        config.graph,
+    )
+
+
+def _vendored_branch(
+    files: DataFrame, config: CodeKgConfig, corpus: DataFrame
+) -> DataFrame:
+    """``(F, code:vendored, true|false^^xsd:boolean)`` per file: the
+    content hash's cross-repo spread, reusing the lineage sha256 as the
+    spread key. One narrow hash pass, one two-phase
+    count(distinct repo) per hash, one join back on the hash key. The
+    spread aggregates over ``corpus`` (the whole table, even when
+    ``files`` is one resumable wave — a wave-local spread would miss
+    cross-wave copies)."""
+    hashed = files.select(
+        "repo",
+        "path",
+        "commit",
+        F.sha2(F.col("content"), 256).alias("content_sha256"),
+    )
+    spread = (
+        corpus.select(
+            "repo", F.sha2(F.col("content"), 256).alias("content_sha256")
+        )
+        .groupBy("content_sha256")
+        .agg((F.countDistinct("repo") > 1).alias("_vend"))
+    )
+    flagged = hashed.join(spread, "content_sha256")
+    triple = _t(
+        _file_uri(),
+        "code:vendored",
+        F.when(F.col("_vend"), "true").otherwise("false"),
+        True,
+        XSD_BOOLEAN,
+    )
+    return _finish(
+        flagged.select(*LINEAGE, F.array(triple).alias("_triples")),
+        config.graph,
+    )
+
+
+def code_kg_plan(
+    files: DataFrame,
+    config: CodeKgConfig | None = None,
+    corpus: DataFrame | None = None,
+) -> DataFrame:
+    """Full declarative plan: source-contract table -> quad+lineage
+    DataFrame. With ``config.dedup`` duplicate quads collapse via
+    ``dedup_exact`` on TRIPLE_KEY (deterministic ``min(struct)`` witness
+    keeps ONE file's lineage per quad); leave ``dedup=False`` for the
+    per-document layer that resumable/incremental maintenance needs —
+    the same output-layer-dedup discipline as the FOXML pipeline.
+
+    ``corpus`` is the corpus-global basis for import resolution and
+    vendored spread; pass the FULL source table when ``files`` is a
+    resumable wave so each wave's output equals the one-shot run's
+    slice (defaults to ``files``)."""
+    config = config or CodeKgConfig()
+    corpus = corpus if corpus is not None else files
+    out = _constants_branch(files, config).unionByName(
+        _imports_branch(files, config, corpus)
+    )
+    if config.vendored:
+        out = out.unionByName(_vendored_branch(files, config, corpus))
+    if config.dedup:
+        out = dedup_exact(out, key=TRIPLE_KEY)
+    return out

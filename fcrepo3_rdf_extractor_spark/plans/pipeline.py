@@ -338,8 +338,16 @@ def run_resumable(
     config: ExtractConfig | None = None,
     aliases: DataFrame | None = None,
     ds_store: DataFrame | None = None,
+    plan_fn=None,
 ) -> dict:
     """Chunked, idempotent extraction with per-chunk manifests.
+
+    ``plan_fn`` (wave_source -> extracted DataFrame) swaps the per-wave
+    plan while keeping the chunking / manifest / dynamic-overwrite
+    machinery — the code-KG job passes ``code_kg_plan`` here. The
+    extracted frame must carry the lineage columns (``path``,
+    ``content_sha256``) the manifest fingerprints. Default: the FOXML
+    ``extract_plan`` with this call's config/aliases/ds_store.
 
     Dedup scope note: with ``config.dedup`` the dedup runs PER WAVE —
     identical triples asserted by documents that land in different waves
@@ -355,6 +363,10 @@ def run_resumable(
     its own directory), then appends the wave's manifest rows. Resume
     skips every chunk already present in the manifest."""
     config = config or ExtractConfig()
+    if plan_fn is None:
+        plan_fn = lambda wave_src: extract_plan(  # noqa: E731
+            wave_src, config, aliases=aliases, ds_store=ds_store
+        )
     spark = source.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
@@ -368,9 +380,7 @@ def run_resumable(
     stats = {"chunks_done_before": len(done), "waves": len(waves), "chunks_run": 0}
     for wave in waves:
         wave_src = chunked.filter(F.col("chunk_id").isin(wave))
-        extracted = extract_plan(
-            wave_src.drop("chunk_id"), config, aliases=aliases, ds_store=ds_store
-        )
+        extracted = plan_fn(wave_src.drop("chunk_id"))
         extracted = with_chunk_id(extracted, config.num_chunks)
         (
             extracted.write.mode("overwrite")

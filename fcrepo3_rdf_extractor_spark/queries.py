@@ -3736,6 +3736,8 @@ _SRC_FILES_SQL = f"""
            CASE WHEN doc_id % 10 = 0
                 THEN 'src/mod' || CAST(doc_id % 50 AS VARCHAR) || '.py'
                 ELSE 'src/f' || CAST(doc_id AS VARCHAR) || '.py' END AS path,
+           'c' || CAST(doc_id % 3 AS VARCHAR) AS commit,
+           'py' AS lang,
            {_SRC_CONTENT_SQL} AS content
     FROM documents
 """
@@ -3760,6 +3762,8 @@ def _src_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.concat(F.lit("src/f"), d.cast("string"), F.lit(".py")))
         .alias("path"),
+        F.concat(F.lit("c"), (d % 3).cast("string")).alias("commit"),
+        F.lit("py").alias("lang"),
         F.concat(
             F.lit("import mod"), (d % 50).cast("string"), F.lit("\n"),
             F.lit("from pkg"), (d % 7).cast("string"),
@@ -3842,6 +3846,7 @@ def src_resolve_imports(spark: SparkSession, sf_dir: str) -> DataFrame:
                        SELECT 'r' || CAST(doc_id % 40 AS VARCHAR),
                               'vendor/shared' || CAST(doc_id AS VARCHAR)
                                 || '.py',
+                              'c0', 'py',
                               '# vendored blob '
                                 || CAST(doc_id % 4 AS VARCHAR)
                        FROM documents WHERE doc_id % 5 = 0),
@@ -3872,12 +3877,99 @@ def src_vendored_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(
             F.lit("vendor/shared"), d.cast("string"), F.lit(".py")
         ).alias("path"),
+        F.lit("c0").alias("commit"),
+        F.lit("py").alias("lang"),
         F.concat(F.lit("# vendored blob "), (d % 4).cast("string")).alias(
             "content"
         ),
     )
     files = _src_files(spark, sf_dir).unionByName(vendor)
     return vendored_file_stats(files)
+
+
+@_q(
+    "src_code_kg",
+    f"""WITH files AS ({_SRC_FILES_SQL}),
+        furi AS (SELECT repo, path, "commit", lang, content,
+                        'src:' || repo || '/' || path AS f
+                 FROM files),
+        consts AS (
+          SELECT f AS subj, 'code:repo' AS pred, repo AS obj_value,
+                 TRUE AS obj_is_literal FROM furi
+          UNION ALL SELECT f, 'code:path', path, TRUE FROM furi
+          UNION ALL SELECT f, 'code:commit', "commit", TRUE FROM furi
+          UNION ALL SELECT f, 'code:sha256', sha256(content), TRUE FROM furi
+          UNION ALL SELECT f, 'code:lang', lang, TRUE FROM furi),
+        dpats(kind, pat) AS (VALUES {_def_pats_values()}),
+        dsym AS (SELECT f, name, kind,
+                        'sym:' || repo || '/' || path || '#' || name AS s
+                 FROM (SELECT repo, path, f, kind,
+                              unnest(regexp_extract_all(content, pat, 1))
+                                AS name
+                       FROM furi CROSS JOIN dpats)),
+        deftr AS (
+          SELECT f AS subj, 'code:defines' AS pred, s AS obj_value,
+                 FALSE AS obj_is_literal FROM dsym
+          UNION ALL SELECT s, 'code:name', name, TRUE FROM dsym
+          UNION ALL SELECT s, 'code:kind', kind, TRUE FROM dsym),
+        ipats(kind, pat) AS (VALUES {_import_pats_values()}),
+        imports AS (SELECT repo, path, f, kind,
+                           unnest(regexp_extract_all(content, pat, 1))
+                             AS module
+                    FROM furi CROSS JOIN ipats),
+        keyed AS (SELECT repo, f, kind, module,
+                    CASE WHEN kind IN ('c_include','js_require','js_import')
+                         THEN regexp_replace(
+                                list_extract(string_split(module, '/'), -1),
+                                '\\.[A-Za-z0-9]+$', '')
+                         ELSE string_split(module, '.')[1] END AS mkey
+                  FROM imports),
+        registry AS (SELECT repo, mkey, min(path) AS def_path
+                     FROM (SELECT repo,
+                                  regexp_replace(
+                                    list_extract(string_split(path, '/'), -1),
+                                    '\\.[A-Za-z0-9]+$', '') AS mkey,
+                                  path
+                           FROM files)
+                     WHERE mkey <> '' GROUP BY repo, mkey),
+        imptr AS (
+          SELECT f AS subj, 'code:imports' AS pred, module AS obj_value,
+                 TRUE AS obj_is_literal FROM imports
+          UNION ALL
+          SELECT f, 'code:dependsOn',
+                 CASE WHEN def_path IS NOT NULL
+                      THEN 'src:' || repo || '/' || def_path
+                      ELSE 'ext:' || module END,
+                 FALSE
+          FROM keyed LEFT JOIN registry USING (repo, mkey))
+       SELECT DISTINCT '#code' AS graph, subj, pred, obj_value,
+              obj_is_literal,
+              CAST(NULL AS VARCHAR) AS obj_datatype,
+              CAST(NULL AS VARCHAR) AS obj_lang
+       FROM (SELECT * FROM consts
+             UNION ALL SELECT * FROM deftr
+             UNION ALL SELECT * FROM imptr)""",
+)
+def src_code_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END code knowledge graph at default config
+    (plans/code_pipeline.py:code_kg_plan): per-file constants including
+    the code:sha256 lineage triple, definition symbol nodes with
+    name/kind literals, raw import literals, and entity-linked
+    code:dependsOn edges — deduped quads, the exact table jobs/code_kg.py
+    materializes and jobs/query.py's SPARQL runner queries. Two
+    column-pruned content passes, one registry equi-join, one dedup
+    exchange; no Python anywhere."""
+    from .plans.code_pipeline import code_kg_plan
+
+    return code_kg_plan(_src_files(spark, sf_dir)).select(
+        "graph",
+        "subj",
+        "pred",
+        "obj_value",
+        "obj_is_literal",
+        "obj_datatype",
+        "obj_lang",
+    )
 
 
 @_q(

@@ -1,0 +1,176 @@
+#!/usr/bin/env python
+"""Code knowledge-graph construction job — the spark-submit entry point
+for the source-code contract table (repo, path, commit, lang, content).
+
+Cluster:
+    spark-submit --py-files engine.zip jobs/code_kg.py \
+        --source my_catalog.db.source_files --format iceberg \
+        --out /warehouse/code_triples --nquads-out /warehouse/code_nq \
+        --checkpoint /warehouse/code_ckpt --vendored --license
+
+Local smoke (same code path):
+    python jobs/code_kg.py --source /tmp/files_parquet --out /tmp/triples \
+        --local 8
+
+Emits the full quad+lineage table of ``plans/code_pipeline.code_kg_plan``
+(constants incl. the code:sha256 lineage triple, definition symbol
+nodes, import literals, resolved dependsOn edges, optional
+license/cloneKey/vendored annotations) through the SAME materialization
+/ N-Quads / checkpoint machinery as the FOXML extract job — so the
+output is immediately queryable by jobs/query.py's BGP/SPARQL runner.
+
+Resumable mode (--checkpoint): chunked by xxhash64(repo, path, commit)
+with per-chunk manifests exactly like extract.py; import resolution and
+vendored spread always evaluate against the FULL source table so each
+wave's output equals the one-shot run's slice of it (dedup, when on,
+runs per wave — apply global set semantics at export, which this job's
+counts and N-Quads do).
+
+Exit contract: prints one JSON summary line (files, triples, defines,
+imports, resolved fraction, output paths) to stdout; nonzero exit on
+failure.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def build_job_session(args):
+    from fcrepo3_rdf_extractor_spark.session import build_session
+
+    if args.local:
+        return build_session("code-kg", cores=args.local)
+    from pyspark.sql import SparkSession
+
+    builder = (
+        SparkSession.builder.appName("code-kg")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    return builder.getOrCreate()
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--source", required=True,
+                    help="source-code table: parquet/orc path or iceberg name")
+    ap.add_argument("--format", default="parquet",
+                    choices=["parquet", "orc", "iceberg", "json", "csv"])
+    ap.add_argument("--out", required=True, help="triples table output path")
+    ap.add_argument("--nquads-out", default=None,
+                    help="optional N-Quads text output path")
+    ap.add_argument("--graph", default="#code")
+    ap.add_argument("--no-dedup", action="store_true")
+    ap.add_argument("--no-resolve", action="store_true",
+                    help="skip entity linking (no code:dependsOn edges)")
+    ap.add_argument("--vendored", action="store_true",
+                    help="emit code:vendored cross-repo duplicate flags")
+    ap.add_argument("--license", action="store_true",
+                    help="emit code:license / code:permissive annotations")
+    ap.add_argument("--clone-keys", action="store_true",
+                    help="emit code:cloneKey type-2 clone hashes")
+    ap.add_argument("--checkpoint", default=None,
+                    help="chunk-manifest dir; enables resumable mode")
+    ap.add_argument("--num-chunks", type=int, default=64)
+    ap.add_argument("--buckets", type=int, default=256,
+                    help="subject-hash buckets for the triple table layout")
+    ap.add_argument("--canonical-sort", action="store_true",
+                    help="byte-stable output order (extra within-partition sort)")
+    ap.add_argument("--local", type=int, default=None,
+                    help="run on local[N] instead of the submitted master")
+    args = ap.parse_args(argv)
+
+    spark = build_job_session(args)
+    from pyspark.sql import functions as F
+
+    from fcrepo3_rdf_extractor_spark.operators.dedup import (
+        TRIPLE_KEY,
+        dedup_exact,
+    )
+    from fcrepo3_rdf_extractor_spark.plans.code_pipeline import (
+        CodeKgConfig,
+        code_kg_plan,
+    )
+    from fcrepo3_rdf_extractor_spark.plans.pipeline import (
+        ExtractConfig,
+        materialize_graph,
+        run_resumable,
+    )
+    from fcrepo3_rdf_extractor_spark.sources.nquads import write_nquads
+    from fcrepo3_rdf_extractor_spark.sources.source_table import read_source
+
+    source = read_source(spark, args.source, fmt=args.format)
+    config = CodeKgConfig(
+        graph=args.graph,
+        resolve=not args.no_resolve,
+        vendored=args.vendored,
+        license=args.license,
+        clone_keys=args.clone_keys,
+        dedup=not args.no_dedup,
+        num_chunks=args.num_chunks,
+        subject_buckets=args.buckets,
+    )
+
+    summary: dict = {"out": args.out}
+    if args.checkpoint:
+        # chunking/wave sizing rides the shared ExtractConfig; the plan
+        # itself is the code-KG plan with the FULL source as the
+        # resolution/vendored basis
+        chunk_cfg = ExtractConfig(
+            num_chunks=config.num_chunks,
+            chunks_per_wave=config.chunks_per_wave,
+        )
+        stats = run_resumable(
+            source, args.out, args.checkpoint, chunk_cfg,
+            plan_fn=lambda wave: code_kg_plan(wave, config, corpus=source),
+        )
+        summary.update(stats)
+        summary["checkpoint"] = args.checkpoint
+        stored = spark.read.parquet(args.out)
+        # per-wave dedup leaves cross-wave duplicates; counts and export
+        # apply global set semantics here, matching the one-shot run
+        triples = dedup_exact(stored, key=TRIPLE_KEY) if config.dedup else stored
+    else:
+        triples = code_kg_plan(source, config)
+        materialize_graph(
+            triples, args.out, buckets=args.buckets,
+            canonical_sort=args.canonical_sort,
+        )
+        triples = spark.read.parquet(args.out)
+
+    counts = {
+        r.pred: r.n
+        for r in triples.groupBy("pred").agg(F.count("*").alias("n")).collect()
+    }
+    summary["n_triples"] = sum(counts.values())
+    summary["n_files"] = counts.get("code:sha256", 0)
+    summary["n_defines"] = counts.get("code:defines", 0)
+    summary["n_imports"] = counts.get("code:imports", 0)
+    n_dep = counts.get("code:dependsOn", 0)
+    if n_dep:
+        n_resolved = triples.filter(
+            (F.col("pred") == "code:dependsOn")
+            & F.col("obj_value").startswith("src:")
+        ).count()
+        summary["n_depends"] = n_dep
+        summary["resolved_frac"] = round(n_resolved / n_dep, 6)
+
+    if args.nquads_out:
+        write_nquads(triples, args.nquads_out, canonical=args.canonical_sort)
+        summary["nquads_out"] = args.nquads_out
+
+    print(json.dumps(summary))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -487,6 +487,39 @@ def extract_then_query(spark, base: Path) -> dict:
 
 
 @scenario
+def code_kg_end_to_end(spark, base: Path) -> dict:
+    """jobs/code_kg.py product journey: fresh resumable run over the
+    3-file contract table, resume (must re-run nothing), N-Quads
+    export, then a BGP query over the materialized code graph."""
+    files = [
+        ("r1", "src/util.py", "c1", "py",
+         "import os\ndef helper(x):\n    return x\n"),
+        ("r1", "src/app.py", "c1", "py",
+         "import util\nclass App:\n    pass\n"),
+        ("r2", "lib/app.py", "c2", "py", "import util\n"),
+    ]
+    src = str(base / "files")
+    spark.createDataFrame(
+        files, "repo string, path string, commit string, lang string, "
+               "content string"
+    ).write.parquet(src)
+    out, cp, nq = str(base / "triples"), str(base / "cp"), str(base / "nq")
+    run_args = [
+        "--source", src, "--out", out, "--checkpoint", cp,
+        "--nquads-out", nq, "--num-chunks", "4", "--local", "2",
+    ]
+    fresh = _run_job("code_kg.py", run_args)
+    resume = _run_job("code_kg.py", run_args)
+    query = _run_job("query.py", [
+        "--triples", out,
+        "--pattern", "?f code:defines ?s",
+        "--select", "f", "--local", "2",
+    ])
+    return {"fresh": fresh, "resume": resume, "query": query,
+            "nquads_out": nq, "out": out}
+
+
+@scenario
 def curate_chunk_out(spark, base: Path) -> dict:
     """--chunk-out writes overlapping token-window chunks of the CURATED
     corpus as a side output; refused in wave mode."""

@@ -1,0 +1,272 @@
+"""End-to-end code-KG pipeline tests (plans/code_pipeline.py +
+jobs/code_kg.py): exact triple semantics on a hand-built corpus, the
+plan properties that make it scale (no Python stages, hash equi-join
+for entity linking, content read exactly twice), and the resumable-wave
+≡ one-shot equivalence the chunked checkpoint machinery promises.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import pathlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from fcrepo3_rdf_extractor_spark.operators.dedup import TRIPLE_KEY, dedup_exact
+from fcrepo3_rdf_extractor_spark.plans.code_pipeline import (
+    CodeKgConfig,
+    code_kg_plan,
+)
+
+FILES_SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+UTIL_PY = "import os\ndef helper(x):\n    return x\n"
+APP_PY = "import util\nclass App:\n    pass\n"
+
+
+def _files(spark):
+    return spark.createDataFrame(
+        [
+            ("r1", "src/util.py", "c1", "py", UTIL_PY),
+            ("r1", "src/app.py", "c1", "py", APP_PY),
+            # same import in r2 has no local util module -> ext: edge
+            ("r2", "lib/app.py", "c2", "py", "import util\n"),
+        ],
+        FILES_SCHEMA,
+    )
+
+
+def _sha(text: str) -> str:
+    return hashlib.sha256(text.encode()).hexdigest()
+
+
+def _quads(df) -> set[tuple]:
+    return {
+        (r.subj, r.pred, r.obj_value, r.obj_is_literal)
+        for r in df.select("subj", "pred", "obj_value", "obj_is_literal").collect()
+    }
+
+
+def test_code_kg_plan_exact_triples(spark):
+    """Every triple family on a 3-file corpus, checked as an exact set:
+    constants (incl. the sha256 lineage triple), definition symbol
+    nodes, raw import literals, and dependsOn edges resolved to the
+    defining file (or ext: when the repo defines no such module)."""
+    got = _quads(code_kg_plan(_files(spark)))
+    f_util, f_app, f_r2 = (
+        "src:r1/src/util.py",
+        "src:r1/src/app.py",
+        "src:r2/lib/app.py",
+    )
+    s_helper = "sym:r1/src/util.py#helper"
+    s_app = "sym:r1/src/app.py#App"
+    expected = {
+        # constants: r1/src/util.py
+        (f_util, "code:repo", "r1", True),
+        (f_util, "code:path", "src/util.py", True),
+        (f_util, "code:commit", "c1", True),
+        (f_util, "code:lang", "py", True),
+        (f_util, "code:sha256", _sha(UTIL_PY), True),
+        # constants: r1/src/app.py
+        (f_app, "code:repo", "r1", True),
+        (f_app, "code:path", "src/app.py", True),
+        (f_app, "code:commit", "c1", True),
+        (f_app, "code:lang", "py", True),
+        (f_app, "code:sha256", _sha(APP_PY), True),
+        # constants: r2/lib/app.py
+        (f_r2, "code:repo", "r2", True),
+        (f_r2, "code:path", "lib/app.py", True),
+        (f_r2, "code:commit", "c2", True),
+        (f_r2, "code:lang", "py", True),
+        (f_r2, "code:sha256", _sha("import util\n"), True),
+        # definitions: symbol nodes with name/kind literals
+        (f_util, "code:defines", s_helper, False),
+        (s_helper, "code:name", "helper", True),
+        (s_helper, "code:kind", "py_def", True),
+        (f_app, "code:defines", s_app, False),
+        (s_app, "code:name", "App", True),
+        (s_app, "code:kind", "py_class", True),
+        # imports: raw literal + entity-linked dependsOn
+        (f_util, "code:imports", "os", True),
+        (f_util, "code:dependsOn", "ext:os", False),
+        (f_app, "code:imports", "util", True),
+        (f_app, "code:dependsOn", "src:r1/src/util.py", False),
+        (f_r2, "code:imports", "util", True),
+        (f_r2, "code:dependsOn", "ext:util", False),
+    }
+    assert got == expected
+
+
+def test_code_kg_lineage_and_graph_columns(spark):
+    """Every output row carries the quad graph tag and the lineage
+    columns (repo, path, commit, content_sha256) of the file that
+    asserted it — the checkpoint manifest's fingerprint basis."""
+    out = code_kg_plan(_files(spark), CodeKgConfig(graph="#g"))
+    rows = out.filter(F.col("subj") == "src:r1/src/app.py").collect()
+    assert rows and all(
+        r.graph == "#g"
+        and r.repo == "r1"
+        and r.path == "src/app.py"
+        and r.commit == "c1"
+        and r.content_sha256 == _sha(APP_PY)
+        for r in rows
+    )
+
+
+def test_code_kg_annotations_vendored_license_clonekey(spark):
+    """Flag-gated annotation triples: code:vendored over the cross-repo
+    content-hash spread, code:cloneKey equal for type-2 clones (same
+    code modulo identifiers/comments), code:license detected from a
+    header. Vendored spread uses the corpus, so two repos sharing bytes
+    both flag true while unique files flag false."""
+    shared = "# Permission is hereby granted\ndef f(a):\n    return a + 1\n"
+    clone = "# Apache License, Version 2.0\ndef g(b):\n    return b + 2\n"
+    files = spark.createDataFrame(
+        [
+            ("r1", "vendor/x.py", "c1", "py", shared),
+            ("r2", "third_party/x.py", "c1", "py", shared),
+            ("r3", "src/y.py", "c1", "py", clone),
+        ],
+        FILES_SCHEMA,
+    )
+    cfg = CodeKgConfig(vendored=True, license=True, clone_keys=True)
+    out = code_kg_plan(files, cfg)
+    by_pred = {
+        (r.subj, r.pred): r.obj_value
+        for r in out.filter(
+            F.col("pred").isin(
+                "code:vendored", "code:license", "code:cloneKey"
+            )
+        ).collect()
+    }
+    assert by_pred[("src:r1/vendor/x.py", "code:vendored")] == "true"
+    assert by_pred[("src:r2/third_party/x.py", "code:vendored")] == "true"
+    assert by_pred[("src:r3/src/y.py", "code:vendored")] == "false"
+    assert by_pred[("src:r1/vendor/x.py", "code:license")] == "MIT"
+    assert by_pred[("src:r3/src/y.py", "code:license")] == "Apache-2.0"
+    # type-2 clones: identical after identifier/literal/comment abstraction
+    assert (
+        by_pred[("src:r1/vendor/x.py", "code:cloneKey")]
+        == by_pred[("src:r3/src/y.py", "code:cloneKey")]
+    )
+    # vendored triples are typed xsd:boolean
+    dt = (
+        out.filter(F.col("pred") == "code:vendored")
+        .select("obj_datatype")
+        .distinct()
+        .collect()
+    )
+    assert [r.obj_datatype for r in dt] == [
+        "http://www.w3.org/2001/XMLSchema#boolean"
+    ]
+
+
+def test_code_kg_plan_shape(spark, tmp_path):
+    """Scale pins: zero Python stages anywhere; entity linking is a hash
+    equi-join (never BroadcastNestedLoopJoin); content is read off disk
+    by exactly the two branches that need it — the registry scan reads
+    only (repo, path)."""
+    src = str(tmp_path / "files")
+    _files(spark).write.parquet(src)
+    plan_df = code_kg_plan(spark.read.parquet(src))
+    plan = plan_df._sc._jvm.PythonSQLUtils.explainString(
+        plan_df._jdf.queryExecution(), "formatted"
+    )
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    read_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    with_content = [l for l in read_schemas if "content" in l]
+    without = [l for l in read_schemas if "content" not in l]
+    assert len(with_content) == 2, read_schemas  # constants + imports pass
+    assert len(without) == 1, read_schemas  # module registry: narrow scan
+
+
+def test_code_kg_wave_equals_oneshot(spark, tmp_path):
+    """run_resumable with the code-KG plan_fn over 4 chunks / 2 waves,
+    resolving against the FULL corpus, must equal the one-shot plan's
+    output after export-layer global dedup — including dependsOn edges
+    whose defining file lands in a different wave than the importer."""
+    from fcrepo3_rdf_extractor_spark.plans.pipeline import (
+        ExtractConfig,
+        run_resumable,
+    )
+
+    rows = [
+        (
+            "r%d" % (i % 3),
+            "src/m%d.py" % i,
+            "c%d" % (i % 2),
+            "py",
+            "import m%d\ndef f%d():\n    return %d\n" % ((i + 1) % 12, i, i),
+        )
+        for i in range(12)
+    ]
+    files = spark.createDataFrame(rows, FILES_SCHEMA)
+    cfg = CodeKgConfig(vendored=True)
+    one_shot = code_kg_plan(files, cfg, corpus=files)
+
+    out_dir, cp_dir = str(tmp_path / "out"), str(tmp_path / "cp")
+    chunk_cfg = ExtractConfig(num_chunks=4, chunks_per_wave=2)
+    stats = run_resumable(
+        files,
+        out_dir,
+        cp_dir,
+        chunk_cfg,
+        plan_fn=lambda wave: code_kg_plan(wave, cfg, corpus=files),
+    )
+    assert stats["chunks_run"] == 4 and stats["waves"] == 2
+    stored = dedup_exact(
+        spark.read.parquet(out_dir).drop("chunk_id"), key=TRIPLE_KEY
+    )
+    cols = [c for c in one_shot.columns]
+    assert {tuple(r) for r in stored.select(*cols).collect()} == {
+        tuple(r) for r in one_shot.collect()
+    }
+    # resume is a no-op
+    stats2 = run_resumable(
+        files,
+        out_dir,
+        cp_dir,
+        chunk_cfg,
+        plan_fn=lambda wave: code_kg_plan(wave, cfg, corpus=files),
+    )
+    assert stats2["chunks_run"] == 0 and stats2["chunks_done_before"] == 4
+
+
+def test_code_kg_cli_end_to_end(spark, cli_results):
+    """jobs/code_kg.py product journey (scenario: code_kg_end_to_end):
+    fresh resumable run -> summary counts; resume -> zero chunks run,
+    same global counts; N-Quads export lands; the materialized table is
+    immediately queryable by jobs/query.py's BGP runner."""
+    from tests.conftest import cli_art
+
+    art = cli_art(cli_results, "code_kg_end_to_end")
+    fresh, resume, query = art["fresh"], art["resume"], art["query"]
+    assert fresh["rc"] == 0, fresh["stderr"][-2000:]
+    s1 = fresh["summary"]
+    assert s1["n_files"] == 3 and s1["n_defines"] == 2
+    assert s1["n_imports"] == 3 and s1["n_depends"] == 3
+    assert s1["resolved_frac"] == pytest.approx(1 / 3)
+    assert resume["rc"] == 0
+    s2 = resume["summary"]
+    assert s2["chunks_run"] == 0 and s2["n_triples"] == s1["n_triples"]
+    nq = pathlib.Path(art["nquads_out"])
+    lines = [
+        l
+        for p in nq.glob("part-*")
+        for l in p.read_text().splitlines()
+        if l.strip()
+    ]
+    assert len(lines) == s1["n_triples"]
+    assert query["rc"] == 0, query["stderr"][-2000:]
+    out_rows = [
+        json.loads(l)
+        for l in query["stdout"].splitlines()
+        if l.startswith("{")
+    ]
+    assert {r["f"] for r in out_rows if "f" in r} == {
+        "src:r1/src/util.py",
+        "src:r1/src/app.py",
+    }
