@@ -200,6 +200,128 @@ def resolve_import_edges(
     )
 
 
+#: Call-site shape: an identifier followed by ``(``, where the
+#: preceding character is not part of an identifier or a ``.`` (method/
+#: attribute calls like ``os.path.join(`` are excluded — binding them
+#: to a bare ``def join`` in the repo would be mostly-wrong linkage;
+#: same precision-first choice as stack-graph-style resolvers' first
+#: pass). Group 2 is the callee; group 1 exists only because RE2/Java
+#: regex have no lookbehind. Matches cannot overlap: the consumed
+#: prefix char of one call site is never inside the next identifier.
+CALL_PATTERN = r"(^|[^A-Za-z0-9_.])([A-Za-z_][A-Za-z0-9_]*)\s*\("
+
+#: Keywords that precede ``(`` in the supported languages but are never
+#: (or almost never) callees — a volume/precision trim that keeps the
+#: exploded mention table from being dominated by ``if (``/``while (``
+#: rows. Applied to MENTIONS only, never to definitions: ``match`` and
+#: ``case`` are soft keywords (a Python ``def match(...)`` is legal),
+#: so a stoplisted name can still register as a symbol — calls to it
+#: are sacrificed (documented false-negative), but a definition header
+#: never nets out as a phantom call.
+CALL_STOPWORDS = (
+    "if", "elif", "else", "while", "for", "switch", "return", "catch",
+    "except", "with", "not", "and", "or", "assert", "yield", "lambda",
+    "new", "do", "try", "sizeof", "typeof", "defined", "match", "case",
+)
+
+
+def call_graph_edges(
+    files: DataFrame,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    content_col: str = "content",
+    max_def: int = 100,
+) -> DataFrame:
+    """Call-graph construction: link each file's call sites to the
+    same-repo symbol that defines the callee. Emits
+    (subj = src:<repo>/<path>, pred = code:calls,
+    obj_value = sym:<repo>/<defining path>#<name>, n_calls,
+    n_candidates) — the finer-grained companion of
+    :func:`resolve_import_edges` (imports say which FILE a file reads;
+    calls say which SYMBOL it actually invokes).
+
+    Semantics (regex-level, so the DuckDB oracle replays it exactly):
+
+    - a MENTION is :data:`CALL_PATTERN`'s callee group — ``name(`` not
+      preceded by an identifier char or ``.``, name not a keyword
+    - a definition header is itself a mention (``def helper(x)`` puts
+      ``helper(`` in the text), so per (file, name) the call count is
+      ``mentions - definitions`` and only positive counts survive:
+      defining a symbol is not calling it, while a file that defines
+      AND calls ``helper`` keeps the genuine call sites
+    - the callee registry is per (repo, name): deterministic
+      ``min(path)`` winner plus ``n_candidates`` so ambiguous linkage
+      is visible to consumers; names defined in more than ``max_def``
+      files of one repo (``main``, ``init``, generated stubs) are
+      dropped — at that ambiguity an edge is noise, and df-bounding
+      the registry also caps the join fan-out (same guard family as
+      the LSH ``max_bucket`` / containment ``max_df``)
+    - unresolved mentions (builtins, library calls) emit nothing —
+      external linkage is the import graph's job
+
+    Scale shape (10^12 files): ONE content scan evaluates the call
+    pattern and every DEF pattern inside a single projection (tagged
+    ±1, exploded once); both the per-file netting and the registry are
+    map-side-combined groupBys over narrow columns; the link is a hash
+    equi-join on (repo, name) — repo-prefixed keys, df-bounded fan-out,
+    no broadcast needed, no Python anywhere."""
+    content = F.col(content_col)
+    mentions = F.filter(
+        F.transform(
+            F.regexp_extract_all(content, F.lit(CALL_PATTERN), 2),
+            lambda m: F.struct(F.lit(1).alias("d"), m.alias("name")),
+        ),
+        lambda s: ~s["name"].isin(*CALL_STOPWORDS),
+    )
+    defs = F.transform(
+        _tagged_matches(content, DEF_PATTERNS),
+        lambda m: F.struct(F.lit(-1).alias("d"), m["name"].alias("name")),
+    )
+    calls = (
+        files.select(
+            F.col(repo_col).alias("_repo"),
+            F.col(path_col).alias("_path"),
+            F.explode(F.concat(mentions, defs)).alias("_e"),
+        )
+        .groupBy("_repo", "_path", F.col("_e.name").alias("_name"))
+        .agg(F.sum("_e.d").cast("long").alias("n_calls"))
+        .filter(F.col("n_calls") > 0)
+    )
+    # the registry side re-derives defs from its own defs-only
+    # projection: self-join sides share no exchanges on Spark 4.1
+    # (pinned knowledge in CLAUDE.md), so reusing the calls branch's
+    # exploded frame would recompute the heavier CALL_PATTERN pass too
+    registry = (
+        files.select(
+            F.col(repo_col).alias("_repo"),
+            F.col(path_col).alias("_path"),
+            F.explode(_tagged_matches(content, DEF_PATTERNS)).alias("_d"),
+        )
+        .groupBy("_repo", F.col("_d.name").alias("_name"))
+        .agg(
+            F.min("_path").alias("_def_path"),
+            F.countDistinct("_path").cast("long").alias("n_candidates"),
+        )
+        .filter(F.col("n_candidates") <= max_def)
+    )
+    return calls.join(registry, ["_repo", "_name"]).select(
+        F.concat(
+            F.lit("src:"), F.col("_repo"), F.lit("/"), F.col("_path")
+        ).alias("subj"),
+        F.lit("code:calls").alias("pred"),
+        F.concat(
+            F.lit("sym:"),
+            F.col("_repo"),
+            F.lit("/"),
+            F.col("_def_path"),
+            F.lit("#"),
+            F.col("_name"),
+        ).alias("obj_value"),
+        "n_calls",
+        "n_candidates",
+    )
+
+
 def vendored_file_stats(
     files: DataFrame,
     repo_col: str = "repo",

@@ -30,21 +30,26 @@ Emitted triples per file F = ``src:<repo>/<path>``:
 - optional annotations (flag-gated): ``code:license`` /
   ``code:permissive`` (SPDX/header detection, The Stack's gate),
   ``code:cloneKey`` (type-2 clone hash), ``code:vendored``
-  (cross-repo exact-content spread — the only corpus-global branch).
+  (cross-repo exact-content spread — a corpus-global branch), and
+  ``code:calls`` symbol-linked call edges (mention-netted call sites
+  resolved against the corpus-wide df-bounded callee registry — see
+  :func:`..operators.code.call_graph_edges` for the semantics).
 
-Scale shape (10^12 files): the content column is scanned exactly TWICE
-— once for the constants+definitions+annotations branch (one
-projection, one Generate, zero shuffles) and once for the imports
-branch (one Generate, then one hash equi-join against the narrow
-module registry, which never reads content). Folding both into one
-explode would force the registry join's shuffle key onto every
+Scale shape (10^12 files): at default config the content column is
+scanned exactly TWICE — once for the constants+definitions+annotations
+branch (one projection, one Generate, zero shuffles) and once for the
+imports branch (one Generate, then one hash equi-join against the
+narrow module registry, which never reads content). Folding both into
+one explode would force the registry join's shuffle key onto every
 constant/definition row (null-keyed rows all hash to one reducer — a
 skew hotspot), so two column-pruned, embarrassingly-parallel passes
-are the cheaper plan. The optional vendored branch adds one
-hash-column pass + a per-hash count(distinct repo) aggregate, linear
-in file count. No Python anywhere — regex extraction cannot raise
-per-row, so unlike FOXML there is no error channel (malformed source
-text simply matches no patterns).
+are the cheaper plan. Each optional branch pays its own pass:
+vendored = one hash-column pass + a per-hash count(distinct repo)
+aggregate (linear in file count); calls = one mention-netting pass
+over the wave plus a defs-only registry pass over the corpus, linked
+by a df-bounded hash equi-join. No Python anywhere — regex extraction
+cannot raise per-row, so unlike FOXML there is no error channel
+(malformed source text simply matches no patterns).
 """
 
 from __future__ import annotations
@@ -55,6 +60,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.code import (
+    CALL_PATTERN,
+    CALL_STOPWORDS,
     DEF_PATTERNS,
     _module_key,
     _tagged_matches,
@@ -74,10 +81,12 @@ LINEAGE = ["repo", "path", "commit", "content_sha256"]
 class CodeKgConfig:
     graph: str = DEFAULT_CODE_GRAPH
     resolve: bool = True        # emit code:dependsOn entity-linked edges
+    calls: bool = False         # emit code:calls symbol-linked edges
     vendored: bool = False      # emit code:vendored (corpus-global agg)
     license: bool = False       # emit code:license / code:permissive
     clone_keys: bool = False    # emit code:cloneKey (type-2 clone hash)
     dedup: bool = True          # collapse duplicate quads at the output
+    max_def: int = 100          # call-edge ambiguity / fan-out bound
     num_chunks: int = 64        # resumable-run granularity
     chunks_per_wave: int = 16
     subject_buckets: int = 256
@@ -245,6 +254,77 @@ def _imports_branch(
     )
 
 
+def _calls_branch(
+    files: DataFrame, config: CodeKgConfig, corpus: DataFrame
+) -> DataFrame:
+    """``(F, code:calls, sym:<repo>/<def path>#<name>)`` — the call
+    edges of :func:`..operators.code.call_graph_edges` with the wave's
+    lineage columns carried through the per-file netting groupBy (path
+    determines sha, so the extra group keys are free). The callee
+    registry builds over ``corpus`` so a wave's calls resolve against
+    symbols whose defining file lands in another wave. Multiplicity
+    (n_calls) is deliberately dropped: the quad table is set-semantics
+    and ``dedup_exact`` would collapse it anyway."""
+    content = F.col("content")
+    mentions = F.filter(
+        F.transform(
+            F.regexp_extract_all(content, F.lit(CALL_PATTERN), 2),
+            lambda m: F.struct(F.lit(1).alias("d"), m.alias("name")),
+        ),
+        lambda s: ~s["name"].isin(*CALL_STOPWORDS),
+    )
+    defs = F.transform(
+        _tagged_matches(content, DEF_PATTERNS),
+        lambda m: F.struct(F.lit(-1).alias("d"), m["name"].alias("name")),
+    )
+    netted = (
+        files.select(
+            "repo",
+            "path",
+            "commit",
+            F.sha2(content, 256).alias("content_sha256"),
+            F.explode(F.concat(mentions, defs)).alias("_e"),
+        )
+        .groupBy(*LINEAGE, F.col("_e.name").alias("_name"))
+        .agg(F.sum("_e.d").alias("_n"))
+        .filter(F.col("_n") > 0)
+    )
+    registry = (
+        corpus.select(
+            F.col("repo"),
+            F.col("path").alias("_dpath"),
+            F.explode(
+                _tagged_matches(F.col("content"), DEF_PATTERNS)
+            ).alias("_d"),
+        )
+        .groupBy("repo", F.col("_d.name").alias("_name"))
+        .agg(
+            F.min("_dpath").alias("_def_path"),
+            F.countDistinct("_dpath").alias("_nc"),
+        )
+        .filter(F.col("_nc") <= config.max_def)
+        .drop("_nc")
+    )
+    linked = netted.join(registry, ["repo", "_name"])
+    triple = _t(
+        _file_uri(),
+        "code:calls",
+        F.concat(
+            F.lit("sym:"),
+            F.col("repo"),
+            F.lit("/"),
+            F.col("_def_path"),
+            F.lit("#"),
+            F.col("_name"),
+        ),
+        False,
+    )
+    return _finish(
+        linked.select(*LINEAGE, F.array(triple).alias("_triples")),
+        config.graph,
+    )
+
+
 def _vendored_branch(
     files: DataFrame, config: CodeKgConfig, corpus: DataFrame
 ) -> DataFrame:
@@ -303,6 +383,8 @@ def code_kg_plan(
     out = _constants_branch(files, config).unionByName(
         _imports_branch(files, config, corpus)
     )
+    if config.calls:
+        out = out.unionByName(_calls_branch(files, config, corpus))
     if config.vendored:
         out = out.unionByName(_vendored_branch(files, config, corpus))
     if config.dedup:

@@ -3743,7 +3743,9 @@ _SRC_FILES_SQL = f"""
 """
 
 
-def _src_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _src_files(
+    spark: SparkSession, sf_dir: str, calls: bool = False
+) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     d = F.col("doc_id")
     inc = F.when(
@@ -3754,6 +3756,21 @@ def _src_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         d % 4 == 0,
         F.concat(F.lit("\nclass C"), (d % 6).cast("string"), F.lit(":")),
     ).otherwise(F.lit(""))
+    tail = (
+        F.concat(
+            F.lit("\n    return fn"),
+            ((d + 1) % 9).cast("string"),
+            F.lit("(x)"),
+            F.when(
+                d % 4 == 1,
+                F.concat(
+                    F.lit("\nif (x): C"), (d % 6).cast("string"), F.lit("(x)")
+                ),
+            ).otherwise(F.lit("")),
+        )
+        if calls
+        else F.lit("")
+    )
     return docs.select(
         F.concat(F.lit("r"), (d % 40).cast("string")).alias("repo"),
         F.when(
@@ -3769,6 +3786,7 @@ def _src_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("from pkg"), (d % 7).cast("string"),
             F.lit(" import thing\n"), inc, F.col("text"),
             F.lit("\ndef fn"), (d % 9).cast("string"), F.lit("(x):"), cls,
+            tail,
         ).alias("content"),
     )
 
@@ -3970,6 +3988,82 @@ def src_code_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "obj_datatype",
         "obj_lang",
     )
+
+
+def _call_stop_sql() -> str:
+    from .operators.code import CALL_STOPWORDS
+
+    return ", ".join("'" + w + "'" for w in CALL_STOPWORDS)
+
+
+def _call_pattern_sql() -> str:
+    from .operators.code import CALL_PATTERN
+
+    return "'" + CALL_PATTERN.replace("'", "''") + "'"
+
+
+# the source-contract table with CALL SITES planted after the planted
+# definitions: every doc's fn<d%9> body calls fn<(d+1)%9> (resolves iff
+# some doc in the repo defines it), every 4th-plus-1 doc calls its
+# class C<d%6> behind an `if (` keyword guard (stoplist exercised)
+_SRC_CALL_FILES_SQL = f"""
+    SELECT 'r' || CAST(doc_id % 40 AS VARCHAR) AS repo,
+           CASE WHEN doc_id % 10 = 0
+                THEN 'src/mod' || CAST(doc_id % 50 AS VARCHAR) || '.py'
+                ELSE 'src/f' || CAST(doc_id AS VARCHAR) || '.py' END AS path,
+           {_SRC_CONTENT_SQL}
+             || chr(10) || '    return fn'
+             || CAST((doc_id + 1) % 9 AS VARCHAR) || '(x)'
+             || CASE WHEN doc_id % 4 = 1
+                     THEN chr(10) || 'if (x): C'
+                            || CAST(doc_id % 6 AS VARCHAR) || '(x)'
+                     ELSE '' END AS content
+    FROM documents
+"""
+
+
+@_q(
+    "src_call_graph",
+    f"""WITH files AS ({_SRC_CALL_FILES_SQL}),
+        m AS (SELECT repo, path,
+                     unnest(regexp_extract_all(content,
+                            {_call_pattern_sql()}, 2)) AS name
+              FROM files),
+        mk AS (SELECT repo, path, name, count(*) AS n_m FROM m
+               WHERE name NOT IN ({_call_stop_sql()})
+               GROUP BY repo, path, name),
+        dpats(kind, pat) AS (VALUES {_def_pats_values()}),
+        d AS (SELECT repo, path,
+                     unnest(regexp_extract_all(content, pat, 1)) AS name
+              FROM files CROSS JOIN dpats),
+        dk AS (SELECT repo, path, name, count(*) AS n_d FROM d
+               GROUP BY repo, path, name),
+        calls AS (SELECT repo, path, name,
+                         n_m - COALESCE(n_d, 0) AS n_calls
+                  FROM mk LEFT JOIN dk USING (repo, path, name)
+                  WHERE n_m - COALESCE(n_d, 0) > 0),
+        reg AS (SELECT repo, name, min(path) AS def_path,
+                       count(DISTINCT path) AS n_candidates
+                FROM d GROUP BY repo, name
+                HAVING count(DISTINCT path) <= 100)
+       SELECT 'src:' || repo || '/' || path AS subj,
+              'code:calls' AS pred,
+              'sym:' || repo || '/' || def_path || '#' || name AS obj_value,
+              n_calls, n_candidates
+       FROM calls JOIN reg USING (repo, name)""",
+)
+def src_call_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Call-graph construction (operators/code.py:call_graph_edges):
+    call sites (identifier + ``(``, not attribute-qualified, keyword-
+    stoplisted, definition headers netted out) entity-linked to the
+    same-repo symbol that defines the callee, with deterministic
+    min-path winner and visible candidate ambiguity. One content scan
+    per side, two map-side-combined groupBys, one df-bounded hash
+    equi-join on (repo, name) — no Python, no broadcast, no skew (keys
+    are repo-prefixed and fan-out is capped by max_def)."""
+    from .operators.code import call_graph_edges
+
+    return call_graph_edges(_src_files(spark, sf_dir, calls=True))
 
 
 @_q(

@@ -71,6 +71,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--no-dedup", action="store_true")
     ap.add_argument("--no-resolve", action="store_true",
                     help="skip entity linking (no code:dependsOn edges)")
+    ap.add_argument("--calls", action="store_true",
+                    help="emit code:calls symbol-linked call edges")
     ap.add_argument("--vendored", action="store_true",
                     help="emit code:vendored cross-repo duplicate flags")
     ap.add_argument("--license", action="store_true",
@@ -111,6 +113,7 @@ def main(argv: list[str] | None = None) -> int:
     config = CodeKgConfig(
         graph=args.graph,
         resolve=not args.no_resolve,
+        calls=args.calls,
         vendored=args.vendored,
         license=args.license,
         clone_keys=args.clone_keys,
@@ -154,6 +157,8 @@ def main(argv: list[str] | None = None) -> int:
     summary["n_files"] = counts.get("code:sha256", 0)
     summary["n_defines"] = counts.get("code:defines", 0)
     summary["n_imports"] = counts.get("code:imports", 0)
+    if args.calls:
+        summary["n_calls"] = counts.get("code:calls", 0)
     n_dep = counts.get("code:dependsOn", 0)
     if n_dep:
         n_resolved = triples.filter(

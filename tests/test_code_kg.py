@@ -183,6 +183,45 @@ def test_code_kg_plan_shape(spark, tmp_path):
     assert len(without) == 1, read_schemas  # module registry: narrow scan
 
 
+def test_call_graph_edges_semantics(spark):
+    """Call-site linking rules: definition headers net out (defining is
+    not calling), recursive calls survive the netting, attribute-
+    qualified and keyword-guarded mentions are excluded, unresolved
+    callees emit nothing, and the registry winner is the deterministic
+    min path with the ambiguity count exposed."""
+    from fcrepo3_rdf_extractor_spark.operators.code import call_graph_edges
+
+    files = spark.createDataFrame(
+        [
+            ("r1", "a.py", "def helper(x):\n    return x\n"),
+            ("r1", "b.py", "y = helper(1)\nhelper(2)\nz.helper(9)\nif (y):\n    pass\n"),
+            ("r1", "c.py", "def helper(q):\n    return helper(q - 1)\n"),
+            ("r2", "d.py", "helper(3)\n"),
+        ],
+        "repo string, path string, content string",
+    )
+    got = {
+        (r.subj, r.obj_value): (r.n_calls, r.n_candidates)
+        for r in call_graph_edges(files).collect()
+    }
+    assert got == {
+        # b.py: two plain calls; z.helper( and if ( excluded
+        ("src:r1/b.py", "sym:r1/a.py#helper"): (2, 2),
+        # c.py: def header (1 mention - 1 def) + recursive call = 1
+        ("src:r1/c.py", "sym:r1/a.py#helper"): (1, 2),
+        # a.py nets to 0; r2 has no definition of helper
+    }
+    # ambiguity bound: helper is defined in 2 files, max_def=1 drops it
+    assert call_graph_edges(files, max_def=1).count() == 0
+    # plan stays JVM-side and the link is a hash equi-join
+    plan_df = call_graph_edges(files)
+    plan = plan_df._sc._jvm.PythonSQLUtils.explainString(
+        plan_df._jdf.queryExecution(), "formatted"
+    )
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_code_kg_wave_equals_oneshot(spark, tmp_path):
     """run_resumable with the code-KG plan_fn over 4 chunks / 2 waves,
     resolving against the FULL corpus, must equal the one-shot plan's
@@ -199,12 +238,16 @@ def test_code_kg_wave_equals_oneshot(spark, tmp_path):
             "src/m%d.py" % i,
             "c%d" % (i % 2),
             "py",
-            "import m%d\ndef f%d():\n    return %d\n" % ((i + 1) % 12, i, i),
+            # calls f<(i+3)%12>, defined by file i+3 — same repo
+            # ((i+3)%3 == i%3) but often a different WAVE, so the
+            # corpus-wide callee registry is what makes it resolve
+            "import m%d\ndef f%d(x):\n    return f%d(x)\n"
+            % ((i + 1) % 12, i, (i + 3) % 12),
         )
         for i in range(12)
     ]
     files = spark.createDataFrame(rows, FILES_SCHEMA)
-    cfg = CodeKgConfig(vendored=True)
+    cfg = CodeKgConfig(vendored=True, calls=True)
     one_shot = code_kg_plan(files, cfg, corpus=files)
 
     out_dir, cp_dir = str(tmp_path / "out"), str(tmp_path / "cp")
@@ -217,6 +260,11 @@ def test_code_kg_wave_equals_oneshot(spark, tmp_path):
         plan_fn=lambda wave: code_kg_plan(wave, cfg, corpus=files),
     )
     assert stats["chunks_run"] == 4 and stats["waves"] == 2
+    # every file's call edge resolved (the corpus registry covers
+    # symbols defined in the other wave)
+    assert (
+        one_shot.filter(F.col("pred") == "code:calls").count() == 12
+    )
     stored = dedup_exact(
         spark.read.parquet(out_dir).drop("chunk_id"), key=TRIPLE_KEY
     )
