@@ -22,6 +22,15 @@ Other modes:
                       write) on a synthesized corpus at the same two
                       parallelism levels and report docs/sec at each plus
                       scaling efficiency and the per-stage breakdown.
+  --code-throughput / --code-scaling   the same two protocols for the
+                      north-rule CODE payload: the full code_kg_plan
+                      (constants + defs + imports + entity linking +
+                      calls + vendored + dedup) over the synthesized
+                      source-contract table.
+
+The default (headline) line additionally carries ``code_kg_sec`` /
+``code_triples`` / ``code_triples_per_sec`` measured OUTSIDE the
+headline suite, so ``headline_total`` stays comparable across rounds.
 
 Timing protocol: each query is materialized with a `noop` write (full
 execution, nothing collected to the driver); one warmup pass reads every
@@ -136,6 +145,27 @@ def run_headline(sf_dir: str, cores: int) -> dict:
     n_triples = qs["kg_extract_orders"](spark, sf_dir).count()
     tps = round(n_triples / timings["kg_extract_orders"], 1)
 
+    # north-rule code payload: the full code-KG plan, measured with the
+    # same protocol but reported outside `queries`/headline_total
+    from fcrepo3_rdf_extractor_spark.plans.code_pipeline import (
+        CodeKgConfig,
+        code_kg_plan,
+    )
+    from fcrepo3_rdf_extractor_spark.queries import _src_files
+
+    code_df = code_kg_plan(
+        _src_files(spark, sf_dir, calls=True),
+        CodeKgConfig(calls=True, vendored=True),
+    )
+    _materialize(code_df)  # untimed codegen pass
+    code_best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _materialize(code_df)
+        dt = time.perf_counter() - t0
+        code_best = dt if code_best is None or dt < code_best else code_best
+    code_triples = code_df.count()
+
     steal_cpu_sec = round((_steal_jiffies() - steal0) / 100.0, 1)
     spark.stop()
     total = round(sum(timings.values()), 3)
@@ -148,6 +178,9 @@ def run_headline(sf_dir: str, cores: int) -> dict:
         "cores": cores,
         "triples": n_triples,
         "triples_per_sec": tps,
+        "code_kg_sec": round(code_best, 3),
+        "code_triples": code_triples,
+        "code_triples_per_sec": round(code_triples / code_best, 1),
         "steal_cpu_sec": steal_cpu_sec,
     }
 
@@ -222,10 +255,76 @@ def run_throughput(sf_dir: str, cores: int, copies: int = 1,
     }
 
 
+def run_code_throughput(sf_dir: str, cores: int, copies: int = 1,
+                        reps: int = 3) -> dict:
+    """One code-KG throughput measurement — the north-rule pipeline on
+    the north-rule input: the source-contract table (repo, path,
+    commit, lang, content) synthesized from the documents table
+    (``copies``x replicated for scaling runs), through the FULL
+    code_kg_plan (constants + definitions + imports + dependsOn
+    entity linking + code:calls + vendored flags + output dedup),
+    materialized with noop. Same protocol as :func:`run_throughput`:
+    persisted source repartitioned to 4x cores, untimed codegen pass,
+    best-of-``reps``, steal metered."""
+    from pyspark.sql import functions as F
+
+    from fcrepo3_rdf_extractor_spark.plans.code_pipeline import (
+        CodeKgConfig,
+        code_kg_plan,
+    )
+    from fcrepo3_rdf_extractor_spark.queries import _src_files_df
+    from fcrepo3_rdf_extractor_spark.session import build_session
+
+    local_dir = _bench_local_dir()
+    extra = {"spark.local.dir": local_dir} if local_dir else {}
+    # NOTE: forcing small AQE advisory partitions (1m) was tried against
+    # the reduce-coalescing artifact and measured NEUTRAL-to-negative at
+    # --copies 12..40 (the dedup exchange is already 70-226 MB, well
+    # above the 64 MB advisory); default AQE sizing stands. Run with
+    # --copies >= 40 — below ~200k files the ~15-stage critical path's
+    # fixed latency dominates the 8-core arm and understates scaling.
+    spark = build_session(f"bench-code-{cores}", cores=cores, extra_conf=extra)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if copies > 1:
+        docs = (
+            docs.withColumn(
+                "_c", F.explode(F.lit(list(range(copies))))
+            )
+            .withColumn("doc_id", F.col("doc_id") * copies + F.col("_c"))
+            .drop("_c")
+        )
+    source = _src_files_df(docs, calls=True).repartition(cores * 4).persist()
+    n_files = source.count()
+
+    out = code_kg_plan(source, CodeKgConfig(calls=True, vendored=True))
+    _materialize(out)  # untimed codegen-compile pass
+    steal0 = _steal_jiffies()
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _materialize(out)
+        times.append(round(time.perf_counter() - t0, 3))
+    sec = min(times)
+    steal_cpu_sec = round((_steal_jiffies() - steal0) / 100.0, 1)
+    n_triples = out.count()
+    source.unpersist()
+    spark.stop()
+    return {
+        "cores": cores,
+        "sec": round(sec, 3),
+        "times": times,
+        "files": n_files,
+        "triples": n_triples,
+        "triples_per_sec": round(n_triples / sec, 1),
+        "sf": _sf_label(sf_dir),
+        "steal_cpu_sec": steal_cpu_sec,
+    }
+
+
 def _throughput_subprocess(sf_dir: str, cores: int, copies: int,
-                           reps: int) -> dict:
+                           reps: int, mode: str = "--throughput") -> dict:
     cmd = [sys.executable, os.path.abspath(__file__),
-           "--throughput", "--cores", str(cores), "--sf-dir", sf_dir,
+           mode, "--cores", str(cores), "--sf-dir", sf_dir,
            "--copies", str(copies), "--reps", str(reps)]
     if (os.cpu_count() or 0) >= cores:
         cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
@@ -234,7 +333,7 @@ def _throughput_subprocess(sf_dir: str, cores: int, copies: int,
 
 
 def run_scaling(sf_dir: str, lo: int, hi: int, copies: int = 1,
-                interleave: int = 0) -> dict:
+                interleave: int = 0, mode: str = "--throughput") -> dict:
     """Spawn a fresh interpreter+JVM per parallelism level (a shared JVM
     would reuse the first master setting) and compute efficiency.
 
@@ -260,7 +359,8 @@ def run_scaling(sf_dir: str, lo: int, hi: int, copies: int = 1,
         for _ in range(interleave):
             for cores in (lo, hi):
                 runs[cores].append(
-                    _throughput_subprocess(sf_dir, cores, copies, reps=1))
+                    _throughput_subprocess(sf_dir, cores, copies, reps=1,
+                                           mode=mode))
         for cores in (lo, hi):
             best = min(runs[cores], key=lambda r: r["sec"])
             best = dict(best)
@@ -273,16 +373,18 @@ def run_scaling(sf_dir: str, lo: int, hi: int, copies: int = 1,
     else:
         for cores in (lo, hi):
             results[cores] = _throughput_subprocess(sf_dir, cores, copies,
-                                                    reps=3)
+                                                    reps=3, mode=mode)
     tps_lo = results[lo]["triples_per_sec"]
     tps_hi = results[hi]["triples_per_sec"]
     eff = round((tps_hi / tps_lo) / (hi / lo), 3)
+    label = "code_kg" if mode == "--code-throughput" else "extract"
     return {
-        "metric": "scaling_efficiency",
+        "metric": ("code_scaling_efficiency"
+                   if mode == "--code-throughput" else "scaling_efficiency"),
         "value": eff,
         "unit": "ratio",
-        "queries": {f"extract_local[{lo}]": results[lo]["sec"],
-                    f"extract_local[{hi}]": results[hi]["sec"]},
+        "queries": {f"{label}_local[{lo}]": results[lo]["sec"],
+                    f"{label}_local[{hi}]": results[hi]["sec"]},
         "sf": _sf_label(sf_dir),
         "lo": results[lo],
         "hi": results[hi],
@@ -435,6 +537,10 @@ def main() -> None:
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--throughput", action="store_true")
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--code-throughput", action="store_true",
+                    help="single code-KG pipeline throughput run")
+    ap.add_argument("--code-scaling", action="store_true",
+                    help="code-KG pipeline at two parallelism levels")
     ap.add_argument("--curate", action="store_true")
     ap.add_argument("--curate-runs", type=int, default=3)
     ap.add_argument("--scale-lo", type=int, default=8)
@@ -450,9 +556,16 @@ def main() -> None:
 
     if args.throughput:
         out = run_throughput(args.sf_dir, args.cores, args.copies, args.reps)
+    elif args.code_throughput:
+        out = run_code_throughput(args.sf_dir, args.cores, args.copies,
+                                  args.reps)
     elif args.scaling:
         out = run_scaling(args.sf_dir, args.scale_lo, args.scale_hi,
                           args.copies, args.interleave)
+    elif args.code_scaling:
+        out = run_scaling(args.sf_dir, args.scale_lo, args.scale_hi,
+                          args.copies, args.interleave,
+                          mode="--code-throughput")
     elif args.curate:
         out = run_curate_scaling(args.sf_dir, args.scale_lo, args.scale_hi,
                                  args.copies, args.curate_runs)

@@ -137,6 +137,139 @@ def module_registry(
     )
 
 
+def resolve_import_edges_deep(
+    files: DataFrame,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    content_col: str = "content",
+) -> DataFrame:
+    """Path-aware import resolution: like :func:`resolve_import_edges`
+    but a dotted module tries its LAST TWO segments against a
+    (parent dir).(basename) registry key first (``import a.b.c``
+    resolves to ``**/b/c.py`` — the real package-layout rule), falling
+    back to the top-level-segment/basename rule only when no two-level
+    key matches. Output schema matches the shallow resolver plus a
+    ``depth`` column (2 = two-level hit, 1 = basename hit, 0 = ext).
+
+    Distributed shape — the candidate-explode + min-struct-winner
+    pattern (same family as the IVF argmin): each import occurrence
+    (tracked by its deterministic position in the file's match array —
+    never a nondeterministic row id) explodes into its applicable
+    candidate keys tagged with priority, inner-joins the two-shape
+    registry on (repo, key), and the best hit per occurrence is ONE
+    map-side-combined ``min(struct(prio, def_path))`` — no window, no
+    per-priority join round-trips. One extra shuffle vs the shallow
+    resolver (the winner groupBy), all keys repo-prefixed."""
+    imports = files.select(
+        F.col(repo_col).alias("_repo"),
+        F.col(path_col).alias("_path"),
+        F.posexplode(
+            _tagged_matches(F.col(content_col), IMPORT_PATTERNS)
+        ).alias("_pos", "_e"),
+    ).select(
+        "_repo",
+        "_path",
+        "_pos",
+        F.col("_e.kind").alias("kind"),
+        F.col("_e.name").alias("_module"),
+    )
+    # candidate keys per occurrence: (prio 0) last-two dotted segments,
+    # when the module is dotted and not path-shaped; (prio 1) the
+    # shallow rule's key
+    segs = F.split(F.col("_module"), r"\.")
+    # try_element_at: a single-segment module has no -2 and ANSI
+    # element_at would abort the job (CLAUDE.md gotcha)
+    last2 = F.concat_ws(
+        ".", F.try_element_at(segs, F.lit(-2)), F.element_at(segs, -1)
+    )
+    pathish = F.col("kind").isin("c_include", "js_require", "js_import")
+    deep_ok = (~pathish) & (F.size(segs) >= 2)
+    cand = F.filter(
+        F.array(
+            F.struct(
+                F.lit(0).alias("prio"),
+                F.when(deep_ok, last2).alias("key"),
+            ),
+            F.struct(
+                F.lit(1).alias("prio"),
+                _module_key(F.col("_module"), F.col("kind")).alias("key"),
+            ),
+        ),
+        lambda c: c["key"].isNotNull(),
+    )
+    cands = imports.select(
+        "_repo", "_path", "_pos", F.explode(cand).alias("_c")
+    ).select(
+        "_repo",
+        "_path",
+        "_pos",
+        F.col("_c.prio").alias("_prio"),
+        F.col("_c.key").alias("_mkey"),
+    )
+    # registry in both key shapes; two-level keys contain a "." while
+    # extension-stripped basenames (almost) never do, so the shapes
+    # coexist in one table without a discriminator column
+    base = files.select(
+        F.col(repo_col).alias("_repo"),
+        F.col(path_col).alias("_def_path"),
+        F.split(F.col(path_col), "/").alias("_segs"),
+    )
+    bn = F.regexp_replace(
+        F.element_at(F.col("_segs"), -1), r"\.[A-Za-z0-9]+$", ""
+    )
+    two = F.when(
+        F.size("_segs") >= 2,
+        F.concat_ws(".", F.try_element_at(F.col("_segs"), F.lit(-2)), bn),
+    )
+    registry = (
+        base.select(
+            "_repo",
+            "_def_path",
+            F.explode(
+                F.filter(
+                    F.array(bn, two), lambda k: k.isNotNull() & (k != "")
+                )
+            ).alias("_mkey"),
+        )
+        .groupBy("_repo", "_mkey")
+        .agg(F.min("_def_path").alias("_def_path"))
+    )
+    best = (
+        cands.join(registry, ["_repo", "_mkey"])
+        .groupBy("_repo", "_path", "_pos")
+        .agg(F.min(F.struct("_prio", "_def_path")).alias("_b"))
+        .select(
+            "_repo",
+            "_path",
+            "_pos",
+            F.col("_b._prio").alias("_prio"),
+            F.col("_b._def_path").alias("_def_path"),
+        )
+    )
+    linked = imports.join(best, ["_repo", "_path", "_pos"], "left")
+    return linked.select(
+        F.concat(
+            F.lit("src:"), F.col("_repo"), F.lit("/"), F.col("_path")
+        ).alias("subj"),
+        F.lit("code:dependsOn").alias("pred"),
+        F.when(
+            F.col("_def_path").isNotNull(),
+            F.concat(
+                F.lit("src:"), F.col("_repo"), F.lit("/"), F.col("_def_path")
+            ),
+        )
+        .otherwise(F.concat(F.lit("ext:"), F.col("_module")))
+        .alias("obj_value"),
+        F.col("kind"),
+        F.col("_def_path").isNotNull().alias("resolved"),
+        F.when(F.col("_prio") == 0, 2)
+        .when(F.col("_prio") == 1, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("depth"),
+    )
+
+
 def resolve_import_edges(
     files: DataFrame,
     repo_col: str = "repo",
@@ -200,15 +333,25 @@ def resolve_import_edges(
     )
 
 
-#: Call-site shape: an identifier followed by ``(``, where the
-#: preceding character is not part of an identifier or a ``.`` (method/
-#: attribute calls like ``os.path.join(`` are excluded — binding them
-#: to a bare ``def join`` in the repo would be mostly-wrong linkage;
-#: same precision-first choice as stack-graph-style resolvers' first
-#: pass). Group 2 is the callee; group 1 exists only because RE2/Java
-#: regex have no lookbehind. Matches cannot overlap: the consumed
-#: prefix char of one call site is never inside the next identifier.
-CALL_PATTERN = r"(^|[^A-Za-z0-9_.])([A-Za-z_][A-Za-z0-9_]*)\s*\("
+#: Attribute/method call scrub: ``.name(`` loses its name before call
+#: extraction, so ``os.path.join(`` never binds to a bare ``def join``
+#: in the repo (mostly-wrong linkage — the same precision-first choice
+#: as stack-graph-style resolvers' first pass). Replacement is ``.(``,
+#: which no later pattern can mistake for a call site. The pattern
+#: opens on a literal ``.`` so the regex engine's first-char scan stays
+#: fast.
+ATTR_CALL_SCRUB = r"\.([A-Za-z_][A-Za-z0-9_]*)\s*\("
+
+#: Call-site shape over SCRUBBED text: an identifier followed by ``(``.
+#: Leftmost-greedy matching makes an explicit boundary check
+#: unnecessary — a scan starting mid-identifier still consumes to the
+#: identifier's end before requiring ``(``, so ``bar foo(`` captures
+#: only ``foo``. The earlier one-pass form with an alternated prefix
+#: group, ``(^|[^A-Za-z0-9_.])(name)\s*\(``, was measured 6x slower
+#: AND parallelism-hostile on the JVM (same job: 6.7 CPU-s at 2
+#: threads, 22 CPU-s at 8 — contention inside the matcher turned a
+#: 0.8-efficiency stage into 0.33); scrub-then-extract restores both.
+CALL_SITE_PATTERN = r"([A-Za-z_][A-Za-z0-9_]*)\s*\("
 
 #: Keywords that precede ``(`` in the supported languages but are never
 #: (or almost never) callees — a volume/precision trim that keeps the
@@ -223,6 +366,23 @@ CALL_STOPWORDS = (
     "except", "with", "not", "and", "or", "assert", "yield", "lambda",
     "new", "do", "try", "sizeof", "typeof", "defined", "match", "case",
 )
+
+
+def call_mention_structs(content: F.Column) -> F.Column:
+    """Call-site mentions as ``(d=+1, name)`` structs: attribute calls
+    scrubbed (:data:`ATTR_CALL_SCRUB`), call sites extracted
+    (:data:`CALL_SITE_PATTERN`), keyword mentions dropped inside the
+    same projection (array-level filter, so stoplisted rows never reach
+    the explode). Shared by :func:`call_graph_edges` and the code-KG
+    pipeline's calls branch."""
+    scrubbed = F.regexp_replace(content, ATTR_CALL_SCRUB, ".(")
+    return F.filter(
+        F.transform(
+            F.regexp_extract_all(scrubbed, F.lit(CALL_SITE_PATTERN), 1),
+            lambda m: F.struct(F.lit(1).alias("d"), m.alias("name")),
+        ),
+        lambda s: ~s["name"].isin(*CALL_STOPWORDS),
+    )
 
 
 def call_graph_edges(
@@ -242,8 +402,10 @@ def call_graph_edges(
 
     Semantics (regex-level, so the DuckDB oracle replays it exactly):
 
-    - a MENTION is :data:`CALL_PATTERN`'s callee group — ``name(`` not
-      preceded by an identifier char or ``.``, name not a keyword
+    - a MENTION is a :data:`CALL_SITE_PATTERN` match over
+      attribute-scrubbed text — ``name(`` that is not an attribute/
+      method access (``obj.name(`` is scrubbed first), name not a
+      keyword
     - a definition header is itself a mention (``def helper(x)`` puts
       ``helper(`` in the text), so per (file, name) the call count is
       ``mentions - definitions`` and only positive counts survive:
@@ -266,13 +428,7 @@ def call_graph_edges(
     equi-join on (repo, name) — repo-prefixed keys, df-bounded fan-out,
     no broadcast needed, no Python anywhere."""
     content = F.col(content_col)
-    mentions = F.filter(
-        F.transform(
-            F.regexp_extract_all(content, F.lit(CALL_PATTERN), 2),
-            lambda m: F.struct(F.lit(1).alias("d"), m.alias("name")),
-        ),
-        lambda s: ~s["name"].isin(*CALL_STOPWORDS),
-    )
+    mentions = call_mention_structs(content)
     defs = F.transform(
         _tagged_matches(content, DEF_PATTERNS),
         lambda m: F.struct(F.lit(-1).alias("d"), m["name"].alias("name")),
@@ -319,6 +475,50 @@ def call_graph_edges(
         ).alias("obj_value"),
         "n_calls",
         "n_candidates",
+    )
+
+
+def content_alias_table(
+    files: DataFrame,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    content_col: str = "content",
+) -> DataFrame:
+    """Entity linking by exact content: vendored copies of the same
+    bytes are the SAME logical file, so every copy aliases to the
+    canonical holder — the lexicographically smallest file URI among
+    the hash's holders (deterministic across partitionings and corpus
+    growth order). Output (alias, canonical), non-canonical copies
+    only — the drop-in dictionary shape for
+    :func:`..operators.canonicalize.canonicalize`, which then rewrites
+    every subj/obj of the code KG through a broadcast hash join: the
+    owl:sameAs analog of :func:`vendored_file_stats`'s per-repo stats
+    (stats tell you HOW vendored a repo is; this collapses the copies
+    in the graph itself).
+
+    Scale shape: one hash projection, one map-side-combined
+    min+count per hash, one equi-join back on the hash key (the join's
+    own exchange co-partitions). Hashes held by a single file are
+    dropped BEFORE the join-back via the count, so the alias table is
+    vendored-copy-sized — small enough to broadcast downstream even
+    when the corpus is not. md5 keeps the key portable to the DuckDB
+    oracle; production would use xxhash64."""
+    uri = F.concat(
+        F.lit("src:"), F.col(repo_col), F.lit("/"), F.col(path_col)
+    )
+    hashed = files.select(
+        F.md5(F.col(content_col)).alias("_h"), uri.alias("_uri")
+    )
+    canon = (
+        hashed.groupBy("_h")
+        .agg(F.min("_uri").alias("canonical"), F.count("*").alias("_n"))
+        .filter(F.col("_n") > 1)
+        .drop("_n")
+    )
+    return (
+        hashed.join(canon, "_h")
+        .filter(F.col("_uri") != F.col("canonical"))
+        .select(F.col("_uri").alias("alias"), "canonical")
     )
 
 

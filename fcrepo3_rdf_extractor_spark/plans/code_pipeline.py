@@ -60,11 +60,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.code import (
-    CALL_PATTERN,
-    CALL_STOPWORDS,
     DEF_PATTERNS,
     _module_key,
     _tagged_matches,
+    call_mention_structs,
     module_registry,
 )
 from ..operators.dedup import TRIPLE_KEY, dedup_exact
@@ -266,13 +265,7 @@ def _calls_branch(
     (n_calls) is deliberately dropped: the quad table is set-semantics
     and ``dedup_exact`` would collapse it anyway."""
     content = F.col("content")
-    mentions = F.filter(
-        F.transform(
-            F.regexp_extract_all(content, F.lit(CALL_PATTERN), 2),
-            lambda m: F.struct(F.lit(1).alias("d"), m.alias("name")),
-        ),
-        lambda s: ~s["name"].isin(*CALL_STOPWORDS),
-    )
+    mentions = call_mention_structs(content)
     defs = F.transform(
         _tagged_matches(content, DEF_PATTERNS),
         lambda m: F.struct(F.lit(-1).alias("d"), m["name"].alias("name")),

@@ -3744,9 +3744,23 @@ _SRC_FILES_SQL = f"""
 
 
 def _src_files(
-    spark: SparkSession, sf_dir: str, calls: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    calls: bool = False,
+    deep: bool = False,
 ) -> DataFrame:
-    docs = _read(spark, sf_dir, "documents")
+    return _src_files_df(
+        _read(spark, sf_dir, "documents"), calls=calls, deep=deep
+    )
+
+
+def _src_files_df(
+    docs: DataFrame, calls: bool = False, deep: bool = False
+) -> DataFrame:
+    """The synthesized source-contract table from any (doc_id, text)
+    frame — split out of :func:`_src_files` so bench.py can replicate
+    the documents table before synthesis (corpus multiplier for
+    scaling runs) while the oracles keep their 1:1 mapping."""
     d = F.col("doc_id")
     inc = F.when(
         d % 3 == 0,
@@ -3787,6 +3801,9 @@ def _src_files(
             F.lit(" import thing\n"), inc, F.col("text"),
             F.lit("\ndef fn"), (d % 9).cast("string"), F.lit("(x):"), cls,
             tail,
+            F.concat(F.lit("\nimport src.mod"), (d % 50).cast("string"))
+            if deep
+            else F.lit(""),
         ).alias("content"),
     )
 
@@ -3857,17 +3874,38 @@ def src_resolve_imports(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resolve_import_edges(_src_files(spark, sf_dir))
 
 
+# the contract table plus 4 vendor blobs shared across repos (every
+# 5th doc checks in one of 4 identical vendor files)
+_SRC_VENDOR_FILES_SQL = f"""{_SRC_FILES_SQL}
+    UNION ALL
+    SELECT 'r' || CAST(doc_id % 40 AS VARCHAR),
+           'vendor/shared' || CAST(doc_id AS VARCHAR) || '.py',
+           'c0', 'py',
+           '# vendored blob ' || CAST(doc_id % 4 AS VARCHAR)
+    FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+def _src_files_vendor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    vendor = docs.filter(d % 5 == 0).select(
+        F.concat(F.lit("r"), (d % 40).cast("string")).alias("repo"),
+        F.concat(
+            F.lit("vendor/shared"), d.cast("string"), F.lit(".py")
+        ).alias("path"),
+        F.lit("c0").alias("commit"),
+        F.lit("py").alias("lang"),
+        F.concat(F.lit("# vendored blob "), (d % 4).cast("string")).alias(
+            "content"
+        ),
+    )
+    return _src_files(spark, sf_dir).unionByName(vendor)
+
+
 @_q(
     "src_vendored_files",
-    f"""WITH files AS ({_SRC_FILES_SQL}
-                       UNION ALL
-                       SELECT 'r' || CAST(doc_id % 40 AS VARCHAR),
-                              'vendor/shared' || CAST(doc_id AS VARCHAR)
-                                || '.py',
-                              'c0', 'py',
-                              '# vendored blob '
-                                || CAST(doc_id % 4 AS VARCHAR)
-                       FROM documents WHERE doc_id % 5 = 0),
+    f"""WITH files AS ({_SRC_VENDOR_FILES_SQL}),
         hashed AS (SELECT repo, md5(content) AS h FROM files),
         spread AS (SELECT h, count(DISTINCT repo) AS n_repos
                    FROM hashed GROUP BY h)
@@ -3888,21 +3926,33 @@ def src_vendored_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join (operators/code.py:vendored_file_stats)."""
     from .operators.code import vendored_file_stats
 
-    docs = _read(spark, sf_dir, "documents")
-    d = F.col("doc_id")
-    vendor = docs.filter(d % 5 == 0).select(
-        F.concat(F.lit("r"), (d % 40).cast("string")).alias("repo"),
-        F.concat(
-            F.lit("vendor/shared"), d.cast("string"), F.lit(".py")
-        ).alias("path"),
-        F.lit("c0").alias("commit"),
-        F.lit("py").alias("lang"),
-        F.concat(F.lit("# vendored blob "), (d % 4).cast("string")).alias(
-            "content"
-        ),
-    )
-    files = _src_files(spark, sf_dir).unionByName(vendor)
-    return vendored_file_stats(files)
+    return vendored_file_stats(_src_files_vendor(spark, sf_dir))
+
+
+@_q(
+    "src_content_aliases",
+    f"""WITH files AS ({_SRC_VENDOR_FILES_SQL}),
+        hashed AS (SELECT md5(content) AS h,
+                          'src:' || repo || '/' || path AS uri
+                   FROM files),
+        canon AS (SELECT h, min(uri) AS canonical
+                  FROM hashed GROUP BY h HAVING count(*) > 1)
+       SELECT uri AS alias, canonical
+       FROM hashed JOIN canon USING (h)
+       WHERE uri <> canonical""",
+)
+def src_content_aliases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-content entity linking (operators/code.py:
+    content_alias_table): every vendored copy aliases to the
+    lexicographic-min holder of its content hash — the owl:sameAs-style
+    broadcast dictionary that operators/canonicalize.canonicalize then
+    applies to the code KG (collapsing copies into one node). One hash
+    pass, one map-side-combined min+count per hash, single-holder
+    hashes dropped before the join back, so the output is
+    vendored-copy-sized."""
+    from .operators.code import content_alias_table
+
+    return content_alias_table(_src_files_vendor(spark, sf_dir))
 
 
 @_q(
@@ -3996,10 +4046,17 @@ def _call_stop_sql() -> str:
     return ", ".join("'" + w + "'" for w in CALL_STOPWORDS)
 
 
-def _call_pattern_sql() -> str:
-    from .operators.code import CALL_PATTERN
+def _call_mentions_sql() -> str:
+    """The DuckDB replay of operators.code.call_mention_structs: scrub
+    attribute calls globally, then extract call sites."""
+    from .operators.code import ATTR_CALL_SCRUB, CALL_SITE_PATTERN
 
-    return "'" + CALL_PATTERN.replace("'", "''") + "'"
+    scrub = ATTR_CALL_SCRUB.replace("'", "''")
+    site = CALL_SITE_PATTERN.replace("'", "''")
+    return (
+        f"regexp_extract_all(regexp_replace(content, '{scrub}', '.(', 'g'),"
+        f" '{site}', 1)"
+    )
 
 
 # the source-contract table with CALL SITES planted after the planted
@@ -4026,8 +4083,7 @@ _SRC_CALL_FILES_SQL = f"""
     "src_call_graph",
     f"""WITH files AS ({_SRC_CALL_FILES_SQL}),
         m AS (SELECT repo, path,
-                     unnest(regexp_extract_all(content,
-                            {_call_pattern_sql()}, 2)) AS name
+                     unnest({_call_mentions_sql()}) AS name
               FROM files),
         mk AS (SELECT repo, path, name, count(*) AS n_m FROM m
                WHERE name NOT IN ({_call_stop_sql()})
@@ -4064,6 +4120,90 @@ def src_call_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.code import call_graph_edges
 
     return call_graph_edges(_src_files(spark, sf_dir, calls=True))
+
+
+@_q(
+    "src_resolve_imports_deep",
+    f"""WITH files AS (
+          SELECT 'r' || CAST(doc_id % 40 AS VARCHAR) AS repo,
+                 CASE WHEN doc_id % 10 = 0
+                      THEN 'src/mod' || CAST(doc_id % 50 AS VARCHAR) || '.py'
+                      ELSE 'src/f' || CAST(doc_id AS VARCHAR) || '.py'
+                 END AS path,
+                 {_SRC_CONTENT_SQL}
+                   || chr(10) || 'import src.mod'
+                   || CAST(doc_id % 50 AS VARCHAR) AS content
+          FROM documents),
+        ipats(kind, pat) AS (VALUES {_import_pats_values()}),
+        imports AS (SELECT repo, path, kind,
+                           unnest(regexp_extract_all(content, pat, 1))
+                             AS module
+                    FROM files CROSS JOIN ipats),
+        dmods AS (SELECT DISTINCT repo, kind, module FROM imports),
+        cands AS (
+          SELECT repo, kind, module, 0 AS prio,
+                 CASE WHEN kind NOT IN ('c_include', 'js_require',
+                                        'js_import')
+                       AND len(string_split(module, '.')) >= 2
+                      THEN string_split(module, '.')[-2] || '.'
+                             || string_split(module, '.')[-1] END AS mkey
+          FROM dmods
+          UNION ALL
+          SELECT repo, kind, module, 1,
+                 CASE WHEN kind IN ('c_include', 'js_require', 'js_import')
+                      THEN regexp_replace(
+                             list_extract(string_split(module, '/'), -1),
+                             '\\.[A-Za-z0-9]+$', '')
+                      ELSE string_split(module, '.')[1] END
+          FROM dmods),
+        rkeys AS (
+          SELECT repo, path,
+                 regexp_replace(
+                   list_extract(string_split(path, '/'), -1),
+                   '\\.[A-Za-z0-9]+$', '') AS mkey
+          FROM files
+          UNION ALL
+          SELECT repo, path,
+                 string_split(path, '/')[-2] || '.'
+                   || regexp_replace(
+                        list_extract(string_split(path, '/'), -1),
+                        '\\.[A-Za-z0-9]+$', '')
+          FROM files WHERE len(string_split(path, '/')) >= 2),
+        registry AS (SELECT repo, mkey, min(path) AS def_path
+                     FROM rkeys
+                     WHERE mkey IS NOT NULL AND mkey <> ''
+                     GROUP BY repo, mkey),
+        best AS (SELECT repo, kind, module,
+                        first(def_path ORDER BY prio, def_path)
+                          AS def_path,
+                        first(prio ORDER BY prio, def_path) AS prio
+                 FROM cands JOIN registry USING (repo, mkey)
+                 GROUP BY repo, kind, module)
+       SELECT 'src:' || repo || '/' || path AS subj,
+              'code:dependsOn' AS pred,
+              CASE WHEN def_path IS NOT NULL
+                   THEN 'src:' || repo || '/' || def_path
+                   ELSE 'ext:' || module END AS obj_value,
+              kind,
+              def_path IS NOT NULL AS resolved,
+              CAST(CASE WHEN prio = 0 THEN 2
+                        WHEN prio = 1 THEN 1
+                        ELSE 0 END AS INT) AS depth
+       FROM imports LEFT JOIN best USING (repo, kind, module)""",
+)
+def src_resolve_imports_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path-aware entity linking (operators/code.py:
+    resolve_import_edges_deep): dotted imports try a two-level
+    (parent dir).(basename) registry key before the top-level/basename
+    fallback — `import src.modK` binds to `src/modK.py` when the repo
+    holds it, else falls through to ext:. Candidate-explode +
+    min(struct(prio, def_path)) winner per import occurrence; the
+    oracle replays the winner per distinct (repo, kind, module), which
+    is equivalent because candidates are a pure function of those
+    columns."""
+    from .operators.code import resolve_import_edges_deep
+
+    return resolve_import_edges_deep(_src_files(spark, sf_dir, deep=True))
 
 
 @_q(

@@ -222,6 +222,98 @@ def test_call_graph_edges_semantics(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_resolve_import_edges_deep_semantics(spark):
+    """Two-level resolution order: `import pkg.mod` binds to
+    **/pkg/mod.py via the (parent).(basename) key (depth 2); a bare
+    `import mod` still binds via the basename rule (depth 1); a dotted
+    module with neither key goes ext: (depth 0); path-shaped includes
+    use only the basename rule."""
+    from fcrepo3_rdf_extractor_spark.operators.code import (
+        resolve_import_edges_deep,
+    )
+
+    files = spark.createDataFrame(
+        [
+            ("r1", "src/pkg/mod.py", "def f(x):\n    return x\n"),
+            ("r1", "lib/other.py", "# empty\n"),
+            (
+                "r1",
+                "app.py",
+                "import pkg.mod\nimport mod\nimport pkg.other\n"
+                "import missing\n",
+            ),
+            ("r1", "main.c", '#include "deep/other.h"\n'),
+        ],
+        "repo string, path string, content string",
+    )
+    got = sorted(
+        (r.subj, r.obj_value, r.resolved, r.depth)
+        for r in resolve_import_edges_deep(files).collect()
+    )
+    assert got == sorted(
+        [
+            ("src:r1/app.py", "src:r1/src/pkg/mod.py", True, 2),
+            # `import mod` has no two-level key; basename 'mod' wins
+            ("src:r1/app.py", "src:r1/src/pkg/mod.py", True, 1),
+            ("src:r1/app.py", "ext:pkg.other", False, 0),
+            ("src:r1/app.py", "ext:missing", False, 0),
+            # include resolves by basename only (pathish kind)
+            ("src:r1/main.c", "src:r1/lib/other.py", True, 1),
+        ]
+    )
+    """Exact-content entity linking end-to-end: vendored copies alias
+    to the lexicographic-min holder, and canonicalize() rewrites the
+    code KG through the broadcast dictionary — the copy's node and
+    every dependsOn edge pointing at it collapse onto the canonical
+    file; literals are untouched."""
+    from fcrepo3_rdf_extractor_spark.operators.canonicalize import (
+        canonicalize,
+    )
+    from fcrepo3_rdf_extractor_spark.operators.code import (
+        content_alias_table,
+    )
+
+    vend = "def dep_fn(x):\n    return x\n"
+    files = spark.createDataFrame(
+        [
+            ("r1", "vendor/dep.py", "c1", "py", vend),
+            ("r2", "lib/dep.py", "c1", "py", vend),
+            ("r2", "app.py", "c1", "py", "import dep\n"),
+        ],
+        FILES_SCHEMA,
+    )
+    aliases = content_alias_table(files)
+    assert [tuple(r) for r in aliases.collect()] == [
+        ("src:r2/lib/dep.py", "src:r1/vendor/dep.py")
+    ]
+    canon = canonicalize(code_kg_plan(files), aliases)
+    # the copy's node is gone from every URI position
+    assert (
+        canon.filter(
+            (F.col("subj") == "src:r2/lib/dep.py")
+            | (
+                (F.col("obj_value") == "src:r2/lib/dep.py")
+                & ~F.col("obj_is_literal")
+            )
+        ).count()
+        == 0
+    )
+    # app.py's resolved dependsOn edge lands on the canonical node
+    dep = canon.filter(
+        (F.col("subj") == "src:r2/app.py")
+        & (F.col("pred") == "code:dependsOn")
+    ).collect()
+    assert [r.obj_value for r in dep] == ["src:r1/vendor/dep.py"]
+    # literals (e.g. the copy's code:path value) are never rewritten
+    assert (
+        canon.filter(
+            (F.col("subj") == "src:r1/vendor/dep.py")
+            & (F.col("pred") == "code:path")
+        ).count()
+        == 2  # both the canonical file's and the collapsed copy's path
+    )
+
+
 def test_code_kg_wave_equals_oneshot(spark, tmp_path):
     """run_resumable with the code-KG plan_fn over 4 chunks / 2 waves,
     resolving against the FULL corpus, must equal the one-shot plan's
