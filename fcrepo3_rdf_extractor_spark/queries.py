@@ -4068,6 +4068,8 @@ _SRC_CALL_FILES_SQL = f"""
            CASE WHEN doc_id % 10 = 0
                 THEN 'src/mod' || CAST(doc_id % 50 AS VARCHAR) || '.py'
                 ELSE 'src/f' || CAST(doc_id AS VARCHAR) || '.py' END AS path,
+           'c' || CAST(doc_id % 3 AS VARCHAR) AS commit,
+           'py' AS lang,
            {_SRC_CONTENT_SQL}
              || chr(10) || '    return fn'
              || CAST((doc_id + 1) % 9 AS VARCHAR) || '(x)'
@@ -4120,6 +4122,170 @@ def src_call_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.code import call_graph_edges
 
     return call_graph_edges(_src_files(spark, sf_dir, calls=True))
+
+
+_XSD_BOOL = "http://www.w3.org/2001/XMLSchema#boolean"
+
+# DuckDB replays of the pipeline's annotation expressions (clone key
+# normalization chain and The Stack-style license detection), over a
+# column named `content`
+_CLONE_KEY_SQL = (
+    r"md5(trim(regexp_replace(regexp_replace(regexp_replace("
+    r"regexp_replace(regexp_replace(content, '(?s)/\*.*?\*/', ' ', 'g'),"
+    r" '(?m)(//|#)[^\n]*', ' ', 'g'), '[A-Za-z_][A-Za-z0-9_]*', 'v', 'g'),"
+    r" '[0-9]+(\.[0-9]+)?', '0', 'g'), '\s+', ' ', 'g')))"
+)
+_LICENSE_SQL = r"""coalesce(
+    nullif(regexp_extract(content,
+      'SPDX-License-Identifier:\s*([A-Za-z0-9.+\-]+)', 1), ''),
+    CASE
+      WHEN contains(lower(content), 'permission is hereby granted')
+        THEN 'MIT'
+      WHEN contains(lower(content), 'apache license')
+           AND contains(lower(content), 'version 2.0')
+        THEN 'Apache-2.0'
+      WHEN contains(lower(content), 'gnu general public license')
+        THEN 'GPL-3.0-only'
+      WHEN contains(lower(content),
+           'redistribution and use in source and binary forms')
+        THEN 'BSD-3-Clause'
+    END)"""
+
+
+@_q(
+    "src_code_kg_full",
+    rf"""WITH files AS ({_SRC_CALL_FILES_SQL}),
+        furi AS (SELECT repo, path, "commit", lang, content,
+                        'src:' || repo || '/' || path AS f,
+                        {_LICENSE_SQL} AS license
+                 FROM files),
+        consts AS (
+          SELECT f AS subj, 'code:repo' AS pred, repo AS obj_value,
+                 TRUE AS obj_is_literal, CAST(NULL AS VARCHAR) AS dt
+          FROM furi
+          UNION ALL SELECT f, 'code:path', path, TRUE, NULL FROM furi
+          UNION ALL SELECT f, 'code:commit', "commit", TRUE, NULL FROM furi
+          UNION ALL SELECT f, 'code:sha256', sha256(content), TRUE, NULL
+                    FROM furi
+          UNION ALL SELECT f, 'code:lang', lang, TRUE, NULL FROM furi
+          UNION ALL SELECT f, 'code:license', license, TRUE, NULL
+                    FROM furi WHERE license IS NOT NULL
+          UNION ALL SELECT f, 'code:permissive',
+                    CASE WHEN license IN ('MIT', 'Apache-2.0',
+                                          'BSD-3-Clause', 'ISC',
+                                          'Unlicense')
+                         THEN 'true' ELSE 'false' END,
+                    TRUE, '{_XSD_BOOL}' FROM furi
+          UNION ALL SELECT f, 'code:cloneKey', {_CLONE_KEY_SQL}, TRUE,
+                    NULL FROM furi),
+        dpats(kind, pat) AS (VALUES {_def_pats_values()}),
+        dhits AS (SELECT repo, path, f, kind,
+                         unnest(regexp_extract_all(content, pat, 1))
+                           AS name
+                  FROM furi CROSS JOIN dpats),
+        dsym AS (SELECT f, name, kind,
+                        'sym:' || repo || '/' || path || '#' || name AS s
+                 FROM dhits),
+        deftr AS (
+          SELECT f AS subj, 'code:defines' AS pred, s AS obj_value,
+                 FALSE AS obj_is_literal, CAST(NULL AS VARCHAR) AS dt
+          FROM dsym
+          UNION ALL SELECT s, 'code:name', name, TRUE, NULL FROM dsym
+          UNION ALL SELECT s, 'code:kind', kind, TRUE, NULL FROM dsym),
+        ipats(kind, pat) AS (VALUES {_import_pats_values()}),
+        imports AS (SELECT repo, path, f, kind,
+                           unnest(regexp_extract_all(content, pat, 1))
+                             AS module
+                    FROM furi CROSS JOIN ipats),
+        keyed AS (SELECT repo, f, kind, module,
+                    CASE WHEN kind IN ('c_include','js_require','js_import')
+                         THEN regexp_replace(
+                                list_extract(string_split(module, '/'), -1),
+                                '\.[A-Za-z0-9]+$', '')
+                         ELSE string_split(module, '.')[1] END AS mkey
+                  FROM imports),
+        registry AS (SELECT repo, mkey, min(path) AS def_path
+                     FROM (SELECT repo,
+                                  regexp_replace(
+                                    list_extract(string_split(path, '/'), -1),
+                                    '\.[A-Za-z0-9]+$', '') AS mkey,
+                                  path
+                           FROM files)
+                     WHERE mkey <> '' GROUP BY repo, mkey),
+        imptr AS (
+          SELECT f AS subj, 'code:imports' AS pred, module AS obj_value,
+                 TRUE AS obj_is_literal, CAST(NULL AS VARCHAR) AS dt
+          FROM imports
+          UNION ALL
+          SELECT f, 'code:dependsOn',
+                 CASE WHEN def_path IS NOT NULL
+                      THEN 'src:' || repo || '/' || def_path
+                      ELSE 'ext:' || module END,
+                 FALSE, NULL
+          FROM keyed LEFT JOIN registry USING (repo, mkey)),
+        cmention AS (SELECT repo, path,
+                            unnest({_call_mentions_sql()}) AS name
+                     FROM furi),
+        mk AS (SELECT repo, path, name, count(*) AS n_m FROM cmention
+               WHERE name NOT IN ({_call_stop_sql()})
+               GROUP BY repo, path, name),
+        dk AS (SELECT repo, path, name, count(*) AS n_d FROM dhits
+               GROUP BY repo, path, name),
+        calls AS (SELECT repo, path, name
+                  FROM mk LEFT JOIN dk USING (repo, path, name)
+                  WHERE n_m - COALESCE(n_d, 0) > 0),
+        creg AS (SELECT repo, name, min(path) AS def_path
+                 FROM dhits GROUP BY repo, name
+                 HAVING count(DISTINCT path) <= 100),
+        calltr AS (SELECT 'src:' || repo || '/' || path AS subj,
+                          'code:calls' AS pred,
+                          'sym:' || repo || '/' || def_path || '#' || name
+                            AS obj_value,
+                          FALSE AS obj_is_literal,
+                          CAST(NULL AS VARCHAR) AS dt
+                   FROM calls JOIN creg USING (repo, name)),
+        spread AS (SELECT sha256(content) AS h,
+                          count(DISTINCT repo) > 1 AS v
+                   FROM files GROUP BY sha256(content)),
+        vendtr AS (SELECT f AS subj, 'code:vendored' AS pred,
+                          CASE WHEN v THEN 'true' ELSE 'false' END
+                            AS obj_value,
+                          TRUE AS obj_is_literal,
+                          '{_XSD_BOOL}' AS dt
+                   FROM furi JOIN spread ON sha256(furi.content) = spread.h)
+       SELECT DISTINCT '#code' AS graph, subj, pred, obj_value,
+              obj_is_literal, dt AS obj_datatype,
+              CAST(NULL AS VARCHAR) AS obj_lang
+       FROM (SELECT * FROM consts
+             UNION ALL SELECT * FROM deftr
+             UNION ALL SELECT * FROM imptr
+             UNION ALL SELECT * FROM calltr
+             UNION ALL SELECT * FROM vendtr)""",
+)
+def src_code_kg_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The code-KG plan with EVERY optional branch on (calls, vendored,
+    license, clone keys) — the full production configuration of
+    jobs/code_kg.py, driver-verified as one oracled quad set: constants
+    incl. lineage sha and The Stack-style license/permissive verdicts,
+    type-2 clone keys, definition symbol nodes, raw+linked import
+    edges, netted call edges, and cross-repo vendored flags, deduped at
+    the output layer. Content passes stay branch-local (constants+defs,
+    imports, calls netting, corpus registry, vendored hashing); no
+    Python anywhere."""
+    from .plans.code_pipeline import CodeKgConfig, code_kg_plan
+
+    cfg = CodeKgConfig(
+        calls=True, vendored=True, license=True, clone_keys=True
+    )
+    return code_kg_plan(_src_files(spark, sf_dir, calls=True), cfg).select(
+        "graph",
+        "subj",
+        "pred",
+        "obj_value",
+        "obj_is_literal",
+        "obj_datatype",
+        "obj_lang",
+    )
 
 
 @_q(

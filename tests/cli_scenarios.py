@@ -507,6 +507,7 @@ def code_kg_end_to_end(spark, base: Path) -> dict:
     run_args = [
         "--source", src, "--out", out, "--checkpoint", cp,
         "--nquads-out", nq, "--num-chunks", "4", "--local", "2",
+        "--calls", "--vendored",
     ]
     fresh = _run_job("code_kg.py", run_args)
     resume = _run_job("code_kg.py", run_args)

@@ -389,6 +389,9 @@ def test_code_kg_cli_end_to_end(spark, cli_results):
     assert s1["n_files"] == 3 and s1["n_defines"] == 2
     assert s1["n_imports"] == 3 and s1["n_depends"] == 3
     assert s1["resolved_frac"] == pytest.approx(1 / 3)
+    # --calls on a corpus whose only mentions are definition headers
+    # nets to zero; --vendored adds one false flag per (unique) file
+    assert s1["n_calls"] == 0
     assert resume["rc"] == 0
     s2 = resume["summary"]
     assert s2["chunks_run"] == 0 and s2["n_triples"] == s1["n_triples"]
