@@ -294,17 +294,23 @@ def kg_graph_predicate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pagerank_oracle(n_iter: int = 3, damping: float = 0.85) -> str:
+def _pagerank_oracle(
+    n_iter: int = 3, damping: float = 0.85, edges_sql: str | None = None
+) -> str:
     """Unroll the exact PageRank recurrence operators.graph.pagerank
-    runs, one CTE block per iteration, over the part->supplier edge
-    projection of lineitem. The damping complement is injected as the
-    Python double's repr so both engines add the identical teleport
+    runs, one CTE block per iteration, over ``edges_sql`` (any SELECT
+    producing distinct (src, dst) rows; default: the part->supplier
+    edge projection of lineitem). The damping complement is injected as
+    the Python double's repr so both engines add the identical teleport
     constant (DuckDB would otherwise evaluate 1 - 0.85 in decimal)."""
     d = repr(float(damping))
     omd = repr(1.0 - float(damping))
+    edges_sql = edges_sql or (
+        "SELECT DISTINCT 'p' || l_partkey AS src,\n"
+        "                's' || l_suppkey AS dst FROM lineitem"
+    )
     parts = [
-        """WITH edges AS (SELECT DISTINCT 'p' || l_partkey AS src,
-                                  's' || l_suppkey AS dst FROM lineitem),
+        f"""WITH edges AS ({edges_sql}),
  nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
  deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM edges GROUP BY src),
  nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
@@ -4122,6 +4128,125 @@ def src_call_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.code import call_graph_edges
 
     return call_graph_edges(_src_files(spark, sf_dir, calls=True))
+
+
+# resolved file->file dependency edges over the synthesized contract
+# table, as a plain SELECT (nested subqueries, no CTEs) so it can slot
+# into _pagerank_oracle's `WITH edges AS (...)`
+_SRC_DEP_EDGES_SQL = f"""
+    SELECT DISTINCT 'src:' || k.repo || '/' || k.path AS src,
+           'src:' || k.repo || '/' || reg.def_path AS dst
+    FROM (SELECT repo, path,
+                 CASE WHEN kind IN ('c_include', 'js_require', 'js_import')
+                      THEN regexp_replace(
+                             list_extract(string_split(module, '/'), -1),
+                             '\\.[A-Za-z0-9]+$', '')
+                      ELSE string_split(module, '.')[1] END AS mkey
+          FROM (SELECT repo, path, kind,
+                       unnest(regexp_extract_all(content, pat, 1)) AS module
+                FROM ({_SRC_FILES_SQL}) files
+                CROSS JOIN (VALUES {_import_pats_values()}) pats(kind, pat)
+               ) i) k
+    JOIN (SELECT repo, mkey, min(path) AS def_path
+          FROM (SELECT repo,
+                       regexp_replace(
+                         list_extract(string_split(path, '/'), -1),
+                         '\\.[A-Za-z0-9]+$', '') AS mkey,
+                       path
+                FROM ({_SRC_FILES_SQL}) f2) rk
+          WHERE mkey <> '' GROUP BY repo, mkey) reg
+      ON k.repo = reg.repo AND k.mkey = reg.mkey
+"""
+
+
+@_q(
+    "src_module_pagerank",
+    _pagerank_oracle(3, 0.85, edges_sql=_SRC_DEP_EDGES_SQL),
+)
+def src_module_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Module centrality over the code KG: fixed-iteration PageRank on
+    the resolved file->file dependency edges (operators/graph.py:
+    pagerank over operators/code.py:resolve_import_edges) — the
+    down-weight-popular-vendored-hubs signal a code-corpus curation
+    pipeline ranks by. Oracled by the same unrolled-recurrence CTE
+    chain as graph_pagerank, instantiated over the dependency edges."""
+    from .operators.code import resolve_import_edges
+    from .operators.graph import pagerank
+
+    edges = (
+        resolve_import_edges(_src_files(spark, sf_dir))
+        .filter(F.col("resolved"))
+        .select(F.col("subj").alias("src"), F.col("obj_value").alias("dst"))
+        .distinct()
+    )
+    return pagerank(edges, n_iter=3, damping=0.85).select(
+        "node", F.round("rank", 9).alias("rank")
+    )
+
+
+@_q(
+    "src_call_closure",
+    rf"""WITH RECURSIVE files AS ({_SRC_CALL_FILES_SQL}),
+        cmention AS (SELECT repo, path,
+                            unnest({_call_mentions_sql()}) AS name
+                     FROM files),
+        mk AS (SELECT repo, path, name, count(*) AS n_m FROM cmention
+               WHERE name NOT IN ({_call_stop_sql()})
+               GROUP BY repo, path, name),
+        dpats(kind, pat) AS (VALUES {_def_pats_values()}),
+        dhits AS (SELECT repo, path,
+                         unnest(regexp_extract_all(content, pat, 1))
+                           AS name
+                  FROM files CROSS JOIN dpats),
+        dk AS (SELECT repo, path, name, count(*) AS n_d FROM dhits
+               GROUP BY repo, path, name),
+        calls AS (SELECT repo, path, name
+                  FROM mk LEFT JOIN dk USING (repo, path, name)
+                  WHERE n_m - COALESCE(n_d, 0) > 0),
+        creg AS (SELECT repo, name, min(path) AS def_path
+                 FROM dhits GROUP BY repo, name
+                 HAVING count(DISTINCT path) <= 100),
+        e AS (SELECT DISTINCT 'src:' || repo || '/' || path AS src,
+                     'src:' || repo || '/' || def_path AS dst
+              FROM calls JOIN creg USING (repo, name)
+              WHERE path <> def_path),
+        r AS (SELECT src AS u, dst AS v, 1 AS depth FROM e
+              UNION
+              SELECT r.u, e.dst, r.depth + 1
+              FROM r JOIN e ON r.v = e.src WHERE r.depth < 25)
+       SELECT u AS src, v AS dst, CAST(min(depth) AS BIGINT) AS depth
+       FROM r GROUP BY u, v""",
+)
+def src_call_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reachability over the call graph: shortest-hop transitive
+    closure (semi-naive frontier, operators/graph.py:
+    transitive_closure) of the file->defining-file call edges — "what
+    does this file transitively invoke", the impact-analysis query of
+    a code KG. The synthesized call chains cycle through the per-repo
+    symbol owners (fn<k> calls fn<k+1 mod 9>), so cycle safety and
+    shortest-depth semantics are genuinely exercised. The oracle's
+    recursive CTE carries a depth column, which diverges on cycles, so
+    it is bounded at depth < 25 — safe because every shortest path
+    stays within a repo's <= ~15 symbol-owner files plus one entry
+    hop, independent of scale factor."""
+    from .operators.code import call_graph_edges
+    from .operators.graph import transitive_closure
+
+    cg = call_graph_edges(_src_files(spark, sf_dir, calls=True))
+    e = (
+        cg.select(
+            F.col("subj").alias("src"),
+            F.concat(
+                F.lit("src:"),
+                F.regexp_extract(F.col("obj_value"), r"^sym:(.*)#", 1),
+            ).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return transitive_closure(e).select(
+        "src", "dst", F.col("depth").cast("long").alias("depth")
+    )
 
 
 _XSD_BOOL = "http://www.w3.org/2001/XMLSchema#boolean"
