@@ -355,6 +355,250 @@ def _vendored_branch(
     )
 
 
+#: Per-document staging rows (netted call mentions) live in the state
+#: table alongside real quads so ONE table is the whole refresh state;
+#: they are filtered out of every exported/assembled KG.
+STAGING_PRED = "code:_callMention"
+
+
+def code_kg_state(files: DataFrame, config: CodeKgConfig) -> DataFrame:
+    """The per-document LOCAL layer: every row derivable from a file
+    ALONE — constants/definitions/annotation quads, ``code:imports``
+    quads carrying their match ``kind`` (the resolution join needs it),
+    and, with ``config.calls``, ``code:_callMention`` staging rows (one
+    per netted callee name). Schema = quad + lineage + ``kind``.
+
+    This is the sound unit of incremental reuse: corpus-DEPENDENT
+    triples (dependsOn, calls, vendored) are deliberately absent —
+    an unchanged file's dependsOn edge can change when ANOTHER file
+    starts or stops defining the module, so those edges must be
+    re-assembled from the corpus state every refresh
+    (:func:`code_kg_from_state`), never reused per-document."""
+    null_s = F.lit(None).cast("string")
+    local = _constants_branch(files, config).withColumn("kind", null_s)
+    imp = files.select(
+        "repo",
+        "path",
+        "commit",
+        F.sha2(F.col("content"), 256).alias("content_sha256"),
+        F.explode(
+            _tagged_matches(F.col("content"), IMPORT_PATTERNS)
+        ).alias("_e"),
+    )
+    furi = _file_uri()
+    imp_rows = imp.select(
+        F.lit(config.graph).alias("graph"),
+        furi.alias("subj"),
+        F.lit("code:imports").alias("pred"),
+        F.col("_e.name").alias("obj_value"),
+        F.lit(True).alias("obj_is_literal"),
+        null_s.alias("obj_datatype"),
+        null_s.alias("obj_lang"),
+        *LINEAGE,
+        F.col("_e.kind").alias("kind"),
+    )
+    state = local.unionByName(imp_rows)
+    if config.calls:
+        mentions = call_mention_structs(F.col("content"))
+        defs = F.transform(
+            _tagged_matches(F.col("content"), DEF_PATTERNS),
+            lambda m: F.struct(
+                F.lit(-1).alias("d"), m["name"].alias("name")
+            ),
+        )
+        netted = (
+            files.select(
+                "repo",
+                "path",
+                "commit",
+                F.sha2(F.col("content"), 256).alias("content_sha256"),
+                F.explode(F.concat(mentions, defs)).alias("_e"),
+            )
+            .groupBy(*LINEAGE, F.col("_e.name").alias("_name"))
+            .agg(F.sum("_e.d").alias("_n"))
+            .filter(F.col("_n") > 0)
+        )
+        mention_rows = netted.select(
+            F.lit(config.graph).alias("graph"),
+            furi.alias("subj"),
+            F.lit(STAGING_PRED).alias("pred"),
+            F.col("_name").alias("obj_value"),
+            F.lit(True).alias("obj_is_literal"),
+            null_s.alias("obj_datatype"),
+            null_s.alias("obj_lang"),
+            *LINEAGE,
+            null_s.alias("kind"),
+        )
+        state = state.unionByName(mention_rows)
+    return state
+
+
+def code_kg_from_state(
+    state: DataFrame, cur_ids: DataFrame, config: CodeKgConfig
+) -> DataFrame:
+    """Assemble the FULL knowledge graph from the per-document state
+    plus the current identity table (repo, path, commit,
+    content_sha256) — zero content reads:
+
+    - module registry from ``cur_ids`` paths (narrow columns only)
+    - ``code:dependsOn`` = stored import rows ⋈ registry (kind-aware)
+    - ``code:calls`` = stored mention staging rows ⋈ the defs registry
+      recovered from the stored ``code:defines`` triples (callee name =
+      the sym URI fragment; defining path = the row's own lineage)
+    - ``code:vendored`` = the identity table's sha spread
+
+    ``code_kg_from_state(code_kg_state(files, c), ids(files), c)`` is
+    row-identical to ``code_kg_plan(files, c)`` (pytest-pinned), so the
+    incremental path can never drift from the one-shot plan."""
+    quads = state.filter(F.col("pred") != STAGING_PRED).drop("kind")
+    registry = module_registry(cur_ids).withColumnRenamed("_repo", "repo")
+    imports = state.filter(F.col("pred") == "code:imports")
+    out = quads
+    if config.resolve:
+        linked = imports.withColumn(
+            "_mkey", _module_key(F.col("obj_value"), F.col("kind"))
+        ).join(registry, ["repo", "_mkey"], "left")
+        depends = linked.select(
+            F.col("graph"),
+            F.col("subj"),
+            F.lit("code:dependsOn").alias("pred"),
+            F.when(
+                F.col("_def_path").isNotNull(),
+                F.concat(
+                    F.lit("src:"),
+                    F.col("repo"),
+                    F.lit("/"),
+                    F.col("_def_path"),
+                ),
+            )
+            .otherwise(F.concat(F.lit("ext:"), F.col("obj_value")))
+            .alias("obj_value"),
+            F.lit(False).alias("obj_is_literal"),
+            F.lit(None).cast("string").alias("obj_datatype"),
+            F.lit(None).cast("string").alias("obj_lang"),
+            *LINEAGE,
+        )
+        out = out.unionByName(depends)
+    if config.calls:
+        defsreg = (
+            state.filter(F.col("pred") == "code:defines")
+            .select(
+                "repo",
+                F.substring_index("obj_value", "#", -1).alias("_name"),
+                F.col("path").alias("_dpath"),
+            )
+            .groupBy("repo", "_name")
+            .agg(
+                F.min("_dpath").alias("_def_path"),
+                F.countDistinct("_dpath").alias("_nc"),
+            )
+            .filter(F.col("_nc") <= config.max_def)
+            .drop("_nc")
+        )
+        calls = (
+            state.filter(F.col("pred") == STAGING_PRED)
+            .withColumnRenamed("obj_value", "_name")
+            .join(defsreg, ["repo", "_name"])
+            .select(
+                F.col("graph"),
+                F.col("subj"),
+                F.lit("code:calls").alias("pred"),
+                F.concat(
+                    F.lit("sym:"),
+                    F.col("repo"),
+                    F.lit("/"),
+                    F.col("_def_path"),
+                    F.lit("#"),
+                    F.col("_name"),
+                ).alias("obj_value"),
+                F.lit(False).alias("obj_is_literal"),
+                F.lit(None).cast("string").alias("obj_datatype"),
+                F.lit(None).cast("string").alias("obj_lang"),
+                *LINEAGE,
+            )
+        )
+        out = out.unionByName(calls)
+    if config.vendored:
+        spread = cur_ids.groupBy("content_sha256").agg(
+            (F.countDistinct("repo") > 1).alias("_vend")
+        )
+        vend = cur_ids.join(spread, "content_sha256").select(
+            F.lit(config.graph).alias("graph"),
+            _file_uri().alias("subj"),
+            F.lit("code:vendored").alias("pred"),
+            F.when(F.col("_vend"), "true").otherwise("false").alias(
+                "obj_value"
+            ),
+            F.lit(True).alias("obj_is_literal"),
+            F.lit(XSD_BOOLEAN).alias("obj_datatype"),
+            F.lit(None).cast("string").alias("obj_lang"),
+            *LINEAGE,
+        )
+        out = out.unionByName(vend)
+    # match code_kg_plan's column order so stored one-shot/incremental
+    # tables are interchangeable
+    out = out.select(
+        "graph", "subj", "pred", "obj_value", "obj_is_literal",
+        "obj_datatype", "obj_lang", *LINEAGE,
+    )
+    if config.dedup:
+        out = dedup_exact(out, key=TRIPLE_KEY)
+    return out
+
+
+@dataclass
+class CodeIncrementalPlan:
+    changed: DataFrame  # source rows that must re-scan content
+    reused: DataFrame   # prior per-doc state rows still live
+    state: DataFrame    # reused ∪ fresh — the next refresh's --previous
+    output: DataFrame   # the assembled full KG
+
+
+def code_kg_incremental(
+    source: DataFrame,
+    previous_state: DataFrame,
+    config: CodeKgConfig | None = None,
+) -> CodeIncrementalPlan:
+    """Code-KG refresh without re-scanning the world: files whose
+    (repo, path, commit, content_sha256) identity already exists in the
+    prior per-document STATE reuse their local rows; only new/changed
+    files pay the content regex passes; deleted files drop out via the
+    semi-join. The corpus-dependent edge layers are then re-assembled
+    from the (narrow) state — so an UNCHANGED file's dependsOn edge
+    correctly flips when another file starts/stops defining its module,
+    the case per-document reuse of edges would get wrong. Same
+    4-column-identity semi/anti-join shape as the FOXML
+    ``extract_incremental`` (pipeline.py).
+
+    ``config`` must match the config the previous state was built with
+    (flag set and graph): a state built without ``calls`` carries no
+    mention staging rows, so flipping ``calls`` on mid-chain silently
+    under-produces — rebuild fresh when changing flags."""
+    config = config or CodeKgConfig()
+    ident = ["repo", "path", "commit", "content_sha256"]
+    cur_ids = source.select(
+        "repo",
+        "path",
+        "commit",
+        F.sha2(F.col("content"), 256).alias("content_sha256"),
+    ).distinct()
+    prev_ids = previous_state.select(*ident).distinct()
+    changed = (
+        source.withColumn("content_sha256", F.sha2(F.col("content"), 256))
+        .join(prev_ids, ident, "left_anti")
+        .drop("content_sha256")
+    )
+    fresh = code_kg_state(changed, config)
+    reused = previous_state.select(*fresh.columns).join(
+        cur_ids, ident, "left_semi"
+    )
+    state = reused.unionByName(fresh)
+    output = code_kg_from_state(state, cur_ids, config)
+    return CodeIncrementalPlan(
+        changed=changed, reused=reused, state=state, output=output
+    )
+
+
 def code_kg_plan(
     files: DataFrame,
     config: CodeKgConfig | None = None,

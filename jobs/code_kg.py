@@ -81,6 +81,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="emit code:cloneKey type-2 clone hashes")
     ap.add_argument("--checkpoint", default=None,
                     help="chunk-manifest dir; enables resumable mode")
+    ap.add_argument("--previous", default=None,
+                    help="prior incremental-run state table (--out of a "
+                         "--previous run); enables incremental refresh — "
+                         "unchanged files reuse their stored local rows, "
+                         "corpus-dependent edges re-assemble from state. "
+                         "A nonexistent path bootstraps an empty state.")
     ap.add_argument("--num-chunks", type=int, default=64)
     ap.add_argument("--buckets", type=int, default=256,
                     help="subject-hash buckets for the triple table layout")
@@ -122,8 +128,64 @@ def main(argv: list[str] | None = None) -> int:
         subject_buckets=args.buckets,
     )
 
+    def write_layout_marker(out_dir: str, layout: str) -> None:
+        try:
+            with open(os.path.join(out_dir, "_LAYOUT.json"), "w") as fh:
+                json.dump({"layout": layout}, fh)
+        except OSError:
+            pass
+
+    def read_layout_marker(out_dir: str) -> str | None:
+        try:
+            with open(os.path.join(out_dir, "_LAYOUT.json")) as fh:
+                return json.load(fh).get("layout")
+        except (OSError, ValueError):
+            return None
+
     summary: dict = {"out": args.out}
-    if args.checkpoint:
+    if args.previous and args.checkpoint:
+        print("error: --previous (incremental) and --checkpoint "
+              "(resumable chunks) are separate modes; pick one",
+              file=sys.stderr)
+        spark.stop()
+        return 2
+    if args.previous:
+        from fcrepo3_rdf_extractor_spark.plans.code_pipeline import (
+            code_kg_from_state,
+            code_kg_incremental,
+            code_kg_state,
+        )
+
+        prev_layout = read_layout_marker(args.previous)
+        if prev_layout is not None and prev_layout != "code_state":
+            print(
+                f"error: --previous table has layout '{prev_layout}'; "
+                "code-KG incremental refresh requires a code_state table "
+                "(a prior incremental run's --out) — plan outputs lack "
+                "the kind column and call-mention staging rows",
+                file=sys.stderr,
+            )
+            spark.stop()
+            return 2
+        try:
+            prev = spark.read.parquet(args.previous)
+        except Exception:
+            # bootstrap: empty state with the right schema
+            prev = code_kg_state(source.limit(0), config)
+        plan = code_kg_incremental(source, prev, config)
+        summary["n_changed_files"] = plan.changed.count()
+        # materialize the STATE (the only valid --previous for the next
+        # refresh); the assembled output is derived for counts/export
+        plan.state.write.mode("overwrite").parquet(args.out)
+        write_layout_marker(args.out, "code_state")
+        summary["layout"] = "code_state"
+        stored = spark.read.parquet(args.out)
+        cur_ids = source.select(
+            "repo", "path", "commit",
+            F.sha2(F.col("content"), 256).alias("content_sha256"),
+        ).distinct()
+        triples = code_kg_from_state(stored, cur_ids, config)
+    elif args.checkpoint:
         # chunking/wave sizing rides the shared ExtractConfig; the plan
         # itself is the code-KG plan with the FULL source as the
         # resolution/vendored basis

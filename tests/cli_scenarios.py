@@ -516,8 +516,26 @@ def code_kg_end_to_end(spark, base: Path) -> dict:
         "--pattern", "?f code:defines ?s",
         "--select", "f", "--local", "2",
     ])
+    # incremental chain: bootstrap a state, then refresh with one NEW
+    # file that makes an unchanged importer's edge flip ext: -> src:
+    files2 = files + [
+        ("r2", "lib/util.py", "c2", "py",
+         "import os\ndef helper(x):\n    return x\n"),
+    ]
+    src2 = str(base / "files2")
+    spark.createDataFrame(
+        files2, "repo string, path string, commit string, lang string, "
+                "content string"
+    ).write.parquet(src2)
+    st1, st2 = str(base / "state1"), str(base / "state2")
+    inc1 = _run_job("code_kg.py", [
+        "--source", src, "--out", st1, "--previous", st1, "--local", "2",
+    ])
+    inc2 = _run_job("code_kg.py", [
+        "--source", src2, "--out", st2, "--previous", st1, "--local", "2",
+    ])
     return {"fresh": fresh, "resume": resume, "query": query,
-            "nquads_out": nq, "out": out}
+            "inc1": inc1, "inc2": inc2, "nquads_out": nq, "out": out}
 
 
 @scenario

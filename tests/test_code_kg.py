@@ -375,6 +375,98 @@ def test_code_kg_wave_equals_oneshot(spark, tmp_path):
     assert stats2["chunks_run"] == 0 and stats2["chunks_done_before"] == 4
 
 
+def test_code_kg_from_state_equals_plan(spark):
+    """The state/assembly decomposition can never drift from the
+    one-shot plan: code_kg_from_state(code_kg_state(files), ids(files))
+    is row-identical to code_kg_plan(files) at the full configuration,
+    with and without output dedup."""
+    from fcrepo3_rdf_extractor_spark.plans.code_pipeline import (
+        code_kg_from_state,
+        code_kg_state,
+    )
+
+    files = spark.createDataFrame(
+        [
+            ("r1", "src/util.py", "c1", "py", UTIL_PY),
+            ("r1", "src/app.py", "c1", "py", APP_PY),
+            ("r2", "lib/app.py", "c2", "py", "import util\nhelper(1)\n"),
+            ("r2", "lib/util.py", "c2", "py", UTIL_PY),  # vendored copy
+        ],
+        FILES_SCHEMA,
+    )
+    ids = files.select(
+        "repo",
+        "path",
+        "commit",
+        F.sha2(F.col("content"), 256).alias("content_sha256"),
+    )
+    for dedup in (True, False):
+        cfg = CodeKgConfig(
+            calls=True, vendored=True, license=True, clone_keys=True,
+            dedup=dedup,
+        )
+        assembled = code_kg_from_state(
+            code_kg_state(files, cfg), ids, cfg
+        )
+        plan = code_kg_plan(files, cfg)
+        assert sorted(map(tuple, assembled.collect())) == sorted(
+            map(tuple, plan.collect())
+        ), f"dedup={dedup}"
+
+
+def test_code_kg_incremental_refresh(spark):
+    """Incremental refresh: unchanged files never re-scan content, yet
+    corpus-dependent edges stay correct — adding a file that defines a
+    previously-external module flips the UNCHANGED importer's
+    dependsOn edge from ext: to src:, and the whole refreshed output
+    equals a one-shot run over the new corpus."""
+    from fcrepo3_rdf_extractor_spark.plans.code_pipeline import (
+        code_kg_incremental,
+        code_kg_plan,
+        code_kg_state,
+    )
+
+    cfg = CodeKgConfig(calls=True, vendored=True)
+    v1 = spark.createDataFrame(
+        [
+            ("r1", "app.py", "c1", "py", "import dep\ndef run(x):\n    return x\n"),
+            ("r1", "old.py", "c1", "py", "def gone(x):\n    return x\n"),
+        ],
+        FILES_SCHEMA,
+    )
+    state1 = code_kg_state(v1, cfg)
+    # v1's importer is unresolved
+    out1 = code_kg_plan(v1, cfg)
+    assert out1.filter(
+        (F.col("pred") == "code:dependsOn")
+        & (F.col("obj_value") == "ext:dep")
+    ).count() == 1
+    # v2: app.py unchanged; old.py deleted; dep.py NEW (defines module dep)
+    v2 = spark.createDataFrame(
+        [
+            ("r1", "app.py", "c1", "py", "import dep\ndef run(x):\n    return x\n"),
+            ("r1", "dep.py", "c1", "py", "def helper(x):\n    return x\n"),
+        ],
+        FILES_SCHEMA,
+    )
+    plan = code_kg_incremental(v2, state1, cfg)
+    assert plan.changed.count() == 1  # only dep.py scans content
+    assert plan.reused.filter(F.col("path") == "old.py").count() == 0
+    got = sorted(map(tuple, plan.output.collect()))
+    want = sorted(map(tuple, code_kg_plan(v2, cfg).collect()))
+    assert got == want
+    # the unchanged importer's edge flipped without re-scanning app.py
+    flipped = plan.output.filter(
+        (F.col("subj") == "src:r1/app.py")
+        & (F.col("pred") == "code:dependsOn")
+    ).collect()
+    assert [r.obj_value for r in flipped] == ["src:r1/dep.py"]
+    # chain: the refreshed state is a valid --previous for the next wave
+    plan2 = code_kg_incremental(v2, plan.state, cfg)
+    assert plan2.changed.count() == 0
+    assert sorted(map(tuple, plan2.output.collect())) == want
+
+
 def test_code_kg_cli_end_to_end(spark, cli_results):
     """jobs/code_kg.py product journey (scenario: code_kg_end_to_end):
     fresh resumable run -> summary counts; resume -> zero chunks run,
@@ -403,6 +495,17 @@ def test_code_kg_cli_end_to_end(spark, cli_results):
         if l.strip()
     ]
     assert len(lines) == s1["n_triples"]
+    # incremental chain: bootstrap scans all 3 files; the refresh scans
+    # only the one new file, and the unchanged importer's dependsOn
+    # edge flips ext:util -> src:r2/lib/util.py (resolved 2 of 4)
+    inc1, inc2 = art["inc1"], art["inc2"]
+    assert inc1["rc"] == 0, inc1["stderr"][-2000:]
+    assert inc1["summary"]["n_changed_files"] == 3
+    assert inc1["summary"]["layout"] == "code_state"
+    assert inc2["rc"] == 0, inc2["stderr"][-2000:]
+    assert inc2["summary"]["n_changed_files"] == 1
+    assert inc2["summary"]["n_depends"] == 4
+    assert inc2["summary"]["resolved_frac"] == pytest.approx(0.5)
     assert query["rc"] == 0, query["stderr"][-2000:]
     out_rows = [
         json.loads(l)
