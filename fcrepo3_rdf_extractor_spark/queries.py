@@ -5978,6 +5978,74 @@ def kg_sparql_text_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "src_sparql_query",
+    f"""WITH files AS ({_SRC_FILES_SQL}),
+        cls AS (SELECT DISTINCT repo, path,
+                       unnest(regexp_extract_all(content,
+                         '(?m)^\\s*class\\s+([A-Za-z_][A-Za-z0-9_]*)', 1))
+                         AS name
+                FROM files),
+        ipats(kind, pat) AS (VALUES {_import_pats_values()}),
+        imports AS (SELECT repo, path, kind,
+                           unnest(regexp_extract_all(content, pat, 1))
+                             AS module
+                    FROM files CROSS JOIN ipats),
+        keyed AS (SELECT repo, path, module,
+                    CASE WHEN kind IN ('c_include','js_require','js_import')
+                         THEN regexp_replace(
+                                list_extract(string_split(module, '/'), -1),
+                                '\\.[A-Za-z0-9]+$', '')
+                         ELSE string_split(module, '.')[1] END AS mkey
+                  FROM imports),
+        registry AS (SELECT repo, mkey, min(path) AS def_path
+                     FROM (SELECT repo,
+                                  regexp_replace(
+                                    list_extract(string_split(path, '/'), -1),
+                                    '\\.[A-Za-z0-9]+$', '') AS mkey,
+                                  path
+                           FROM files)
+                     WHERE mkey <> '' GROUP BY repo, mkey),
+        deps AS (SELECT DISTINCT repo, path,
+                        CASE WHEN def_path IS NOT NULL
+                             THEN 'src:' || repo || '/' || def_path
+                             ELSE 'ext:' || module END AS dep
+                 FROM keyed LEFT JOIN registry USING (repo, mkey))
+       SELECT 'src:' || repo || '/' || path AS f, name, dep
+       FROM cls JOIN deps USING (repo, path)""",
+)
+def src_sparql_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SPARQL text front-end over the CODE knowledge graph: a
+    4-pattern star — files defining a py_class symbol, the symbol's
+    name, and the file's entity-linked dependencies — parsed by
+    operators/sparql.py and compiled onto code_kg_plan's quad table
+    (the same engine that serves the Fedora graph; the code KG is just
+    another triple set to it). The plan is persisted before the
+    self-joins so the extraction runs once, not once per BGP side; the
+    oracle replays the star as direct joins over the synthesized files
+    with DISTINCT mirroring the plan's output-layer quad dedup."""
+    from .operators.sparql import sparql_query
+    from .plans.code_pipeline import code_kg_plan
+
+    quads = (
+        code_kg_plan(_src_files(spark, sf_dir))
+        .select("subj", "pred", "obj_value")
+        .persist()
+    )
+    return sparql_query(
+        quads,
+        """
+        PREFIX code: <code:>
+        SELECT ?f ?name ?dep WHERE {
+          ?f code:defines ?s .
+          ?s code:kind "py_class" .
+          ?s code:name ?name .
+          ?f code:dependsOn ?dep .
+        }
+        """,
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(_T)
 
