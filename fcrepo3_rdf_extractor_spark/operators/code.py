@@ -137,48 +137,56 @@ def module_registry(
     )
 
 
-def resolve_import_edges_deep(
+def module_registry_deep(
     files: DataFrame,
     repo_col: str = "repo",
     path_col: str = "path",
-    content_col: str = "content",
 ) -> DataFrame:
-    """Path-aware import resolution: like :func:`resolve_import_edges`
-    but a dotted module tries its LAST TWO segments against a
-    (parent dir).(basename) registry key first (``import a.b.c``
-    resolves to ``**/b/c.py`` — the real package-layout rule), falling
-    back to the top-level-segment/basename rule only when no two-level
-    key matches. Output schema matches the shallow resolver plus a
-    ``depth`` column (2 = two-level hit, 1 = basename hit, 0 = ext).
-
-    Distributed shape — the candidate-explode + min-struct-winner
-    pattern (same family as the IVF argmin): each import occurrence
-    (tracked by its deterministic position in the file's match array —
-    never a nondeterministic row id) explodes into its applicable
-    candidate keys tagged with priority, inner-joins the two-shape
-    registry on (repo, key), and the best hit per occurrence is ONE
-    map-side-combined ``min(struct(prio, def_path))`` — no window, no
-    per-priority join round-trips. One extra shuffle vs the shallow
-    resolver (the winner groupBy), all keys repo-prefixed."""
-    imports = files.select(
+    """Two-shape module registry: every file registers under its
+    extension-stripped basename AND (when it has a parent directory)
+    under ``parent.basename`` — the key ``import a.b`` resolves
+    against. Shapes coexist in one (``_repo``, ``_mkey``,
+    ``_def_path``) table: two-level keys contain a ``.`` while stripped
+    basenames (almost) never do. Deterministic min-path winner per key;
+    never touches content."""
+    base = files.select(
         F.col(repo_col).alias("_repo"),
-        F.col(path_col).alias("_path"),
-        F.posexplode(
-            _tagged_matches(F.col(content_col), IMPORT_PATTERNS)
-        ).alias("_pos", "_e"),
-    ).select(
-        "_repo",
-        "_path",
-        "_pos",
-        F.col("_e.kind").alias("kind"),
-        F.col("_e.name").alias("_module"),
+        F.col(path_col).alias("_def_path"),
+        F.split(F.col(path_col), "/").alias("_segs"),
     )
-    # candidate keys per occurrence: (prio 0) last-two dotted segments,
-    # when the module is dotted and not path-shaped; (prio 1) the
-    # shallow rule's key
-    segs = F.split(F.col("_module"), r"\.")
-    # try_element_at: a single-segment module has no -2 and ANSI
+    bn = F.regexp_replace(
+        F.element_at(F.col("_segs"), -1), r"\.[A-Za-z0-9]+$", ""
+    )
+    # try_element_at: a single-segment path has no -2 and ANSI
     # element_at would abort the job (CLAUDE.md gotcha)
+    two = F.when(
+        F.size("_segs") >= 2,
+        F.concat_ws(".", F.try_element_at(F.col("_segs"), F.lit(-2)), bn),
+    )
+    return (
+        base.select(
+            "_repo",
+            "_def_path",
+            F.explode(
+                F.filter(
+                    F.array(bn, two), lambda k: k.isNotNull() & (k != "")
+                )
+            ).alias("_mkey"),
+        )
+        .groupBy("_repo", "_mkey")
+        .agg(F.min("_def_path").alias("_def_path"))
+    )
+
+
+def deep_module_winner(mods: DataFrame, registry: DataFrame) -> DataFrame:
+    """Best resolution per DISTINCT (``_repo``, ``kind``, ``_module``):
+    each module explodes into its applicable candidate keys — (prio 0)
+    the last two dotted segments when the module is dotted and not
+    path-shaped, (prio 1) the shallow rule's key — inner-joins the
+    two-shape registry, and the winner is one map-side-combined
+    ``min(struct(prio, def_path))``. Returns resolved modules only
+    (left-join back to occurrences to keep the ext: fallback)."""
+    segs = F.split(F.col("_module"), r"\.")
     last2 = F.concat_ws(
         ".", F.try_element_at(segs, F.lit(-2)), F.element_at(segs, -1)
     )
@@ -197,56 +205,69 @@ def resolve_import_edges_deep(
         ),
         lambda c: c["key"].isNotNull(),
     )
-    cands = imports.select(
-        "_repo", "_path", "_pos", F.explode(cand).alias("_c")
+    cands = mods.select(
+        "_repo", "kind", "_module", F.explode(cand).alias("_c")
     ).select(
         "_repo",
-        "_path",
-        "_pos",
+        "kind",
+        "_module",
         F.col("_c.prio").alias("_prio"),
         F.col("_c.key").alias("_mkey"),
     )
-    # registry in both key shapes; two-level keys contain a "." while
-    # extension-stripped basenames (almost) never do, so the shapes
-    # coexist in one table without a discriminator column
-    base = files.select(
-        F.col(repo_col).alias("_repo"),
-        F.col(path_col).alias("_def_path"),
-        F.split(F.col(path_col), "/").alias("_segs"),
-    )
-    bn = F.regexp_replace(
-        F.element_at(F.col("_segs"), -1), r"\.[A-Za-z0-9]+$", ""
-    )
-    two = F.when(
-        F.size("_segs") >= 2,
-        F.concat_ws(".", F.try_element_at(F.col("_segs"), F.lit(-2)), bn),
-    )
-    registry = (
-        base.select(
-            "_repo",
-            "_def_path",
-            F.explode(
-                F.filter(
-                    F.array(bn, two), lambda k: k.isNotNull() & (k != "")
-                )
-            ).alias("_mkey"),
-        )
-        .groupBy("_repo", "_mkey")
-        .agg(F.min("_def_path").alias("_def_path"))
-    )
-    best = (
+    return (
         cands.join(registry, ["_repo", "_mkey"])
-        .groupBy("_repo", "_path", "_pos")
+        .groupBy("_repo", "kind", "_module")
         .agg(F.min(F.struct("_prio", "_def_path")).alias("_b"))
         .select(
             "_repo",
-            "_path",
-            "_pos",
+            "kind",
+            "_module",
             F.col("_b._prio").alias("_prio"),
             F.col("_b._def_path").alias("_def_path"),
         )
     )
-    linked = imports.join(best, ["_repo", "_path", "_pos"], "left")
+
+
+def resolve_import_edges_deep(
+    files: DataFrame,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    content_col: str = "content",
+) -> DataFrame:
+    """Path-aware import resolution: like :func:`resolve_import_edges`
+    but a dotted module tries its LAST TWO segments against a
+    (parent dir).(basename) registry key first (``import a.b.c``
+    resolves to ``**/b/c.py`` — the real package-layout rule), falling
+    back to the top-level-segment/basename rule only when no two-level
+    key matches. Output schema matches the shallow resolver plus a
+    ``depth`` column (2 = two-level hit, 1 = basename hit, 0 = ext).
+
+    Distributed shape — the candidate-explode + min-struct-winner
+    pattern (same family as the IVF argmin): the winner is a pure
+    function of (repo, kind, module), so it is computed once per
+    DISTINCT module — candidate keys tagged with priority, inner-join
+    against the two-shape registry on (repo, key), ONE map-side-
+    combined ``min(struct(prio, def_path))`` — then joined back to the
+    occurrences. Two extra shuffles vs the shallow resolver (distinct +
+    winner join-back), both over module-count-sized tables, all keys
+    repo-prefixed."""
+    imports = files.select(
+        F.col(repo_col).alias("_repo"),
+        F.col(path_col).alias("_path"),
+        F.explode(
+            _tagged_matches(F.col(content_col), IMPORT_PATTERNS)
+        ).alias("_e"),
+    ).select(
+        "_repo",
+        "_path",
+        F.col("_e.kind").alias("kind"),
+        F.col("_e.name").alias("_module"),
+    )
+    mods = imports.select("_repo", "kind", "_module").distinct()
+    best = deep_module_winner(
+        mods, module_registry_deep(files, repo_col, path_col)
+    )
+    linked = imports.join(best, ["_repo", "kind", "_module"], "left")
     return linked.select(
         F.concat(
             F.lit("src:"), F.col("_repo"), F.lit("/"), F.col("_path")

@@ -64,7 +64,9 @@ from ..operators.code import (
     _module_key,
     _tagged_matches,
     call_mention_structs,
+    deep_module_winner,
     module_registry,
+    module_registry_deep,
 )
 from ..operators.dedup import TRIPLE_KEY, dedup_exact
 from ..operators.text import IMPORT_PATTERNS, clone_key_expr, with_license
@@ -80,6 +82,7 @@ LINEAGE = ["repo", "path", "commit", "content_sha256"]
 class CodeKgConfig:
     graph: str = DEFAULT_CODE_GRAPH
     resolve: bool = True        # emit code:dependsOn entity-linked edges
+    deep_resolve: bool = False  # path-aware (parent.basename-first) linking
     calls: bool = False         # emit code:calls symbol-linked edges
     vendored: bool = False      # emit code:vendored (corpus-global agg)
     license: bool = False       # emit code:license / code:permissive
@@ -232,10 +235,28 @@ def _imports_branch(
             imp.select(*LINEAGE, F.array(raw).alias("_triples")),
             config.graph,
         )
-    registry = module_registry(corpus).withColumnRenamed("_repo", "repo")
-    linked = imp.withColumn(
-        "_mkey", _module_key(F.col("_module"), F.col("_kind"))
-    ).join(registry, ["repo", "_mkey"], "left")
+    if config.deep_resolve:
+        mods = imp.select(
+            F.col("repo").alias("_repo"),
+            F.col("_kind").alias("kind"),
+            "_module",
+        ).distinct()
+        best = deep_module_winner(
+            mods, module_registry_deep(corpus)
+        ).select(
+            F.col("_repo").alias("repo"),
+            F.col("kind").alias("_kind"),
+            "_module",
+            "_def_path",
+        )
+        linked = imp.join(best, ["repo", "_kind", "_module"], "left")
+    else:
+        registry = module_registry(corpus).withColumnRenamed(
+            "_repo", "repo"
+        )
+        linked = imp.withColumn(
+            "_mkey", _module_key(F.col("_module"), F.col("_kind"))
+        ).join(registry, ["repo", "_mkey"], "left")
     depends = _t(
         furi,
         "code:dependsOn",
@@ -451,13 +472,33 @@ def code_kg_from_state(
     row-identical to ``code_kg_plan(files, c)`` (pytest-pinned), so the
     incremental path can never drift from the one-shot plan."""
     quads = state.filter(F.col("pred") != STAGING_PRED).drop("kind")
-    registry = module_registry(cur_ids).withColumnRenamed("_repo", "repo")
     imports = state.filter(F.col("pred") == "code:imports")
     out = quads
     if config.resolve:
-        linked = imports.withColumn(
-            "_mkey", _module_key(F.col("obj_value"), F.col("kind"))
-        ).join(registry, ["repo", "_mkey"], "left")
+        if config.deep_resolve:
+            mods = imports.select(
+                F.col("repo").alias("_repo"),
+                "kind",
+                F.col("obj_value").alias("_module"),
+            ).distinct()
+            best = deep_module_winner(
+                mods, module_registry_deep(cur_ids)
+            ).select(
+                F.col("_repo").alias("repo"),
+                "kind",
+                F.col("_module").alias("obj_value"),
+                "_def_path",
+            )
+            linked = imports.join(
+                best, ["repo", "kind", "obj_value"], "left"
+            )
+        else:
+            registry = module_registry(cur_ids).withColumnRenamed(
+                "_repo", "repo"
+            )
+            linked = imports.withColumn(
+                "_mkey", _module_key(F.col("obj_value"), F.col("kind"))
+            ).join(registry, ["repo", "_mkey"], "left")
         depends = linked.select(
             F.col("graph"),
             F.col("subj"),

@@ -73,6 +73,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="skip entity linking (no code:dependsOn edges)")
     ap.add_argument("--calls", action="store_true",
                     help="emit code:calls symbol-linked call edges")
+    ap.add_argument("--deep-resolve", action="store_true",
+                    help="path-aware import linking: try the "
+                         "(parent dir).(basename) key before the "
+                         "top-level/basename fallback")
     ap.add_argument("--vendored", action="store_true",
                     help="emit code:vendored cross-repo duplicate flags")
     ap.add_argument("--license", action="store_true",
@@ -119,6 +123,7 @@ def main(argv: list[str] | None = None) -> int:
     config = CodeKgConfig(
         graph=args.graph,
         resolve=not args.no_resolve,
+        deep_resolve=args.deep_resolve,
         calls=args.calls,
         vendored=args.vendored,
         license=args.license,

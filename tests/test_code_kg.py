@@ -261,6 +261,28 @@ def test_resolve_import_edges_deep_semantics(spark):
             ("src:r1/main.c", "src:r1/lib/other.py", True, 1),
         ]
     )
+    # the pipeline flag routes dependsOn through the same machinery:
+    # shallow leaves `import pkg.mod` external, deep binds it
+    deep_files = spark.createDataFrame(
+        [
+            ("r1", "src/pkg/mod.py", "c1", "py", "def f(x):\n    return x\n"),
+            ("r1", "app.py", "c1", "py", "import pkg.mod\n"),
+        ],
+        FILES_SCHEMA,
+    )
+
+    def _deps(cfg):
+        return {
+            r.obj_value
+            for r in code_kg_plan(deep_files, cfg)
+            .filter(F.col("pred") == "code:dependsOn")
+            .collect()
+        }
+
+    assert "ext:pkg.mod" in _deps(CodeKgConfig())
+    assert "src:r1/src/pkg/mod.py" in _deps(
+        CodeKgConfig(deep_resolve=True)
+    )
     """Exact-content entity linking end-to-end: vendored copies alias
     to the lexicographic-min holder, and canonicalize() rewrites the
     code KG through the broadcast dictionary — the copy's node and
@@ -400,10 +422,10 @@ def test_code_kg_from_state_equals_plan(spark):
         "commit",
         F.sha2(F.col("content"), 256).alias("content_sha256"),
     )
-    for dedup in (True, False):
+    for dedup, deep in ((True, False), (False, False), (True, True)):
         cfg = CodeKgConfig(
             calls=True, vendored=True, license=True, clone_keys=True,
-            dedup=dedup,
+            dedup=dedup, deep_resolve=deep,
         )
         assembled = code_kg_from_state(
             code_kg_state(files, cfg), ids, cfg
@@ -411,7 +433,7 @@ def test_code_kg_from_state_equals_plan(spark):
         plan = code_kg_plan(files, cfg)
         assert sorted(map(tuple, assembled.collect())) == sorted(
             map(tuple, plan.collect())
-        ), f"dedup={dedup}"
+        ), f"dedup={dedup} deep={deep}"
 
 
 def test_code_kg_incremental_refresh(spark):
