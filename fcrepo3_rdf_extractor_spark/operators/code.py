@@ -499,6 +499,96 @@ def call_graph_edges(
     )
 
 
+def latest_snapshot(
+    files: DataFrame,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    commit_col: str = "commit",
+) -> DataFrame:
+    """Per-(repo, path) latest-version pick over a multi-commit
+    contract table — the code twin of the FOXML pipeline's
+    latest-datastream-version rule: a KG built over raw history rows
+    would assert triples for every stale blob, so construction runs on
+    the snapshot. Ordering is the ``commit_col``'s lexicographic order
+    (the contract table carries no timestamp; callers with a real
+    commit-time column pass it instead); ties break deterministically
+    by the remaining columns' struct order.
+
+    One ``max(struct(commit, *rest))`` groupBy — map-side combined,
+    single shuffle, and NEVER per-column maxima (the frankenrow class
+    pinned in CLAUDE.md: ``max(commit), max(content)`` could pair one
+    version's commit with another's content)."""
+    others = [c for c in files.columns if c not in (repo_col, path_col)]
+    ordered = [commit_col] + [c for c in others if c != commit_col]
+    picked = files.groupBy(repo_col, path_col).agg(
+        F.max(F.struct(*[F.col(c).alias(c) for c in ordered])).alias("_w")
+    )
+    return picked.select(
+        repo_col,
+        path_col,
+        *[F.col(f"_w.{c}").alias(c) for c in others],
+    )
+
+
+def repo_profile(files: DataFrame) -> DataFrame:
+    """Per-repo corpus profile: file count, definition/import volumes,
+    and the entity-linking resolution rate — the triage table a
+    training-data curator ranks repos by (a repo whose imports mostly
+    resolve in-tree is self-contained; one full of unresolved externals
+    leans on vendoring). Columns: (repo, n_files, n_defs, n_imports,
+    n_resolved, resolved_frac).
+
+    Two content scans (defs tally is a scan-side ``size()`` — no
+    explode; imports must explode for the registry join), one narrow
+    registry join, two map-side-combined per-repo aggregates joined on
+    the repo key."""
+    defs = files.groupBy(F.col("repo")).agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum(
+            F.size(_tagged_matches(F.col("content"), DEF_PATTERNS))
+        ).cast("long").alias("n_defs"),
+    )
+    imports = files.select(
+        F.col("repo").alias("_repo"),
+        F.explode(
+            _tagged_matches(F.col("content"), IMPORT_PATTERNS)
+        ).alias("_e"),
+    ).select(
+        "_repo",
+        F.col("_e.kind").alias("_kind"),
+        F.col("_e.name").alias("_module"),
+    )
+    registry = module_registry(files)
+    linked = imports.withColumn(
+        "_mkey", _module_key(F.col("_module"), F.col("_kind"))
+    ).join(registry, ["_repo", "_mkey"], "left")
+    imp = linked.groupBy(F.col("_repo").alias("repo")).agg(
+        F.count("*").cast("long").alias("n_imports"),
+        F.sum(F.col("_def_path").isNotNull().cast("long"))
+        .cast("long")
+        .alias("n_resolved"),
+    )
+    return (
+        defs.join(imp, "repo", "left")
+        .select(
+            "repo",
+            "n_files",
+            "n_defs",
+            F.coalesce("n_imports", F.lit(0)).cast("long").alias(
+                "n_imports"
+            ),
+            F.coalesce("n_resolved", F.lit(0)).cast("long").alias(
+                "n_resolved"
+            ),
+            F.round(
+                F.coalesce("n_resolved", F.lit(0))
+                / F.greatest(F.coalesce("n_imports", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("resolved_frac"),
+        )
+    )
+
+
 def content_alias_table(
     files: DataFrame,
     repo_col: str = "repo",

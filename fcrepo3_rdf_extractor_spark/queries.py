@@ -6046,6 +6046,100 @@ def src_sparql_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "src_latest_snapshot",
+    f"""WITH base AS ({_SRC_FILES_SQL}),
+        files AS (SELECT * FROM base
+                  UNION ALL
+                  SELECT repo, path, 'c9' AS commit, lang,
+                         content || chr(10) || '# v2'
+                  FROM base WHERE "commit" = 'c1'),
+        ranked AS (SELECT *, row_number() OVER (
+                     PARTITION BY repo, path
+                     ORDER BY "commit" DESC, lang DESC, content DESC)
+                     AS rn
+                   FROM files)
+       SELECT repo, path, "commit", lang, content
+       FROM ranked WHERE rn = 1""",
+)
+def src_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-version pick over a multi-commit contract table
+    (operators/code.py:latest_snapshot) — the code twin of the FOXML
+    latest-datastream-version rule; KG construction runs on this
+    snapshot so stale blobs assert nothing. The synthesized history
+    gives every commit-c1 file a later c9 revision AND reuses module
+    paths across docs (same (repo, path) from different doc_ids), so
+    the pick is exercised on both genuine-history and collision rows.
+    One max(struct(commit, *rest)) groupBy — single shuffle, never
+    per-column maxima (the frankenrow class)."""
+    from .operators.code import latest_snapshot
+
+    base = _src_files(spark, sf_dir)
+    v2 = (
+        base.filter(F.col("commit") == "c1")
+        .withColumn("commit", F.lit("c9"))
+        .withColumn(
+            "content", F.concat(F.col("content"), F.lit("\n# v2"))
+        )
+    )
+    return latest_snapshot(base.unionByName(v2))
+
+
+@_q(
+    "src_repo_profile",
+    f"""WITH files AS ({_SRC_FILES_SQL}),
+        nf AS (SELECT repo, count(*) AS n_files FROM files GROUP BY repo),
+        dpats(kind, pat) AS (VALUES {_def_pats_values()}),
+        defs AS (SELECT repo, count(*) AS n_defs
+                 FROM (SELECT repo,
+                              unnest(regexp_extract_all(content, pat, 1))
+                       FROM files CROSS JOIN dpats) d
+                 GROUP BY repo),
+        ipats(kind, pat) AS (VALUES {_import_pats_values()}),
+        keyed AS (SELECT repo,
+                    CASE WHEN kind IN ('c_include','js_require','js_import')
+                         THEN regexp_replace(
+                                list_extract(string_split(module, '/'), -1),
+                                '\\.[A-Za-z0-9]+$', '')
+                         ELSE string_split(module, '.')[1] END AS mkey
+                  FROM (SELECT repo, kind,
+                               unnest(regexp_extract_all(content, pat, 1))
+                                 AS module
+                        FROM files CROSS JOIN ipats) i),
+        registry AS (SELECT repo, mkey, min(path) AS def_path
+                     FROM (SELECT repo,
+                                  regexp_replace(
+                                    list_extract(string_split(path, '/'), -1),
+                                    '\\.[A-Za-z0-9]+$', '') AS mkey,
+                                  path
+                           FROM files)
+                     WHERE mkey <> '' GROUP BY repo, mkey),
+        imp AS (SELECT repo, count(*) AS n_imports,
+                       sum(CASE WHEN def_path IS NOT NULL
+                                THEN 1 ELSE 0 END) AS n_resolved
+                FROM keyed LEFT JOIN registry USING (repo, mkey)
+                GROUP BY repo)
+       SELECT repo,
+              CAST(n_files AS BIGINT) AS n_files,
+              CAST(coalesce(n_defs, 0) AS BIGINT) AS n_defs,
+              CAST(coalesce(n_imports, 0) AS BIGINT) AS n_imports,
+              CAST(coalesce(n_resolved, 0) AS BIGINT) AS n_resolved,
+              round(coalesce(n_resolved, 0)
+                    / greatest(coalesce(n_imports, 0), 1), 6)
+                AS resolved_frac
+       FROM nf LEFT JOIN defs USING (repo) LEFT JOIN imp USING (repo)""",
+)
+def src_repo_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-repo triage profile (operators/code.py:repo_profile): file
+    count, definition/import volumes, and the in-tree resolution rate —
+    the table a curation pipeline ranks repos by. Defs tally is a
+    scan-side size() (no explode); imports explode once for the
+    registry join; two map-side-combined per-repo aggregates."""
+    from .operators.code import repo_profile
+
+    return repo_profile(_src_files(spark, sf_dir))
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(_T)
 

@@ -83,6 +83,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="emit code:license / code:permissive annotations")
     ap.add_argument("--clone-keys", action="store_true",
                     help="emit code:cloneKey type-2 clone hashes")
+    ap.add_argument("--latest-only", action="store_true",
+                    help="pre-select each (repo, path)'s latest commit "
+                         "(lexicographic) before construction — use when "
+                         "the source table carries history rows")
     ap.add_argument("--checkpoint", default=None,
                     help="chunk-manifest dir; enables resumable mode")
     ap.add_argument("--previous", default=None,
@@ -120,6 +124,12 @@ def main(argv: list[str] | None = None) -> int:
     from fcrepo3_rdf_extractor_spark.sources.source_table import read_source
 
     source = read_source(spark, args.source, fmt=args.format)
+    if args.latest_only:
+        from fcrepo3_rdf_extractor_spark.operators.code import (
+            latest_snapshot,
+        )
+
+        source = latest_snapshot(source)
     config = CodeKgConfig(
         graph=args.graph,
         resolve=not args.no_resolve,
