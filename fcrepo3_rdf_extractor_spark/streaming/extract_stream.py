@@ -81,6 +81,37 @@ def write_triples_stream(
     return writer.start()
 
 
+def streaming_code_state(
+    source_stream: DataFrame, config=None
+) -> DataFrame:
+    """The code-KG pipeline's streaming twin, split at the same
+    boundary as its incremental batch path: the file-LOCAL layer
+    (constant/definition/annotation quads + kind-tagged import rows —
+    all stateless per-file transforms, hence stream-safe) materializes
+    continuously as the per-document STATE table; corpus-DEPENDENT
+    edges (dependsOn/calls/vendored) are then assembled by a periodic
+    batch ``code_kg_from_state`` over the accumulated state — they
+    depend on the whole corpus (an unchanged importer's edge flips
+    when another file starts defining its module), so no bounded-state
+    streaming operator can emit them correctly.
+
+    ``config.calls`` is rejected: call-mention netting is a per-file
+    groupBy (stateful on a stream); compute mentions in the batch
+    assembly instead or ingest with calls off."""
+    from ..plans.code_pipeline import CodeKgConfig, code_kg_state
+
+    config = config or CodeKgConfig()
+    if config.calls:
+        raise ValueError(
+            "streaming_code_state: calls=True requires a per-file "
+            "netting groupBy (stateful on a stream); ingest with calls "
+            "off and net mentions during batch assembly"
+        )
+    # config.vendored is fine: the state layer doesn't consult it —
+    # the batch assembly derives vendored flags from the identity table
+    return code_kg_state(source_stream, config)
+
+
 def streaming_triple_rates(
     triples: DataFrame, window: str = "1 minute", watermark: str = "5 minutes"
 ) -> DataFrame:

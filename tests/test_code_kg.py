@@ -336,6 +336,33 @@ def test_resolve_import_edges_deep_semantics(spark):
     )
 
 
+def test_latest_snapshot_and_profile_plan_shape(spark, tmp_path):
+    """latest_snapshot is ONE partially-aggregated exchange (map-side
+    combine on the struct max — no window, no sort of the whole
+    history); repo_profile stays JVM-side with hash joins only."""
+    from fcrepo3_rdf_extractor_spark.operators.code import (
+        latest_snapshot,
+        repo_profile,
+    )
+
+    src = str(tmp_path / "files")
+    _files(spark).write.parquet(src)
+    files = spark.read.parquet(src)
+
+    def _plan(df):
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    snap = _plan(latest_snapshot(files))
+    assert snap.count("+- Exchange") == 1, snap  # one shuffle in the tree
+    assert "partial_max" in snap, snap  # map-side combine before it
+    assert "Window" not in snap and "EvalPython" not in snap
+    prof = _plan(repo_profile(files))
+    assert "EvalPython" not in prof
+    assert "BroadcastNestedLoopJoin" not in prof
+
+
 def test_code_kg_wave_equals_oneshot(spark, tmp_path):
     """run_resumable with the code-KG plan_fn over 4 chunks / 2 waves,
     resolving against the FULL corpus, must equal the one-shot plan's

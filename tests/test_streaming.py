@@ -338,3 +338,61 @@ def test_batch_front_matches_curate_cli(spark, cli_results):
         for r in want.select("doc_id", "pred_lang", "quality").collect()
     }
     assert got_rows == want_rows and len(got_rows) == 2
+
+
+def test_streaming_code_state_then_assemble_matches_plan(spark, tmp_path):
+    """The code-KG streaming twin: the file-LOCAL state layer drains
+    through an append sink (stateless, exactly-once), and the periodic
+    batch assembly over the accumulated state equals the one-shot plan
+    over the same corpus — the same local/corpus split the incremental
+    batch path uses. calls=True is refused (stateful on a stream)."""
+    import pytest
+
+    from fcrepo3_rdf_extractor_spark.plans.code_pipeline import (
+        CodeKgConfig,
+        code_kg_from_state,
+        code_kg_plan,
+    )
+    from fcrepo3_rdf_extractor_spark.streaming.extract_stream import (
+        read_blob_stream,
+        streaming_code_state,
+        write_triples_stream,
+    )
+
+    files = spark.createDataFrame(
+        [
+            ("r1", "src/util.py", "c1", "py",
+             "import os\ndef helper(x):\n    return x\n"),
+            ("r1", "src/app.py", "c1", "py",
+             "import util\nclass App:\n    pass\n"),
+            ("r2", "lib/app.py", "c2", "py", "import util\n"),
+        ],
+        "repo string, path string, commit string, lang string, "
+        "content string",
+    )
+    src_dir, out_dir, cp_dir = (
+        str(tmp_path / d) for d in ("src", "state", "cp")
+    )
+    files.write.parquet(src_dir)
+    cfg = CodeKgConfig(vendored=True)
+
+    stream = read_blob_stream(spark, src_dir, max_files_per_trigger=1)
+    state_stream = streaming_code_state(stream, cfg)
+    assert state_stream.isStreaming
+    q = write_triples_stream(state_stream, out_dir, cp_dir,
+                             available_now=True)
+    q.awaitTermination(120)
+
+    state = spark.read.parquet(out_dir)
+    cur_ids = files.select(
+        "repo", "path", "commit",
+        F.sha2(F.col("content"), 256).alias("content_sha256"),
+    )
+    assembled = code_kg_from_state(state, cur_ids, cfg)
+    want = code_kg_plan(files, cfg)
+    assert sorted(map(tuple, assembled.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+    with pytest.raises(ValueError, match="calls"):
+        streaming_code_state(stream, CodeKgConfig(calls=True))
