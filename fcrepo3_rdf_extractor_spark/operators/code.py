@@ -406,6 +406,36 @@ def call_mention_structs(content: F.Column) -> F.Column:
     )
 
 
+def netted_call_mentions(
+    files: DataFrame,
+    group_cols: list,
+    content_col: str = "content",
+) -> DataFrame:
+    """Per-(group_cols..., ``_name``) netted call counts, positive rows
+    only: call-site mentions (+1) and definition headers (-1) evaluated
+    in ONE projection and exploded once, so defining a symbol never
+    counts as calling it while genuine call sites in a defining file
+    survive. The single source of the netting rule — shared by
+    :func:`call_graph_edges`, the pipeline's calls branch, and the
+    incremental state builder (their equivalence pins depend on the
+    rule having exactly one definition)."""
+    content = F.col(content_col)
+    mentions = call_mention_structs(content)
+    defs = F.transform(
+        _tagged_matches(content, DEF_PATTERNS),
+        lambda m: F.struct(F.lit(-1).alias("d"), m["name"].alias("name")),
+    )
+    exploded = files.select(
+        *group_cols, F.explode(F.concat(mentions, defs)).alias("_e")
+    )
+    keys = exploded.columns[:-1]
+    return (
+        exploded.groupBy(*keys, F.col("_e.name").alias("_name"))
+        .agg(F.sum("_e.d").cast("long").alias("n_calls"))
+        .filter(F.col("n_calls") > 0)
+    )
+
+
 def call_graph_edges(
     files: DataFrame,
     repo_col: str = "repo",
@@ -448,31 +478,22 @@ def call_graph_edges(
     map-side-combined groupBys over narrow columns; the link is a hash
     equi-join on (repo, name) — repo-prefixed keys, df-bounded fan-out,
     no broadcast needed, no Python anywhere."""
-    content = F.col(content_col)
-    mentions = call_mention_structs(content)
-    defs = F.transform(
-        _tagged_matches(content, DEF_PATTERNS),
-        lambda m: F.struct(F.lit(-1).alias("d"), m["name"].alias("name")),
-    )
-    calls = (
-        files.select(
-            F.col(repo_col).alias("_repo"),
-            F.col(path_col).alias("_path"),
-            F.explode(F.concat(mentions, defs)).alias("_e"),
-        )
-        .groupBy("_repo", "_path", F.col("_e.name").alias("_name"))
-        .agg(F.sum("_e.d").cast("long").alias("n_calls"))
-        .filter(F.col("n_calls") > 0)
+    calls = netted_call_mentions(
+        files,
+        [F.col(repo_col).alias("_repo"), F.col(path_col).alias("_path")],
+        content_col,
     )
     # the registry side re-derives defs from its own defs-only
     # projection: self-join sides share no exchanges on Spark 4.1
     # (pinned knowledge in CLAUDE.md), so reusing the calls branch's
-    # exploded frame would recompute the heavier CALL_PATTERN pass too
+    # exploded frame would recompute the heavier call-pattern pass too
     registry = (
         files.select(
             F.col(repo_col).alias("_repo"),
             F.col(path_col).alias("_path"),
-            F.explode(_tagged_matches(content, DEF_PATTERNS)).alias("_d"),
+            F.explode(
+                _tagged_matches(F.col(content_col), DEF_PATTERNS)
+            ).alias("_d"),
         )
         .groupBy("_repo", F.col("_d.name").alias("_name"))
         .agg(

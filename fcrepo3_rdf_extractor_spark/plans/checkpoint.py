@@ -52,13 +52,21 @@ def chunk_manifest(extracted_chunk: DataFrame) -> DataFrame:
 
     Two-level aggregate: first per object (so the xor fingerprint sees
     each object's sha exactly once — xor of a value an even number of
-    times would cancel out), then per chunk."""
+    times would cancel out), then per chunk. The object key is the FULL
+    identity (repo, path, commit, sha): code corpora routinely hold
+    byte-identical files at the same relative path in different repos
+    (vendored copies), and a (path, sha)-only key would collapse two
+    such objects into one row — undercounting n_objects and xoring
+    their shared sha once instead of twice, the exact even-count
+    cancellation this aggregate exists to prevent."""
     errors = (
         F.count(F.col("error_stage"))
         if "error_stage" in extracted_chunk.columns
         else F.lit(0)  # plans with no per-row error channel (code KG)
     )
-    per_object = extracted_chunk.groupBy("chunk_id", "path", "content_sha256").agg(
+    per_object = extracted_chunk.groupBy(
+        "chunk_id", "repo", "path", "commit", "content_sha256"
+    ).agg(
         F.count(F.col("subj")).alias("_t"),
         errors.alias("_e"),
     )

@@ -63,10 +63,10 @@ from ..operators.code import (
     DEF_PATTERNS,
     _module_key,
     _tagged_matches,
-    call_mention_structs,
     deep_module_winner,
     module_registry,
     module_registry_deep,
+    netted_call_mentions,
 )
 from ..operators.dedup import TRIPLE_KEY, dedup_exact
 from ..operators.text import IMPORT_PATTERNS, clone_key_expr, with_license
@@ -205,6 +205,44 @@ def _constants_branch(files: DataFrame, config: CodeKgConfig) -> DataFrame:
     )
 
 
+def _with_def_path(
+    rows: DataFrame,
+    corpus: DataFrame,
+    deep: bool,
+    kind_col: str,
+    module_col: str,
+) -> DataFrame:
+    """Attach ``_def_path`` (nullable) to import rows — the ONE
+    definition of the dependsOn linking rule, shared by the fused plan
+    branch and the incremental/from-state assembly (their ≡-plan pin
+    depends on it). Shallow: basename-key left join against
+    :func:`module_registry`. Deep: winner per DISTINCT
+    (repo, kind, module) via :func:`deep_module_winner` joined back."""
+    if deep:
+        mods = rows.select(
+            F.col("repo").alias("_repo"),
+            F.col(kind_col).alias("kind"),
+            F.col(module_col).alias("_module"),
+        ).distinct()
+        best = deep_module_winner(
+            mods, module_registry_deep(corpus)
+        ).select(
+            F.col("_repo").alias("repo"),
+            F.col("kind").alias(kind_col),
+            F.col("_module").alias(module_col),
+            "_def_path",
+        )
+        return rows.join(best, ["repo", kind_col, module_col], "left")
+    registry = module_registry(corpus).withColumnRenamed("_repo", "repo")
+    return (
+        rows.withColumn(
+            "_mkey", _module_key(F.col(module_col), F.col(kind_col))
+        )
+        .join(registry, ["repo", "_mkey"], "left")
+        .drop("_mkey")
+    )
+
+
 def _imports_branch(
     files: DataFrame, config: CodeKgConfig, corpus: DataFrame
 ) -> DataFrame:
@@ -235,28 +273,9 @@ def _imports_branch(
             imp.select(*LINEAGE, F.array(raw).alias("_triples")),
             config.graph,
         )
-    if config.deep_resolve:
-        mods = imp.select(
-            F.col("repo").alias("_repo"),
-            F.col("_kind").alias("kind"),
-            "_module",
-        ).distinct()
-        best = deep_module_winner(
-            mods, module_registry_deep(corpus)
-        ).select(
-            F.col("_repo").alias("repo"),
-            F.col("kind").alias("_kind"),
-            "_module",
-            "_def_path",
-        )
-        linked = imp.join(best, ["repo", "_kind", "_module"], "left")
-    else:
-        registry = module_registry(corpus).withColumnRenamed(
-            "_repo", "repo"
-        )
-        linked = imp.withColumn(
-            "_mkey", _module_key(F.col("_module"), F.col("_kind"))
-        ).join(registry, ["repo", "_mkey"], "left")
+    linked = _with_def_path(
+        imp, corpus, config.deep_resolve, "_kind", "_module"
+    )
     depends = _t(
         furi,
         "code:dependsOn",
@@ -274,6 +293,17 @@ def _imports_branch(
     )
 
 
+def _lineage_cols() -> list:
+    """The lineage projection used by every content-scanning branch:
+    the three identity columns plus the sha computed in the scan."""
+    return [
+        F.col("repo"),
+        F.col("path"),
+        F.col("commit"),
+        F.sha2(F.col("content"), 256).alias("content_sha256"),
+    ]
+
+
 def _calls_branch(
     files: DataFrame, config: CodeKgConfig, corpus: DataFrame
 ) -> DataFrame:
@@ -285,23 +315,8 @@ def _calls_branch(
     symbols whose defining file lands in another wave. Multiplicity
     (n_calls) is deliberately dropped: the quad table is set-semantics
     and ``dedup_exact`` would collapse it anyway."""
-    content = F.col("content")
-    mentions = call_mention_structs(content)
-    defs = F.transform(
-        _tagged_matches(content, DEF_PATTERNS),
-        lambda m: F.struct(F.lit(-1).alias("d"), m["name"].alias("name")),
-    )
-    netted = (
-        files.select(
-            "repo",
-            "path",
-            "commit",
-            F.sha2(content, 256).alias("content_sha256"),
-            F.explode(F.concat(mentions, defs)).alias("_e"),
-        )
-        .groupBy(*LINEAGE, F.col("_e.name").alias("_name"))
-        .agg(F.sum("_e.d").alias("_n"))
-        .filter(F.col("_n") > 0)
+    netted = netted_call_mentions(files, _lineage_cols()).withColumnRenamed(
+        "n_calls", "_n"
     )
     registry = (
         corpus.select(
@@ -382,6 +397,22 @@ def _vendored_branch(
 STAGING_PRED = "code:_callMention"
 
 
+def _non_null_content(files: DataFrame) -> DataFrame:
+    """NULL content -> ''. Without this a NULL-content row (easy via
+    csv/json sources) would VANISH from the graph — regexp over NULL is
+    NULL, the triple-array concat goes NULL, and the explode drops the
+    file with its constant triples, violating the documented error
+    model ('malformed text matches no patterns', never 'file
+    disappears'). It would also sha to NULL, and NULL join keys never
+    match, so incremental refresh would re-classify the row as changed
+    forever."""
+    if "content" not in files.columns:
+        return files
+    return files.withColumn(
+        "content", F.coalesce(F.col("content"), F.lit(""))
+    )
+
+
 def code_kg_state(files: DataFrame, config: CodeKgConfig) -> DataFrame:
     """The per-document LOCAL layer: every row derivable from a file
     ALONE — constants/definitions/annotation quads, ``code:imports``
@@ -395,6 +426,7 @@ def code_kg_state(files: DataFrame, config: CodeKgConfig) -> DataFrame:
     starts or stops defining the module, so those edges must be
     re-assembled from the corpus state every refresh
     (:func:`code_kg_from_state`), never reused per-document."""
+    files = _non_null_content(files)
     null_s = F.lit(None).cast("string")
     local = _constants_branch(files, config).withColumn("kind", null_s)
     imp = files.select(
@@ -420,25 +452,7 @@ def code_kg_state(files: DataFrame, config: CodeKgConfig) -> DataFrame:
     )
     state = local.unionByName(imp_rows)
     if config.calls:
-        mentions = call_mention_structs(F.col("content"))
-        defs = F.transform(
-            _tagged_matches(F.col("content"), DEF_PATTERNS),
-            lambda m: F.struct(
-                F.lit(-1).alias("d"), m["name"].alias("name")
-            ),
-        )
-        netted = (
-            files.select(
-                "repo",
-                "path",
-                "commit",
-                F.sha2(F.col("content"), 256).alias("content_sha256"),
-                F.explode(F.concat(mentions, defs)).alias("_e"),
-            )
-            .groupBy(*LINEAGE, F.col("_e.name").alias("_name"))
-            .agg(F.sum("_e.d").alias("_n"))
-            .filter(F.col("_n") > 0)
-        )
+        netted = netted_call_mentions(files, _lineage_cols())
         mention_rows = netted.select(
             F.lit(config.graph).alias("graph"),
             furi.alias("subj"),
@@ -475,30 +489,9 @@ def code_kg_from_state(
     imports = state.filter(F.col("pred") == "code:imports")
     out = quads
     if config.resolve:
-        if config.deep_resolve:
-            mods = imports.select(
-                F.col("repo").alias("_repo"),
-                "kind",
-                F.col("obj_value").alias("_module"),
-            ).distinct()
-            best = deep_module_winner(
-                mods, module_registry_deep(cur_ids)
-            ).select(
-                F.col("_repo").alias("repo"),
-                "kind",
-                F.col("_module").alias("obj_value"),
-                "_def_path",
-            )
-            linked = imports.join(
-                best, ["repo", "kind", "obj_value"], "left"
-            )
-        else:
-            registry = module_registry(cur_ids).withColumnRenamed(
-                "_repo", "repo"
-            )
-            linked = imports.withColumn(
-                "_mkey", _module_key(F.col("obj_value"), F.col("kind"))
-            ).join(registry, ["repo", "_mkey"], "left")
+        linked = _with_def_path(
+            imports, cur_ids, config.deep_resolve, "kind", "obj_value"
+        )
         depends = linked.select(
             F.col("graph"),
             F.col("subj"),
@@ -616,6 +609,7 @@ def code_kg_incremental(
     mention staging rows, so flipping ``calls`` on mid-chain silently
     under-produces — rebuild fresh when changing flags."""
     config = config or CodeKgConfig()
+    source = _non_null_content(source)
     ident = ["repo", "path", "commit", "content_sha256"]
     cur_ids = source.select(
         "repo",
@@ -657,7 +651,8 @@ def code_kg_plan(
     resumable wave so each wave's output equals the one-shot run's
     slice (defaults to ``files``)."""
     config = config or CodeKgConfig()
-    corpus = corpus if corpus is not None else files
+    files = _non_null_content(files)
+    corpus = _non_null_content(corpus) if corpus is not None else files
     out = _constants_branch(files, config).unionByName(
         _imports_branch(files, config, corpus)
     )

@@ -103,6 +103,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--local", type=int, default=None,
                     help="run on local[N] instead of the submitted master")
     args = ap.parse_args(argv)
+    if args.deep_resolve and args.no_resolve:
+        print("error: --deep-resolve needs entity linking; drop "
+              "--no-resolve", file=sys.stderr)
+        return 2
 
     spark = build_job_session(args)
     from pyspark.sql import functions as F
@@ -182,10 +186,18 @@ def main(argv: list[str] | None = None) -> int:
             )
             spark.stop()
             return 2
+        from pyspark.errors import AnalysisException
+
         try:
             prev = spark.read.parquet(args.previous)
-        except Exception:
-            # bootstrap: empty state with the right schema
+        except AnalysisException as e:
+            # ONLY the documented bootstrap case (path not there yet)
+            # may fall through to an empty state; a corrupt or
+            # unreadable EXISTING table must fail loudly — silently
+            # rebuilding from scratch would mask the corruption as a
+            # mysterious full rescan
+            if "PATH_NOT_FOUND" not in str(e) and "does not exist" not in str(e):
+                raise
             prev = code_kg_state(source.limit(0), config)
         plan = code_kg_incremental(source, prev, config)
         summary["n_changed_files"] = plan.changed.count()
@@ -197,7 +209,9 @@ def main(argv: list[str] | None = None) -> int:
         stored = spark.read.parquet(args.out)
         cur_ids = source.select(
             "repo", "path", "commit",
-            F.sha2(F.col("content"), 256).alias("content_sha256"),
+            F.sha2(F.coalesce(F.col("content"), F.lit("")), 256).alias(
+                "content_sha256"
+            ),
         ).distinct()
         triples = code_kg_from_state(stored, cur_ids, config)
     elif args.checkpoint:

@@ -424,6 +424,32 @@ def test_code_kg_wave_equals_oneshot(spark, tmp_path):
     assert stats2["chunks_run"] == 0 and stats2["chunks_done_before"] == 4
 
 
+def test_code_kg_null_content_row_survives(spark):
+    """A NULL-content row (csv/json sources produce these) must NOT
+    vanish: it keeps its constant triples (sha of ''), matches no
+    patterns, and its identity is stable so incremental refresh never
+    re-classifies it as changed."""
+    from fcrepo3_rdf_extractor_spark.plans.code_pipeline import (
+        code_kg_incremental,
+        code_kg_state,
+    )
+
+    files = spark.createDataFrame(
+        [("r1", "empty.py", "c1", "py", None)], FILES_SCHEMA
+    )
+    got = _quads(code_kg_plan(files))
+    f = "src:r1/empty.py"
+    assert got == {
+        (f, "code:repo", "r1", True),
+        (f, "code:path", "empty.py", True),
+        (f, "code:commit", "c1", True),
+        (f, "code:lang", "py", True),
+        (f, "code:sha256", _sha(""), True),
+    }
+    plan = code_kg_incremental(files, code_kg_state(files, CodeKgConfig()))
+    assert plan.changed.count() == 0
+
+
 def test_code_kg_from_state_equals_plan(spark):
     """The state/assembly decomposition can never drift from the
     one-shot plan: code_kg_from_state(code_kg_state(files), ids(files))
