@@ -29,9 +29,11 @@ def test_every_registered_query_matches_its_oracle(spark):
     import __spark_entry__ as entrymod
     from tools.check_oracles import run_checks
 
-    # 16 threads over one session: measured 77 s standalone vs 228 s
-    # at 8 inside a loaded suite — each sf0.001 query is driver-round-
-    # trip-dominated, so deeper overlap is nearly free
+    # 16 threads over one session: 77 s standalone, and verified INSIDE
+    # a full loaded suite run (CLAUDE.md requires this before raising
+    # any pool bound): 139.8 s vs 228 s at 8 workers, 335 tests green,
+    # no CLI-farm timeouts, suite wall 12:42 -> 10:45. Each sf0.001
+    # query is driver-round-trip-dominated, so the overlap is cheap.
     failed = run_checks(spark, SF_DIR, workers=16)
     assert failed == [], f"oracle mismatches at {SF_DIR}: {failed}"
     # every query must also carry an oracle unless explicitly rows-only
