@@ -41,6 +41,24 @@ DEF_PATTERNS: list[tuple[str, str]] = [
     ("rust_fn", r"(?m)^\s*fn\s+([A-Za-z_][A-Za-z0-9_]*)"),
 ]
 
+#: Netting subset of :data:`DEF_PATTERNS`: only header shapes that
+#: GUARANTEE ``name\s*(`` in the source — i.e. whose header also shows
+#: up as a +1 :data:`CALL_SITE_PATTERN` self-mention — may subtract a
+#: -1 in :func:`netted_call_mentions`. Paren-less headers
+#: (``class C:``, generic ``fn foo<T>(``) produce NO self-mention, so
+#: netting them would cancel one genuine call elsewhere in the file (a
+#: silent false-negative class). ``class C(Base):`` headers DO
+#: self-mention, hence the parenthesized py_class/rust_fn variants
+#: here. Registry/definition extraction keeps the full DEF_PATTERNS —
+#: every definition registers a symbol regardless of header shape.
+DEF_NET_PATTERNS: list[tuple[str, str]] = [
+    ("py_def", r"(?m)^\s*def\s+([A-Za-z_][A-Za-z0-9_]*)\s*\("),
+    ("py_class", r"(?m)^\s*class\s+([A-Za-z_][A-Za-z0-9_]*)\s*\("),
+    ("js_function", r"(?m)^\s*function\s+([A-Za-z_$][A-Za-z0-9_$]*)\s*\("),
+    ("go_func", r"(?m)^func\s+([A-Za-z_][A-Za-z0-9_]*)\s*\("),
+    ("rust_fn", r"(?m)^\s*fn\s+([A-Za-z_][A-Za-z0-9_]*)\s*\("),
+]
+
 
 def _tagged_matches(
     content: F.Column, patterns: list[tuple[str, str]]
@@ -70,7 +88,10 @@ def code_def_triples(
     """Definition extraction: (src:<repo>/<path>, code:defines, name,
     kind) triples — the symbol-node half of the code KG (imports are
     the edge half). One content scan evaluates every language pattern;
-    no shuffle, no Python; files defining nothing emit nothing.
+    no shuffle, no Python; files defining nothing emit nothing. NULL
+    content emits nothing too (regexp over NULL -> NULL array -> the
+    explode drops it) — identical to ''-content output, so no coalesce
+    guard is needed here, unlike the hash-keyed operators below.
 
     Scale shape (10^12 files): identical to
     :func:`.text.code_import_triples` — a narrow 3-column projection of
@@ -415,14 +436,17 @@ def netted_call_mentions(
     only: call-site mentions (+1) and definition headers (-1) evaluated
     in ONE projection and exploded once, so defining a symbol never
     counts as calling it while genuine call sites in a defining file
-    survive. The single source of the netting rule — shared by
-    :func:`call_graph_edges`, the pipeline's calls branch, and the
+    survive. The -1 side uses :data:`DEF_NET_PATTERNS` — only headers
+    that themselves contribute a +1 self-mention may subtract, so a
+    file defining paren-less ``class C:`` and genuinely calling ``C()``
+    keeps the call edge. The single source of the netting rule — shared
+    by :func:`call_graph_edges`, the pipeline's calls branch, and the
     incremental state builder (their equivalence pins depend on the
     rule having exactly one definition)."""
     content = F.col(content_col)
     mentions = call_mention_structs(content)
     defs = F.transform(
-        _tagged_matches(content, DEF_PATTERNS),
+        _tagged_matches(content, DEF_NET_PATTERNS),
         lambda m: F.struct(F.lit(-1).alias("d"), m["name"].alias("name")),
     )
     exploded = files.select(
@@ -457,11 +481,15 @@ def call_graph_edges(
       attribute-scrubbed text — ``name(`` that is not an attribute/
       method access (``obj.name(`` is scrubbed first), name not a
       keyword
-    - a definition header is itself a mention (``def helper(x)`` puts
-      ``helper(`` in the text), so per (file, name) the call count is
-      ``mentions - definitions`` and only positive counts survive:
-      defining a symbol is not calling it, while a file that defines
-      AND calls ``helper`` keeps the genuine call sites
+    - a parenthesized definition header is itself a mention
+      (``def helper(x)`` puts ``helper(`` in the text), so per
+      (file, name) the call count is ``mentions - net_definitions``
+      (:data:`DEF_NET_PATTERNS` — only headers guaranteed to
+      self-mention subtract) and only positive counts survive:
+      defining a symbol is not calling it, a file that defines AND
+      calls ``helper`` keeps the genuine call sites, and a paren-less
+      ``class C:`` header neither adds nor subtracts — a later
+      ``C()`` call still nets to +1
     - the callee registry is per (repo, name): deterministic
       ``min(path)`` winner plus ``n_candidates`` so ambiguous linkage
       is visible to consumers; names defined in more than ``max_def``
@@ -634,12 +662,16 @@ def content_alias_table(
     dropped BEFORE the join-back via the count, so the alias table is
     vendored-copy-sized — small enough to broadcast downstream even
     when the corpus is not. md5 keeps the key portable to the DuckDB
-    oracle; production would use xxhash64."""
+    oracle; production would use xxhash64. NULL content (easy via
+    csv/json sources) hashes as '' — md5(NULL) is NULL and NULL join
+    keys never match, which would silently drop those rows (same
+    contract as plans.code_pipeline._non_null_content)."""
     uri = F.concat(
         F.lit("src:"), F.col(repo_col), F.lit("/"), F.col(path_col)
     )
     hashed = files.select(
-        F.md5(F.col(content_col)).alias("_h"), uri.alias("_uri")
+        F.md5(F.coalesce(F.col(content_col), F.lit(""))).alias("_h"),
+        uri.alias("_uri"),
     )
     canon = (
         hashed.groupBy("_h")
@@ -677,9 +709,13 @@ def vendored_file_stats(
     combined per-repo aggregate. No self-join, no pair blow-up — cost
     is linear in file count at any corpus size. md5 keeps the key
     portable to the DuckDB oracle; production would use xxhash64.
+    NULL content hashes as '' so NULL-content rows still count toward
+    n_files/vendored_frac instead of vanishing through a NULL join key
+    (same contract as plans.code_pipeline._non_null_content).
     """
     hashed = files.select(
-        F.col(repo_col).alias("_repo"), F.md5(F.col(content_col)).alias("_h")
+        F.col(repo_col).alias("_repo"),
+        F.md5(F.coalesce(F.col(content_col), F.lit(""))).alias("_h"),
     )
     spread = hashed.groupBy("_h").agg(
         F.countDistinct("_repo").alias("_n_repos")

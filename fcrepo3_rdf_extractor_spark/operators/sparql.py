@@ -650,7 +650,7 @@ class _Parser:
                 t = self.next()
                 if t.kind != "NUMBER":
                     raise SparqlParseError(f"expected a number at {t.pos}")
-                if q.offset:
+                if q.offset is not None:
                     raise SparqlParseError(f"duplicate OFFSET at {t.pos}")
                 q.offset = int(t.text)
             else:

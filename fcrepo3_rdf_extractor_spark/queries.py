@@ -3726,6 +3726,18 @@ def _def_pats_values() -> str:
     )
 
 
+def _def_net_pats_values() -> str:
+    """Netting subset (operators.code.DEF_NET_PATTERNS): only headers
+    guaranteed to self-mention may subtract a -1 — see the Spark-side
+    rationale on the constant."""
+    from .operators.code import DEF_NET_PATTERNS
+
+    return ", ".join(
+        "('" + kind + "', '" + rx.replace("'", "''") + "')"
+        for kind, rx in DEF_NET_PATTERNS
+    )
+
+
 # the source-contract file table with definitions planted next to the
 # imports of _CODE_CONTENT_SQL: every doc defines fn<d%9>; every 4th a
 # class C<d%6>; every 10th doc's PATH registers module mod<d%50> (so a
@@ -4100,7 +4112,12 @@ _SRC_CALL_FILES_SQL = f"""
         d AS (SELECT repo, path,
                      unnest(regexp_extract_all(content, pat, 1)) AS name
               FROM files CROSS JOIN dpats),
-        dk AS (SELECT repo, path, name, count(*) AS n_d FROM d
+        npats(kind, pat) AS (VALUES {_def_net_pats_values()}),
+        dk AS (SELECT repo, path, name, count(*) AS n_d
+               FROM (SELECT repo, path,
+                            unnest(regexp_extract_all(content, pat, 1))
+                              AS name
+                     FROM files CROSS JOIN npats) nd
                GROUP BY repo, path, name),
         calls AS (SELECT repo, path, name,
                          n_m - COALESCE(n_d, 0) AS n_calls
@@ -4198,7 +4215,12 @@ def src_module_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                          unnest(regexp_extract_all(content, pat, 1))
                            AS name
                   FROM files CROSS JOIN dpats),
-        dk AS (SELECT repo, path, name, count(*) AS n_d FROM dhits
+        npats(kind, pat) AS (VALUES {_def_net_pats_values()}),
+        dk AS (SELECT repo, path, name, count(*) AS n_d
+               FROM (SELECT repo, path,
+                            unnest(regexp_extract_all(content, pat, 1))
+                              AS name
+                     FROM files CROSS JOIN npats) nd
                GROUP BY repo, path, name),
         calls AS (SELECT repo, path, name
                   FROM mk LEFT JOIN dk USING (repo, path, name)
@@ -4354,7 +4376,12 @@ _LICENSE_SQL = r"""coalesce(
         mk AS (SELECT repo, path, name, count(*) AS n_m FROM cmention
                WHERE name NOT IN ({_call_stop_sql()})
                GROUP BY repo, path, name),
-        dk AS (SELECT repo, path, name, count(*) AS n_d FROM dhits
+        npats(kind, pat) AS (VALUES {_def_net_pats_values()}),
+        dk AS (SELECT repo, path, name, count(*) AS n_d
+               FROM (SELECT repo, path,
+                            unnest(regexp_extract_all(content, pat, 1))
+                              AS name
+                     FROM furi CROSS JOIN npats) nd
                GROUP BY repo, path, name),
         calls AS (SELECT repo, path, name
                   FROM mk LEFT JOIN dk USING (repo, path, name)

@@ -228,6 +228,11 @@ def main(argv: list[str] | None = None) -> int:
         )
         summary.update(stats)
         summary["checkpoint"] = args.checkpoint
+        # marked so a later --previous pointing here is rejected BY
+        # NAME (a resumable triple table is not refresh state) instead
+        # of failing later on a missing kind column
+        write_layout_marker(args.out, "code_resumable")
+        summary["layout"] = "code_resumable"
         stored = spark.read.parquet(args.out)
         # per-wave dedup leaves cross-wave duplicates; counts and export
         # apply global set semantics here, matching the one-shot run
@@ -238,6 +243,10 @@ def main(argv: list[str] | None = None) -> int:
             triples, args.out, buckets=args.buckets,
             canonical_sort=args.canonical_sort,
         )
+        # same rejection-by-name guard as the resumable branch: a plan
+        # output is a triple table, never valid refresh state
+        write_layout_marker(args.out, "code_plan")
+        summary["layout"] = "code_plan"
         triples = spark.read.parquet(args.out)
 
     counts = {
