@@ -160,13 +160,17 @@ def run_headline(sf_dir: str, cores: int) -> dict:
     )
     from fcrepo3_rdf_extractor_spark.queries import _src_files
 
-    code_df = code_kg_plan(
-        _src_files(spark, sf_dir, calls=True),
-        CodeKgConfig(calls=True, vendored=True),
-    )
+    code_cfg = CodeKgConfig(calls=True, vendored=True)
+    code_src = _src_files(spark, sf_dir, calls=True)
+    code_df = code_kg_plan(code_src, code_cfg)
     _materialize(code_df)  # untimed codegen pass
     code_best = None
     for _ in range(3):
+        # fresh plan + cold cache per rep: code_kg_plan persists its
+        # fused state, so a reused DataFrame would time only the
+        # content-free assembly from rep 2 on (see run_code_throughput)
+        spark.catalog.clearCache()
+        code_df = code_kg_plan(code_src, code_cfg)
         t0 = time.perf_counter()
         _materialize(code_df)
         dt = time.perf_counter() - t0
@@ -303,15 +307,27 @@ def run_code_throughput(sf_dir: str, cores: int, copies: int = 1,
     source = _src_files_df(docs, calls=True).repartition(cores * 4).persist()
     n_files = source.count()
 
-    out = code_kg_plan(source, CodeKgConfig(calls=True, vendored=True))
+    cfg = CodeKgConfig(calls=True, vendored=True)
+    out = code_kg_plan(source, cfg)
     _materialize(out)  # untimed codegen-compile pass
     steal0 = _steal_jiffies()
     times = []
     for _ in range(reps):
+        # code_kg_plan persists its fused per-document state; clear it
+        # and rebuild the plan so every timed rep pays the FULL
+        # pipeline (content scan + cache write + assembly) — otherwise
+        # rep 2+ would read the warm cache and time only the assembly.
+        # clearCache also drops the identical-logical-plan entry the
+        # cache manager would otherwise resurrect for the fresh plan.
+        spark.catalog.clearCache()
+        source.persist()  # clearCache dropped the input too; re-pin it
+        source.count()
+        fresh = code_kg_plan(source, cfg)
         t0 = time.perf_counter()
-        _materialize(out)
+        _materialize(fresh)
         times.append(round(time.perf_counter() - t0, 3))
     sec = min(times)
+    out = fresh
     steal_cpu_sec = round((_steal_jiffies() - steal0) / 100.0, 1)
     n_triples = out.count()
     source.unpersist()

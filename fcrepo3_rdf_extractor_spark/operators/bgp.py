@@ -69,6 +69,50 @@ def _is_var(term: str) -> bool:
     return term.startswith("?")
 
 
+def _bind_expr_col(expr, available: set[str]) -> F.Column:
+    """Compile a BIND expression AST to a Column over the joined
+    bindings. AST nodes (plain tuples, so the SPARQL parser and
+    programmatic callers share one shape):
+
+    - ``("var", "?x")`` — an in-scope binding
+    - ``("const", value)`` — a string/number literal
+    - ``("concat", [expr, ...])`` — CONCAT over stringified args
+    - ``("str", expr)`` — STR(): cast to string
+    - ``("arith", op, lhs, rhs)`` — ``+ - * /`` over
+      ``try_cast('double')`` of the operands: the same numeric
+      semantics as FILTER (a non-numeric binding yields NULL — SPARQL's
+      type-error-to-unbound — never an ANSI cast abort)
+    """
+    kind = expr[0]
+    if kind == "var":
+        name = expr[1].lstrip("?")
+        if name not in available:
+            raise ValueError(f"BIND references unbound variable ?{name}")
+        return F.col(name)
+    if kind == "const":
+        return F.lit(expr[1])
+    if kind == "concat":
+        return F.concat(
+            *[_bind_expr_col(e, available).cast("string") for e in expr[1]]
+        )
+    if kind == "str":
+        return _bind_expr_col(expr[1], available).cast("string")
+    if kind == "arith":
+        op, lhs, rhs = expr[1], expr[2], expr[3]
+        lc = _bind_expr_col(lhs, available).try_cast("double")
+        rc = _bind_expr_col(rhs, available).try_cast("double")
+        if op == "+":
+            return lc + rc
+        if op == "-":
+            return lc - rc
+        if op == "*":
+            return lc * rc
+        if op == "/":
+            return lc / rc
+        raise ValueError(f"unknown BIND arithmetic op {op!r}")
+    raise ValueError(f"unknown BIND expression node {expr!r}")
+
+
 def bgp_query(
     triples: DataFrame,
     patterns: Sequence[tuple[str, str, str]],
@@ -83,6 +127,7 @@ def bgp_query(
     offset: int = 0,
     graph: str | None = None,
     values: Sequence[Mapping[str, str]] | None = None,
+    binds: Sequence[tuple[str, object]] | None = None,
 ) -> DataFrame:
     """Evaluate a SPARQL-style basic graph pattern.
 
@@ -179,6 +224,16 @@ def bgp_query(
     match every solution — almost certainly a typo, and a cartesian
     multiplier if meant).
 
+    ``binds``: SPARQL ``BIND(expr AS ?var)`` — a list of
+    (variable, expression-AST) pairs (see :func:`_bind_expr_col` for
+    the node shapes: var/const/concat/str/arith). Applied over the
+    fully-evaluated group in order (a later BIND sees an earlier one),
+    before projection and solution modifiers, so SELECT and ORDER BY
+    can use the new bindings; rebinding a pattern variable is rejected
+    (SPARQL §10.1). FILTER keeps its pattern-variable scope in this
+    subset. Compiles to ``withColumn`` projections — Catalyst folds
+    them into the output projection, zero plan cost at any scale.
+
     Returns one column per selected variable. Raises ``ValueError`` on
     unknown select variables, constant-only patterns, or (unless
     ``allow_cartesian``) patterns disconnected from the rest of the
@@ -251,11 +306,22 @@ def bgp_query(
                 if v not in all_vars and v not in opt_vars:
                     opt_vars.append(v)
 
+    bind_list = [(v.lstrip("?"), e) for v, e in (binds or [])]
+    pattern_names = {v.lstrip("?") for v in all_vars + opt_vars}
+    for bname, _ in bind_list:
+        if bname in pattern_names:
+            raise ValueError(
+                f"BIND(... AS ?{bname}) would rebind a pattern variable "
+                "— SPARQL forbids rebinding; pick a fresh name"
+            )
+    bind_names = [b for b, _ in bind_list]
+    if len(set(bind_names)) != len(bind_names):
+        raise ValueError("duplicate BIND target variable")
     if select is None:
-        sel = [v.lstrip("?") for v in all_vars + opt_vars]
+        sel = [v.lstrip("?") for v in all_vars + opt_vars] + bind_names
     else:
         sel = [s.lstrip("?") for s in select]
-        known = {v.lstrip("?") for v in all_vars + opt_vars}
+        known = pattern_names | set(bind_names)
         unknown = [s for s in sel if s not in known]
         if unknown:
             raise ValueError(f"select variables not in any pattern: {unknown}")
@@ -517,6 +583,20 @@ def bgp_query(
         joined = parts[0]
         for nxt in parts[1:]:
             joined = joined.unionByName(nxt)
+
+    # BIND: projected expressions over the evaluated group (applied
+    # after OPTIONAL/NOT EXISTS/VALUES, before projection/modifiers, so
+    # ORDER BY and SELECT see the new bindings; FILTER stays scoped to
+    # pattern variables — this subset's documented evaluation order). A
+    # later BIND may reference an earlier one (SPARQL's sequential
+    # group scope). Pure column expressions: Catalyst folds them into
+    # the projection — zero extra plan cost.
+    bind_scope = {v.lstrip("?") for v in all_vars + opt_vars}
+    for bname, bexpr in bind_list:
+        joined = joined.withColumn(
+            bname, _bind_expr_col(bexpr, bind_scope)
+        )
+        bind_scope.add(bname)
 
     out = joined.select(*sel)
     if distinct:

@@ -76,16 +76,26 @@ def logreg_train(
     w += lr/n_docs * sum_d (y_d - sigmoid(w.x_d + b)) x_d, same for the
     bias with x = 1. Weights exist for buckets OBSERVED in the corpus
     (unobserved buckets have x = 0 everywhere, so their weight stays 0
-    and never matters); zero-initialized."""
+    and never matters); zero-initialized.
+
+    The bias rides the SAME aggregation as the weights: every document
+    gets a ``BIAS_KEY`` pseudo-bucket with x = 1 in the feature frame,
+    so its weight term contributes b to every z and its gradient row is
+    exactly sum(r). One iteration is therefore ONE action (the <=257-row
+    gradient collect) and the scored subplan evaluates once — the
+    previous separate bias collect evaluated it twice per iteration."""
     labeled = df.select(id_col, label.cast("double").alias("y"))
-    feats = hashed_features(df, text_col, id_col)
+    feats = hashed_features(df, text_col, id_col).unionByName(
+        labeled.select(
+            id_col, F.lit(BIAS_KEY).alias("g"), F.lit(1.0).alias("x")
+        )
+    )
     if persist_features:
         feats = feats.persist()
     try:
         n_docs = labeled.count()
         buckets = [r.g for r in feats.select("g").distinct().collect()]
         w = {g: 0.0 for g in buckets}
-        b = 0.0
         spark = df.sparkSession
         for _ in range(n_iter):
             wtab = F.broadcast(
@@ -98,11 +108,10 @@ def logreg_train(
             )
             scored = labeled.join(z, id_col, "left").select(
                 id_col,
-                "y",
                 (
                     F.col("y")
                     - F.lit(1.0)
-                    / (F.lit(1.0) + F.exp(-(F.coalesce("z", F.lit(0.0)) + F.lit(b))))
+                    / (F.lit(1.0) + F.exp(-F.coalesce("z", F.lit(0.0))))
                 ).alias("r"),
             )
             grad = (
@@ -110,17 +119,14 @@ def logreg_train(
                 .groupBy("g")
                 .agg(F.sum(F.col("r") * F.col("x")).alias("gw"))
             )
-            # metadata-sized collects: <=256 gradient rows + 1 bias row
-            gb = scored.agg(F.sum("r").alias("gb")).collect()[0].gb or 0.0
+            # the ONE metadata-sized action per iteration: <=256 bucket
+            # gradients + the BIAS_KEY row (= sum of residuals)
             for row in grad.collect():
                 w[row.g] += lr * row.gw / n_docs
-            b += lr * gb / n_docs
     finally:
         if persist_features:
             feats.unpersist()
-    out = dict(w)
-    out[BIAS_KEY] = b
-    return out
+    return dict(w)
 
 
 def classifier_score(

@@ -410,20 +410,63 @@ CALL_STOPWORDS = (
 )
 
 
-def call_mention_structs(content: F.Column) -> F.Column:
-    """Call-site mentions as ``(d=+1, name)`` structs: attribute calls
-    scrubbed (:data:`ATTR_CALL_SCRUB`), call sites extracted
-    (:data:`CALL_SITE_PATTERN`), keyword mentions dropped inside the
-    same projection (array-level filter, so stoplisted rows never reach
-    the explode). Shared by :func:`call_graph_edges` and the code-KG
-    pipeline's calls branch."""
-    scrubbed = F.regexp_replace(content, ATTR_CALL_SCRUB, ".(")
-    return F.filter(
-        F.transform(
-            F.regexp_extract_all(scrubbed, F.lit(CALL_SITE_PATTERN), 1),
-            lambda m: F.struct(F.lit(1).alias("d"), m.alias("name")),
+def netted_mention_structs(content: F.Column) -> F.Column:
+    """Row-local netted call mentions:
+    ``array<struct<name:string, n:long>>`` with one entry per distinct
+    callee name whose call-site mentions exceed its netting definition
+    headers in THIS file. Netting is per-file by definition, so no
+    shuffle is ever needed — the whole rule evaluates inside one scan
+    projection.
+
+    The mention and net-def arrays are bound as a lambda VARIABLE (a
+    1-element ``transform``) rather than staged projection columns:
+    CollapseProject re-inlines single-referenced aliases into
+    higher-order-function lambda bodies, which would re-run the regex
+    extraction once per array ELEMENT; a lambda variable is evaluated
+    exactly once per row and cannot be inlined. Per-row cost is
+    O(distinct names x (mentions + net-defs)) array comparisons —
+    bounded by call-site count, trivial next to the regex extraction
+    itself.
+
+    The -1 side uses :data:`DEF_NET_PATTERNS` — only headers that
+    themselves contribute a +1 self-mention may subtract, so a file
+    defining paren-less ``class C:`` and genuinely calling ``C()``
+    keeps the call edge."""
+    mentions = F.filter(
+        F.regexp_extract_all(
+            F.regexp_replace(content, ATTR_CALL_SCRUB, ".("),
+            F.lit(CALL_SITE_PATTERN),
+            1,
         ),
-        lambda s: ~s["name"].isin(*CALL_STOPWORDS),
+        lambda x: ~x.isin(*CALL_STOPWORDS),
+    )
+    netdefs = F.flatten(
+        F.array(
+            *[
+                F.regexp_extract_all(content, F.lit(rx), 1)
+                for _, rx in DEF_NET_PATTERNS
+            ]
+        )
+    )
+    return F.flatten(
+        F.transform(
+            F.array(F.struct(mentions.alias("m"), netdefs.alias("d"))),
+            lambda md: F.filter(
+                F.transform(
+                    F.array_distinct(md["m"]),
+                    lambda nm: F.struct(
+                        nm.alias("name"),
+                        (
+                            F.size(F.filter(md["m"], lambda x: x == nm))
+                            - F.size(F.filter(md["d"], lambda x: x == nm))
+                        )
+                        .cast("long")
+                        .alias("n"),
+                    ),
+                ),
+                lambda s: s["n"] > 0,
+            ),
+        )
     )
 
 
@@ -433,30 +476,23 @@ def netted_call_mentions(
     content_col: str = "content",
 ) -> DataFrame:
     """Per-(group_cols..., ``_name``) netted call counts, positive rows
-    only: call-site mentions (+1) and definition headers (-1) evaluated
-    in ONE projection and exploded once, so defining a symbol never
-    counts as calling it while genuine call sites in a defining file
-    survive. The -1 side uses :data:`DEF_NET_PATTERNS` — only headers
-    that themselves contribute a +1 self-mention may subtract, so a
-    file defining paren-less ``class C:`` and genuinely calling ``C()``
-    keeps the call edge. The single source of the netting rule — shared
-    by :func:`call_graph_edges`, the pipeline's calls branch, and the
-    incremental state builder (their equivalence pins depend on the
-    rule having exactly one definition)."""
-    content = F.col(content_col)
-    mentions = call_mention_structs(content)
-    defs = F.transform(
-        _tagged_matches(content, DEF_NET_PATTERNS),
-        lambda m: F.struct(F.lit(-1).alias("d"), m["name"].alias("name")),
-    )
+    only: the row-local :func:`netted_mention_structs` exploded — zero
+    shuffles (netting is per-file, so the previous ±1 groupBy exchange
+    was pure overhead). ``group_cols`` must be per-file granularity
+    (include the path; it determines the rest) — the rule nets within
+    one file, never across files. The single source of the netting
+    rule — shared by :func:`call_graph_edges`, the pipeline's calls
+    branch, and the incremental state builder (their equivalence pins
+    depend on the rule having exactly one definition)."""
     exploded = files.select(
-        *group_cols, F.explode(F.concat(mentions, defs)).alias("_e")
+        *group_cols,
+        F.explode(netted_mention_structs(F.col(content_col))).alias("_e"),
     )
     keys = exploded.columns[:-1]
-    return (
-        exploded.groupBy(*keys, F.col("_e.name").alias("_name"))
-        .agg(F.sum("_e.d").cast("long").alias("n_calls"))
-        .filter(F.col("n_calls") > 0)
+    return exploded.select(
+        *keys,
+        F.col("_e.name").alias("_name"),
+        F.col("_e.n").alias("n_calls"),
     )
 
 

@@ -22,7 +22,14 @@ Supported grammar (SPARQL 1.1 syntax, the compiler's semantic subset):
   UNDEF), ``GRAPH g { ... }`` as the group wrapper, and top-level
   ``{ A } UNION { B }`` alternation
 - property paths: ``pred+ pred* pred? ^pred (p|q)+`` (the compiler's
-  path subset)
+  path subset) and sequences ``p/q`` (desugared to a join chain
+  through fresh intermediate variables, hidden from ``SELECT *``;
+  each step keeps its own inverse/modifier syntax, so ``p/^q`` and
+  ``p/q+`` compose)
+- ``BIND(expr AS ?var)``: ``?var``, literals, ``CONCAT``, ``STR``,
+  and ``+ - * /`` arithmetic (try_cast(double) operand semantics,
+  matching FILTER); applied after the group evaluates, usable in
+  SELECT and ORDER BY; rebinding a pattern variable is rejected
 - aggregates: COUNT([DISTINCT] ?v | *), SUM, AVG, MIN, MAX,
   GROUP_CONCAT([DISTINCT] ?v [; SEPARATOR = "s"]), SAMPLE, with
   ``GROUP BY`` and ``HAVING(?alias op value)`` over projection aliases
@@ -73,7 +80,7 @@ _TOKEN_RE = re.compile(
   | (?P<NUMBER>[+-]?\d+(?:\.\d+)?)
   | (?P<PNAME>[A-Za-z_][A-Za-z0-9_-]*:(?:[A-Za-z0-9_.-]*[A-Za-z0-9_-])?)
   | (?P<KEYWORD>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<PUNCT>\(|\)|\{|\}|\.|;|,|\*|\+|\?|\^|\||=|!=|<=|>=|<|>)
+  | (?P<PUNCT>\(|\)|\{|\}|\.|;|,|\*|\+|\?|\^|\||=|!=|<=|>=|<|>|/|-)
     """,
     re.VERBOSE,
 )
@@ -118,8 +125,10 @@ class ParsedQuery:
     values: list[dict[str, str]] = field(default_factory=list)
     order_by: list[tuple[str, str]] = field(default_factory=list)
     limit: int | None = None
-    offset: int = 0
+    offset: int | None = None  # None = absent (so 'OFFSET 0 OFFSET 5'
+    # still trips the duplicate guard); consumers read `q.offset or 0`
     union_branches: list[list[tuple[str, str, str]]] = field(default_factory=list)
+    binds: list[tuple[str, object]] = field(default_factory=list)
     group_by: list[str] | None = None
     aggs: list[tuple[str, str, str]] = field(default_factory=list)
     having: list[tuple[str, str, object]] = field(default_factory=list)
@@ -143,6 +152,7 @@ class _Parser:
         self.toks = _lex(text)
         self.i = 0
         self.prefixes: dict[str, str] = {}
+        self._n_seq_vars = 0  # fresh intermediates for p/q path desugar
 
     # -- token helpers --
     def peek(self, ahead: int = 0) -> _Tok:
@@ -477,6 +487,18 @@ class _Parser:
                 q.values.extend(self._values_block())
                 self.punct(".")
                 continue
+            if t.kind == "KEYWORD" and t.text.upper() == "BIND":
+                self.next()
+                self.expect_punct("(")
+                expr = self._bind_expr()
+                self.expect_kw("AS")
+                v = self.next()
+                if v.kind != "VAR":
+                    raise SparqlParseError(f"expected ?var at {v.pos}")
+                self.expect_punct(")")
+                q.binds.append(("?" + v.text[1:], expr))
+                self.punct(".")
+                continue
             if t.kind == "KEYWORD" and t.text.upper() == "GRAPH":
                 raise SparqlParseError(
                     f"GRAPH at {t.pos}: only as the wrapper of the whole "
@@ -498,18 +520,98 @@ class _Parser:
                 return out
             if t.kind == "KEYWORD" and t.text.upper() in (
                 "OPTIONAL", "FILTER", "MINUS", "VALUES", "GRAPH", "UNION",
+                "BIND",
             ):
                 return out
             subj = self.term("subj")
             while True:
-                pred = self.term("pred")
+                # sequence property path (p/q/...): each step keeps its
+                # own per-step syntax (inverse, modifier, alternation)
+                preds = [self.term("pred")]
+                while self.punct("/"):
+                    preds.append(self.term("pred"))
                 obj = self.term("obj")
-                out.append((subj, pred, obj))
+                if len(preds) == 1:
+                    out.append((subj, preds[0], obj))
+                else:
+                    # desugar: chain through fresh intermediates —
+                    # ?s p/q ?o ≡ ?s p ?_seqN . ?_seqN q ?o. The
+                    # synthetic variables are dropped from SELECT *
+                    # (_check_shape), matching SPARQL's path scoping.
+                    cur = subj
+                    for k, p in enumerate(preds):
+                        if k == len(preds) - 1:
+                            nxt = obj
+                        else:
+                            nxt = f"?_seq{self._n_seq_vars}"
+                            self._n_seq_vars += 1
+                        out.append((cur, p, nxt))
+                        cur = nxt
                 if self.punct(";"):
                     continue
                 break
             if not self.punct("."):
                 return out
+
+    def _bind_expr(self) -> object:
+        """BIND expression subset -> the compiler's AST tuples
+        (operators.bgp._bind_expr_col): ``?var``, string/number
+        literals, ``CONCAT(...)``, ``STR(...)``, parentheses, and
+        ``+ - * /`` with standard precedence over try_cast(double)
+        operands."""
+        left = self._bind_mul()
+        while True:
+            t = self.peek()
+            if t.kind == "PUNCT" and t.text in ("+", "-"):
+                self.next()
+                left = ("arith", t.text, left, self._bind_mul())
+            else:
+                return left
+
+    def _bind_mul(self) -> object:
+        left = self._bind_prim()
+        while True:
+            t = self.peek()
+            if t.kind == "PUNCT" and t.text in ("*", "/"):
+                self.next()
+                left = ("arith", t.text, left, self._bind_prim())
+            else:
+                return left
+
+    def _bind_prim(self) -> object:
+        t = self.peek()
+        if t.kind == "VAR":
+            self.next()
+            return ("var", "?" + t.text[1:])
+        if t.kind == "STRING":
+            self.next()
+            return ("const", _unescape(t.text[1:-1]))
+        if t.kind == "NUMBER":
+            self.next()
+            return ("const", float(t.text))
+        if t.kind == "PUNCT" and t.text == "(":
+            self.next()
+            inner = self._bind_expr()
+            self.expect_punct(")")
+            return inner
+        if t.kind == "KEYWORD" and t.text.upper() == "CONCAT":
+            self.next()
+            self.expect_punct("(")
+            args = [self._bind_expr()]
+            while self.punct(","):
+                args.append(self._bind_expr())
+            self.expect_punct(")")
+            return ("concat", args)
+        if t.kind == "KEYWORD" and t.text.upper() == "STR":
+            self.next()
+            self.expect_punct("(")
+            inner = self._bind_expr()
+            self.expect_punct(")")
+            return ("str", inner)
+        raise SparqlParseError(
+            f"BIND supports ?var, literals, CONCAT, STR, and + - * / — "
+            f"got {t.text!r} at {t.pos}"
+        )
 
     def _filter_constraint(self) -> tuple[str, str, object]:
         self.expect_punct("(")
@@ -683,6 +785,7 @@ class _Parser:
                 or q.not_exists
                 or q.aggs
                 or q.values
+                or q.binds
                 or q.verb != "select"
             ):
                 raise SparqlParseError(
@@ -695,6 +798,51 @@ class _Parser:
                     "UNION needs an explicit SELECT list (it defines the "
                     "shared output shape)"
                 )
+        if q.binds:
+            if q.aggs:
+                raise SparqlParseError(
+                    "BIND with aggregates is not in the subset — compute "
+                    "the expression over the returned DataFrame"
+                )
+            if q.verb != "select":
+                raise SparqlParseError(
+                    "BIND is supported in SELECT queries only in this "
+                    "subset"
+                )
+            bound = {
+                t
+                for pats in (
+                    [q.patterns] + q.optional_patterns
+                )
+                for pat in pats
+                for t in pat
+                if t.startswith("?")
+            }
+            for var, _ in q.binds:
+                if var in bound:
+                    raise SparqlParseError(
+                        f"BIND(... AS {var}) would rebind a pattern "
+                        "variable (SPARQL §10.1 forbids rebinding)"
+                    )
+        if self._n_seq_vars and q.select is None and q.verb == "select":
+            # SELECT * must not expose the synthetic p/q intermediates:
+            # materialize the user-visible variables in first-mention
+            # order (required patterns, then optional groups) — the
+            # same order the compiler's default projection uses.
+            ordered: list[str] = []
+            for pats in [q.patterns] + q.optional_patterns:
+                for pat in pats:
+                    for t in pat:
+                        if (
+                            t.startswith("?")
+                            and not t.startswith("?_seq")
+                            and t[1:] not in ordered
+                        ):
+                            ordered.append(t[1:])
+            for var, _ in q.binds:  # BINDs project after pattern vars
+                if var[1:] not in ordered:
+                    ordered.append(var[1:])
+            q.select = ordered
 
 
 _ESCAPES = {"n": "\n", "t": "\t", "r": "\r", '"': '"', "\\": "\\"}
@@ -824,7 +972,8 @@ def sparql_query(triples: DataFrame, text: str) -> DataFrame:
         not_exists=q.not_exists or None,
         order_by=q.order_by or None,
         limit=q.limit,
-        offset=q.offset,
+        offset=q.offset or 0,
         graph=q.graph,
         values=q.values or None,
+        binds=q.binds or None,
     )

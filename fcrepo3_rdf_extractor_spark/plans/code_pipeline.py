@@ -35,21 +35,23 @@ Emitted triples per file F = ``src:<repo>/<path>``:
   resolved against the corpus-wide df-bounded callee registry — see
   :func:`..operators.code.call_graph_edges` for the semantics).
 
-Scale shape (10^12 files): at default config the content column is
-scanned exactly TWICE — once for the constants+definitions+annotations
-branch (one projection, one Generate, zero shuffles) and once for the
-imports branch (one Generate, then one hash equi-join against the
-narrow module registry, which never reads content). Folding both into
-one explode would force the registry join's shuffle key onto every
-constant/definition row (null-keyed rows all hash to one reducer — a
-skew hotspot), so two column-pruned, embarrassingly-parallel passes
-are the cheaper plan. Each optional branch pays its own pass:
-vendored = one hash-column pass + a per-hash count(distinct repo)
-aggregate (linear in file count); calls = one mention-netting pass
-over the wave plus a defs-only registry pass over the corpus, linked
-by a df-bounded hash equi-join. No Python anywhere — regex extraction
-cannot raise per-row, so unlike FOXML there is no error channel
-(malformed source text simply matches no patterns).
+Scale shape (10^12 files): the content column is deserialized and
+regex-scanned exactly ONCE, whatever the config — ``code_kg_state``
+builds every per-file triple family (constants, definitions,
+annotations, imports, netted call mentions) inside a single projection
+and a single Generate, and the plan persists that content-free state
+(MEMORY_AND_DISK) so the corpus-dependent assembly layers
+(``code_kg_from_state``: module-registry join, callee-registry join,
+vendored sha spread) read the narrow cached rows instead of re-running
+the scan. Earlier rounds ran one content pass per branch (up to six
+with every flag on); the measured cost of that duplication was not
+wall-clock at low parallelism but SCALING — duplicated string traffic
+saturates socket memory bandwidth exactly when all cores are busy
+(BASELINE.md round-4 code-KG attribution). Call-mention netting is
+row-local (no exchange); the only shuffles left are the three narrow
+assembly joins/aggregates and the output dedup. No Python anywhere —
+regex extraction cannot raise per-row, so unlike FOXML there is no
+error channel (malformed source text simply matches no patterns).
 """
 
 from __future__ import annotations
@@ -66,7 +68,7 @@ from ..operators.code import (
     deep_module_winner,
     module_registry,
     module_registry_deep,
-    netted_call_mentions,
+    netted_mention_structs,
 )
 from ..operators.dedup import TRIPLE_KEY, dedup_exact
 from ..operators.text import IMPORT_PATTERNS, clone_key_expr, with_license
@@ -94,115 +96,8 @@ class CodeKgConfig:
     subject_buckets: int = 256
 
 
-def _t(
-    subj: Column,
-    pred: str,
-    obj: Column,
-    is_literal: bool,
-    datatype: str | None = None,
-) -> Column:
-    """One triple struct; a NULL obj_value marks the slot absent and is
-    filtered before the explode (e.g. an undetected license)."""
-    return F.struct(
-        subj.alias("subj"),
-        F.lit(pred).alias("pred"),
-        obj.cast("string").alias("obj_value"),
-        F.lit(is_literal).alias("obj_is_literal"),
-        (F.lit(datatype) if datatype else F.lit(None).cast("string")).alias(
-            "obj_datatype"
-        ),
-    )
-
-
 def _file_uri() -> Column:
     return F.concat(F.lit("src:"), F.col("repo"), F.lit("/"), F.col("path"))
-
-
-def _finish(branch: DataFrame, graph: str) -> DataFrame:
-    """Shared tail: explode the per-file triple array, attach graph and
-    the always-NULL obj_lang (no language-tagged literals in this
-    vocabulary), order columns to the pipeline's quad+lineage layout."""
-    exploded = branch.select(
-        *LINEAGE, F.explode("_triples").alias("_e")
-    )
-    return exploded.select(
-        F.lit(graph).alias("graph"),
-        F.col("_e.subj").alias("subj"),
-        F.col("_e.pred").alias("pred"),
-        F.col("_e.obj_value").alias("obj_value"),
-        F.col("_e.obj_is_literal").alias("obj_is_literal"),
-        F.col("_e.obj_datatype").alias("obj_datatype"),
-        F.lit(None).cast("string").alias("obj_lang"),
-        *LINEAGE,
-    )
-
-
-def _constants_branch(files: DataFrame, config: CodeKgConfig) -> DataFrame:
-    """Constants + definitions (+ license/clone-key annotations): ONE
-    content scan, one projection, one Generate. The definition matches
-    expand to three structs each inside a ``transform`` lambda, so the
-    whole branch is a single array concatenation exploded once — never
-    a filter+union re-running the scan per triple family."""
-    staged = files
-    if config.license:
-        staged = with_license(staged, text_col="content")
-    if config.clone_keys:
-        staged = staged.withColumn(
-            "clone_key", clone_key_expr("content")
-        )
-    staged = staged.withColumn(
-        "content_sha256", F.sha2(F.col("content"), 256)
-    )
-    furi = _file_uri()
-    consts = [
-        _t(furi, "code:repo", F.col("repo"), True),
-        _t(furi, "code:path", F.col("path"), True),
-        _t(furi, "code:commit", F.col("commit"), True),
-        _t(furi, "code:sha256", F.col("content_sha256"), True),
-    ]
-    if "lang" in files.columns:
-        consts.append(_t(furi, "code:lang", F.col("lang"), True))
-    if config.license:
-        consts.append(_t(furi, "code:license", F.col("license"), True))
-        consts.append(
-            _t(
-                furi,
-                "code:permissive",
-                F.when(F.col("permissive") == 1, "true").otherwise("false"),
-                True,
-                XSD_BOOLEAN,
-            )
-        )
-    if config.clone_keys:
-        consts.append(_t(furi, "code:cloneKey", F.col("clone_key"), True))
-
-    def sym(m: Column) -> Column:
-        return F.concat(
-            F.lit("sym:"),
-            F.col("repo"),
-            F.lit("/"),
-            F.col("path"),
-            F.lit("#"),
-            m["name"],
-        )
-
-    defs = F.flatten(
-        F.transform(
-            _tagged_matches(F.col("content"), DEF_PATTERNS),
-            lambda m: F.array(
-                _t(furi, "code:defines", sym(m), False),
-                _t(sym(m), "code:name", m["name"], True),
-                _t(sym(m), "code:kind", m["kind"], True),
-            ),
-        )
-    )
-    triples = F.filter(
-        F.concat(F.array(*consts), defs),
-        lambda s: s["obj_value"].isNotNull(),
-    )
-    return _finish(
-        staged.select(*LINEAGE, triples.alias("_triples")), config.graph
-    )
 
 
 def _with_def_path(
@@ -243,154 +138,6 @@ def _with_def_path(
     )
 
 
-def _imports_branch(
-    files: DataFrame, config: CodeKgConfig, corpus: DataFrame
-) -> DataFrame:
-    """Raw import literals and (with ``resolve``) entity-linked
-    dependsOn edges, BOTH projected from the same exploded-import frame
-    so the registry join runs once. Without ``resolve`` there is no
-    join at all. The registry builds over ``corpus`` (== ``files``
-    except in resumable waves, where a wave's imports must resolve
-    against the WHOLE corpus's modules or wave output would differ from
-    a one-shot run)."""
-    imp = files.select(
-        "repo",
-        "path",
-        "commit",
-        F.sha2(F.col("content"), 256).alias("content_sha256"),
-        F.explode(
-            _tagged_matches(F.col("content"), IMPORT_PATTERNS)
-        ).alias("_e"),
-    ).select(
-        *LINEAGE,
-        F.col("_e.kind").alias("_kind"),
-        F.col("_e.name").alias("_module"),
-    )
-    furi = _file_uri()
-    raw = _t(furi, "code:imports", F.col("_module"), True)
-    if not config.resolve:
-        return _finish(
-            imp.select(*LINEAGE, F.array(raw).alias("_triples")),
-            config.graph,
-        )
-    linked = _with_def_path(
-        imp, corpus, config.deep_resolve, "_kind", "_module"
-    )
-    depends = _t(
-        furi,
-        "code:dependsOn",
-        F.when(
-            F.col("_def_path").isNotNull(),
-            F.concat(
-                F.lit("src:"), F.col("repo"), F.lit("/"), F.col("_def_path")
-            ),
-        ).otherwise(F.concat(F.lit("ext:"), F.col("_module"))),
-        False,
-    )
-    return _finish(
-        linked.select(*LINEAGE, F.array(raw, depends).alias("_triples")),
-        config.graph,
-    )
-
-
-def _lineage_cols() -> list:
-    """The lineage projection used by every content-scanning branch:
-    the three identity columns plus the sha computed in the scan."""
-    return [
-        F.col("repo"),
-        F.col("path"),
-        F.col("commit"),
-        F.sha2(F.col("content"), 256).alias("content_sha256"),
-    ]
-
-
-def _calls_branch(
-    files: DataFrame, config: CodeKgConfig, corpus: DataFrame
-) -> DataFrame:
-    """``(F, code:calls, sym:<repo>/<def path>#<name>)`` — the call
-    edges of :func:`..operators.code.call_graph_edges` with the wave's
-    lineage columns carried through the per-file netting groupBy (path
-    determines sha, so the extra group keys are free). The callee
-    registry builds over ``corpus`` so a wave's calls resolve against
-    symbols whose defining file lands in another wave. Multiplicity
-    (n_calls) is deliberately dropped: the quad table is set-semantics
-    and ``dedup_exact`` would collapse it anyway."""
-    netted = netted_call_mentions(files, _lineage_cols()).withColumnRenamed(
-        "n_calls", "_n"
-    )
-    registry = (
-        corpus.select(
-            F.col("repo"),
-            F.col("path").alias("_dpath"),
-            F.explode(
-                _tagged_matches(F.col("content"), DEF_PATTERNS)
-            ).alias("_d"),
-        )
-        .groupBy("repo", F.col("_d.name").alias("_name"))
-        .agg(
-            F.min("_dpath").alias("_def_path"),
-            F.countDistinct("_dpath").alias("_nc"),
-        )
-        .filter(F.col("_nc") <= config.max_def)
-        .drop("_nc")
-    )
-    linked = netted.join(registry, ["repo", "_name"])
-    triple = _t(
-        _file_uri(),
-        "code:calls",
-        F.concat(
-            F.lit("sym:"),
-            F.col("repo"),
-            F.lit("/"),
-            F.col("_def_path"),
-            F.lit("#"),
-            F.col("_name"),
-        ),
-        False,
-    )
-    return _finish(
-        linked.select(*LINEAGE, F.array(triple).alias("_triples")),
-        config.graph,
-    )
-
-
-def _vendored_branch(
-    files: DataFrame, config: CodeKgConfig, corpus: DataFrame
-) -> DataFrame:
-    """``(F, code:vendored, true|false^^xsd:boolean)`` per file: the
-    content hash's cross-repo spread, reusing the lineage sha256 as the
-    spread key. One narrow hash pass, one two-phase
-    count(distinct repo) per hash, one join back on the hash key. The
-    spread aggregates over ``corpus`` (the whole table, even when
-    ``files`` is one resumable wave — a wave-local spread would miss
-    cross-wave copies)."""
-    hashed = files.select(
-        "repo",
-        "path",
-        "commit",
-        F.sha2(F.col("content"), 256).alias("content_sha256"),
-    )
-    spread = (
-        corpus.select(
-            "repo", F.sha2(F.col("content"), 256).alias("content_sha256")
-        )
-        .groupBy("content_sha256")
-        .agg((F.countDistinct("repo") > 1).alias("_vend"))
-    )
-    flagged = hashed.join(spread, "content_sha256")
-    triple = _t(
-        _file_uri(),
-        "code:vendored",
-        F.when(F.col("_vend"), "true").otherwise("false"),
-        True,
-        XSD_BOOLEAN,
-    )
-    return _finish(
-        flagged.select(*LINEAGE, F.array(triple).alias("_triples")),
-        config.graph,
-    )
-
-
 #: Per-document staging rows (netted call mentions) live in the state
 #: table alongside real quads so ONE table is the whole refresh state;
 #: they are filtered out of every exported/assembled KG.
@@ -420,6 +167,15 @@ def code_kg_state(files: DataFrame, config: CodeKgConfig) -> DataFrame:
     and, with ``config.calls``, ``code:_callMention`` staging rows (one
     per netted callee name). Schema = quad + lineage + ``kind``.
 
+    ONE content scan, ONE Generate, zero shuffles: every triple family
+    (constants, definitions, annotations, imports, netted call
+    mentions) is built as an array of a COMMON six-field struct inside
+    a single projection, concatenated, null-filtered, and exploded
+    once. Call-mention netting is row-local
+    (:func:`..operators.code.netted_mention_structs`), so even the
+    calls branch adds no exchange. Streaming-safe: pure stateless
+    projections, no aggregates.
+
     This is the sound unit of incremental reuse: corpus-DEPENDENT
     triples (dependsOn, calls, vendored) are deliberately absent —
     an unchanged file's dependsOn edge can change when ANOTHER file
@@ -427,49 +183,113 @@ def code_kg_state(files: DataFrame, config: CodeKgConfig) -> DataFrame:
     re-assembled from the corpus state every refresh
     (:func:`code_kg_from_state`), never reused per-document."""
     files = _non_null_content(files)
-    null_s = F.lit(None).cast("string")
-    local = _constants_branch(files, config).withColumn("kind", null_s)
-    imp = files.select(
-        "repo",
-        "path",
-        "commit",
-        F.sha2(F.col("content"), 256).alias("content_sha256"),
-        F.explode(
-            _tagged_matches(F.col("content"), IMPORT_PATTERNS)
-        ).alias("_e"),
+    staged = files
+    if config.license:
+        staged = with_license(staged, text_col="content")
+    if config.clone_keys:
+        staged = staged.withColumn("clone_key", clone_key_expr("content"))
+    staged = staged.withColumn(
+        "content_sha256", F.sha2(F.col("content"), 256)
     )
     furi = _file_uri()
-    imp_rows = imp.select(
+    null_s = F.lit(None).cast("string")
+
+    def _s(
+        subj: Column,
+        pred: str,
+        obj: Column,
+        is_literal: bool,
+        datatype: str | None = None,
+        kind: Column | None = None,
+    ) -> Column:
+        return F.struct(
+            subj.alias("subj"),
+            F.lit(pred).alias("pred"),
+            obj.cast("string").alias("obj_value"),
+            F.lit(is_literal).alias("obj_is_literal"),
+            (F.lit(datatype) if datatype else null_s).alias(
+                "obj_datatype"
+            ),
+            (kind if kind is not None else null_s).alias("kind"),
+        )
+
+    consts = [
+        _s(furi, "code:repo", F.col("repo"), True),
+        _s(furi, "code:path", F.col("path"), True),
+        _s(furi, "code:commit", F.col("commit"), True),
+        _s(furi, "code:sha256", F.col("content_sha256"), True),
+    ]
+    if "lang" in files.columns:
+        consts.append(_s(furi, "code:lang", F.col("lang"), True))
+    if config.license:
+        consts.append(_s(furi, "code:license", F.col("license"), True))
+        consts.append(
+            _s(
+                furi,
+                "code:permissive",
+                F.when(F.col("permissive") == 1, "true").otherwise("false"),
+                True,
+                XSD_BOOLEAN,
+            )
+        )
+    if config.clone_keys:
+        consts.append(_s(furi, "code:cloneKey", F.col("clone_key"), True))
+
+    def sym(m: Column) -> Column:
+        return F.concat(
+            F.lit("sym:"),
+            F.col("repo"),
+            F.lit("/"),
+            F.col("path"),
+            F.lit("#"),
+            m["name"],
+        )
+
+    defs = F.flatten(
+        F.transform(
+            _tagged_matches(F.col("content"), DEF_PATTERNS),
+            lambda m: F.array(
+                _s(furi, "code:defines", sym(m), False),
+                _s(sym(m), "code:name", m["name"], True),
+                _s(sym(m), "code:kind", m["kind"], True),
+            ),
+        )
+    )
+    imps = F.transform(
+        _tagged_matches(F.col("content"), IMPORT_PATTERNS),
+        lambda m: _s(
+            furi, "code:imports", m["name"], True, None, m["kind"]
+        ),
+    )
+    arr = F.concat(F.array(*consts), defs, imps)
+    if config.calls:
+        ments = F.transform(
+            netted_mention_structs(F.col("content")),
+            lambda s: _s(furi, STAGING_PRED, s["name"], True),
+        )
+        arr = F.concat(arr, ments)
+    arr = F.filter(arr, lambda s: s["obj_value"].isNotNull())
+    exploded = staged.select(*LINEAGE, F.explode(arr).alias("_e"))
+    return exploded.select(
         F.lit(config.graph).alias("graph"),
-        furi.alias("subj"),
-        F.lit("code:imports").alias("pred"),
-        F.col("_e.name").alias("obj_value"),
-        F.lit(True).alias("obj_is_literal"),
-        null_s.alias("obj_datatype"),
+        F.col("_e.subj").alias("subj"),
+        F.col("_e.pred").alias("pred"),
+        F.col("_e.obj_value").alias("obj_value"),
+        F.col("_e.obj_is_literal").alias("obj_is_literal"),
+        F.col("_e.obj_datatype").alias("obj_datatype"),
         null_s.alias("obj_lang"),
         *LINEAGE,
         F.col("_e.kind").alias("kind"),
     )
-    state = local.unionByName(imp_rows)
-    if config.calls:
-        netted = netted_call_mentions(files, _lineage_cols())
-        mention_rows = netted.select(
-            F.lit(config.graph).alias("graph"),
-            furi.alias("subj"),
-            F.lit(STAGING_PRED).alias("pred"),
-            F.col("_name").alias("obj_value"),
-            F.lit(True).alias("obj_is_literal"),
-            null_s.alias("obj_datatype"),
-            null_s.alias("obj_lang"),
-            *LINEAGE,
-            null_s.alias("kind"),
-        )
-        state = state.unionByName(mention_rows)
-    return state
 
 
 def code_kg_from_state(
-    state: DataFrame, cur_ids: DataFrame, config: CodeKgConfig
+    state: DataFrame,
+    cur_ids: DataFrame,
+    config: CodeKgConfig,
+    *,
+    corpus_ids: DataFrame | None = None,
+    defs_registry: DataFrame | None = None,
 ) -> DataFrame:
     """Assemble the FULL knowledge graph from the per-document state
     plus the current identity table (repo, path, commit,
@@ -482,15 +302,26 @@ def code_kg_from_state(
       the sym URI fragment; defining path = the row's own lineage)
     - ``code:vendored`` = the identity table's sha spread
 
+    ``corpus_ids`` / ``defs_registry`` widen the RESOLUTION BASIS
+    beyond the state's own files — the resumable-wave case, where a
+    wave's imports/calls/vendored flags must resolve against the WHOLE
+    corpus's modules/symbols/hashes while only the wave's files emit
+    rows. ``corpus_ids`` (same identity schema) feeds the module
+    registry and the vendored spread; ``defs_registry``
+    (repo, _name, _def_path — already max_def-bounded) replaces the
+    state-derived callee registry. Both default to the state-local
+    basis.
+
     ``code_kg_from_state(code_kg_state(files, c), ids(files), c)`` is
     row-identical to ``code_kg_plan(files, c)`` (pytest-pinned), so the
     incremental path can never drift from the one-shot plan."""
+    basis_ids = corpus_ids if corpus_ids is not None else cur_ids
     quads = state.filter(F.col("pred") != STAGING_PRED).drop("kind")
     imports = state.filter(F.col("pred") == "code:imports")
     out = quads
     if config.resolve:
         linked = _with_def_path(
-            imports, cur_ids, config.deep_resolve, "kind", "obj_value"
+            imports, basis_ids, config.deep_resolve, "kind", "obj_value"
         )
         depends = linked.select(
             F.col("graph"),
@@ -515,19 +346,23 @@ def code_kg_from_state(
         out = out.unionByName(depends)
     if config.calls:
         defsreg = (
-            state.filter(F.col("pred") == "code:defines")
-            .select(
-                "repo",
-                F.substring_index("obj_value", "#", -1).alias("_name"),
-                F.col("path").alias("_dpath"),
+            defs_registry
+            if defs_registry is not None
+            else (
+                state.filter(F.col("pred") == "code:defines")
+                .select(
+                    "repo",
+                    F.substring_index("obj_value", "#", -1).alias("_name"),
+                    F.col("path").alias("_dpath"),
+                )
+                .groupBy("repo", "_name")
+                .agg(
+                    F.min("_dpath").alias("_def_path"),
+                    F.countDistinct("_dpath").alias("_nc"),
+                )
+                .filter(F.col("_nc") <= config.max_def)
+                .drop("_nc")
             )
-            .groupBy("repo", "_name")
-            .agg(
-                F.min("_dpath").alias("_def_path"),
-                F.countDistinct("_dpath").alias("_nc"),
-            )
-            .filter(F.col("_nc") <= config.max_def)
-            .drop("_nc")
         )
         calls = (
             state.filter(F.col("pred") == STAGING_PRED)
@@ -553,7 +388,7 @@ def code_kg_from_state(
         )
         out = out.unionByName(calls)
     if config.vendored:
-        spread = cur_ids.groupBy("content_sha256").agg(
+        spread = basis_ids.groupBy("content_sha256").agg(
             (F.countDistinct("repo") > 1).alias("_vend")
         )
         vend = cur_ids.join(spread, "content_sha256").select(
@@ -640,26 +475,66 @@ def code_kg_plan(
     corpus: DataFrame | None = None,
 ) -> DataFrame:
     """Full declarative plan: source-contract table -> quad+lineage
-    DataFrame. With ``config.dedup`` duplicate quads collapse via
-    ``dedup_exact`` on TRIPLE_KEY (deterministic ``min(struct)`` witness
-    keeps ONE file's lineage per quad); leave ``dedup=False`` for the
+    DataFrame, structured as ``code_kg_from_state ∘ code_kg_state`` —
+    ONE fused content scan builds the per-document state, which is
+    persisted (MEMORY_AND_DISK; it is content-free and every assembly
+    branch reads it), then the corpus-dependent layers (dependsOn,
+    calls, vendored) assemble from it with narrow joins only. Before
+    the fusion the plan paid up to six content passes (constants+defs,
+    imports, call netting, callee registry, vendored hash, spread);
+    now content is deserialized and regex-scanned exactly once — the
+    difference is pure memory-bandwidth/allocator headroom at high
+    core counts, where the duplicated string traffic was measured as
+    the scaling ceiling (BASELINE.md round-4 code-KG section).
+
+    With ``config.dedup`` duplicate quads collapse via ``dedup_exact``
+    on TRIPLE_KEY (deterministic ``min(struct)`` witness keeps ONE
+    file's lineage per quad); leave ``dedup=False`` for the
     per-document layer that resumable/incremental maintenance needs —
     the same output-layer-dedup discipline as the FOXML pipeline.
 
-    ``corpus`` is the corpus-global basis for import resolution and
-    vendored spread; pass the FULL source table when ``files`` is a
-    resumable wave so each wave's output equals the one-shot run's
-    slice (defaults to ``files``)."""
+    ``corpus`` is the corpus-global basis for import resolution,
+    callee registry, and vendored spread; pass the FULL source table
+    when ``files`` is a resumable wave so each wave's output equals
+    the one-shot run's slice (defaults to ``files``). The wave case
+    pays two extra corpus passes (identity sha + callee defs) — the
+    wave's own content is still scanned once."""
     config = config or CodeKgConfig()
-    files = _non_null_content(files)
-    corpus = _non_null_content(corpus) if corpus is not None else files
-    out = _constants_branch(files, config).unionByName(
-        _imports_branch(files, config, corpus)
+    state = code_kg_state(files, config).persist()
+    cur_ids = state.filter(F.col("pred") == "code:sha256").select(
+        "repo", "path", "commit", "content_sha256"
     )
+    if corpus is None:
+        return code_kg_from_state(state, cur_ids, config)
+    corpus = _non_null_content(corpus)
+    corpus_ids = corpus.select(
+        "repo",
+        "path",
+        "commit",
+        F.sha2(F.col("content"), 256).alias("content_sha256"),
+    )
+    defs_registry = None
     if config.calls:
-        out = out.unionByName(_calls_branch(files, config, corpus))
-    if config.vendored:
-        out = out.unionByName(_vendored_branch(files, config, corpus))
-    if config.dedup:
-        out = dedup_exact(out, key=TRIPLE_KEY)
-    return out
+        defs_registry = (
+            corpus.select(
+                "repo",
+                F.col("path").alias("_dpath"),
+                F.explode(
+                    _tagged_matches(F.col("content"), DEF_PATTERNS)
+                ).alias("_d"),
+            )
+            .groupBy("repo", F.col("_d.name").alias("_name"))
+            .agg(
+                F.min("_dpath").alias("_def_path"),
+                F.countDistinct("_dpath").alias("_nc"),
+            )
+            .filter(F.col("_nc") <= config.max_def)
+            .drop("_nc")
+        )
+    return code_kg_from_state(
+        state,
+        cur_ids,
+        config,
+        corpus_ids=corpus_ids,
+        defs_registry=defs_registry,
+    )

@@ -77,7 +77,7 @@ _STATE_SQL = (
 _U = "'info:fedora/order:' || o_orderkey"
 
 
-def _kg_orders_oracle() -> str:
+def _kg_orders_oracle(table: str = "orders") -> str:
     rel = "info:fedora/fedora-system:def/relations-external#"
     lines = []
 
@@ -86,7 +86,7 @@ def _kg_orders_oracle() -> str:
         lines.append(
             f"SELECT '#ri' AS graph, {subj} AS subj, '{pred}' AS pred, "
             f"{obj} AS obj_value, {str(is_lit).lower()} AS obj_is_literal, "
-            f"{dtv} AS obj_datatype FROM orders"
+            f"{dtv} AS obj_datatype FROM {table}"
         )
 
     # 6 object constants (ObjectProcessor.java:235-246)
@@ -116,6 +116,40 @@ def _kg_orders_oracle() -> str:
 @_q("kg_extract_orders", _kg_orders_oracle())
 def kg_extract_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     source = synthesize_foxml_from_orders(spark, sf_dir)
+    out = extract_plan(source, ExtractConfig(skip_empty=True, dedup=False))
+    return triples_only(out).select(
+        "graph", "subj", "pred", "obj_value", "obj_is_literal", "obj_datatype"
+    )
+
+
+@_q(
+    "kg_select_objects",
+    f"""WITH sel AS (SELECT * FROM orders ORDER BY o_orderkey LIMIT 5)
+        {_kg_orders_oracle("sel")}""",
+)
+def kg_select_objects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1's explicit-URI mode (reference ``Extract.java:138-139``, the
+    positional argument list consumed at ``:221``): restrict extraction
+    to a named object set via operators.filters.select_objects — here
+    the 5 lowest order PIDs, chosen by a metadata-sized driver action so
+    the oracle can restate the same slice with ORDER BY/LIMIT. The
+    IN-list predicate pushes down to the source scan, so the other
+    99.999% of a 100 TB corpus is never deserialized; jobs/extract.py
+    exposes the same operator as --paths/--paths-file."""
+    from .operators.filters import select_objects
+
+    keys = [
+        r[0]
+        for r in _read(spark, sf_dir, "orders")
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+        .limit(5)
+        .collect()
+    ]
+    paths = [f"info:fedora/order:{k}" for k in keys]
+    source = select_objects(
+        synthesize_foxml_from_orders(spark, sf_dir), paths
+    )
     out = extract_plan(source, ExtractConfig(skip_empty=True, dedup=False))
     return triples_only(out).select(
         "graph", "subj", "pred", "obj_value", "obj_is_literal", "obj_datatype"
@@ -4065,7 +4099,8 @@ def _call_stop_sql() -> str:
 
 
 def _call_mentions_sql() -> str:
-    """The DuckDB replay of operators.code.call_mention_structs: scrub
+    """The DuckDB replay of the mention arm of
+    operators.code.netted_mention_structs: scrub
     attribute calls globally, then extract call sites."""
     from .operators.code import ATTR_CALL_SCRUB, CALL_SITE_PATTERN
 
@@ -5999,6 +6034,78 @@ def kg_sparql_text_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT ?obj ?coll ?owner WHERE {
           ?obj rel:isMemberOfCollection ?coll .
           ?obj m:ownerId ?owner .
+          ?obj m:state m:Active .
+        }
+        """,
+    )
+
+
+@_q(
+    "kg_bgp_bind_query",
+    """SELECT 'info:fedora/order:' || o_orderkey AS obj,
+              'info:fedora/collection:' || (o_custkey % 100) AS coll,
+              'info:fedora/collection:' || (o_custkey % 100) || '/' ||
+                'info:fedora/order:' || o_orderkey AS member,
+              CAST(7.0 AS DOUBLE) AS seven
+       FROM orders""",
+)
+def kg_bgp_bind_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL ``BIND`` end-to-end through the text front-end: a string
+    CONCAT/STR bind usable in the SELECT list, plus an arithmetic bind
+    exercising ``+``/``*`` precedence over try_cast(double) operands
+    (operators/sparql.py:_bind_expr -> operators/bgp.py:_bind_expr_col).
+    BINDs compile to plain column projections, so the plan is the same
+    single-pattern scan as the unBIND query — zero extra stages."""
+    from .operators.sparql import sparql_query
+
+    source = synthesize_foxml_from_orders(spark, sf_dir)
+    triples = (
+        triples_only(extract_triples(source))
+        .select("subj", "pred", "obj_value")
+        .persist()
+    )
+    return sparql_query(
+        triples,
+        """
+        PREFIX rel: <info:fedora/fedora-system:def/relations-external#>
+        SELECT ?obj ?coll ?member ?seven WHERE {
+          ?obj rel:isMemberOfCollection ?coll .
+          BIND(CONCAT(STR(?coll), "/", STR(?obj)) AS ?member)
+          BIND(1 + 2 * 3 AS ?seven)
+        }
+        """,
+    )
+
+
+@_q(
+    "kg_bgp_path_seq_query",
+    """SELECT 'info:fedora/order:' || o_orderkey AS obj, m AS mime
+       FROM orders
+       CROSS JOIN (VALUES ('text/xml'), ('application/rdf+xml')) t(m)
+       WHERE o_orderstatus = 'O'""",
+)
+def kg_bgp_path_seq_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL sequence property path (``p/q``) end-to-end: the parser
+    desugars ``view:disseminates/view:mimeType`` into a two-pattern
+    join through a fresh intermediate variable (hidden from the
+    projection), composing with the plain state pattern — so the plan
+    is exactly the three-pattern star join the programmatic API would
+    build, and SELECT * semantics never leak the synthetic variable."""
+    from .operators.sparql import sparql_query
+
+    source = synthesize_foxml_from_orders(spark, sf_dir)
+    triples = (
+        triples_only(extract_triples(source))
+        .select("subj", "pred", "obj_value")
+        .persist()
+    )
+    return sparql_query(
+        triples,
+        """
+        PREFIX m: <info:fedora/fedora-system:def/model#>
+        PREFIX v: <info:fedora/fedora-system:def/view#>
+        SELECT * WHERE {
+          ?obj v:disseminates/v:mimeType ?mime .
           ?obj m:state m:Active .
         }
         """,

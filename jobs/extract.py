@@ -83,6 +83,14 @@ def main(argv: list[str] | None = None) -> int:
                          "a fresh run with --no-dedup: a deduped table keeps "
                          "one witness per triple and cannot be maintained "
                          "incrementally")
+    ap.add_argument("--paths", nargs="*", default=None,
+                    help="explicit object path(s) to extract — the "
+                         "reference's positional-URI mode "
+                         "(Extract.java:138-139,221); the IN-list pushes "
+                         "down to the source scan")
+    ap.add_argument("--paths-file", default=None,
+                    help="file with one object path per line; combined "
+                         "with --paths")
     ap.add_argument("--local", type=int, default=None,
                     help="run on local[N] instead of the submitted master")
     args = ap.parse_args(argv)
@@ -106,6 +114,26 @@ def main(argv: list[str] | None = None) -> int:
     from fcrepo3_rdf_extractor_spark.sources.source_table import read_source
 
     source = read_source(spark, args.source, fmt=args.format)
+    selected = list(args.paths or [])
+    if args.paths_file:
+        with open(args.paths_file) as fh:
+            selected += [line.strip() for line in fh if line.strip()]
+    if selected:
+        if args.previous:
+            print(
+                "error: --paths/--paths-file cannot combine with "
+                "--previous: the incremental identity anti-join would "
+                "treat every unselected object as DELETED and drop its "
+                "rows from the refreshed state",
+                file=sys.stderr,
+            )
+            spark.stop()
+            return 2
+        from fcrepo3_rdf_extractor_spark.operators.filters import (
+            select_objects,
+        )
+
+        source = select_objects(source, selected)
     aliases = spark.read.parquet(args.aliases) if args.aliases else None
     ds_store = spark.read.parquet(args.ds_store) if args.ds_store else None
     config = ExtractConfig(
@@ -135,6 +163,8 @@ def main(argv: list[str] | None = None) -> int:
             return None
 
     summary: dict = {"out": args.out}
+    if selected:
+        summary["n_selected_paths"] = len(selected)
     if args.previous:
         prev_layout = read_layout_marker(args.previous)
         if prev_layout is not None and prev_layout != "per_document":

@@ -487,6 +487,41 @@ def extract_then_query(spark, base: Path) -> dict:
 
 
 @scenario
+def extract_select_paths(spark, base: Path) -> dict:
+    """The reference's explicit-URI mode (Extract.java:138-139): extract
+    only 2 of the 7 fixture objects via --paths, then a third via
+    --paths-file, plus the guard: --paths with --previous must refuse
+    (the incremental anti-join would read unselected objects as
+    deleted)."""
+    from fcrepo3_rdf_extractor_spark.sources.source_table import (
+        fixture_source,
+    )
+
+    src = str(base / "src")
+    fixture_source(spark).write.parquet(src)
+    out = str(base / "triples")
+    sel = _run_job("extract.py", [
+        "--source", src, "--out", out,
+        "--paths", "info:fedora/ct:85", "info:fedora/si:1020",
+        "--skip-empty-literals", "--buckets", "4", "--local", "2",
+    ])
+    pf = base / "paths.txt"
+    pf.write_text("info:fedora/ct:86\n\n")
+    out2 = str(base / "triples2")
+    sel_file = _run_job("extract.py", [
+        "--source", src, "--out", out2, "--paths-file", str(pf),
+        "--skip-empty-literals", "--buckets", "4", "--local", "2",
+    ])
+    refused = _run_job("extract.py", [
+        "--source", src, "--out", str(base / "t3"),
+        "--paths", "info:fedora/ct:85", "--previous", out,
+        "--local", "2",
+    ])
+    return {"sel": sel, "sel_file": sel_file, "refused": refused,
+            "out": out, "out2": out2}
+
+
+@scenario
 def code_kg_end_to_end(spark, base: Path) -> dict:
     """jobs/code_kg.py product journey: fresh resumable run over the
     3-file contract table, resume (must re-run nothing), N-Quads

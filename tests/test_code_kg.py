@@ -166,8 +166,10 @@ def test_code_kg_annotations_vendored_license_clonekey(spark):
 def test_code_kg_plan_shape(spark, tmp_path):
     """Scale pins: zero Python stages anywhere; entity linking is a hash
     equi-join (never BroadcastNestedLoopJoin); content is read off disk
-    by exactly the two branches that need it — the registry scan reads
-    only (repo, path)."""
+    by exactly ONE scan — the fused code_kg_state projection feeding
+    the persisted state — and every assembly branch (quads, module
+    registry, dependsOn link) reads the content-free cache instead of
+    re-scanning parquet."""
     src = str(tmp_path / "files")
     _files(spark).write.parquet(src)
     plan_df = code_kg_plan(spark.read.parquet(src))
@@ -179,8 +181,9 @@ def test_code_kg_plan_shape(spark, tmp_path):
     read_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
     with_content = [l for l in read_schemas if "content" in l]
     without = [l for l in read_schemas if "content" not in l]
-    assert len(with_content) == 2, read_schemas  # constants + imports pass
-    assert len(without) == 1, read_schemas  # module registry: narrow scan
+    assert len(with_content) == 1, read_schemas  # the fused state scan
+    assert len(without) == 0, read_schemas  # everything else reads cache
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, plan
 
 
 def test_call_graph_edges_semantics(spark):

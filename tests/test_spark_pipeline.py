@@ -858,3 +858,32 @@ def test_fuzzy_entity_match_tiebreak_and_block_bound(spark):
     # blocks are distinct per entity, so the exact suffix still links
     got2 = fuzzy_entity_match(mens2, many, max_distance=1, max_block=10).collect()
     assert [(r.mention_id, r.entity_id) for r in got2] == [(1, 1)]
+
+
+def test_extract_cli_select_paths(spark, cli_results):
+    """Reference parity with Extract.java's positional-URI mode: --paths
+    extracts exactly the named objects (2 of the 7 fixtures), a
+    --paths-file selects by file, and combining selection with
+    --previous is refused (the incremental anti-join would read every
+    unselected object as deleted)."""
+    from conftest import cli_art
+
+    art = cli_art(cli_results, "extract_select_paths")
+    sel = art["sel"]
+    assert sel["rc"] == 0, sel["stderr"][-2000:]
+    assert sel["summary"]["n_selected_paths"] == 2
+    assert sel["summary"]["n_objects"] == 2
+    stored = spark.read.parquet(art["out"])
+    subs = {
+        r.path for r in stored.select("path").distinct().collect()
+    }
+    assert subs == {"info:fedora/ct:85", "info:fedora/si:1020"}
+
+    sf = art["sel_file"]
+    assert sf["rc"] == 0, sf["stderr"][-2000:]
+    assert sf["summary"]["n_selected_paths"] == 1
+    assert sf["summary"]["n_objects"] == 1
+
+    refused = art["refused"]
+    assert refused["rc"] == 2
+    assert "--previous" in refused["stderr"]

@@ -321,3 +321,72 @@ def test_describe_constant_forms(quads):
     # a WHERE clause on a constant DESCRIBE would be silently inert
     with pytest.raises(ValueError, match="takes no WHERE"):
         sparql_query(quads, 'DESCRIBE <a> WHERE { ?x <p> ?y }')
+
+
+def test_parse_bind_and_seq_paths():
+    q = parse_sparql(
+        """
+        SELECT ?x ?lbl WHERE {
+          ?x <p>/<q>+ ?y .
+          BIND(CONCAT(STR(?x), "-", STR(?y)) AS ?lbl)
+          BIND(1 + 2 * 3 AS ?seven)
+        }
+        """
+    )
+    # p/q+ desugars through one fresh intermediate; the second step
+    # keeps its own + modifier
+    assert q.patterns == [("?x", "<p>", "?_seq0"), ("?_seq0", "q+", "?y")]
+    assert q.binds[0] == (
+        "?lbl",
+        ("concat", [("str", ("var", "?x")), ("const", "-"),
+                    ("str", ("var", "?y"))]),
+    )
+    # standard precedence: 1 + (2 * 3)
+    assert q.binds[1] == (
+        "?seven",
+        ("arith", "+", ("const", 1.0),
+         ("arith", "*", ("const", 2.0), ("const", 3.0))),
+    )
+    # SELECT * hides the synthetic intermediate but keeps bind targets
+    q2 = parse_sparql("SELECT * WHERE { ?x <p>/<q> ?y . "
+                      'BIND(STR(?x) AS ?s) }')
+    assert q2.select == ["x", "y", "s"]
+
+
+def test_parse_bind_rejections():
+    cases = [
+        ("SELECT * WHERE { ?x <p> ?y . BIND(STR(?x) AS ?y) }",
+         "rebind"),
+        ("SELECT (COUNT(*) AS ?n) WHERE { ?x <p> ?y . "
+         "BIND(STR(?x) AS ?s) }", "BIND with aggregates"),
+        ("ASK { ?x <p> ?y . BIND(STR(?x) AS ?s) }", "SELECT queries only"),
+        ("SELECT * WHERE { ?x <p> ?y . BIND(NOW() AS ?t) }",
+         "BIND supports"),
+    ]
+    for text, msg in cases:
+        with pytest.raises(SparqlParseError, match=msg):
+            parse_sparql(text)
+
+
+def test_text_bind_and_seq_execution(quads):
+    """BIND values and sequence-path joins, text vs programmatic."""
+    out = sparql_query(
+        quads,
+        'SELECT ?x ?t ?lbl WHERE { ?x <knows>/<type> ?t . '
+        'BIND(CONCAT(STR(?x), ":", STR(?t)) AS ?lbl) }',
+    )
+    got = sorted(map(tuple, out.collect()))
+    prog = bgp_query(
+        quads,
+        [("?x", "<knows>", "?m"), ("?m", "<type>", "?t")],
+        select=["x", "t"],
+    )
+    want = sorted((x, t, f"{x}:{t}") for x, t in map(tuple, prog.collect()))
+    assert got == want
+    # arithmetic binds: try_cast(double) semantics, non-numeric -> NULL
+    arith = sparql_query(
+        quads,
+        'SELECT ?six ?bad WHERE { ?x <knows> ?y . '
+        "BIND(2 * 3 AS ?six) BIND(?x + 1 AS ?bad) }",
+    ).collect()
+    assert all(r.six == 6.0 and r.bad is None for r in arith)
