@@ -165,13 +165,12 @@ def ann_recall(
     assert radius in (0, 1), "only radius 0/1 probing implemented"
     from pyspark.sql import Window
 
-    panel = F.broadcast(
-        emb.filter(F.col("vec_id") < n_queries).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("q_emb"),
-            sign_bucket_col(F.col("embedding"), sign_bits).alias("q_bucket"),
-        )
+    panel_raw = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        sign_bucket_col(F.col("embedding"), sign_bits).alias("q_bucket"),
     )
+    panel = F.broadcast(panel_raw)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()
     )
@@ -209,9 +208,12 @@ def ann_recall(
         .groupBy("query_id")
         .agg(F.count("*").cast("long").alias("n_hits"))
     )
+    # hint the RIGHT (buildable) side: a broadcast hint on the left of
+    # a left-outer join is dropped with a planner warning, and the
+    # warning noise would hide real hints going stale
     return (
-        panel.select("query_id")
-        .join(hits, "query_id", "left")
+        panel_raw.select("query_id")
+        .join(F.broadcast(hits), "query_id", "left")
         .select(
             "query_id",
             F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
@@ -759,11 +761,10 @@ def pq_recall(
         .select("query_id", "vec_id", adist.alias("dist"))
     )
 
-    panel_vecs = F.broadcast(
-        emb.filter(F.col("vec_id") < n_queries).select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-        )
+    panel_raw = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
+    panel_vecs = F.broadcast(panel_raw)
     sq = F.aggregate(
         F.zip_with(
             F.col("embedding"), F.col("q_emb"),
@@ -783,9 +784,11 @@ def pq_recall(
         .groupBy("query_id")
         .agg(F.count("*").cast("long").alias("n_hits"))
     )
+    # right-side hint: see ann_recall — a left-side broadcast hint on a
+    # left-outer join is dropped with a planner warning
     return (
-        panel_vecs.select("query_id")
-        .join(hits, "query_id", "left")
+        panel_raw.select("query_id")
+        .join(F.broadcast(hits), "query_id", "left")
         .select(
             "query_id",
             F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
@@ -819,11 +822,10 @@ def ivf_recall(
 
     centroids = kmeans_train(emb, k=kc, n_iter=n_iter, metric="cosine")
     assign = ivf_assign(emb, centroids).select("vec_id", "centroid_id")
-    panel = F.broadcast(
-        emb.filter(F.col("vec_id") < n_queries).select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-        )
+    panel_raw = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
+    panel = F.broadcast(panel_raw)
     wq = Window.partitionBy("query_id").orderBy(
         F.col("_qc").desc(), F.col("centroid_id").asc()
     )
@@ -871,9 +873,11 @@ def ivf_recall(
         .groupBy("query_id")
         .agg(F.count("*").cast("long").alias("n_hits"))
     )
+    # right-side hint: see ann_recall — a left-side broadcast hint on a
+    # left-outer join is dropped with a planner warning
     return (
-        panel.select("query_id")
-        .join(hits, "query_id", "left")
+        panel_raw.select("query_id")
+        .join(F.broadcast(hits), "query_id", "left")
         .select(
             "query_id",
             F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),

@@ -1552,6 +1552,120 @@ def bm25_topk(
     )
 
 
+def bm25_index(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Materialized BM25 inverted index: ONE table holding both row
+    kinds the scorer needs (the one-table-is-the-whole-state discipline
+    of the code-KG state and the containment index,
+    dedup_approx.build_containment_index):
+
+    - posting rows ``(term, doc_id, tf, dl)`` — per distinct
+      (document, term), term frequency and the document's token length
+    - doc rows ``(term = NULL, doc_id, tf = NULL, dl)`` — one per
+      document, INCLUDING zero-token documents, so corpus stats
+      (N, avgdl) are recoverable from the index alone
+
+    :func:`bm25_topk` re-streams the corpus per query set —
+    tokenizing 100 TB again for every retrieval batch. Materialize this
+    table once (parquet; at scale sort/bucket it by ``term`` so the
+    probe's IN-list prunes row groups) and serve every later query from
+    :func:`bm25_topk_indexed`. Construction is one tokenize pass + one
+    map-side-combined (doc, term) count — the same cost as a single
+    bm25_topk call."""
+    staged = df.select(
+        "doc_id", tokens_col(F.col(text_col)).alias("_toks")
+    )
+    lens = staged.select(
+        "doc_id", F.size("_toks").cast("double").alias("dl"), "_toks"
+    )
+    posts = (
+        lens.select("doc_id", "dl", F.explode("_toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("tf"),
+            F.max("dl").alias("dl"),
+        )
+        .select("term", "doc_id", "tf", "dl")
+    )
+    docrows = lens.select(
+        F.lit(None).cast("string").alias("term"),
+        "doc_id",
+        F.lit(None).cast("double").alias("tf"),
+        "dl",
+    )
+    return posts.unionByName(docrows)
+
+
+def bm25_index_update(
+    index: DataFrame, new_docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Incremental index refresh (the wave path): re-tokenize ONLY
+    ``new_docs``, drop any stale rows for re-ingested doc_ids
+    (left_anti on the narrow id set), and append the fresh rows —
+    old-old never recomputes, the same shape as the LSH band-index and
+    containment-index refreshes."""
+    fresh = bm25_index(new_docs, text_col)
+    ids = new_docs.select("doc_id").distinct()
+    return index.join(ids, "doc_id", "left_anti").unionByName(fresh)
+
+
+def bm25_topk_indexed(
+    index: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k served from a materialized :func:`bm25_index` — no
+    corpus scan, no tokenization: corpus stats come from the index's
+    doc rows (one tiny aggregate), document frequencies and term
+    frequencies from the posting rows filtered to the query terms (an
+    IN-list over driver-held literals that pushes down to the index
+    scan, so a term-sorted parquet index reads only the query's row
+    groups). Scoring math, rounding-before-ranking, and the doc_id
+    tiebreak are identical to :func:`bm25_topk` — the two are
+    pytest-pinned row-identical."""
+    if not query_terms:
+        raise ValueError("bm25_topk_indexed needs at least one query term")
+    stats = index.filter(F.col("term").isNull()).agg(
+        F.count(F.lit(1)).cast("double").alias("_n_docs"),
+        F.avg("dl").alias("_avgdl"),
+    )
+    tf = index.filter(F.col("term").isin(query_terms)).select(
+        "doc_id", "term", F.col("tf").alias("_tf"), F.col("dl").alias("_len")
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("_df")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("_n_docs") - F.col("_df") + 0.5)
+                / (F.col("_df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "_s",
+            F.col("_idf")
+            * F.col("_tf")
+            * (k1 + 1.0)
+            / (
+                F.col("_tf")
+                + k1 * (1.0 - b + b * F.col("_len") / F.col("_avgdl"))
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("_s"), 4).alias("score"))
+        .orderBy(F.desc("score"), F.col("doc_id"))
+        .limit(k)
+    )
+
+
 def distinct_token_stats(
     df: DataFrame,
     approx: bool = False,

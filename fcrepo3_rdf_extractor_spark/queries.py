@@ -1002,7 +1002,7 @@ def docs_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "docs_bm25_topk",
-    f"""WITH t AS (SELECT doc_id, {_WORDS} AS toks FROM documents),
+    _BM25_ORACLE := f"""WITH t AS (SELECT doc_id, {_WORDS} AS toks FROM documents),
         lens AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS l, toks FROM t),
         stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(l) AS avgdl
                   FROM lens),
@@ -1032,6 +1032,20 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(
         _read(spark, sf_dir, "documents"), ["hash", "join", "vector"], k=10
     )
+
+
+@_q("docs_bm25_indexed", _BM25_ORACLE)
+def docs_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same BM25 top-10 served from the MATERIALIZED inverted index
+    (operators/text.py:bm25_index -> bm25_topk_indexed): corpus stats
+    from the index's doc rows, tf/df from the term-filtered posting
+    rows — repeated retrieval probes an index instead of re-tokenizing
+    100 TB per query set. Same oracle as docs_bm25_topk because the
+    results are identical by construction (also pytest-pinned)."""
+    from .operators.text import bm25_index, bm25_topk_indexed
+
+    idx = bm25_index(_read(spark, sf_dir, "documents")).persist()
+    return bm25_topk_indexed(idx, ["hash", "join", "vector"], k=10)
 
 
 @_q(

@@ -138,6 +138,17 @@ def main(argv: list[str] | None = None) -> int:
                     help="corpus-level line dedup: drop lines occurring in "
                          ">= this many distinct documents (C4/CCNet "
                          "boilerplate removal); 0 disables the stage")
+    ap.add_argument("--compact-substrings", action="store_true",
+                    help="export-layer compaction pass: read --docs "
+                         "(typically the ACCUMULATED curated output of "
+                         "wave runs), apply ONLY substring dedup at "
+                         "--dedup-substrings-k, and write --out. This is "
+                         "how wave users get the substring pass: dedup is "
+                         "an output-layer op, so it runs over the "
+                         "accumulated corpus at export/compaction time, "
+                         "never inside a wave (a wave-local pass would "
+                         "rewrite text as the corpus grows and invalidate "
+                         "stored signatures)")
     ap.add_argument("--dedup-substrings-k", type=int, default=0,
                     help="substring-level exact dedup: remove every "
                          "k-token span that occurs more than once "
@@ -236,6 +247,44 @@ def main(argv: list[str] | None = None) -> int:
         with_quality,
     )
 
+    if args.compact_substrings:
+        if args.dedup_substrings_k <= 0:
+            print("error: --compact-substrings needs --dedup-substrings-k",
+                  file=sys.stderr)
+            spark.stop()
+            return 2
+        if args.state:
+            print("error: --compact-substrings is a one-shot export pass "
+                  "over the accumulated corpus; it cannot run inside a "
+                  "--state wave", file=sys.stderr)
+            spark.stop()
+            return 2
+        from fcrepo3_rdf_extractor_spark.operators.dedup_approx import (
+            dedup_substrings,
+        )
+
+        docs = spark.read.parquet(args.docs)
+        n_in = docs.count()
+        cleaned = dedup_substrings(docs, k=args.dedup_substrings_k)
+        out_docs = (
+            docs.drop("text")
+            .join(
+                cleaned.filter(F.col("n_kept") > 0).select("doc_id", "text"),
+                "doc_id",
+            )
+            .withColumn("n_chars", F.length("text"))
+        )
+        out_docs.write.mode("overwrite").parquet(args.out)
+        n_out = spark.read.parquet(args.out).count()
+        print(json.dumps({
+            "out": args.out,
+            "mode": "compact_substrings",
+            "stages": {"input": n_in, "after_substring_dedup": n_out},
+            "n_docs": n_out,
+        }))
+        spark.stop()
+        return 0
+
     if args.state:
         if args.dedup_lines_min_docs > 0:
             print("error: --dedup-lines-min-docs is incompatible with "
@@ -257,7 +306,10 @@ def main(argv: list[str] | None = None) -> int:
         if args.dedup_substrings_k > 0:
             print("error: --dedup-substrings-k is incompatible with "
                   "--state (substring dedup rewrites text as the corpus "
-                  "grows, invalidating stored signatures)",
+                  "grows, invalidating stored signatures). Run the "
+                  "export-layer pass over the accumulated curated output "
+                  "instead: --compact-substrings --docs <accumulated out> "
+                  "--dedup-substrings-k K --out <compacted>",
                   file=sys.stderr)
             spark.stop()
             return 2

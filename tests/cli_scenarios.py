@@ -248,6 +248,53 @@ def curate_incremental_waves(spark, base: Path) -> dict:
 
 
 @scenario
+def curate_substring_compaction(spark, base: Path) -> dict:
+    """Wave users get the substring pass at EXPORT time: waves refuse
+    --dedup-substrings-k (with a pointer to the compaction path), and
+    `--compact-substrings` over the accumulated wave output must equal
+    a one-shot run with --dedup-substrings-k (filters neutralized so
+    both paths see the same docs)."""
+    span = "alpha beta gamma delta epsilon zeta eta theta"
+    tail1 = " ".join(f"a{i}" for i in range(10))
+    tail2 = " ".join(f"b{i}" for i in range(10))
+    tail3 = " ".join(f"c{i}" for i in range(18))
+    rows = [(0, f"{span} {tail1}"), (1, f"{tail2} {span}"), (2, tail3)]
+    full = _write_docs(spark, rows, base / "full")
+    w1 = _write_docs(spark, rows[:2], base / "w1")
+    w2 = _write_docs(spark, rows[2:], base / "w2")
+    state = str(base / "state")
+    common = ["--quality-min", "0", "--neardup-threshold", "0",
+              "--local", "2"]
+    out_full = str(base / "out_full")
+    out_w1, out_w2 = str(base / "out_w1"), str(base / "out_w2")
+    out_comp = str(base / "out_comp")
+
+    def oneshot():
+        return run_curate(["--docs", full, "--out", out_full,
+                           "--dedup-substrings-k", "8"] + common)
+
+    def waves():
+        r1 = run_curate(["--docs", w1, "--state", state,
+                         "--out", out_w1] + common)
+        refused = run_curate(["--docs", w2, "--state", state,
+                              "--out", str(base / "bad"),
+                              "--dedup-substrings-k", "8"] + common)
+        r2 = run_curate(["--docs", w2, "--state", state,
+                         "--out", out_w2] + common)
+        # a wave's --out IS the accumulated curated corpus so far
+        # (pinned by test_curate_incremental_waves_match_one_shot), so
+        # compaction reads the last wave's output directly
+        comp = run_curate(["--compact-substrings", "--docs", out_w2,
+                           "--dedup-substrings-k", "8",
+                           "--out", out_comp, "--local", "2"])
+        return r1, refused, r2, comp
+
+    full_res, (r1, refused, r2, comp) = _chains(oneshot, waves)
+    return {"full": full_res, "w1": r1, "refused": refused, "w2": r2,
+            "comp": comp, "out_full": out_full, "out_comp": out_comp}
+
+
+@scenario
 def curate_containment_waves(spark, base: Path) -> dict:
     words = [f"w{i}" for i in range(60)]
     new_long = " ".join(f"u{i}" for i in range(40))

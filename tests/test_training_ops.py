@@ -2407,6 +2407,51 @@ def test_bm25_topk_ranking(spark):
         bm25_topk(docs, [])
 
 
+def test_bm25_indexed_equals_streaming_and_probe_plan(spark, tmp_path):
+    """The materialized index serves the SAME results as the streaming
+    scorer (row-identical on the real documents table), the incremental
+    update replaces re-ingested docs instead of duplicating them, and
+    the probe plan never re-reads the corpus: its only scan is the
+    index parquet, with the query-term IN-list pushed down."""
+    from fcrepo3_rdf_extractor_spark.operators.text import (
+        bm25_index,
+        bm25_index_update,
+        bm25_topk,
+        bm25_topk_indexed,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    terms = ["hash", "join", "vector"]
+    want = [tuple(r) for r in bm25_topk(docs, terms, k=10).collect()]
+    idx_path = str(tmp_path / "bm25_index")
+    bm25_index(docs).write.parquet(idx_path)
+    idx = spark.read.parquet(idx_path)
+    got = bm25_topk_indexed(idx, terms, k=10)
+    assert [tuple(r) for r in got.collect()] == want
+
+    plan = got._sc._jvm.PythonSQLUtils.explainString(
+        got._jdf.queryExecution(), "formatted"
+    )
+    scans = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert all("text" not in l for l in scans), scans  # no corpus re-scan
+    assert "PushedFilters" in plan and "In(term" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+    # incremental update: re-ingesting changed docs REPLACES their rows
+    from pyspark.sql import functions as F
+
+    changed = docs.filter(F.col("doc_id") < 5).withColumn(
+        "text", F.lit("hash hash vector")
+    )
+    idx2 = bm25_index_update(idx, changed)
+    rebuilt = bm25_index(
+        docs.filter(F.col("doc_id") >= 5).unionByName(changed)
+    )
+    q2 = [tuple(r) for r in bm25_topk_indexed(idx2, terms, k=10).collect()]
+    want2 = [tuple(r) for r in bm25_topk_indexed(rebuilt, terms, k=10).collect()]
+    assert q2 == want2
+
+
 def test_rrf_fuse_semantics(spark):
     """RRF: an item ranked well in BOTH arms beats each arm's solo
     leader; items in one arm only still score; rejects empty input."""
@@ -2471,3 +2516,31 @@ def test_curate_chunk_out_cli(spark, cli_results):
     assert got == {(0, 0, 6), (0, 1, 6), (0, 2, 2), (1, 0, 2)}
     refused = art["refused"]
     assert refused["rc"] == 2 and "--chunk-out is incompatible" in refused["stderr"]
+
+
+def test_curate_substring_compaction_equals_oneshot(spark, cli_results):
+    """Waves + export-layer --compact-substrings produce the same
+    per-doc rewritten text as a one-shot run with --dedup-substrings-k
+    (filters neutralized); a wave with the flag is refused with a
+    pointer to the compaction path."""
+    from conftest import cli_art
+
+    art = cli_art(cli_results, "curate_substring_compaction")
+    for key in ("full", "w1", "w2", "comp"):
+        assert art[key]["rc"] == 0, (key, art[key]["stderr"][-2000:])
+    refused = art["refused"]
+    assert refused["rc"] == 2
+    assert "--compact-substrings" in refused["stderr"]
+    assert art["comp"]["summary"]["mode"] == "compact_substrings"
+
+    want = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(art["out_full"]).collect()
+    }
+    got = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(art["out_comp"]).collect()
+    }
+    assert got == want
+    # the planted duplicate span was actually removed from doc 1
+    assert "alpha beta gamma" not in got[1] and "alpha beta gamma" in got[0]
