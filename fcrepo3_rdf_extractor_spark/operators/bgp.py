@@ -128,6 +128,7 @@ def bgp_query(
     graph: str | None = None,
     values: Sequence[Mapping[str, str]] | None = None,
     binds: Sequence[tuple[str, object]] | None = None,
+    exists: Sequence[Sequence[tuple[str, str, str]]] | None = None,
 ) -> DataFrame:
     """Evaluate a SPARQL-style basic graph pattern.
 
@@ -223,6 +224,15 @@ def bgp_query(
     WHERE clause, and a row defining NO variable is rejected (it would
     match every solution — almost certainly a typo, and a cartesian
     multiplier if meant).
+
+    ``exists``: a list of POSITIVE existence groups — SPARQL
+    ``FILTER EXISTS { ... }``: a solution survives only if the group
+    (with the solution's bindings injected) matches at least once.
+    Each group compiles to a LEFT SEMI join of its sub-BGP on the
+    variables shared with the required part — the exact mirror of
+    ``not_exists``' LEFT ANTI, with the same shared-variable
+    requirement and the same evaluation point (required bindings,
+    before OPTIONAL groups attach).
 
     ``binds``: SPARQL ``BIND(expr AS ?var)`` — a list of
     (variable, expression-AST) pairs (see :func:`_bind_expr_col` for
@@ -530,6 +540,23 @@ def bgp_query(
             )
         joined = joined.join(sub.select(*on), on=on, how="left_anti")
 
+    for group in exists or []:
+        # FILTER EXISTS: the positive twin of NOT EXISTS — a solution
+        # survives iff the group (with its bindings injected) matches
+        # at least once. LEFT SEMI join on the shared variables: never
+        # multiplies solutions, never adds columns, and the sub-group
+        # compiles/prunes exactly like any BGP.
+        sub = bgp_query(
+            triples, group, allow_cartesian=allow_cartesian, graph=graph
+        )
+        on = sorted(joined_vars & set(sub.columns))
+        if not on:
+            raise ValueError(
+                "EXISTS group shares no variable with the required "
+                "patterns — a per-solution filter needs a shared binding"
+            )
+        joined = joined.join(sub.select(*on), on=on, how="left_semi")
+
     for group in opt_groups:
         sub = bgp_query(
             triples,
@@ -670,6 +697,7 @@ def bgp_aggregate(
     not_exists: Sequence[Sequence[tuple[str, str, str]]] | None = None,
     graph: str | None = None,
     values: Sequence[Mapping[str, str]] | None = None,
+    exists: Sequence[Sequence[tuple[str, str, str]]] | None = None,
 ) -> DataFrame:
     """SPARQL 1.1 aggregates: GROUP BY over a basic graph pattern's
     bindings (SPARQL 1.1 Query §11), the missing third of the query
@@ -733,6 +761,7 @@ def bgp_aggregate(
         not_exists=not_exists,
         graph=graph,
         values=values,
+        exists=exists,
     )
 
     exprs = []
@@ -805,6 +834,7 @@ def bgp_construct(
     not_exists: Sequence[Sequence[tuple[str, str, str]]] | None = None,
     graph: str | None = None,
     values: Sequence[Mapping[str, str]] | None = None,
+    exists: Sequence[Sequence[tuple[str, str, str]]] | None = None,
 ) -> DataFrame:
     """SPARQL CONSTRUCT: instantiate a triple TEMPLATE once per BGP
     solution, producing a NEW graph — which makes every template a
@@ -840,6 +870,7 @@ def bgp_construct(
         not_exists=not_exists,
         graph=graph,
         values=values,
+        exists=exists,
     )
 
     def slot(term: str):
@@ -876,6 +907,7 @@ def bgp_ask(
     not_exists: Sequence[Sequence[tuple[str, str, str]]] | None = None,
     graph: str | None = None,
     values: Sequence[Mapping[str, str]] | None = None,
+    exists: Sequence[Sequence[tuple[str, str, str]]] | None = None,
 ) -> DataFrame:
     """SPARQL ASK: does the pattern match at all? Returns a one-row
     DataFrame ``(matched boolean)`` — with SELECT (:func:`bgp_query`),
@@ -902,6 +934,7 @@ def bgp_ask(
         not_exists=not_exists,
         graph=graph,
         values=values,
+        exists=exists,
     ).limit(1)
     return first.agg((F.count(F.lit(1)) > 0).alias("matched"))
 
@@ -930,6 +963,7 @@ def bgp_describe(
     not_exists: Sequence[Sequence[tuple[str, str, str]]] | None = None,
     graph: str | None = None,
     values: Sequence[Mapping[str, str]] | None = None,
+    exists: Sequence[Sequence[tuple[str, str, str]]] | None = None,
 ) -> DataFrame:
     """SPARQL DESCRIBE — the last of the four query verbs (SELECT /
     ASK / CONSTRUCT / DESCRIBE): return the TRIPLES describing a
@@ -994,5 +1028,6 @@ def bgp_describe(
         not_exists=not_exists,
         graph=graph,
         values=values,
+        exists=exists,
     ).withColumnRenamed(describe.lstrip("?"), "subj")
     return triples.join(nodes, on="subj", how="left_semi")

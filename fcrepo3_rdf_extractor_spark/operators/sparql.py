@@ -17,10 +17,11 @@ Supported grammar (SPARQL 1.1 syntax, the compiler's semantic subset):
 - verbs: ``SELECT [DISTINCT] (?v... | * | (AGG(?v) AS ?alias)...)``,
   ``ASK``, ``CONSTRUCT { template }``, ``DESCRIBE (?v | <uri>)``
 - WHERE group: triple patterns ('.'-separated), ``OPTIONAL { ... }``,
-  ``FILTER(...)`` (comparisons, CONTAINS, REGEX), ``FILTER NOT EXISTS
-  { ... }`` / ``MINUS { ... }``, ``VALUES`` (single- and multi-var,
-  UNDEF), ``GRAPH g { ... }`` as the group wrapper, and top-level
-  ``{ A } UNION { B }`` alternation
+  ``FILTER(...)`` (comparisons, CONTAINS, REGEX), ``FILTER EXISTS
+  { ... }`` (group-level positive existence -> LEFT SEMI join),
+  ``FILTER NOT EXISTS { ... }`` / ``MINUS { ... }``, ``VALUES``
+  (single- and multi-var, UNDEF), ``GRAPH g { ... }`` as the group
+  wrapper, and top-level ``{ A } UNION { B }`` alternation
 - property paths: ``pred+ pred* pred? ^pred (p|q)+`` (the compiler's
   path subset) and sequences ``p/q`` (desugared to a join chain
   through fresh intermediate variables, hidden from ``SELECT *``;
@@ -129,6 +130,7 @@ class ParsedQuery:
     # still trips the duplicate guard); consumers read `q.offset or 0`
     union_branches: list[list[tuple[str, str, str]]] = field(default_factory=list)
     binds: list[tuple[str, object]] = field(default_factory=list)
+    exists: list[list[tuple[str, str, str]]] = field(default_factory=list)
     group_by: list[str] | None = None
     aggs: list[tuple[str, str, str]] = field(default_factory=list)
     having: list[tuple[str, str, object]] = field(default_factory=list)
@@ -478,6 +480,10 @@ class _Parser:
                     self.expect_punct("{")
                     q.not_exists.append(self._triples_block())
                     self.expect_punct("}")
+                elif self.kw("EXISTS"):
+                    self.expect_punct("{")
+                    q.exists.append(self._triples_block())
+                    self.expect_punct("}")
                 else:
                     q.filters.append(self._filter_constraint())
                 self.punct(".")
@@ -786,6 +792,7 @@ class _Parser:
                 or q.aggs
                 or q.values
                 or q.binds
+                or q.exists
                 or q.verb != "select"
             ):
                 raise SparqlParseError(
@@ -886,6 +893,7 @@ def sparql_query(triples: DataFrame, text: str) -> DataFrame:
             optional_patterns=q.optional_patterns or None,
             filters=q.filters or None,
             not_exists=q.not_exists or None,
+            exists=q.exists or None,
             graph=q.graph,
             values=q.values or None,
         )
@@ -910,6 +918,7 @@ def sparql_query(triples: DataFrame, text: str) -> DataFrame:
             optional_patterns=q.optional_patterns or None,
             filters=q.filters or None,
             not_exists=q.not_exists or None,
+            exists=q.exists or None,
             graph=q.graph,
             values=q.values or None,
         )
@@ -921,6 +930,7 @@ def sparql_query(triples: DataFrame, text: str) -> DataFrame:
             optional_patterns=q.optional_patterns or None,
             filters=q.filters or None,
             not_exists=q.not_exists or None,
+            exists=q.exists or None,
             graph=q.graph,
             values=q.values or None,
         )
@@ -959,6 +969,7 @@ def sparql_query(triples: DataFrame, text: str) -> DataFrame:
             optional_patterns=q.optional_patterns or None,
             filters=q.filters or None,
             not_exists=q.not_exists or None,
+            exists=q.exists or None,
             graph=q.graph,
             values=q.values or None,
         )
@@ -970,6 +981,7 @@ def sparql_query(triples: DataFrame, text: str) -> DataFrame:
         optional_patterns=q.optional_patterns or None,
         filters=q.filters or None,
         not_exists=q.not_exists or None,
+        exists=q.exists or None,
         order_by=q.order_by or None,
         limit=q.limit,
         offset=q.offset or 0,

@@ -6092,6 +6092,40 @@ def kg_bgp_bind_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "kg_bgp_exists_query",
+    """SELECT 'info:fedora/order:' || o_orderkey AS obj,
+              'cust:' || o_custkey AS owner
+       FROM orders WHERE o_orderstatus = 'O'""",
+)
+def kg_bgp_exists_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL ``FILTER EXISTS { ... }`` — the positive twin of the
+    NOT EXISTS negation: keep a solution iff the group matches at
+    least once, compiled to a LEFT SEMI join on the shared variables
+    (operators/bgp.py — never multiplies solutions, never adds
+    columns). Here: owners of objects that ARE active, asserted as an
+    existence group rather than a join pattern, so the semi-join shape
+    itself is driver-verified."""
+    from .operators.sparql import sparql_query
+
+    source = synthesize_foxml_from_orders(spark, sf_dir)
+    triples = (
+        triples_only(extract_triples(source))
+        .select("subj", "pred", "obj_value")
+        .persist()
+    )
+    return sparql_query(
+        triples,
+        """
+        PREFIX m: <info:fedora/fedora-system:def/model#>
+        SELECT ?obj ?owner WHERE {
+          ?obj m:ownerId ?owner .
+          FILTER EXISTS { ?obj m:state m:Active }
+        }
+        """,
+    )
+
+
+@_q(
     "kg_bgp_path_seq_query",
     """SELECT 'info:fedora/order:' || o_orderkey AS obj, m AS mime
        FROM orders

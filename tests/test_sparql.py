@@ -390,3 +390,34 @@ def test_text_bind_and_seq_execution(quads):
         "BIND(2 * 3 AS ?six) BIND(?x + 1 AS ?bad) }",
     ).collect()
     assert all(r.six == 6.0 and r.bad is None for r in arith)
+
+
+def test_parse_and_execute_filter_exists(quads):
+    """FILTER EXISTS: group-level positive existence — a LEFT SEMI join
+    on the shared variables; solutions never multiply even when the
+    group matches multiple ways."""
+    q = parse_sparql(
+        'SELECT ?x WHERE { ?x <knows> ?y . FILTER EXISTS { ?x <type> ?t } }'
+    )
+    assert q.exists == [[("?x", "<type>", "?t")]]
+    got = sorted(
+        r.x
+        for r in sparql_query(
+            quads,
+            'SELECT ?x WHERE { ?x <knows> ?y . '
+            "FILTER EXISTS { ?x <type> ?t } }",
+        ).collect()
+    )
+    # a knows b (a typed Person in g2) ✓; b knows c (b typed twice but
+    # appears ONCE — semi-join) ✓; c knows b (c has no type) ✗
+    assert got == ["a", "b"]
+    # NOT EXISTS stays the complement
+    neg = sorted(
+        r.x
+        for r in sparql_query(
+            quads,
+            'SELECT ?x WHERE { ?x <knows> ?y . '
+            "FILTER NOT EXISTS { ?x <type> ?t } }",
+        ).collect()
+    )
+    assert neg == ["c"]
