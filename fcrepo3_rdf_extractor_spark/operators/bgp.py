@@ -383,6 +383,36 @@ def bgp_query(
         if (
             not literal_pred
             and not _is_var(pat[1])
+            and pat[1].startswith("!")
+            and len(pat[1]) > 1
+        ):
+            # negated property set (!p / !(p|q)): match any predicate
+            # NOT in the set — a NOT-IN filter on the same scan, so it
+            # prunes/prices exactly like an ordinary pattern (the
+            # predicate is consumed, never bound)
+            preds = pat[1][1:].split("|")
+            df = store.filter(~F.col("pred").isin(preds))
+            seen_n: dict[str, str] = {}
+            proj = []
+            for term, col in zip((pat[0], pat[2]), ("subj", "obj_value")):
+                if _is_var(term):
+                    name = term.lstrip("?")
+                    if name in seen_n:
+                        df = df.filter(F.col(seen_n[name]) == F.col(col))
+                    else:
+                        seen_n[name] = col
+                        proj.append(F.col(col).alias(name))
+                else:
+                    df = df.filter(F.col(col) == term)
+            if gvar is not None:
+                if gvar in seen_n:
+                    df = df.filter(F.col(seen_n[gvar]) == F.col("graph"))
+                else:
+                    proj.append(F.col("graph").alias(gvar))
+            return df.select(*proj)
+        if (
+            not literal_pred
+            and not _is_var(pat[1])
             and pat[1][-1] in "+*?"
             and len(pat[1]) > 1
         ):

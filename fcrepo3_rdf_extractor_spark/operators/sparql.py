@@ -22,7 +22,7 @@ Supported grammar (SPARQL 1.1 syntax, the compiler's semantic subset):
   ``FILTER NOT EXISTS { ... }`` / ``MINUS { ... }``, ``VALUES``
   (single- and multi-var, UNDEF), ``GRAPH g { ... }`` as the group
   wrapper, and top-level ``{ A } UNION { B }`` alternation
-- property paths: ``pred+ pred* pred? ^pred (p|q)+`` (the compiler's
+- property paths: ``pred+ pred* pred? ^pred (p|q)+ !p !(p|q)`` (the compiler's
   path subset) and sequences ``p/q`` (desugared to a join chain
   through fresh intermediate variables, hidden from ``SELECT *``;
   each step keeps its own inverse/modifier syntax, so ``p/^q`` and
@@ -81,7 +81,7 @@ _TOKEN_RE = re.compile(
   | (?P<NUMBER>[+-]?\d+(?:\.\d+)?)
   | (?P<PNAME>[A-Za-z_][A-Za-z0-9_-]*:(?:[A-Za-z0-9_.-]*[A-Za-z0-9_-])?)
   | (?P<KEYWORD>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<PUNCT>\(|\)|\{|\}|\.|;|,|\*|\+|\?|\^|\||=|!=|<=|>=|<|>|/|-)
+  | (?P<PUNCT>\(|\)|\{|\}|\.|;|,|\*|\+|\?|\^|\||=|!=|!|<=|>=|<|>|/|-)
     """,
     re.VERBOSE,
 )
@@ -235,6 +235,29 @@ class _Parser:
         the compiler's UNBRACKETED syntax; plain IRIs stay bracketed so
         a URI's own trailing ``+`` can't be misread."""
         t = self.peek()
+        if t.kind == "PUNCT" and t.text == "!":
+            # negated property set: !p or !(p|q) — match any predicate
+            # NOT in the set (SPARQL 1.1 §9.1 PathNegatedPropertySet;
+            # inverse members !^p are outside the subset)
+            self.next()
+            t = self.peek()
+            if t.kind == "PUNCT" and t.text == "(":
+                self.next()
+                alts = [self.iri_or_pname()]
+                while self.punct("|"):
+                    alts.append(self.iri_or_pname())
+                self.expect_punct(")")
+            elif t.kind == "KEYWORD" and t.text == "a":
+                self.next()
+                alts = [_RDF_TYPE]
+            elif t.kind == "PUNCT" and t.text == "^":
+                raise SparqlParseError(
+                    f"!^p at {t.pos}: inverse members of a negated "
+                    "property set are not in the engine's subset"
+                )
+            else:
+                alts = [self.iri_or_pname()]
+            return "!" + "|".join(alts)
         inverse = False
         if t.kind == "PUNCT" and t.text == "^":
             self.next()

@@ -6092,6 +6092,58 @@ def kg_bgp_bind_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "kg_bgp_negated_set_query",
+    f"""WITH act AS (SELECT * FROM orders WHERE o_orderstatus = 'O')
+        SELECT {_U} AS obj, o_orderpriority AS other FROM act
+        UNION ALL SELECT {_U}, 'cust:' || o_custkey FROM act
+        UNION ALL SELECT {_U}, {_ISO_SQL} FROM act
+        UNION ALL SELECT {_U}, {_ISO_SQL} FROM act
+        UNION ALL SELECT {_U}, '{FEDORA_OBJECT}' FROM act
+        UNION ALL SELECT {_U}, o_orderpriority FROM act
+        UNION ALL SELECT {_U}, 'order:' || o_orderkey FROM act
+        UNION ALL SELECT {_U},
+                  'info:fedora/collection:' || (o_custkey % 100) FROM act
+        UNION ALL SELECT {_U} || '/DC', 'text/xml' FROM orders
+        UNION ALL SELECT {_U} || '/DC', {_ISO_SQL} FROM orders
+        UNION ALL SELECT {_U} || '/DC', 'false' FROM orders
+        UNION ALL SELECT {_U} || '/DC', 'info:fedora/*/DC' FROM orders
+        UNION ALL SELECT {_U} || '/RELS-EXT', 'application/rdf+xml'
+                  FROM orders
+        UNION ALL SELECT {_U} || '/RELS-EXT', {_ISO_SQL} FROM orders
+        UNION ALL SELECT {_U} || '/RELS-EXT', 'false' FROM orders
+        UNION ALL SELECT {_U} || '/RELS-EXT', 'info:fedora/*/RELS-EXT'
+                  FROM orders""",
+)
+def kg_bgp_negated_set_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL negated property set (``!(p|q)``, SPARQL 1.1 §9.1): every
+    triple of an Active subject EXCEPT its state and disseminates rows —
+    a NOT-IN filter on the same pattern scan, so it prunes exactly like
+    a positive pattern. Matches both object subjects (8 remaining
+    triples each, incl. the duplicated label/dc:title value — bag
+    semantics) and the always-Active datastream subjects (4 each), so
+    the oracle restates both subject classes."""
+    from .operators.sparql import sparql_query
+
+    source = synthesize_foxml_from_orders(spark, sf_dir)
+    triples = (
+        triples_only(extract_triples(source))
+        .select("subj", "pred", "obj_value")
+        .persist()
+    )
+    return sparql_query(
+        triples,
+        """
+        PREFIX m: <info:fedora/fedora-system:def/model#>
+        PREFIX v: <info:fedora/fedora-system:def/view#>
+        SELECT ?obj ?other WHERE {
+          ?obj m:state m:Active .
+          ?obj !(v:disseminates|m:state) ?other .
+        }
+        """,
+    )
+
+
+@_q(
     "kg_bgp_exists_query",
     """SELECT 'info:fedora/order:' || o_orderkey AS obj,
               'cust:' || o_custkey AS owner

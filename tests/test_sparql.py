@@ -421,3 +421,33 @@ def test_parse_and_execute_filter_exists(quads):
         ).collect()
     )
     assert neg == ["c"]
+
+
+def test_parse_and_execute_negated_property_set(quads):
+    """Negated property sets: !p and !(p|q) compile to a NOT-IN filter
+    on the pattern scan; inverse members are rejected."""
+    q = parse_sparql("SELECT * WHERE { ?x !<knows> ?y }")
+    assert q.patterns == [("?x", "!knows", "?y")]
+    q = parse_sparql(
+        "PREFIX m: <m#> SELECT * WHERE { ?x !(m:knows|m:likes) ?y }"
+    )
+    assert q.patterns == [("?x", "!m#knows|m#likes", "?y")]
+    with pytest.raises(SparqlParseError, match="inverse members"):
+        parse_sparql("SELECT * WHERE { ?x !^<p> ?y }")
+
+    got = sorted(
+        (r.x, r.y)
+        for r in sparql_query(
+            quads, "SELECT ?x ?y WHERE { ?x !<knows> ?y }"
+        ).collect()
+    )
+    assert got == [("a", "Person"), ("b", "Person"), ("b", "Robot")]
+    # composes with a positive pattern through the shared variable
+    got2 = sorted(
+        (r.x, r.t)
+        for r in sparql_query(
+            quads,
+            "SELECT ?x ?t WHERE { ?x <knows> <b> . ?x !<type> ?t }",
+        ).collect()
+    )
+    assert got2 == [("a", "b"), ("c", "b")]
