@@ -594,3 +594,41 @@ def test_code_kg_cli_end_to_end(spark, cli_results):
         "src:r1/src/util.py",
         "src:r1/src/app.py",
     }
+
+
+def test_code_kg_state_zero_exchange(spark):
+    """The fused per-document state is ONE content scan + ONE Generate
+    and NO shuffle at all — call-mention netting is row-local
+    (netted_mention_structs), so even calls=True adds no exchange.
+    This is also the property that keeps the state streamable."""
+    from fcrepo3_rdf_extractor_spark.plans.code_pipeline import (
+        CodeKgConfig,
+        code_kg_state,
+    )
+
+    files = _files(spark).unionByName(
+        spark.createDataFrame(
+            [("r1", "src/cli.py", "c1", "py",
+              "import util\ny = helper(1)\nhelper(2)\n")],
+            FILES_SCHEMA,
+        )
+    )
+    state = code_kg_state(
+        files,
+        CodeKgConfig(calls=True, license=True, clone_keys=True),
+    )
+    plan = state._sc._jvm.PythonSQLUtils.explainString(
+        state._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan, plan
+    # one Generate NODE (formatted mode prints each node twice: once in
+    # the tree as 'Generate (n)', once as the '(n) Generate' detail)
+    assert plan.count(") Generate") == 1, plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    # netting really happened row-locally: the caller stages its
+    # mention, the definer alone ('def helper' in util.py) nets to 0
+    mentions = {
+        (r.subj, r.obj_value)
+        for r in state.filter("pred = 'code:_callMention'").collect()
+    }
+    assert mentions == {("src:r1/src/cli.py", "helper")}
