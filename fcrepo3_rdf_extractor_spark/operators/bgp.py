@@ -65,6 +65,64 @@ _OPS = {
 _ORDERING = {"<", "<=", ">", ">="}
 
 
+def _filter_col(expr: object, bound_vars: set[str]) -> "F.Column":
+    """Compile one FILTER expression node into a Column predicate.
+
+    A node is either a leaf ``(var, op, value)`` 3-tuple — the original
+    flat form, still accepted everywhere — or a boolean combinator
+    ``("and", [nodes...])`` / ``("or", [nodes...])`` nesting further
+    nodes (SPARQL ``&&`` / ``||``, parenthesized freely). Leaves gain
+    two set ops: ``("?v", "in", (v1, v2, ...))`` and ``"not_in"``
+    (SPARQL 1.1 ``IN`` / ``NOT IN``, §17.4.1.9 — sugar for a chain of
+    ``=`` tests, so values compare exactly like the ``=`` leaf: on the
+    lexical form, no numeric cast). The whole expression compiles to a
+    single row-local predicate — no join condition ever carries the OR
+    (the OR-of-equalities BNLJ trap applies to join conditions, not
+    filters), and Catalyst still splits top-level conjuncts and pushes
+    each side down to the pattern scan that binds its variable.
+    """
+    if (
+        isinstance(expr, tuple)
+        and len(expr) == 2
+        and expr[0] in ("and", "or")
+    ):
+        kind, children = expr
+        if not children:
+            raise ValueError(f"empty {kind.upper()} in FILTER")
+        cols = [_filter_col(c, bound_vars) for c in children]
+        out = cols[0]
+        for c in cols[1:]:
+            out = (out & c) if kind == "and" else (out | c)
+        return out
+    var, op, value = expr
+    name = var.lstrip("?")
+    if name not in bound_vars:
+        raise ValueError(
+            f"FILTER on {var!r}: not bound by any required pattern"
+        )
+    col = F.col(name)
+    if op in ("in", "not_in"):
+        vals = list(value) if isinstance(value, (list, tuple, set)) else None
+        if not vals:
+            raise ValueError("IN/NOT IN takes a non-empty list of values")
+        cond = col.isin(vals)
+        return cond if op == "in" else ~cond
+    if op not in _OPS:
+        raise ValueError(f"unknown FILTER op {op!r}")
+    if op in _ORDERING and isinstance(value, (int, float)) and not isinstance(
+        value, bool
+    ):
+        # SPARQL numeric FILTER: bindings are string lexical forms,
+        # so compare on try_cast(double) — a non-numeric binding
+        # becomes NULL and is filtered out (SPARQL type-error
+        # semantics), instead of an ANSI CAST abort (a plain cast
+        # would kill the job on the first non-numeric row) or a
+        # silently-lexicographic string compare ('10' < '5').
+        col = col.try_cast("double")
+        value = float(value)
+    return _OPS[op](col, value)
+
+
 def _is_var(term: str) -> bool:
     return term.startswith("?")
 
@@ -145,7 +203,12 @@ def bgp_query(
 
     ``filters``: SPARQL FILTER constraints as (variable, op, value)
     tuples, op in {'=', '!=', '<', '<=', '>', '>=', 'contains',
-    'regex'}. Declared once over the joined bindings and applied AFTER
+    'regex', 'in', 'not_in'} ('in'/'not_in' take a sequence of values,
+    SPARQL 1.1 IN — equality on lexical forms). An entry may also be a
+    boolean combinator node ``("and", [nodes...])`` / ``("or",
+    [nodes...])`` nesting further entries (SPARQL ``&&``/``||``); the
+    whole node compiles to ONE row-local predicate.
+    Declared once over the joined bindings and applied AFTER
     the joins — Catalyst then pushes each predicate down through the
     join tree into the single pattern scan that binds the variable
     (pinned in tests), so declaring late costs nothing and keeps the
@@ -536,27 +599,8 @@ def bgp_query(
         joined = joined.join(nxt, on=on, how="inner") if on else joined.crossJoin(nxt)
         joined_vars |= pat_vars
 
-    for var, op, value in filters or []:
-        name = var.lstrip("?")
-        if name not in joined_vars:
-            raise ValueError(
-                f"FILTER on {var!r}: not bound by any required pattern"
-            )
-        if op not in _OPS:
-            raise ValueError(f"unknown FILTER op {op!r}")
-        col = F.col(name)
-        if op in _ORDERING and isinstance(value, (int, float)) and not isinstance(
-            value, bool
-        ):
-            # SPARQL numeric FILTER: bindings are string lexical forms,
-            # so compare on try_cast(double) — a non-numeric binding
-            # becomes NULL and is filtered out (SPARQL type-error
-            # semantics), instead of an ANSI CAST abort (a plain cast
-            # would kill the job on the first non-numeric row) or a
-            # silently-lexicographic string compare ('10' < '5').
-            col = col.try_cast("double")
-            value = float(value)
-        joined = joined.filter(_OPS[op](col, value))
+    for expr in filters or []:
+        joined = joined.filter(_filter_col(expr, joined_vars))
 
     for group in not_exists or []:
         sub = bgp_query(

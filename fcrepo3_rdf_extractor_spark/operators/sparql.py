@@ -17,7 +17,9 @@ Supported grammar (SPARQL 1.1 syntax, the compiler's semantic subset):
 - verbs: ``SELECT [DISTINCT] (?v... | * | (AGG(?v) AS ?alias)...)``,
   ``ASK``, ``CONSTRUCT { template }``, ``DESCRIBE (?v | <uri>)``
 - WHERE group: triple patterns ('.'-separated), ``OPTIONAL { ... }``,
-  ``FILTER(...)`` (comparisons, CONTAINS, REGEX), ``FILTER EXISTS
+  ``FILTER(...)`` (comparisons, CONTAINS, REGEX, ``?v [NOT] IN
+  (v1, v2, ...)``, combined with ``&&`` / ``||`` and parentheses —
+  one row-local predicate per FILTER), ``FILTER EXISTS
   { ... }`` (group-level positive existence -> LEFT SEMI join),
   ``FILTER NOT EXISTS { ... }`` / ``MINUS { ... }``, ``VALUES``
   (single- and multi-var, UNDEF), ``GRAPH g { ... }`` as the group
@@ -38,8 +40,9 @@ Supported grammar (SPARQL 1.1 syntax, the compiler's semantic subset):
   ``OFFSET``
 
 Deliberate subset limits (each raises a clear SparqlParseError):
-nested OPTIONAL inside OPTIONAL, expressions beyond a single
-comparison/CONTAINS/REGEX per FILTER, UNION combined with
+nested OPTIONAL inside OPTIONAL, FILTER leaves beyond
+comparison/IN/CONTAINS/REGEX (no function calls or arithmetic inside
+FILTER), UNION combined with
 OPTIONAL/aggregates in the same query (bgp_union takes plain branch
 patterns), bare alternation without a path modifier, and
 SELECT-expression arithmetic. These mirror the compiler's own surface —
@@ -81,7 +84,7 @@ _TOKEN_RE = re.compile(
   | (?P<NUMBER>[+-]?\d+(?:\.\d+)?)
   | (?P<PNAME>[A-Za-z_][A-Za-z0-9_-]*:(?:[A-Za-z0-9_.-]*[A-Za-z0-9_-])?)
   | (?P<KEYWORD>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<PUNCT>\(|\)|\{|\}|\.|;|,|\*|\+|\?|\^|\||=|!=|!|<=|>=|<|>|/|-)
+  | (?P<PUNCT>\|\||&&|\(|\)|\{|\}|\.|;|,|\*|\+|\?|\^|\||=|!=|!|<=|>=|<|>|/|-)
     """,
     re.VERBOSE,
 )
@@ -642,8 +645,56 @@ class _Parser:
             f"got {t.text!r} at {t.pos}"
         )
 
-    def _filter_constraint(self) -> tuple[str, str, object]:
+    def _filter_constraint(self) -> object:
+        """``FILTER( expr )`` — boolean expression over constraint leaves.
+
+        Grammar (|| binds loosest, && tighter, parens free):
+        ``expr := and ('||' and)* ; and := prim ('&&' prim)* ;
+        prim := '(' expr ')' | leaf``. A lone leaf returns the flat
+        (var, op, value) 3-tuple the compiler has always taken;
+        combinators return ("or"/"and", [nodes...]) — the compiler's
+        recursive node form (operators/bgp.py:_filter_col), ONE
+        row-local predicate per FILTER.
+        """
         self.expect_punct("(")
+        node = self._filter_or()
+        self.expect_punct(")")
+        return node
+
+    def _filter_or(self) -> object:
+        parts = [self._filter_and()]
+        while self.punct("||"):
+            parts.append(self._filter_and())
+        return parts[0] if len(parts) == 1 else ("or", parts)
+
+    def _filter_and(self) -> object:
+        parts = [self._filter_prim()]
+        while self.punct("&&"):
+            parts.append(self._filter_prim())
+        return parts[0] if len(parts) == 1 else ("and", parts)
+
+    def _filter_prim(self) -> object:
+        t = self.peek()
+        if t.kind == "PUNCT" and t.text == "(":
+            self.next()
+            node = self._filter_or()
+            self.expect_punct(")")
+            return node
+        return self._filter_leaf()
+
+    def _filter_value(self) -> object:
+        vt = self.next()
+        if vt.kind == "STRING":
+            return _unescape(vt.text[1:-1])
+        if vt.kind == "NUMBER":
+            return float(vt.text)
+        if vt.kind == "IRI":
+            return vt.text[1:-1]
+        if vt.kind == "PNAME":
+            return self._expand_pname(vt.text, vt.pos)
+        raise SparqlParseError(f"expected a FILTER value at {vt.pos}")
+
+    def _filter_leaf(self) -> tuple[str, str, object]:
         t = self.peek()
         if t.kind == "KEYWORD" and t.text.upper() in ("CONTAINS", "REGEX"):
             op = t.text.lower()
@@ -657,32 +708,32 @@ class _Parser:
             if s.kind != "STRING":
                 raise SparqlParseError(f"expected a string at {s.pos}")
             self.expect_punct(")")
-            self.expect_punct(")")
             return ("?" + v.text[1:], op, _unescape(s.text[1:-1]))
         if t.kind != "VAR":
             raise SparqlParseError(
-                f"FILTER supports '?var op value', CONTAINS, REGEX — "
-                f"got {t.text!r} at {t.pos}"
+                f"FILTER supports '?var op value', IN, CONTAINS, REGEX, "
+                f"'&&'/'||' — got {t.text!r} at {t.pos}"
             )
         self.next()
         var = "?" + t.text[1:]
+        nt = self.peek()
+        if nt.kind == "KEYWORD" and nt.text.upper() in ("IN", "NOT"):
+            # SPARQL 1.1 §17.4.1.9 IN / NOT IN: sugar for a chain of
+            # '='/'!=' tests — values compare on lexical forms like '='.
+            negated = nt.text.upper() == "NOT"
+            self.next()
+            if negated:
+                self.expect_kw("IN")
+            self.expect_punct("(")
+            vals = [self._filter_value()]
+            while self.punct(","):
+                vals.append(self._filter_value())
+            self.expect_punct(")")
+            return (var, "not_in" if negated else "in", tuple(vals))
         opt = self.next()
         if opt.kind != "PUNCT" or opt.text not in ("=", "!=", "<", "<=", ">", ">="):
             raise SparqlParseError(f"unsupported FILTER op {opt.text!r} at {opt.pos}")
-        vt = self.next()
-        value: object
-        if vt.kind == "STRING":
-            value = _unescape(vt.text[1:-1])
-        elif vt.kind == "NUMBER":
-            value = float(vt.text)
-        elif vt.kind == "IRI":
-            value = vt.text[1:-1]
-        elif vt.kind == "PNAME":
-            value = self._expand_pname(vt.text, vt.pos)
-        else:
-            raise SparqlParseError(f"expected a FILTER value at {vt.pos}")
-        self.expect_punct(")")
-        return (var, opt.text, value)
+        return (var, opt.text, self._filter_value())
 
     def _values_block(self) -> list[dict[str, str]]:
         t = self.peek()
@@ -743,7 +794,14 @@ class _Parser:
             while self.peek().kind == "VAR":
                 q.group_by.append(self.next().text[1:])
         if self.kw("HAVING"):
-            alias, op, value = self._filter_constraint()
+            node = self._filter_constraint()
+            if not (isinstance(node, tuple) and len(node) == 3
+                    and isinstance(node[0], str) and node[0].startswith("?")
+                    and node[1] not in ("in", "not_in")):
+                raise SparqlParseError(
+                    "HAVING supports a single '?alias op value' comparison"
+                )
+            alias, op, value = node
             if isinstance(value, str):
                 try:
                     value = float(value)

@@ -5086,6 +5086,53 @@ def kg_bgp_filter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "kg_sparql_filter_expr_query",
+    f"""SELECT 'info:fedora/order:' || o_orderkey AS obj,
+               {_STATE_SQL} AS st,
+               'cust:' || o_custkey AS owner,
+               o_orderpriority AS prio
+        FROM orders
+        WHERE o_orderstatus IN ('O', 'F')
+          AND 'cust:' || o_custkey NOT IN ('cust:5', 'cust:7')
+          AND (o_orderpriority IN ('1-URGENT', '2-HIGH')
+               OR contains(o_orderpriority, 'MEDIUM'))""",
+)
+def kg_sparql_filter_expr_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL FILTER expressions through the text front-end: ``||`` /
+    ``&&`` with parentheses, ``IN``, and ``NOT IN`` (SPARQL 1.1
+    §17.4.1.9) over a three-pattern star. Each FILTER — however nested —
+    compiles to ONE row-local Column predicate
+    (operators/bgp.py:_filter_col); the OR lives in a filter, never a
+    join condition, so the star still hash-joins on ?obj and Catalyst
+    pushes each conjunct down to the single pattern scan that binds its
+    variable. The disjunction over ?st (Active || Inactive) restricts
+    the state scan itself — at 100 TB that's the difference between
+    scanning one predicate partition and scanning the store."""
+    from .operators.sparql import sparql_query
+
+    source = synthesize_foxml_from_orders(spark, sf_dir)
+    triples = (
+        triples_only(extract_triples(source))
+        .select("subj", "pred", "obj_value")
+        .persist()
+    )
+    return sparql_query(
+        triples,
+        """
+        PREFIX m: <info:fedora/fedora-system:def/model#>
+        SELECT ?obj ?st ?owner ?prio WHERE {
+          ?obj m:state ?st .
+          ?obj m:ownerId ?owner .
+          ?obj m:label ?prio .
+          FILTER(?st = m:Active || ?st = m:Inactive)
+          FILTER(?owner NOT IN ("cust:5", "cust:7"))
+          FILTER((?prio IN ("1-URGENT", "2-HIGH") || CONTAINS(?prio, "MEDIUM")))
+        }
+        """,
+    )
+
+
+@_q(
     "kg_bgp_aggregate_query",
     """SELECT 'info:fedora/collection:' || (o_custkey % 100) AS coll,
               COUNT(*) AS n_members,

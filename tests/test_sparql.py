@@ -451,3 +451,116 @@ def test_parse_and_execute_negated_property_set(quads):
         ).collect()
     )
     assert got2 == [("a", "b"), ("c", "b")]
+
+
+def test_parse_filter_boolean_expressions():
+    """FILTER booleans: || / && with parentheses, IN / NOT IN — the
+    parser emits the compiler's recursive node form; a lone leaf stays
+    the flat 3-tuple (backwards compatible with every pinned query)."""
+    q = parse_sparql(
+        """
+        PREFIX m: <m#>
+        SELECT ?x WHERE {
+          ?x <v> ?n .
+          FILTER(?n = "1" || ?n = "2")
+          FILTER(?n != "9" && CONTAINS(?x, "a"))
+          FILTER((?n > 1 || ?n < 0) && ?x != "z")
+          FILTER(?x IN ("a", m:b, <http://c>))
+          FILTER(?n NOT IN (1, 2))
+        }
+        """
+    )
+    assert q.filters == [
+        ("or", [("?n", "=", "1"), ("?n", "=", "2")]),
+        ("and", [("?n", "!=", "9"), ("?x", "contains", "a")]),
+        ("and", [("or", [("?n", ">", 1.0), ("?n", "<", 0.0)]),
+                 ("?x", "!=", "z")]),
+        ("?x", "in", ("a", "m#b", "http://c")),
+        ("?n", "not_in", (1.0, 2.0)),
+    ]
+
+
+def test_parse_filter_boolean_rejections():
+    cases = [
+        ("SELECT ?x WHERE { ?x <v> ?n . FILTER(?x IN ()) }",
+         "expected a FILTER value"),
+        ("SELECT ?x WHERE { ?x <v> ?n . FILTER(?x NOT ?n) }",
+         "expected IN"),
+        ("SELECT (COUNT(*) AS ?n) WHERE { ?x <v> ?y } GROUP BY ?x "
+         "HAVING(?n > 1 || ?n < 0)",
+         "HAVING supports a single"),
+        ("SELECT (COUNT(*) AS ?n) WHERE { ?x <v> ?y } GROUP BY ?x "
+         'HAVING(?n IN (1, 2))',
+         "HAVING supports a single"),
+    ]
+    for text, msg in cases:
+        with pytest.raises(SparqlParseError, match=msg):
+            parse_sparql(text)
+
+
+def test_filter_boolean_execution_and_plan(quads):
+    """OR / IN filters execute row-locally: the disjunction never
+    reaches a join condition (no BroadcastNestedLoopJoin — the
+    OR-of-equalities trap applies to join predicates, not filters),
+    and a single-variable OR still pushes below the join into the
+    pattern scan that binds it."""
+    got = sorted(
+        r.x
+        for r in sparql_query(
+            quads,
+            'SELECT ?x WHERE { ?x <knows> ?y . '
+            'FILTER(?y = "b" || ?y = "c") }',
+        ).collect()
+    )
+    assert got == ["a", "b", "c"]
+
+    got_in = sorted(
+        r.x
+        for r in sparql_query(
+            quads,
+            'SELECT ?x ?t WHERE { ?x <knows> ?y . ?x <type> ?t . '
+            'FILTER(?t IN ("Person") && (?x = "a" || ?x = "b")) }',
+        ).collect()
+    )
+    assert got_in == ["a", "b"]
+
+    df = sparql_query(
+        quads,
+        'SELECT ?x ?t WHERE { ?x <knows> ?y . ?x <type> ?t . '
+        'FILTER(?t = "Person" || ?t = "Robot") }',
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    # the ?t disjunction binds one variable -> lands in the scan-side
+    # filter (below the join), not above it
+    join_pos = optimized.find("Join")
+    or_pos = optimized.find("Robot")
+    assert join_pos != -1 and or_pos > join_pos
+
+
+def test_filter_not_in_and_empty_or_compiler(quads):
+    from fcrepo3_rdf_extractor_spark.operators.bgp import bgp_query
+
+    got = sorted(
+        r.x
+        for r in bgp_query(
+            quads,
+            [("?x", "knows", "?y")],
+            select=["x"],
+            filters=[("?y", "not_in", ("c",))],
+        ).collect()
+    )
+    assert got == ["a", "c"]
+    with pytest.raises(ValueError, match="non-empty list"):
+        bgp_query(
+            quads,
+            [("?x", "knows", "?y")],
+            filters=[("?y", "in", ())],
+        ).collect()
+    with pytest.raises(ValueError, match="empty OR"):
+        bgp_query(
+            quads,
+            [("?x", "knows", "?y")],
+            filters=[("or", [])],
+        ).collect()
