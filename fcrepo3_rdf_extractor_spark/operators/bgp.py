@@ -98,7 +98,7 @@ def _filter_col(expr: object, bound_vars: set[str]) -> "F.Column":
     name = var.lstrip("?")
     if name not in bound_vars:
         raise ValueError(
-            f"FILTER on {var!r}: not bound by any required pattern"
+            f"FILTER on {var!r}: not bound by any pattern"
         )
     col = F.col(name)
     if op in ("in", "not_in"):
@@ -121,6 +121,20 @@ def _filter_col(expr: object, bound_vars: set[str]) -> "F.Column":
         col = col.try_cast("double")
         value = float(value)
     return _OPS[op](col, value)
+
+
+def _filter_vars(expr: object) -> set[str]:
+    """Variables (without '?') referenced anywhere in a FILTER node."""
+    if (
+        isinstance(expr, tuple)
+        and len(expr) == 2
+        and expr[0] in ("and", "or")
+    ):
+        out: set[str] = set()
+        for child in expr[1]:
+            out |= _filter_vars(child)
+        return out
+    return {expr[0].lstrip("?")}
 
 
 def _is_var(term: str) -> bool:
@@ -216,10 +230,13 @@ def bgp_query(
     on ``try_cast('double')`` of the binding (SPARQL numeric-FILTER
     semantics: non-numeric bindings drop as type errors, never an ANSI
     cast abort); with a string value they compare lexicographically —
-    pass an int/float when you mean numbers. Filters on
-    required-pattern variables only
-    (filtering an OPTIONAL binding would silently change its left-join
-    semantics — SPARQL evaluates those filters inside the group).
+    pass an int/float when you mean numbers. A filter referencing an
+    OPTIONAL-bound variable is deferred until after the left joins —
+    SPARQL's TOP-LEVEL filter scope (an unbound binding is a type
+    error, so the solution drops; Spark's NULL comparisons give exactly
+    that). A filter INSIDE an optional group (scoped to whether the
+    group matches, keeping the solution with NULLs) is not expressible
+    here — evaluate it in the group's own bgp_query call.
 
     ``optional_patterns``: a list of OPTIONAL groups, each itself a
     list of patterns. Each group is compiled as its own BGP and
@@ -599,8 +616,19 @@ def bgp_query(
         joined = joined.join(nxt, on=on, how="inner") if on else joined.crossJoin(nxt)
         joined_vars |= pat_vars
 
+    # Filters over required-pattern variables apply NOW (conjunctive and
+    # row-local, so Catalyst pushes each down into the pattern scan that
+    # binds its variable); a filter referencing any OPTIONAL-bound
+    # variable defers until after the left joins — SPARQL's top-level
+    # FILTER scope (§18.2.2.2: the filter sees the whole group result;
+    # an unbound binding is a type error, which drops the row — exactly
+    # Spark's NULL-comparison semantics).
+    deferred_filters = []
     for expr in filters or []:
-        joined = joined.filter(_filter_col(expr, joined_vars))
+        if _filter_vars(expr) <= joined_vars:
+            joined = joined.filter(_filter_col(expr, joined_vars))
+        else:
+            deferred_filters.append(expr)
 
     for group in not_exists or []:
         sub = bgp_query(
@@ -646,6 +674,9 @@ def bgp_query(
             )
         joined = joined.join(sub, on=on, how="left")
         joined_vars |= set(sub.columns)
+
+    for expr in deferred_filters:
+        joined = joined.filter(_filter_col(expr, joined_vars))
 
     if values:
         # SPARQL VALUES joins with the group result (§10.2). Restricted

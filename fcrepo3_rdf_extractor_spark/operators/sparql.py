@@ -39,13 +39,17 @@ Supported grammar (SPARQL 1.1 syntax, the compiler's semantic subset):
 - solution modifiers: ``ORDER BY [ASC|DESC](?v)...``, ``LIMIT``,
   ``OFFSET``
 
+SELECT expressions ``(expr AS ?v)`` are accepted as sugar for
+``BIND(expr AS ?v)`` projected under the alias (same expression
+grammar, same rebind rules).
+
 Deliberate subset limits (each raises a clear SparqlParseError):
 nested OPTIONAL inside OPTIONAL, FILTER leaves beyond
 comparison/IN/CONTAINS/REGEX (no function calls or arithmetic inside
 FILTER), UNION combined with
 OPTIONAL/aggregates in the same query (bgp_union takes plain branch
-patterns), bare alternation without a path modifier, and
-SELECT-expression arithmetic. These mirror the compiler's own surface —
+patterns), and bare alternation without a path modifier. These mirror
+the compiler's own surface —
 the parser never accepts syntax the engine would silently mis-run.
 
 Term mapping: IRIs and literals are emitted BRACKETED (``<...>``, the
@@ -383,7 +387,24 @@ class _Parser:
                 break
             elif t.kind == "PUNCT" and t.text == "(":
                 self.next()
-                q.aggs.append(self._agg_projection())
+                head = self.peek()
+                if head.kind == "KEYWORD" and head.text.upper() in _AGG_FNS:
+                    q.aggs.append(self._agg_projection())
+                else:
+                    # SPARQL 1.1 SELECT expression: (expr AS ?v) — sugar
+                    # for BIND(expr AS ?v) projected under the alias;
+                    # reuses the BIND grammar, so the rebind and
+                    # BIND-with-aggregates validations apply unchanged.
+                    expr = self._bind_expr()
+                    self.expect_kw("AS")
+                    v = self.next()
+                    if v.kind != "VAR":
+                        raise SparqlParseError(
+                            f"expected ?alias after AS at {v.pos}"
+                        )
+                    self.expect_punct(")")
+                    q.binds.append(("?" + v.text[1:], expr))
+                    sel.append(v.text[1:])
             else:
                 break
         q.select = None if star else sel

@@ -5086,6 +5086,46 @@ def kg_bgp_filter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "kg_sparql_select_expr_query",
+    """SELECT 'info:fedora/order:' || o_orderkey AS s,
+              'cust:' || o_custkey AS owner,
+              'owner=' || 'cust:' || o_custkey AS tag
+       FROM orders
+       WHERE 'cust:' || o_custkey <> 'cust:5'""",
+)
+def kg_sparql_select_expr_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 SELECT expressions plus a FILTER over an
+    OPTIONAL-bound variable, end-to-end through the text front-end.
+    ``(CONCAT(...) AS ?tag)`` desugars to a projected BIND (one column
+    expression, zero extra stages). The store's ``m:state`` subjects
+    are objects AND datastreams, but only objects carry ``m:ownerId``
+    — the OPTIONAL genuinely misses for every datastream row, and the
+    top-level ``FILTER(?owner != ...)`` then drops those solutions
+    (SPARQL §18.2.2.2: unbound -> type error -> drop; Spark's NULL
+    comparison is exactly that), deferred until after the left join
+    (operators/bgp.py deferred_filters)."""
+    from .operators.sparql import sparql_query
+
+    source = synthesize_foxml_from_orders(spark, sf_dir)
+    triples = (
+        triples_only(extract_triples(source))
+        .select("subj", "pred", "obj_value")
+        .persist()
+    )
+    return sparql_query(
+        triples,
+        """
+        PREFIX m: <info:fedora/fedora-system:def/model#>
+        SELECT ?s ?owner (CONCAT("owner=", STR(?owner)) AS ?tag) WHERE {
+          ?s m:state ?st .
+          OPTIONAL { ?s m:ownerId ?owner }
+          FILTER(?owner != "cust:5")
+        }
+        """,
+    )
+
+
+@_q(
     "kg_sparql_filter_expr_query",
     f"""SELECT 'info:fedora/order:' || o_orderkey AS obj,
                {_STATE_SQL} AS st,

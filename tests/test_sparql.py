@@ -564,3 +564,72 @@ def test_filter_not_in_and_empty_or_compiler(quads):
             [("?x", "knows", "?y")],
             filters=[("or", [])],
         ).collect()
+
+
+def test_select_expressions(quads):
+    """SPARQL 1.1 SELECT expressions: (expr AS ?v) is sugar for a
+    projected BIND — same grammar, same rebind validation."""
+    q = parse_sparql(
+        'SELECT ?x (CONCAT(?x, "!") AS ?bang) (1 + 2 AS ?three) '
+        "WHERE { ?x <knows> ?y }"
+    )
+    assert q.select == ["x", "bang", "three"]
+    assert [v for v, _ in q.binds] == ["?bang", "?three"]
+
+    rows = sorted(
+        (r.x, r.bang, r.three)
+        for r in sparql_query(
+            quads,
+            'SELECT ?x (CONCAT(?x, "!") AS ?bang) (1 + 2 AS ?three) '
+            "WHERE { ?x <knows> ?y }",
+        ).collect()
+    )
+    assert rows == [("a", "a!", 3.0), ("b", "b!", 3.0), ("c", "c!", 3.0)]
+
+    with pytest.raises(SparqlParseError, match="rebind"):
+        parse_sparql('SELECT (STR(?y) AS ?x) WHERE { ?x <knows> ?y }')
+    # a SELECT expression mixed into an aggregate SELECT is rejected
+    # (the non-grouped-variable check fires before the BIND one)
+    with pytest.raises(SparqlParseError, match="non-grouped variables"):
+        parse_sparql(
+            'SELECT (STR(?x) AS ?s) (COUNT(*) AS ?n) '
+            "WHERE { ?x <knows> ?y } GROUP BY ?x"
+        )
+
+
+def test_filter_on_optional_binding(quads):
+    """A top-level FILTER referencing an OPTIONAL-bound variable defers
+    until after the left join (SPARQL §18.2.2.2 group scope): a
+    solution where the optional did not match carries an unbound
+    binding, the comparison is a type error, and the row drops —
+    Spark's NULL comparison gives exactly that."""
+    rows = sorted(
+        (r.x, r.t)
+        for r in sparql_query(
+            quads,
+            "SELECT ?x ?t WHERE { ?x <knows> ?y . "
+            'OPTIONAL { ?x <type> ?t } FILTER(?t = "Person") }',
+        ).collect()
+    )
+    # a knows b + a type Person; b knows c + b type Person; c has no
+    # type row -> its solution has ?t unbound -> dropped by the filter
+    assert rows == [("a", "Person"), ("b", "Person")]
+
+    # mixing required and optional vars in one boolean node also defers
+    rows2 = sorted(
+        (r.x, r.t)
+        for r in sparql_query(
+            quads,
+            "SELECT ?x ?t WHERE { ?x <knows> ?y . "
+            'OPTIONAL { ?x <type> ?t } FILTER(?t = "Robot" || ?x = "a") }',
+        ).collect()
+    )
+    assert rows2 == [("a", "Person"), ("b", "Robot")]
+
+    # a filter variable bound nowhere still raises
+    with pytest.raises(ValueError, match="not bound by any pattern"):
+        bgp_query(
+            quads,
+            [("?x", "knows", "?y")],
+            filters=[("?nope", "=", "x")],
+        ).collect()
