@@ -123,6 +123,33 @@ def _filter_col(expr: object, bound_vars: set[str]) -> "F.Column":
     return _OPS[op](col, value)
 
 
+def _norm_opt_group(group: object) -> dict:
+    """Normalize one OPTIONAL group to its full sub-group form.
+
+    A group is a plain sequence of triple patterns (the original form,
+    still accepted everywhere) or a mapping ``{"patterns": [...],
+    "optional": [...nested groups...], "filters": [...]}`` — a full
+    sub-group compiled recursively, giving nested OPTIONAL and FILTERs
+    scoped to the group (the filter decides whether the group MATCHES;
+    the solution survives with NULLs either way — contrast the
+    top-level filter scope, which drops the solution).
+    """
+    if isinstance(group, Mapping):
+        return {
+            "patterns": list(group.get("patterns") or []),
+            "optional": list(group.get("optional") or []),
+            "filters": list(group.get("filters") or []),
+        }
+    return {"patterns": list(group), "optional": [], "filters": []}
+
+
+def _opt_group_patterns(group: dict):
+    """All triple patterns of a normalized group, nested ones included."""
+    yield from group["patterns"]
+    for nested in group["optional"]:
+        yield from _opt_group_patterns(_norm_opt_group(nested))
+
+
 def _filter_vars(expr: object) -> set[str]:
     """Variables (without '?') referenced anywhere in a FILTER node."""
     if (
@@ -238,13 +265,19 @@ def bgp_query(
     group matches, keeping the solution with NULLs) is not expressible
     here — evaluate it in the group's own bgp_query call.
 
-    ``optional_patterns``: a list of OPTIONAL groups, each itself a
-    list of patterns. Each group is compiled as its own BGP and
+    ``optional_patterns``: a list of OPTIONAL groups — each either a
+    plain list of patterns, or a mapping ``{"patterns": [...],
+    "optional": [...nested groups...], "filters": [...]}`` for nested
+    OPTIONAL and group-scoped FILTERs (the filter decides whether the
+    group MATCHES; the solution survives with NULLs either way). Each
+    group is compiled as its own BGP (recursively) and
     LEFT-joined to the required part on their shared variables (the
     SPARQL OPTIONAL left-outer semantics); variables bound only inside
     a group come back NULL where the group found no match. A group
     sharing no variable with the required part is rejected — that is a
-    cartesian, not an optional.
+    cartesian, not an optional. A group filter referencing a variable
+    the group itself does not bind is rejected (outer-variable filter
+    scope is not in this subset).
 
     ``not_exists``: a list of negation groups — SPARQL
     ``FILTER NOT EXISTS { ... }``: a solution survives only if the
@@ -386,12 +419,12 @@ def bgp_query(
             names.add(gvar)
         return names
 
-    opt_groups = [list(g) for g in (optional_patterns or [])]
+    opt_groups = [_norm_opt_group(g) for g in (optional_patterns or [])]
     opt_vars: list[str] = []
     for group in opt_groups:
-        if not group:
+        if not group["patterns"]:
             raise ValueError("empty OPTIONAL group")
-        for pat in group:
+        for pat in _opt_group_patterns(group):
             for v in vars_of(pat):
                 if v not in all_vars and v not in opt_vars:
                     opt_vars.append(v)
@@ -662,7 +695,9 @@ def bgp_query(
     for group in opt_groups:
         sub = bgp_query(
             triples,
-            group,
+            group["patterns"],
+            optional_patterns=group["optional"] or None,
+            filters=group["filters"] or None,
             allow_cartesian=allow_cartesian,
             graph=graph,
         )

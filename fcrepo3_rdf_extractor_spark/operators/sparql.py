@@ -16,10 +16,13 @@ Supported grammar (SPARQL 1.1 syntax, the compiler's semantic subset):
 - ``PREFIX pfx: <iri>`` prologue; ``a`` for rdf:type
 - verbs: ``SELECT [DISTINCT] (?v... | * | (AGG(?v) AS ?alias)...)``,
   ``ASK``, ``CONSTRUCT { template }``, ``DESCRIBE (?v | <uri>)``
-- WHERE group: triple patterns ('.'-separated), ``OPTIONAL { ... }``,
-  ``FILTER(...)`` (comparisons, CONTAINS, REGEX, ``?v [NOT] IN
-  (v1, v2, ...)``, combined with ``&&`` / ``||`` and parentheses —
-  one row-local predicate per FILTER), ``FILTER EXISTS
+- WHERE group: triple patterns ('.'-separated), ``OPTIONAL { ... }``
+  (nestable; may contain its own FILTERs, scoped to whether the group
+  matches), ``FILTER(...)`` (comparisons, CONTAINS, REGEX, ``?v [NOT]
+  IN (v1, v2, ...)``, combined with ``&&`` / ``||`` and parentheses —
+  one row-local predicate per FILTER; a top-level filter may reference
+  OPTIONAL-bound variables, deferred to after the left join per
+  §18.2.2.2), ``FILTER EXISTS
   { ... }`` (group-level positive existence -> LEFT SEMI join),
   ``FILTER NOT EXISTS { ... }`` / ``MINUS { ... }``, ``VALUES``
   (single- and multi-var, UNDEF), ``GRAPH g { ... }`` as the group
@@ -44,9 +47,11 @@ SELECT expressions ``(expr AS ?v)`` are accepted as sugar for
 grammar, same rebind rules).
 
 Deliberate subset limits (each raises a clear SparqlParseError):
-nested OPTIONAL inside OPTIONAL, FILTER leaves beyond
+FILTER leaves beyond
 comparison/IN/CONTAINS/REGEX (no function calls or arithmetic inside
-FILTER), UNION combined with
+FILTER), a group filter referencing a variable its OPTIONAL group does
+not bind (outer-variable filter scope), MINUS/VALUES/BIND/EXISTS
+inside OPTIONAL, UNION combined with
 OPTIONAL/aggregates in the same query (bgp_union takes plain branch
 patterns), and bare alternation without a path modifier. These mirror
 the compiler's own surface —
@@ -509,7 +514,7 @@ class _Parser:
             if t.kind == "KEYWORD" and t.text.upper() == "OPTIONAL":
                 self.next()
                 self.expect_punct("{")
-                q.optional_patterns.append(self._triples_block())
+                q.optional_patterns.append(self._optional_group())
                 self.expect_punct("}")
                 self.punct(".")
                 continue
@@ -563,6 +568,63 @@ class _Parser:
                     f"expected a triple pattern at {t.pos}, got {t.text!r}"
                 )
             q.patterns.extend(pats)
+
+    def _optional_group(self) -> object:
+        """Contents of ``OPTIONAL { ... }``: triple patterns, FILTER
+        constraints scoped to the group, and nested OPTIONAL groups.
+        Returns the plain pattern list when the group is patterns-only
+        (the compiler's original form, keeping every existing pin
+        byte-identical) or the compiler's sub-group mapping otherwise.
+        """
+        patterns: list[tuple[str, str, str]] = []
+        optional: list[object] = []
+        filters: list[object] = []
+        while True:
+            t = self.peek()
+            if t.kind in ("PUNCT", "EOF") and t.text in ("}", ""):
+                break
+            if t.kind == "KEYWORD" and t.text.upper() == "OPTIONAL":
+                self.next()
+                self.expect_punct("{")
+                optional.append(self._optional_group())
+                self.expect_punct("}")
+                self.punct(".")
+                continue
+            if t.kind == "KEYWORD" and t.text.upper() == "FILTER":
+                self.next()
+                nt = self.peek()
+                if nt.kind == "KEYWORD" and nt.text.upper() in (
+                    "NOT", "EXISTS",
+                ):
+                    raise SparqlParseError(
+                        f"FILTER [NOT] EXISTS inside OPTIONAL is not in "
+                        f"the subset (at {t.pos})"
+                    )
+                filters.append(self._filter_constraint())
+                self.punct(".")
+                continue
+            if t.kind == "KEYWORD" and t.text.upper() in (
+                "MINUS", "VALUES", "BIND", "GRAPH", "UNION",
+            ):
+                raise SparqlParseError(
+                    f"{t.text.upper()} inside OPTIONAL is not in the "
+                    f"subset (at {t.pos})"
+                )
+            pats = self._triples_block()
+            if not pats:
+                raise SparqlParseError(
+                    f"expected a triple pattern at {t.pos}, got {t.text!r}"
+                )
+            patterns.extend(pats)
+        if not patterns:
+            raise SparqlParseError("empty OPTIONAL group")
+        if optional or filters:
+            return {
+                "patterns": patterns,
+                "optional": optional,
+                "filters": filters,
+            }
+        return patterns
 
     def _triples_block(self) -> list[tuple[str, str, str]]:
         """Dot-separated triple patterns with ';' predicate lists."""
@@ -921,7 +983,8 @@ class _Parser:
             bound = {
                 t
                 for pats in (
-                    [q.patterns] + q.optional_patterns
+                    [q.patterns]
+                    + [list(_group_pats(g)) for g in q.optional_patterns]
                 )
                 for pat in pats
                 for t in pat
@@ -939,7 +1002,10 @@ class _Parser:
             # order (required patterns, then optional groups) — the
             # same order the compiler's default projection uses.
             ordered: list[str] = []
-            for pats in [q.patterns] + q.optional_patterns:
+            for pats in (
+                [q.patterns]
+                + [list(_group_pats(g)) for g in q.optional_patterns]
+            ):
                 for pat in pats:
                     for t in pat:
                         if (
@@ -952,6 +1018,18 @@ class _Parser:
                 if var[1:] not in ordered:
                     ordered.append(var[1:])
             q.select = ordered
+
+
+def _group_pats(group: object):
+    """Triple patterns of one OPTIONAL group entry — plain list or the
+    sub-group mapping form — nested groups included, depth-first (the
+    compiler's own variable-collection order)."""
+    if isinstance(group, dict):
+        yield from group["patterns"]
+        for nested in group["optional"]:
+            yield from _group_pats(nested)
+    else:
+        yield from group
 
 
 _ESCAPES = {"n": "\n", "t": "\t", "r": "\r", '"': '"', "\\": "\\"}

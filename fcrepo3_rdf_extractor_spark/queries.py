@@ -5086,6 +5086,49 @@ def kg_bgp_filter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "kg_sparql_nested_optional_query",
+    f"""SELECT {_U} AS obj, {_U} || '/DC' AS ds,
+               'text/xml' AS mime FROM orders
+        UNION ALL
+        SELECT {_U}, {_U} || '/RELS-EXT', CAST(NULL AS VARCHAR)
+        FROM orders""",
+)
+def kg_sparql_nested_optional_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested OPTIONAL with a group-scoped FILTER, end-to-end through
+    the text front-end: every object keeps one solution per
+    disseminated datastream, and the INNER optional attaches the mime
+    type only where its filter matches (text/xml = the DC stream) —
+    the RELS-EXT rows survive with ?mime unbound, because a filter
+    INSIDE an optional decides whether the group MATCHES, never
+    whether the solution survives (operators/bgp.py:_norm_opt_group;
+    contrast kg_sparql_select_expr_query's top-level filter, which
+    drops). Each optional level compiles recursively to its own BGP
+    and one left join on the shared variable."""
+    from .operators.sparql import sparql_query
+
+    source = synthesize_foxml_from_orders(spark, sf_dir)
+    triples = (
+        triples_only(extract_triples(source))
+        .select("subj", "pred", "obj_value")
+        .persist()
+    )
+    return sparql_query(
+        triples,
+        """
+        PREFIX m: <info:fedora/fedora-system:def/model#>
+        PREFIX view: <info:fedora/fedora-system:def/view#>
+        SELECT ?obj ?ds ?mime WHERE {
+          ?obj m:ownerId ?owner .
+          OPTIONAL {
+            ?obj view:disseminates ?ds .
+            OPTIONAL { ?ds view:mimeType ?mime . FILTER(?mime = "text/xml") }
+          }
+        }
+        """,
+    )
+
+
+@_q(
     "kg_sparql_select_expr_query",
     """SELECT 'info:fedora/order:' || o_orderkey AS s,
               'cust:' || o_custkey AS owner,

@@ -633,3 +633,71 @@ def test_filter_on_optional_binding(quads):
             [("?x", "knows", "?y")],
             filters=[("?nope", "=", "x")],
         ).collect()
+
+
+def test_nested_optional_and_group_filter(quads):
+    """OPTIONAL groups are full sub-groups: nestable, with FILTERs
+    scoped to whether the group MATCHES (the solution survives with
+    NULLs either way — contrast the top-level filter, which drops it)."""
+    # group-scoped filter: c knows b, but the optional's type rows are
+    # filtered to Robot only — a and c keep their solutions with NULLs
+    rows = sorted(
+        (r.x, str(r.t))
+        for r in sparql_query(
+            quads,
+            "SELECT ?x ?t WHERE { ?x <knows> ?y . "
+            'OPTIONAL { ?x <type> ?t . FILTER(?t = "Robot") } }',
+        ).collect()
+    )
+    assert rows == [("a", "None"), ("b", "Robot"), ("c", "None")]
+
+    # nested OPTIONAL: the inner group hangs off the outer's binding
+    rows2 = sorted(
+        (r.x, str(r.z), str(r.t))
+        for r in sparql_query(
+            quads,
+            "SELECT ?x ?z ?t WHERE { ?x <type> ?t . "
+            "OPTIONAL { ?x <knows> ?z . OPTIONAL { ?z <type> ?zt . "
+            'FILTER(?zt = "Robot") } } }',
+        ).collect()
+    )
+    # a type Person, knows b; b type Person+Robot, knows c (c untyped)
+    assert ("a", "b", "Person") in rows2
+    assert ("b", "c", "Person") in rows2 and ("b", "c", "Robot") in rows2
+
+    # programmatic sub-group mapping form, equivalence with text
+    prog = bgp_query(
+        quads,
+        [("?x", "knows", "?y")],
+        select=["x", "t"],
+        optional_patterns=[{
+            "patterns": [("?x", "type", "?t")],
+            "filters": [("?t", "=", "Robot")],
+        }],
+    )
+    assert rows == sorted((r.x, str(r.t)) for r in prog.collect())
+
+    # rejections: group filter on a variable the group doesn't bind;
+    # BIND/VALUES/MINUS inside OPTIONAL
+    with pytest.raises(ValueError, match="not bound by any pattern"):
+        bgp_query(
+            quads,
+            [("?x", "knows", "?y")],
+            optional_patterns=[{
+                "patterns": [("?x", "type", "?t")],
+                "filters": [("?y", "=", "b")],
+            }],
+        ).collect()
+    with pytest.raises(SparqlParseError, match="BIND inside OPTIONAL"):
+        parse_sparql(
+            "SELECT * WHERE { ?x <p> ?y . "
+            "OPTIONAL { ?x <q> ?z . BIND(STR(?z) AS ?s) } }"
+        )
+    with pytest.raises(SparqlParseError, match="EXISTS inside OPTIONAL"):
+        parse_sparql(
+            "SELECT * WHERE { ?x <p> ?y . "
+            "OPTIONAL { ?x <q> ?z . FILTER EXISTS { ?z <r> ?w } } }"
+        )
+    # patterns-only group still parses to the plain list (pins intact)
+    q = parse_sparql("SELECT * WHERE { ?x <p> ?y . OPTIONAL { ?x <q> ?z } }")
+    assert q.optional_patterns == [[("?x", "<q>", "?z")]]
