@@ -337,6 +337,79 @@ def pagerank(
     return ranks
 
 
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_rounds: int = 3,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007) over an undirected edge list — the near-linear community
+    assignment a KG pipeline uses to group densely-linked entities
+    (collections that share members, co-cited objects) and a curation
+    pipeline uses to cluster near-duplicate-heavy sources before
+    sampling.
+
+    Returns (node, label): every node of a non-self-loop edge, labeled
+    by the community it converged into. Each node starts as its own
+    label; each round every node SIMULTANEOUSLY adopts the most
+    frequent label among its neighbors, ties broken by the smallest
+    label. The classic async/random-order variant is non-deterministic
+    by design; this synchronous min-tie-break variant is a pure
+    function of (edges, n_rounds), which makes it cross-engine
+    checkable by unrolling the rounds in SQL
+    (queries._lpa_oracle) — and a fixed round budget is what you run
+    at 100 TB anyway (the pagerank rationale). Isolated nodes and
+    pure-self-loop nodes have no neighbors to vote, so they are not
+    returned — union them back labeled by themselves if needed.
+
+    Scale shape, per round: ONE equi-join of the symmetrized edge list
+    with the label table on the neighbor endpoint (both sides
+    hash-partitioned on the key), one groupBy(node, label) count with
+    map-side partial aggregation, then one ``min(struct(-count,
+    label))`` witness per node — the argmax is a second partial agg
+    riding the first's exchange, never a per-node window sort, and the
+    struct-min keeps count and label from different rows out of the
+    answer (the frankenrow rule). A hub node receives k partial
+    counts, not k rows. Label state localCheckpoints per round —
+    each round references the previous frame once per join side and
+    an un-truncated plan doubles per round (the connected_components
+    lesson)."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    und = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(n_rounds):
+        neigh = und.join(
+            labels.withColumnRenamed("node", "b"), "b"
+        ).select(F.col("a").alias("node"), "label")
+        cnt = neigh.groupBy("node", "label").agg(F.count("*").alias("c"))
+        labels = (
+            cnt.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("c")).alias("negc"),
+                        F.col("label").alias("l"),
+                    )
+                ).alias("w")
+            )
+            .select("node", F.col("w.l").alias("label"))
+            .localCheckpoint()
+        )
+    return labels
+
+
 def shared_neighbor_pairs(
     edges: DataFrame,
     hub: str = "hub",

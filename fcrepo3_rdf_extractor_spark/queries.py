@@ -370,6 +370,61 @@ def _pagerank_oracle(
     )
 
 
+def _lpa_oracle(n_rounds: int = 3, edges_sql: str | None = None) -> str:
+    """Unroll the synchronous min-tie-break label-propagation rounds
+    operators.graph.label_propagation runs, one CTE pair per round
+    (neighbor-label counts, then the argmax via a windowed rank — the
+    same (count DESC, label ASC) order the Spark side encodes as
+    ``min(struct(-count, label))``)."""
+    edges_sql = edges_sql or (
+        "SELECT DISTINCT 'p' || l_partkey AS src,\n"
+        "                's' || l_suppkey AS dst FROM lineitem"
+    )
+    parts = [
+        f"""WITH e0 AS ({edges_sql}),
+ e AS (SELECT a, b FROM (SELECT src AS a, dst AS b FROM e0
+                         UNION SELECT dst, src FROM e0)
+       WHERE a <> b),
+ l0 AS (SELECT DISTINCT a AS node, a AS label FROM e)"""
+    ]
+    for t in range(1, n_rounds + 1):
+        p = t - 1
+        parts.append(f"""
+ c{t} AS (SELECT e.a AS node, l.label, count(*) AS c
+          FROM e JOIN l{p} l ON e.b = l.node GROUP BY 1, 2),
+ l{t} AS (SELECT node, label FROM (
+            SELECT node, label,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY c DESC, label ASC) AS rn
+            FROM c{t}) WHERE rn = 1)""")
+    return (
+        ",".join(parts)
+        + f"\nSELECT node, label AS community FROM l{n_rounds}"
+    )
+
+
+@_q("graph_label_propagation", _lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities over the
+    part<->supplier link graph — the deterministic min-tie-break
+    variant (operators/graph.py:label_propagation), oracled by
+    unrolling the same rounds as a SQL CTE chain with a windowed
+    argmax. Same fixed-budget iterative shape as graph_pagerank: per
+    round one edge⋈label equi-join, one partially-aggregated
+    (node, label) count, one struct-min witness — no window on the
+    Spark side."""
+    from .operators.graph import label_propagation
+
+    li = _read(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    return label_propagation(edges, n_rounds=3).select(
+        "node", F.col("label").alias("community")
+    )
+
+
 @_q("graph_pagerank", _pagerank_oracle())
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank over the part->supplier link graph —

@@ -2544,3 +2544,30 @@ def test_curate_substring_compaction_equals_oneshot(spark, cli_results):
     assert got == want
     # the planted duplicate span was actually removed from doc 1
     assert "alpha beta gamma" not in got[1] and "alpha beta gamma" in got[0]
+
+
+def test_label_propagation_two_triangles(spark):
+    """Two triangles joined by one bridge edge: synchronous
+    min-tie-break LPA settles each triangle onto one label, and the
+    two communities stay distinct (the bridge is outvoted 2:1 on both
+    sides). Self-loops are dropped; an isolated node is not returned
+    (documented — it has no neighbors to vote)."""
+    from fcrepo3_rdf_extractor_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"),
+         ("d", "e"), ("e", "f"), ("d", "f"),
+         ("c", "d"),          # bridge
+         ("a", "a"),          # self-loop: dropped
+         ],
+        "src string, dst string",
+    )
+    got = {r.node: r.label for r in label_propagation(edges, n_rounds=3).collect()}
+    assert set(got) == {"a", "b", "c", "d", "e", "f"}
+    left = {got["a"], got["b"], got["c"]}
+    right = {got["d"], got["e"], got["f"]}
+    assert len(left) == 1 and len(right) == 1 and left != right
+
+    # deterministic: a second run returns the identical assignment
+    again = {r.node: r.label for r in label_propagation(edges, n_rounds=3).collect()}
+    assert got == again
