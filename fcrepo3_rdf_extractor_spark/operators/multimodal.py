@@ -6,17 +6,20 @@ NO codec: PNG/GIF/JPEG store dimensions in their first bytes, and
 :func:`media_dimensions` header-parses them with pure JVM column ops —
 the dominant metadata case runs codec-free and Python-free. Pixel-level
 decode / feature-extraction / resize / frame-sampling run as
-Arrow-batched ``mapInPandas`` stages; the decode libraries
-(Pillow/ffmpeg/etc.) are NOT in this container, so the COMPRESSED-codec
-step is a clearly-marked stub: ``decode_stub='fake'`` derives
+Arrow-batched ``mapInPandas`` stages. TWO pixel paths are real
+end-to-end with no codec library: binary PPM (P6) raw RGB
+(:func:`decode_ppm` / :func:`extract_ppm_features`, JVM-synthesized
+payloads) and COMPRESSED PNG — :func:`decode_png` CRC-verifies the
+chunk stream, inflates IDAT with stdlib ``zlib``, and inverts all five
+scanline filters (8-bit grey/RGB/grey+alpha/RGBA, non-interlaced);
+:func:`encode_png` is the write side, and the ``mm_png_decode`` oracle
+proves the round trip from pixel arithmetic alone. JPEG/video decode
+genuinely needs libraries (libjpeg/ffmpeg) this container lacks, so
+that branch stays a clearly-marked stub: ``decode_stub='fake'`` derives
 deterministic features from the bytes (so the plumbing — schema, batch
 shape, partitioning — is real and tested), and ``decode_stub='raise'``
 shows the production wiring (NotImplementedError at the codec call
-site). One pixel path IS real end-to-end: binary PPM (P6) stores raw
-RGB behind a text header, and :func:`decode_ppm` /
-:func:`extract_ppm_features` parse and reduce genuine pixels with no
-codec library — oracled via JVM-synthesized valid payloads
-(``documents_as_ppm_media``).
+site).
 
 Scale notes: binary payloads dominate row size, so the operators select
 the narrowest possible projection before the UDF and bound Arrow batch
@@ -423,6 +426,273 @@ def extract_ppm_features(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         run, schema=_PPM_FEATURES_SCHEMA
     )
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# colortype -> sample count (8-bit depth): grey, RGB, grey+alpha, RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: bytes, height: int, rowbytes: int, bpp: int):
+    """Invert the per-scanline PNG filters (RFC 2083 §6.1: None, Sub,
+    Up, Average, Paeth). Returns an (height, rowbytes) uint8 array.
+    Up is fully vectorized; Sub/Average/Paeth have a true sequential
+    dependency along the scanline, so those rows pay a per-byte loop —
+    the honest cost of the format, bounded by rowbytes."""
+    import numpy as np
+
+    if len(raw) != height * (1 + rowbytes):
+        raise ValueError("PNG raster size mismatch")
+    out = np.zeros((height, rowbytes), dtype=np.uint8)
+    pos = 0
+    for r in range(height):
+        ftype = raw[pos]
+        pos += 1
+        line = np.frombuffer(raw[pos : pos + rowbytes], dtype=np.uint8).astype(
+            np.int32
+        )
+        pos += rowbytes
+        prev = out[r - 1].astype(np.int32) if r else np.zeros(rowbytes, np.int32)
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):
+            cur = np.empty(rowbytes, np.int32)
+            for i in range(rowbytes):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                if ftype == 1:  # Sub
+                    pred = a
+                elif ftype == 3:  # Average
+                    pred = (a + b) >> 1
+                else:  # Paeth
+                    c = int(prev[i - bpp]) if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (int(line[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[r] = cur.astype(np.uint8)
+    return out
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL compressed-image decode, stdlib-only: parse the chunk
+    stream (CRC-verified), inflate the IDAT deflate stream with
+    ``zlib``, and invert the five scanline filters. Returns (width,
+    height, channels, pixel_bytes row-major). Supported subset: 8-bit
+    depth, colortypes 0/2/4/6 (grey, RGB, grey+alpha, RGBA),
+    non-interlaced — the dominant training-data case. Palette
+    (colortype 3), 16-bit, and Adam7 raise ValueError, as does any
+    malformed chunk/CRC/raster (callers map that to NULL feature rows,
+    E1-style). JPEG/video stay documented environment limits — their
+    decode genuinely needs codec libraries this container lacks."""
+    import zlib
+
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG")
+    pos, width, height, channels = 8, None, None, None
+    idat = b""
+    while pos + 12 <= len(payload):
+        length = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        crc = payload[pos + 8 + length : pos + 12 + length]
+        if len(data) != length or len(crc) != 4:
+            raise ValueError("truncated PNG chunk")
+        if zlib.crc32(ctype + data) != int.from_bytes(crc, "big"):
+            raise ValueError(f"PNG chunk CRC mismatch in {ctype!r}")
+        pos += 12 + length
+        if ctype == b"IHDR":
+            if length != 13:
+                raise ValueError("bad IHDR length")
+            width = int.from_bytes(data[0:4], "big")
+            height = int.from_bytes(data[4:8], "big")
+            bitdepth, colortype = data[8], data[9]
+            comp, filt, interlace = data[10], data[11], data[12]
+            if bitdepth != 8:
+                raise ValueError(f"unsupported bit depth {bitdepth}")
+            channels = _PNG_CHANNELS.get(colortype)
+            if channels is None:
+                raise ValueError(f"unsupported color type {colortype}")
+            if comp or filt:
+                raise ValueError("bad compression/filter method")
+            if interlace:
+                raise ValueError("interlaced PNG not supported")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if width is None or channels is None or not idat:
+        raise ValueError("missing IHDR or IDAT")
+    if width <= 0 or height <= 0:
+        raise ValueError(f"degenerate dimensions {width}x{height}")
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as exc:
+        raise ValueError(f"bad IDAT deflate stream: {exc}") from exc
+    px = _png_unfilter(raw, height, width * channels, channels)
+    return width, height, channels, px.tobytes()
+
+
+def encode_png(
+    width: int, height: int, pixels: bytes, channels: int = 3,
+    filter_mode: str = "cycle",
+) -> bytes:
+    """Minimal PNG encoder (fixture synthesis + the write side of the
+    round-trip proof). ``filter_mode='cycle'`` applies filter type
+    ``row % 5`` so a decode of the result exercises every unfilter
+    branch — if decode_png faked any filter, the pixel round-trip (and
+    the mm_png_decode oracle) would not match. Encoding direction has
+    no sequential dependency, so all five filters vectorize."""
+    import zlib
+
+    import numpy as np
+
+    rowbytes = width * channels
+    px = (
+        np.frombuffer(pixels, dtype=np.uint8)
+        .reshape(height, rowbytes)
+        .astype(np.int32)
+    )
+    raw = bytearray()
+    for r in range(height):
+        ftype = r % 5 if filter_mode == "cycle" else 0
+        cur = px[r]
+        prev = px[r - 1] if r else np.zeros(rowbytes, np.int32)
+        a = np.concatenate([np.zeros(channels, np.int32), cur[:-channels]])
+        c = np.concatenate([np.zeros(channels, np.int32), prev[:-channels]])
+        if ftype == 0:
+            out = cur
+        elif ftype == 1:
+            out = cur - a
+        elif ftype == 2:
+            out = cur - prev
+        elif ftype == 3:
+            out = cur - ((a + prev) >> 1)
+        else:
+            p = a + prev - c
+            pa, pb, pc = np.abs(p - a), np.abs(p - prev), np.abs(p - c)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, prev, c)
+            )
+            out = cur - pred
+        raw.append(ftype)
+        raw.extend((out & 0xFF).astype(np.uint8).tobytes())
+    comp = zlib.compress(bytes(raw), 6)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big")
+            + ctype
+            + data
+            + zlib.crc32(ctype + data).to_bytes(4, "big")
+        )
+
+    colortype = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    ihdr = (
+        width.to_bytes(4, "big")
+        + height.to_bytes(4, "big")
+        + bytes([8, colortype, 0, 0, 0])
+    )
+    return (
+        _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", comp)
+        + chunk(b"IEND", b"")
+    )
+
+
+_PNG_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+    ]
+)
+
+
+def extract_png_features(media: DataFrame) -> DataFrame:
+    """REAL compressed-image decode + per-channel mean reduction for
+    PNG payloads — CRC check, inflate, unfilter, reduce; no codec
+    library. Greyscale broadcasts its single channel to r=g=b; an
+    alpha channel is excluded from the color means. Non-PNG or
+    malformed payloads yield NULL feature rows (error isolation, not
+    task failure). Scale shape identical to extract_ppm_features:
+    narrow projection before the Arrow-batched mapInPandas,
+    embarrassingly parallel, no shuffle."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    w, h, ch, raster = decode_png(bytes(payload))
+                except (ValueError, TypeError):
+                    rows.append((media_id, None, None, None, None, None))
+                    continue
+                px = np.frombuffer(raster, dtype=np.uint8).reshape(-1, ch)
+                color = px[:, : ch - 1] if ch in (2, 4) else px
+                m = color.mean(axis=0)
+                if len(m) == 1:
+                    r = g = b = float(m[0])
+                else:
+                    r, g, b = float(m[0]), float(m[1]), float(m[2])
+                rows.append(
+                    (media_id, w, h, round(r, 6), round(g, 6), round(b, 6))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height",
+                         "mean_r", "mean_g", "mean_b"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=_PNG_FEATURES_SCHEMA
+    )
+
+
+def documents_as_png_media(docs: DataFrame) -> DataFrame:
+    """Synthesize a VALID RGB PNG per document with the SAME pixel
+    formula as the PPM fixture (pixel i = (doc_id*7 + i*13) % 256,
+    w = 4 + doc_id%5, h = 3 + doc_id%4) — so the DuckDB oracle states
+    the expected decode from arithmetic alone. Unlike PPM, a PNG
+    payload needs deflate + CRC32, which column expressions cannot
+    produce, so synthesis runs in the same Arrow-batched mapInPandas
+    shape as the decoder (documented Python stage; fixture-only — the
+    DECODE path is the operator under test). Rows are filtered with
+    ``row % 5`` so every decode exercises all five filters."""
+    import numpy as np
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("mime", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("n_bytes", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 4 + d % 5, 3 + d % 4
+                i = np.arange(w * h * 3, dtype=np.int64)
+                pix = ((d * 7 + i * 13) % 256).astype(np.uint8).tobytes()
+                payload = encode_png(w, h, pix, channels=3)
+                rows.append((d, "image", "image/png", payload, len(payload)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "mime", "payload", "n_bytes"]
+            )
+
+    return docs.select("doc_id").mapInPandas(run, schema=schema)
 
 
 def documents_as_ppm_media(docs: DataFrame) -> DataFrame:

@@ -2571,3 +2571,58 @@ def test_label_propagation_two_triangles(spark):
     # deterministic: a second run returns the identical assignment
     again = {r.node: r.label for r in label_propagation(edges, n_rounds=3).collect()}
     assert got == again
+
+
+def test_png_decode_roundtrip_all_filters():
+    """decode_png inverts encode_png for every supported colortype,
+    with filter_mode='cycle' forcing all five scanline filters — a
+    wrong or faked unfilter branch cannot round-trip. Malformed
+    payloads (signature, CRC, truncation, palette) raise ValueError."""
+    import numpy as np
+
+    from fcrepo3_rdf_extractor_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(7)
+    for w, h, ch in [(4, 3, 3), (7, 6, 1), (5, 5, 4), (3, 9, 2), (1, 1, 3)]:
+        pix = rng.integers(0, 256, size=w * h * ch, dtype=np.uint8).tobytes()
+        got = decode_png(encode_png(w, h, pix, channels=ch))
+        assert got == (w, h, ch, pix)
+
+    ok = encode_png(4, 3, bytes(36))
+    corrupted = bytearray(ok)
+    corrupted[20] ^= 0xFF  # inside IHDR data -> CRC mismatch
+    for bad, msg in [
+        (b"JFIF....", "not a PNG"),
+        (bytes(corrupted), "CRC mismatch"),
+        (ok[:-16], "truncated|missing"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            decode_png(bad)
+
+
+def test_png_features_and_error_isolation(spark):
+    """extract_png_features over a mixed frame: valid PNGs reduce to
+    exact channel means; a non-PNG payload yields a NULL feature row
+    (E1-style error isolation), never a task failure."""
+    import numpy as np
+
+    from fcrepo3_rdf_extractor_spark.operators.multimodal import (
+        encode_png,
+        extract_png_features,
+    )
+
+    pix = np.arange(24, dtype=np.uint8).tobytes()  # 4x2 RGB, means exact
+    rows = [
+        (1, bytearray(encode_png(4, 2, pix, channels=3))),
+        (2, bytearray(b"not an image")),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r for r in extract_png_features(media).collect()}
+    px = np.frombuffer(pix, dtype=np.uint8).reshape(-1, 3)
+    assert got[1].width == 4 and got[1].height == 2
+    assert got[1].mean_r == round(float(px[:, 0].mean()), 6)
+    assert got[1].mean_b == round(float(px[:, 2].mean()), 6)
+    assert got[2].width is None and got[2].mean_g is None
