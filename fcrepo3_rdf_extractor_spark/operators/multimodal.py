@@ -6,16 +6,19 @@ NO codec: PNG/GIF/JPEG store dimensions in their first bytes, and
 :func:`media_dimensions` header-parses them with pure JVM column ops —
 the dominant metadata case runs codec-free and Python-free. Pixel-level
 decode / feature-extraction / resize / frame-sampling run as
-Arrow-batched ``mapInPandas`` stages. TWO pixel paths are real
+Arrow-batched ``mapInPandas`` stages. THREE pixel paths are real
 end-to-end with no codec library: binary PPM (P6) raw RGB
 (:func:`decode_ppm` / :func:`extract_ppm_features`, JVM-synthesized
-payloads) and COMPRESSED PNG — :func:`decode_png` CRC-verifies the
+payloads); COMPRESSED PNG — :func:`decode_png` CRC-verifies the
 chunk stream, inflates IDAT with stdlib ``zlib``, and inverts all five
 scanline filters (8-bit grey/RGB/grey+alpha/RGBA, non-interlaced);
-:func:`encode_png` is the write side, and the ``mm_png_decode`` oracle
-proves the round trip from pixel arithmetic alone. JPEG/video decode
-genuinely needs libraries (libjpeg/ffmpeg) this container lacks, so
-that branch stays a clearly-marked stub: ``decode_stub='fake'`` derives
+and COMPRESSED GIF — :func:`decode_gif` runs a full variable-width
+LZW decompressor (growing dictionary, early-change width bumps, KwKwK)
+and applies the color table. :func:`encode_png` / :func:`encode_gif`
+are the write sides, and the ``mm_png_decode`` / ``mm_gif_decode``
+oracles prove the round trips from pixel arithmetic alone. JPEG/video
+decode genuinely needs libraries (libjpeg/ffmpeg) this container
+lacks, so that branch stays a clearly-marked stub: ``decode_stub='fake'`` derives
 deterministic features from the bytes (so the plumbing — schema, batch
 shape, partitioning — is real and tested), and ``decode_stub='raise'``
 shows the production wiring (NotImplementedError at the codec call
@@ -654,6 +657,261 @@ def extract_png_features(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         run, schema=_PNG_FEATURES_SCHEMA
     )
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes:
+    """GIF-variant LZW decompression (GIF89a spec appendix F): variable
+    code width starting at min_code_size+1 bits, LSB-first bit packing,
+    CLEAR resets the dictionary, codes cap at 12 bits. Pure Python —
+    the dictionary is a list of byte strings, one append per emitted
+    code."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+
+    def fresh():
+        return [bytes([i]) for i in range(clear)] + [b"", b""]
+
+    table = fresh()
+    width = min_code_size + 1
+    out = bytearray()
+    acc = nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = fresh()
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                if len(out) != n_pixels:
+                    raise ValueError("GIF LZW ended short of the raster")
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError("GIF LZW first code out of range")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                if len(table) < 4096:
+                    table.append(prev + entry[:1])
+            elif code == len(table) and len(table) < 4096:
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("GIF LZW code out of range")
+            out.extend(entry)
+            prev = entry
+            # the decoder's table is ONE entry behind the encoder's (the
+            # first code after CLEAR adds nothing), so the width bump
+            # lands at 2^width - 1 — the GIF "early change" convention
+            if len(table) == (1 << width) - 1 and width < 12:
+                width += 1
+            if len(out) > n_pixels:
+                raise ValueError("GIF LZW overran the raster")
+    raise ValueError("GIF LZW stream missing end-of-information")
+
+
+def decode_gif(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL LZW decode for GIF87a/89a, pure Python: parse the logical
+    screen + color table, skip extensions, decompress the FIRST image's
+    index stream, and apply the palette. Returns (width, height, 3,
+    rgb_bytes) for the first frame (its own descriptor dimensions).
+    Interlaced images and missing color tables raise ValueError
+    (callers map to NULL feature rows). Animated GIFs decode frame 1 —
+    count frames with media_dimensions if needed."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF screen descriptor")
+    packed = payload[10]
+    pos = 13
+    global_table = b""
+    if packed & 0x80:
+        n = 2 ** ((packed & 0x07) + 1) * 3
+        global_table = payload[pos : pos + n]
+        if len(global_table) != n:
+            raise ValueError("truncated global color table")
+        pos += n
+    while pos < len(payload):
+        introducer = payload[pos]
+        pos += 1
+        if introducer == 0x3B:  # trailer
+            break
+        if introducer == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if introducer != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{introducer:02x}")
+        if pos + 9 > len(payload):
+            raise ValueError("truncated image descriptor")
+        w = int.from_bytes(payload[pos + 4 : pos + 6], "little")
+        h = int.from_bytes(payload[pos + 6 : pos + 8], "little")
+        ipacked = payload[pos + 8]
+        pos += 9
+        if ipacked & 0x40:
+            raise ValueError("interlaced GIF not supported")
+        table = global_table
+        if ipacked & 0x80:
+            n = 2 ** ((ipacked & 0x07) + 1) * 3
+            table = payload[pos : pos + n]
+            if len(table) != n:
+                raise ValueError("truncated local color table")
+            pos += n
+        if not table:
+            raise ValueError("GIF image has no color table")
+        if w <= 0 or h <= 0:
+            raise ValueError(f"degenerate dimensions {w}x{h}")
+        min_code_size = payload[pos]
+        pos += 1
+        if not (2 <= min_code_size <= 8):
+            raise ValueError(f"bad LZW minimum code size {min_code_size}")
+        data = bytearray()
+        while pos < len(payload) and payload[pos] != 0:
+            n = payload[pos]
+            block = payload[pos + 1 : pos + 1 + n]
+            if len(block) != n:
+                raise ValueError("truncated GIF data sub-block")
+            data.extend(block)
+            pos += 1 + n
+        indices = _gif_lzw_decode(bytes(data), min_code_size, w * h)
+        n_colors = len(table) // 3
+        rgb = bytearray()
+        for idx in indices:
+            if idx >= n_colors:
+                raise ValueError(f"palette index {idx} out of range")
+            rgb.extend(table[idx * 3 : idx * 3 + 3])
+        return w, h, 3, bytes(rgb)
+    raise ValueError("GIF contains no image block")
+
+
+def encode_gif(width: int, height: int, indices: bytes, palette: bytes) -> bytes:
+    """Minimal GIF89a encoder (fixture synthesis + the write side of
+    the round-trip proof): 256-entry palette, LZW with a CLEAR before
+    every run of 254 literal codes — the classic fixed-9-bit
+     'uncompressed GIF' encoding, decodable by ANY conforming LZW
+    decoder including real viewers. The decoder under test implements
+    FULL growing-dictionary LZW; a unit test also feeds it a
+    dictionary-growing stream to prove the general path."""
+    assert len(palette) == 256 * 3 and len(indices) == width * height
+    out = bytearray(b"GIF89a")
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    out += bytes([0x80 | 0x07, 0, 0])  # global table, 256 entries
+    out += palette
+    out += b"\x2c" + bytes(4) + width.to_bytes(2, "little")
+    out += height.to_bytes(2, "little") + b"\x00"
+    out.append(8)  # LZW minimum code size
+    clear, eoi, cwidth = 256, 257, 9
+    codes: list[int] = []
+    for i, idx in enumerate(indices):
+        if i % 253 == 0:
+            # reset before a conforming decoder's simulated table (one
+            # entry per literal after the first) reaches 511 = the
+            # early-change width bump — 253 literals max per run
+            codes.append(clear)
+        codes.append(idx)
+    codes.append(eoi)
+    acc = nbits = 0
+    packed = bytearray()
+    for code in codes:
+        acc |= code << nbits
+        nbits += cwidth
+        while nbits >= 8:
+            packed.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        packed.append(acc & 0xFF)
+    for off in range(0, len(packed), 255):
+        block = packed[off : off + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def extract_gif_features(media: DataFrame) -> DataFrame:
+    """REAL LZW decode + per-channel mean reduction for GIF payloads —
+    same contract and scale shape as extract_png_features (narrow
+    projection, Arrow-batched mapInPandas, NULL rows on malformed
+    input, no shuffle)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    w, h, ch, raster = decode_gif(bytes(payload))
+                except (ValueError, TypeError, IndexError):
+                    rows.append((media_id, None, None, None, None, None))
+                    continue
+                px = np.frombuffer(raster, dtype=np.uint8).reshape(-1, ch)
+                m = px.mean(axis=0)
+                rows.append(
+                    (media_id, w, h,
+                     round(float(m[0]), 6), round(float(m[1]), 6),
+                     round(float(m[2]), 6))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height",
+                         "mean_r", "mean_g", "mean_b"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=_PNG_FEATURES_SCHEMA
+    )
+
+
+def documents_as_gif_media(docs: DataFrame) -> DataFrame:
+    """Synthesize a VALID GIF89a per document with the shared pixel
+    formula (index i = (doc_id*7 + i*13) % 256) and the linear palette
+    entry j = (j, (2*j)%256, (3*j)%256) — the oracle states the decoded
+    channel means from that arithmetic alone. Same fixture shape as
+    documents_as_png_media (Python synthesis: LZW bit-packing is not a
+    column expression; the DECODE path is the operator under test)."""
+    import numpy as np
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("mime", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("n_bytes", T.LongType()),
+        ]
+    )
+    j = np.arange(256, dtype=np.int64)
+    palette = (
+        np.stack([j, (2 * j) % 256, (3 * j) % 256], axis=1)
+        .astype(np.uint8)
+        .tobytes()
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 4 + d % 5, 3 + d % 4
+                i = np.arange(w * h, dtype=np.int64)
+                idx = ((d * 7 + i * 13) % 256).astype(np.uint8).tobytes()
+                payload = encode_gif(w, h, idx, palette)
+                rows.append((d, "image", "image/gif", payload, len(payload)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "mime", "payload", "n_bytes"]
+            )
+
+    return docs.select("doc_id").mapInPandas(run, schema=schema)
 
 
 def documents_as_png_media(docs: DataFrame) -> DataFrame:

@@ -5708,6 +5708,39 @@ def kg_bgp_union_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "mm_gif_decode",
+    """WITH dims AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+                     FROM documents),
+        px AS (SELECT doc_id, w, h,
+                      (doc_id * 7 + unnest(range(0, w * h)) * 13) % 256 AS idx
+               FROM dims)
+       SELECT doc_id AS media_id,
+              CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+              round(avg(idx), 6) AS mean_r,
+              round(avg((2 * idx) % 256), 6) AS mean_g,
+              round(avg((3 * idx) % 256), 6) AS mean_b
+       FROM px GROUP BY doc_id, w, h""",
+)
+def mm_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENUINE GIF decode end-to-end, pure Python: valid GIF89a
+    payloads (LZW-compressed index stream + 256-entry linear palette)
+    synthesized per document, decompressed by the real variable-width
+    LZW decoder and palette-mapped
+    (operators/multimodal.py:decode_gif), channel means reduced with
+    numpy. The oracle restates the means from index arithmetic through
+    the palette formula — a wrong LZW bit-unpack, width bump, or
+    palette lookup cannot match. With mm_png_decode this makes real
+    compressed decode cover PNG + GIF; the stub is JPEG/video only."""
+    from .operators.multimodal import (
+        documents_as_gif_media,
+        extract_gif_features,
+    )
+
+    media = documents_as_gif_media(_read(spark, sf_dir, "documents"))
+    return extract_gif_features(media)
+
+
+@_q(
     "mm_png_decode",
     """WITH dims AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
                      FROM documents),

@@ -2626,3 +2626,113 @@ def test_png_features_and_error_isolation(spark):
     assert got[1].mean_r == round(float(px[:, 0].mean()), 6)
     assert got[1].mean_b == round(float(px[:, 2].mean()), 6)
     assert got[2].width is None and got[2].mean_g is None
+
+
+def _gif_reference_compress(data: bytes, mcs: int) -> bytes:
+    """Reference GIF-convention LZW compressor (growing dictionary,
+    early-change width bump) — test-only, to prove the decoder's
+    general path, which the fixed-width fixture encoder never
+    exercises."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code, width = eoi + 1, mcs + 1
+    codes = [(clear, mcs + 1)]
+    s = b""
+    for ch in data:
+        sc = s + bytes([ch])
+        if sc in table:
+            s = sc
+            continue
+        codes.append((table[s], width))
+        if next_code < 4096:
+            table[sc] = next_code
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        s = bytes([ch])
+    codes.append((table[s], width))
+    codes.append((eoi, width))
+    acc = nbits = 0
+    out = bytearray()
+    for code, wdt in codes:
+        acc |= code << nbits
+        nbits += wdt
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def test_gif_decode_roundtrip_and_real_lzw():
+    """decode_gif inverts the fixture encoder (palette applied), and
+    the LZW core decodes genuine growing-dictionary streams from a
+    reference compressor — width bumps to 12 bits, KwKwK, repetitive
+    data. Malformed inputs raise ValueError."""
+    import numpy as np
+
+    from fcrepo3_rdf_extractor_spark.operators.multimodal import (
+        _gif_lzw_decode,
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(11)
+    j = np.arange(256, dtype=np.int64)
+    pal = (
+        np.stack([j, (2 * j) % 256, (3 * j) % 256], axis=1)
+        .astype(np.uint8)
+        .tobytes()
+    )
+    for w, h in [(4, 3), (20, 17), (1, 1)]:
+        idx = rng.integers(0, 256, size=w * h, dtype=np.uint8).tobytes()
+        got = decode_gif(encode_gif(w, h, idx, pal))
+        assert got == (w, h, 3, b"".join(pal[i * 3 : i * 3 + 3] for i in idx))
+
+    for n, mcs in [(50, 2), (4000, 8), (300, 4)]:
+        data = bytes(rng.integers(0, 1 << mcs, size=n, dtype=np.uint8))
+        assert _gif_lzw_decode(_gif_reference_compress(data, mcs), mcs, n) == data
+    rep = b"abcabcabcaabbccabcabc" * 200
+    assert _gif_lzw_decode(_gif_reference_compress(rep, 8), 8, len(rep)) == rep
+
+    ok = encode_gif(4, 3, bytes(12), pal)
+    for bad, msg in [
+        (b"PNG12345", "not a GIF"),
+        (ok[:-30], "GIF|truncated"),  # cut removes the image block entirely
+        # clear the global-color-table flag: palette bytes misread as blocks
+        (ok[:10] + bytes([0x40]) + ok[11:],
+         "unknown GIF block|no color table|no image"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            decode_gif(bad)
+
+
+def test_gif_features_error_isolation(spark):
+    """extract_gif_features: valid payloads reduce to exact means; a
+    non-GIF payload yields a NULL feature row, never a task failure."""
+    import numpy as np
+
+    from fcrepo3_rdf_extractor_spark.operators.multimodal import (
+        encode_gif,
+        extract_gif_features,
+    )
+
+    j = np.arange(256, dtype=np.int64)
+    pal = (
+        np.stack([j, (2 * j) % 256, (3 * j) % 256], axis=1)
+        .astype(np.uint8)
+        .tobytes()
+    )
+    idx = np.arange(12, dtype=np.uint8)
+    rows = [
+        (1, bytearray(encode_gif(4, 3, idx.tobytes(), pal))),
+        (2, bytearray(b"GIF89a truncated nonsense")),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r for r in extract_gif_features(media).collect()}
+    assert got[1].width == 4 and got[1].height == 3
+    assert got[1].mean_r == round(float(idx.mean()), 6)
+    assert got[1].mean_g == round(float(((2 * idx.astype(int)) % 256).mean()), 6)
+    assert got[2].width is None and got[2].mean_b is None
