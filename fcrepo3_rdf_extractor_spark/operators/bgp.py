@@ -228,6 +228,7 @@ def bgp_query(
     values: Sequence[Mapping[str, str]] | None = None,
     binds: Sequence[tuple[str, object]] | None = None,
     exists: Sequence[Sequence[tuple[str, str, str]]] | None = None,
+    sub_solutions: Sequence[Mapping] | None = None,
 ) -> DataFrame:
     """Evaluate a SPARQL-style basic graph pattern.
 
@@ -264,6 +265,17 @@ def bgp_query(
     that). A filter INSIDE an optional group (scoped to whether the
     group matches, keeping the solution with NULLs) is not expressible
     here — evaluate it in the group's own bgp_query call.
+
+    ``sub_solutions``: pre-evaluated SPARQL subqueries (§12) — each a
+    mapping ``{"df": DataFrame, "scalar": bool}`` whose frame's columns
+    are the subquery's projected variables. Joined INNER on the shared
+    variables right after the required patterns (both sides
+    hash-partition on the join key; the subquery evaluated once,
+    independent of the outer bindings — SPARQL bottom-up semantics), so
+    FILTERs may reference subquery aliases. A frame sharing no variable
+    is rejected unless ``scalar`` (a group-less aggregate —
+    guaranteed one row), which attaches via ``crossJoin(broadcast(...))``
+    — the documented-fine 1-row scalar shape.
 
     ``optional_patterns``: a list of OPTIONAL groups — each either a
     plain list of patterns, or a mapping ``{"patterns": [...],
@@ -429,8 +441,15 @@ def bgp_query(
                 if v not in all_vars and v not in opt_vars:
                     opt_vars.append(v)
 
+    sub_list = list(sub_solutions or [])
+    sub_names: list[str] = []
+    for sub in sub_list:
+        for c in sub["df"].columns:
+            if c not in sub_names:
+                sub_names.append(c)
+
     bind_list = [(v.lstrip("?"), e) for v, e in (binds or [])]
-    pattern_names = {v.lstrip("?") for v in all_vars + opt_vars}
+    pattern_names = {v.lstrip("?") for v in all_vars + opt_vars} | set(sub_names)
     for bname, _ in bind_list:
         if bname in pattern_names:
             raise ValueError(
@@ -441,7 +460,12 @@ def bgp_query(
     if len(set(bind_names)) != len(bind_names):
         raise ValueError("duplicate BIND target variable")
     if select is None:
-        sel = [v.lstrip("?") for v in all_vars + opt_vars] + bind_names
+        seen = {v.lstrip("?") for v in all_vars + opt_vars}
+        sel = (
+            [v.lstrip("?") for v in all_vars + opt_vars]
+            + [c for c in sub_names if c not in seen]
+            + bind_names
+        )
     else:
         sel = [s.lstrip("?") for s in select]
         known = pattern_names | set(bind_names)
@@ -649,6 +673,22 @@ def bgp_query(
         joined = joined.join(nxt, on=on, how="inner") if on else joined.crossJoin(nxt)
         joined_vars |= pat_vars
 
+    for sub in sub_list:
+        sdf = sub["df"]
+        on = sorted(joined_vars & set(sdf.columns))
+        if on:
+            joined = joined.join(sdf, on=on, how="inner")
+        elif sub.get("scalar"):
+            # group-less aggregate: exactly one row — the documented-fine
+            # 1-row scalar broadcast shape (CLAUDE.md)
+            joined = joined.crossJoin(F.broadcast(sdf))
+        else:
+            raise ValueError(
+                "subquery shares no variable with the required patterns "
+                "— a non-scalar subquery join would be a cartesian"
+            )
+        joined_vars |= set(sdf.columns)
+
     # Filters over required-pattern variables apply NOW (conjunctive and
     # row-local, so Catalyst pushes each down into the pattern scan that
     # binds its variable); a filter referencing any OPTIONAL-bound
@@ -838,6 +878,7 @@ def bgp_aggregate(
     graph: str | None = None,
     values: Sequence[Mapping[str, str]] | None = None,
     exists: Sequence[Sequence[tuple[str, str, str]]] | None = None,
+    sub_solutions: Sequence[Mapping] | None = None,
 ) -> DataFrame:
     """SPARQL 1.1 aggregates: GROUP BY over a basic graph pattern's
     bindings (SPARQL 1.1 Query §11), the missing third of the query
@@ -902,6 +943,7 @@ def bgp_aggregate(
         graph=graph,
         values=values,
         exists=exists,
+        sub_solutions=sub_solutions,
     )
 
     exprs = []

@@ -26,7 +26,10 @@ Supported grammar (SPARQL 1.1 syntax, the compiler's semantic subset):
   { ... }`` (group-level positive existence -> LEFT SEMI join),
   ``FILTER NOT EXISTS { ... }`` / ``MINUS { ... }``, ``VALUES``
   (single- and multi-var, UNDEF), ``GRAPH g { ... }`` as the group
-  wrapper, and top-level ``{ A } UNION { B }`` alternation
+  wrapper, top-level ``{ A } UNION { B }`` alternation, and
+  ``{ SELECT ... }`` subqueries (§12, one nesting level: evaluated
+  bottom-up, joined on shared variables; a group-less aggregate
+  subquery is a scalar attached via the 1-row broadcast shape)
 - property paths: ``pred+ pred* pred? ^pred (p|q)+ !p !(p|q)`` (the compiler's
   path subset) and sequences ``p/q`` (desugared to a join chain
   through fresh intermediate variables, hidden from ``SELECT *``;
@@ -148,6 +151,7 @@ class ParsedQuery:
     having: list[tuple[str, str, object]] = field(default_factory=list)
     template: list[tuple[str, str, str]] = field(default_factory=list)
     describe: str | None = None
+    subselects: list["ParsedQuery"] = field(default_factory=list)
 
 
 _AGG_FNS = {
@@ -489,8 +493,12 @@ class _Parser:
         self._group_items(q)
 
     def _group_body_open(self, q: ParsedQuery) -> None:
-        # first alternative: UNION of plain groups
-        if self.peek().text == "{":
+        # first alternative: UNION of plain groups ('{ SELECT' is a
+        # subquery, not a branch — _group_items handles it)
+        nt = self.peek(1)
+        if self.peek().text == "{" and not (
+            nt.kind == "KEYWORD" and nt.text.upper() == "SELECT"
+        ):
             save = self.i
             self.next()
             branch = self._triples_block()
@@ -562,6 +570,36 @@ class _Parser:
                     f"GRAPH at {t.pos}: only as the wrapper of the whole "
                     "WHERE group in this subset"
                 )
+            if t.kind == "PUNCT" and t.text == "{":
+                # SPARQL 1.1 §12 subquery: { SELECT ... } inside a group
+                nt = self.peek(1)
+                if not (nt.kind == "KEYWORD" and nt.text.upper() == "SELECT"):
+                    raise SparqlParseError(
+                        f"nested group at {t.pos}: only "
+                        "'{ SELECT ... }' subqueries are supported "
+                        "inside a group"
+                    )
+                self.next()  # {
+                self.expect_kw("SELECT")
+                sub = self._select()
+                self._solution_modifiers(sub)
+                self._check_shape(sub)
+                if sub.subselects:
+                    raise SparqlParseError(
+                        "subqueries nest one level only in this subset"
+                    )
+                if sub.union_branches:
+                    raise SparqlParseError(
+                        "UNION inside a subquery is not in the subset"
+                    )
+                if sub.graph is not None:
+                    raise SparqlParseError(
+                        "GRAPH inside a subquery is not in the subset"
+                    )
+                self.expect_punct("}")
+                self.punct(".")
+                q.subselects.append(sub)
+                continue
             pats = self._triples_block()
             if not pats:
                 raise SparqlParseError(
@@ -631,7 +669,8 @@ class _Parser:
         out: list[tuple[str, str, str]] = []
         while True:
             t = self.peek()
-            if t.kind in ("PUNCT", "EOF") and t.text in ("}", ""):
+            if t.kind in ("PUNCT", "EOF") and t.text in ("}", "{", ""):
+                # '{' opens a nested group (subquery) — the caller's turn
                 return out
             if t.kind == "KEYWORD" and t.text.upper() in (
                 "OPTIONAL", "FILTER", "MINUS", "VALUES", "GRAPH", "UNION",
@@ -929,6 +968,22 @@ class _Parser:
                 break
 
     def _check_shape(self, q: ParsedQuery) -> None:
+        if q.subselects:
+            if q.verb != "select":
+                raise SparqlParseError(
+                    "subqueries are supported in SELECT queries only in "
+                    "this subset"
+                )
+            if q.graph is not None:
+                raise SparqlParseError(
+                    "a subquery inside GRAPH is not in the subset"
+                )
+            if not q.patterns:
+                raise SparqlParseError(
+                    "a subquery needs at least one triple pattern in the "
+                    "enclosing group (run the inner SELECT on its own "
+                    "otherwise)"
+                )
         if q.aggs and q.group_by is None:
             # SPARQL's implicit single group when any aggregate appears
             q.group_by = []
@@ -957,6 +1012,7 @@ class _Parser:
                 or q.values
                 or q.binds
                 or q.exists
+                or q.subselects
                 or q.verb != "select"
             ):
                 raise SparqlParseError(
@@ -1139,6 +1195,43 @@ def sparql_query(triples: DataFrame, text: str) -> DataFrame:
         if q.limit is not None:
             out = out.limit(q.limit)
         return out
+    subs = []
+    for sub in q.subselects:
+        # SPARQL §12 bottom-up semantics: each subquery evaluates once,
+        # independent of the outer bindings, then joins with the group.
+        # A group-less aggregate is a scalar (one row) — the compiler
+        # attaches it via the 1-row broadcast shape.
+        if sub.aggs:
+            sdf = bgp_aggregate(
+                triples,
+                sub.patterns,
+                group_by=sub.group_by or [],
+                aggs=sub.aggs,
+                having=sub.having or None,
+                optional_patterns=sub.optional_patterns or None,
+                filters=sub.filters or None,
+                not_exists=sub.not_exists or None,
+                exists=sub.exists or None,
+                values=sub.values or None,
+            )
+            subs.append({"df": sdf, "scalar": not (sub.group_by or [])})
+        else:
+            sdf = bgp_query(
+                triples,
+                sub.patterns,
+                select=sub.select or None,
+                distinct=sub.distinct,
+                optional_patterns=sub.optional_patterns or None,
+                filters=sub.filters or None,
+                not_exists=sub.not_exists or None,
+                exists=sub.exists or None,
+                order_by=sub.order_by or None,
+                limit=sub.limit,
+                offset=sub.offset or 0,
+                values=sub.values or None,
+                binds=sub.binds or None,
+            )
+            subs.append({"df": sdf, "scalar": False})
     if q.aggs:
         return bgp_aggregate(
             triples,
@@ -1152,6 +1245,7 @@ def sparql_query(triples: DataFrame, text: str) -> DataFrame:
             exists=q.exists or None,
             graph=q.graph,
             values=q.values or None,
+            sub_solutions=subs or None,
         )
     return bgp_query(
         triples,
@@ -1168,4 +1262,5 @@ def sparql_query(triples: DataFrame, text: str) -> DataFrame:
         graph=q.graph,
         values=q.values or None,
         binds=q.binds or None,
+        sub_solutions=subs or None,
     )

@@ -5141,6 +5141,47 @@ def kg_bgp_filter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "kg_sparql_subquery_query",
+    """WITH members AS (SELECT 'info:fedora/order:' || o_orderkey AS obj,
+                               'info:fedora/collection:' || (o_custkey % 100)
+                                 AS coll
+                        FROM orders),
+            counts AS (SELECT coll, CAST(count(*) AS BIGINT) AS n_members
+                       FROM members GROUP BY coll)
+       SELECT m.obj, m.coll, c.n_members
+       FROM members m JOIN counts c USING (coll)""",
+)
+def kg_sparql_subquery_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 §12 subquery through the text front-end: every
+    membership row annotated with its collection's member count — the
+    inner ``{ SELECT ?coll (COUNT(*) AS ?n_members) ... GROUP BY }``
+    evaluates once bottom-up (one partially-aggregated count per
+    collection), then hash-joins back on ?coll; the outer pattern and
+    the subquery share the subject-bucketed pattern-scan shape, so at
+    100 TB this is one agg exchange plus one co-keyed join, never a
+    per-row correlated re-scan (operators/bgp.py sub_solutions)."""
+    from .operators.sparql import sparql_query
+
+    source = synthesize_foxml_from_orders(spark, sf_dir)
+    triples = (
+        triples_only(extract_triples(source))
+        .select("subj", "pred", "obj_value")
+        .persist()
+    )
+    return sparql_query(
+        triples,
+        """
+        PREFIX rel: <info:fedora/fedora-system:def/relations-external#>
+        SELECT ?obj ?coll ?n_members WHERE {
+          ?obj rel:isMemberOfCollection ?coll .
+          { SELECT ?coll (COUNT(*) AS ?n_members) WHERE {
+              ?o2 rel:isMemberOfCollection ?coll } GROUP BY ?coll }
+        }
+        """,
+    )
+
+
+@_q(
     "kg_sparql_nested_optional_query",
     f"""SELECT {_U} AS obj, {_U} || '/DC' AS ds,
                'text/xml' AS mime FROM orders

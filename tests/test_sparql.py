@@ -701,3 +701,64 @@ def test_nested_optional_and_group_filter(quads):
     # patterns-only group still parses to the plain list (pins intact)
     q = parse_sparql("SELECT * WHERE { ?x <p> ?y . OPTIONAL { ?x <q> ?z } }")
     assert q.optional_patterns == [[("?x", "<q>", "?z")]]
+
+
+def test_subqueries(quads):
+    """SPARQL §12 subqueries: bottom-up evaluation, joined on shared
+    variables; a group-less aggregate subquery is a scalar attached
+    via the 1-row broadcast; SELECT * includes subquery columns and
+    FILTER may reference its aliases."""
+    got = sorted(
+        (r.x, r.y, r.n)
+        for r in sparql_query(
+            quads,
+            "SELECT ?x ?y ?n WHERE { ?x <knows> ?y . "
+            "{ SELECT ?y (COUNT(*) AS ?n) WHERE { ?z <knows> ?y } "
+            "GROUP BY ?y } }",
+        ).collect()
+    )
+    assert got == [("a", "b", 2), ("b", "c", 1), ("c", "b", 2)]
+
+    scal = sorted(
+        (r.x, r.total)
+        for r in sparql_query(
+            quads,
+            "SELECT ?x ?total WHERE { ?x <knows> ?y . "
+            "{ SELECT (COUNT(*) AS ?total) WHERE { ?a <type> ?b } } }",
+        ).collect()
+    )
+    assert scal == [("a", 3), ("b", 3), ("c", 3)]
+
+    star = sparql_query(
+        quads,
+        "SELECT * WHERE { ?x <knows> ?y . "
+        "{ SELECT ?y (COUNT(*) AS ?n) WHERE { ?z <knows> ?y } GROUP BY ?y }"
+        " FILTER(?n >= 2) }",
+    )
+    assert star.columns == ["x", "y", "n"]
+    assert sorted((r.x, r.y, r.n) for r in star.collect()) == [
+        ("a", "b", 2), ("c", "b", 2)
+    ]
+
+    # the scalar shape never BNLJ-explodes a non-scalar: a plain
+    # (non-aggregate) subquery sharing no variable is rejected
+    with pytest.raises(ValueError, match="cartesian"):
+        sparql_query(
+            quads,
+            "SELECT * WHERE { ?x <knows> ?y . "
+            "{ SELECT ?t WHERE { ?a <type> ?t } } }",
+        ).collect()
+
+    cases = [
+        ("SELECT ?n WHERE { { SELECT (COUNT(*) AS ?n) WHERE "
+         "{ ?a <p> ?b } } }", "at least one triple"),
+        ("SELECT * WHERE { ?x <p> ?y . { ?x <q> ?z } }",
+         "only '\\{ SELECT"),
+        ("ASK { ?x <p> ?y . { SELECT ?x WHERE { ?x <q> ?z } } }",
+         "SELECT queries only"),
+        ("SELECT * WHERE { ?x <p> ?y . { SELECT ?z WHERE { ?z <q> ?w . "
+         "{ SELECT ?w WHERE { ?w <r> ?v } } } } }", "one level"),
+    ]
+    for text, msg in cases:
+        with pytest.raises(SparqlParseError, match=msg):
+            parse_sparql(text)
