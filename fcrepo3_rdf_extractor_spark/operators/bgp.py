@@ -63,6 +63,12 @@ _OPS = {
     "regex": lambda c, v: c.rlike(v),
 }
 _ORDERING = {"<", "<=", ">", ">="}
+# comparisons that take the try_cast(double) path for a NUMERIC value:
+# under ANSI, '=' / '!=' against a number implicitly casts the string
+# column and would abort on the first non-numeric binding, exactly like
+# the ordering ops — SPARQL's type-error-drops semantics needs try_cast
+# on all six
+_NUMERIC_COMPARABLE = _ORDERING | {"=", "!="}
 
 
 def _filter_col(expr: object, bound_vars: set[str]) -> "F.Column":
@@ -74,8 +80,9 @@ def _filter_col(expr: object, bound_vars: set[str]) -> "F.Column":
     nodes (SPARQL ``&&`` / ``||``, parenthesized freely). Leaves gain
     two set ops: ``("?v", "in", (v1, v2, ...))`` and ``"not_in"``
     (SPARQL 1.1 ``IN`` / ``NOT IN``, §17.4.1.9 — sugar for a chain of
-    ``=`` tests, so values compare exactly like the ``=`` leaf: on the
-    lexical form, no numeric cast). The whole expression compiles to a
+    ``=`` tests: string members match the lexical form, numeric
+    members match on ``try_cast('double')`` exactly like the ``=``
+    leaf). The whole expression compiles to a
     single row-local predicate — no join condition ever carries the OR
     (the OR-of-equalities BNLJ trap applies to join conditions, not
     filters), and Catalyst still splits top-level conjuncts and pushes
@@ -101,23 +108,41 @@ def _filter_col(expr: object, bound_vars: set[str]) -> "F.Column":
             f"FILTER on {var!r}: not bound by any pattern"
         )
     col = F.col(name)
+
+    def _is_num(v: object) -> bool:
+        return isinstance(v, (int, float)) and not isinstance(v, bool)
+
     if op in ("in", "not_in"):
         vals = list(value) if isinstance(value, (list, tuple, set)) else None
         if not vals:
             raise ValueError("IN/NOT IN takes a non-empty list of values")
-        cond = col.isin(vals)
+        # numeric members compare on try_cast(double) — a non-numeric
+        # binding becomes NULL and the row drops (SPARQL type-error
+        # semantics), NEVER an ANSI cast abort (a raw isin(floats)
+        # would implicitly cast the string column and kill the job on
+        # the first non-numeric binding); string members compare on the
+        # lexical form like '='. A mixed list is the OR of both arms.
+        nums = [float(v) for v in vals if _is_num(v)]
+        strs = [v for v in vals if not _is_num(v)]
+        arms = []
+        if nums:
+            arms.append(col.try_cast("double").isin(nums))
+        if strs:
+            arms.append(col.isin(strs))
+        cond = arms[0]
+        for arm in arms[1:]:
+            cond = cond | arm
         return cond if op == "in" else ~cond
     if op not in _OPS:
         raise ValueError(f"unknown FILTER op {op!r}")
-    if op in _ORDERING and isinstance(value, (int, float)) and not isinstance(
-        value, bool
-    ):
+    if op in _NUMERIC_COMPARABLE and _is_num(value):
         # SPARQL numeric FILTER: bindings are string lexical forms,
         # so compare on try_cast(double) — a non-numeric binding
         # becomes NULL and is filtered out (SPARQL type-error
         # semantics), instead of an ANSI CAST abort (a plain cast
-        # would kill the job on the first non-numeric row) or a
-        # silently-lexicographic string compare ('10' < '5').
+        # would kill the job on the first non-numeric row; equality
+        # against a numeric literal implicitly casts under ANSI too)
+        # or a silently-lexicographic string compare ('10' < '5').
         col = col.try_cast("double")
         value = float(value)
     return _OPS[op](col, value)
@@ -218,8 +243,8 @@ def bgp_query(
     select: Sequence[str] | None = None,
     distinct: bool = False,
     allow_cartesian: bool = False,
-    optional_patterns: Sequence[Sequence[tuple[str, str, str]]] | None = None,
-    filters: Sequence[tuple[str, str, object]] | None = None,
+    optional_patterns: Sequence[object] | None = None,  # pattern lists or sub-group mappings
+    filters: Sequence[object] | None = None,  # leaves or and/or nodes (_filter_col)
     not_exists: Sequence[Sequence[tuple[str, str, str]]] | None = None,
     order_by: Sequence[tuple[str, str]] | None = None,
     limit: int | None = None,
@@ -872,8 +897,8 @@ def bgp_aggregate(
     aggs: Sequence[tuple[str, str, str]],
     having: Sequence[tuple[str, str, object]] | None = None,
     allow_cartesian: bool = False,
-    optional_patterns: Sequence[Sequence[tuple[str, str, str]]] | None = None,
-    filters: Sequence[tuple[str, str, object]] | None = None,
+    optional_patterns: Sequence[object] | None = None,  # pattern lists or sub-group mappings
+    filters: Sequence[object] | None = None,  # leaves or and/or nodes (_filter_col)
     not_exists: Sequence[Sequence[tuple[str, str, str]]] | None = None,
     graph: str | None = None,
     values: Sequence[Mapping[str, str]] | None = None,
@@ -990,14 +1015,15 @@ def bgp_aggregate(
         if op not in _OPS:
             raise ValueError(f"unknown HAVING op {op!r}")
         col = F.col(alias)
-        if op in _ORDERING and isinstance(value, (int, float)) and not isinstance(
-            value, bool
-        ):
+        if op in _NUMERIC_COMPARABLE and isinstance(
+            value, (int, float)
+        ) and not isinstance(value, bool):
             # same numeric rule as FILTER: a STRING-typed aggregate
-            # (min/max/sample/group_concat) ordered against a number
+            # (min/max/sample/group_concat) compared against a number
             # must not take the raw comparison path — under ANSI a
             # non-numeric aggregate value would abort the job instead
-            # of dropping as a SPARQL type error. try_cast is a no-op
+            # of dropping as a SPARQL type error ('=' / '!=' implicitly
+            # cast too). try_cast is a no-op
             # widening for the already-numeric count/sum/avg columns.
             col = col.try_cast("double")
             value = float(value)
@@ -1011,8 +1037,8 @@ def bgp_construct(
     template: Sequence[tuple[str, str, str]],
     distinct: bool = True,
     allow_cartesian: bool = False,
-    optional_patterns: Sequence[Sequence[tuple[str, str, str]]] | None = None,
-    filters: Sequence[tuple[str, str, object]] | None = None,
+    optional_patterns: Sequence[object] | None = None,  # pattern lists or sub-group mappings
+    filters: Sequence[object] | None = None,  # leaves or and/or nodes (_filter_col)
     not_exists: Sequence[Sequence[tuple[str, str, str]]] | None = None,
     graph: str | None = None,
     values: Sequence[Mapping[str, str]] | None = None,
@@ -1084,8 +1110,8 @@ def bgp_ask(
     triples: DataFrame,
     patterns: Sequence[tuple[str, str, str]],
     allow_cartesian: bool = False,
-    optional_patterns: Sequence[Sequence[tuple[str, str, str]]] | None = None,
-    filters: Sequence[tuple[str, str, object]] | None = None,
+    optional_patterns: Sequence[object] | None = None,  # pattern lists or sub-group mappings
+    filters: Sequence[object] | None = None,  # leaves or and/or nodes (_filter_col)
     not_exists: Sequence[Sequence[tuple[str, str, str]]] | None = None,
     graph: str | None = None,
     values: Sequence[Mapping[str, str]] | None = None,
@@ -1140,8 +1166,8 @@ def bgp_describe(
     describe: str,
     patterns: Sequence[tuple[str, str, str]] | None = None,
     allow_cartesian: bool = False,
-    optional_patterns: Sequence[Sequence[tuple[str, str, str]]] | None = None,
-    filters: Sequence[tuple[str, str, object]] | None = None,
+    optional_patterns: Sequence[object] | None = None,  # pattern lists or sub-group mappings
+    filters: Sequence[object] | None = None,  # leaves or and/or nodes (_filter_col)
     not_exists: Sequence[Sequence[tuple[str, str, str]]] | None = None,
     graph: str | None = None,
     values: Sequence[Mapping[str, str]] | None = None,

@@ -618,13 +618,12 @@ _PNG_FEATURES_SCHEMA = T.StructType(
 )
 
 
-def extract_png_features(media: DataFrame) -> DataFrame:
-    """REAL compressed-image decode + per-channel mean reduction for
-    PNG payloads — CRC check, inflate, unfilter, reduce; no codec
-    library. Greyscale broadcasts its single channel to r=g=b; an
-    alpha channel is excluded from the color means. Non-PNG or
-    malformed payloads yield NULL feature rows (error isolation, not
-    task failure). Scale shape identical to extract_ppm_features:
+def _image_mean_features(media: DataFrame, decode) -> DataFrame:
+    """Shared decode + per-channel mean reducer for the real codec
+    paths (PNG, GIF): ``decode(payload) -> (w, h, channels, raster)``.
+    Greyscale broadcasts its single channel to r=g=b; an alpha channel
+    is excluded from the color means. Malformed payloads yield NULL
+    feature rows (error isolation, not task failure). Scale shape:
     narrow projection before the Arrow-batched mapInPandas,
     embarrassingly parallel, no shuffle."""
     import numpy as np
@@ -634,8 +633,8 @@ def extract_png_features(media: DataFrame) -> DataFrame:
             rows = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
-                    w, h, ch, raster = decode_png(bytes(payload))
-                except (ValueError, TypeError):
+                    w, h, ch, raster = decode(bytes(payload))
+                except (ValueError, TypeError, IndexError):
                     rows.append((media_id, None, None, None, None, None))
                     continue
                 px = np.frombuffer(raster, dtype=np.uint8).reshape(-1, ch)
@@ -657,6 +656,13 @@ def extract_png_features(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         run, schema=_PNG_FEATURES_SCHEMA
     )
+
+
+def extract_png_features(media: DataFrame) -> DataFrame:
+    """REAL compressed-image decode + per-channel mean reduction for
+    PNG payloads — CRC check, inflate, unfilter, reduce; no codec
+    library (shared reducer: _image_mean_features)."""
+    return _image_mean_features(media, decode_png)
 
 
 def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes:
@@ -782,21 +788,22 @@ def decode_gif(payload: bytes) -> tuple[int, int, int, bytes]:
                 raise ValueError("truncated GIF data sub-block")
             data.extend(block)
             pos += 1 + n
+        import numpy as np
+
         indices = _gif_lzw_decode(bytes(data), min_code_size, w * h)
         n_colors = len(table) // 3
-        rgb = bytearray()
-        for idx in indices:
-            if idx >= n_colors:
-                raise ValueError(f"palette index {idx} out of range")
-            rgb.extend(table[idx * 3 : idx * 3 + 3])
-        return w, h, 3, bytes(rgb)
+        idx = np.frombuffer(indices, dtype=np.uint8)
+        if int(idx.max(initial=0)) >= n_colors:
+            raise ValueError("palette index out of range")
+        pal = np.frombuffer(table, dtype=np.uint8).reshape(-1, 3)
+        return w, h, 3, pal[idx].tobytes()
     raise ValueError("GIF contains no image block")
 
 
 def encode_gif(width: int, height: int, indices: bytes, palette: bytes) -> bytes:
     """Minimal GIF89a encoder (fixture synthesis + the write side of
     the round-trip proof): 256-entry palette, LZW with a CLEAR before
-    every run of 254 literal codes — the classic fixed-9-bit
+    every run of 253 literal codes — the classic fixed-9-bit
      'uncompressed GIF' encoding, decodable by ANY conforming LZW
     decoder including real viewers. The decoder under test implements
     FULL growing-dictionary LZW; a unit test also feeds it a
@@ -839,37 +846,9 @@ def encode_gif(width: int, height: int, indices: bytes, palette: bytes) -> bytes
 
 
 def extract_gif_features(media: DataFrame) -> DataFrame:
-    """REAL LZW decode + per-channel mean reduction for GIF payloads —
-    same contract and scale shape as extract_png_features (narrow
-    projection, Arrow-batched mapInPandas, NULL rows on malformed
-    input, no shuffle)."""
-    import numpy as np
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-                try:
-                    w, h, ch, raster = decode_gif(bytes(payload))
-                except (ValueError, TypeError, IndexError):
-                    rows.append((media_id, None, None, None, None, None))
-                    continue
-                px = np.frombuffer(raster, dtype=np.uint8).reshape(-1, ch)
-                m = px.mean(axis=0)
-                rows.append(
-                    (media_id, w, h,
-                     round(float(m[0]), 6), round(float(m[1]), 6),
-                     round(float(m[2]), 6))
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=["media_id", "width", "height",
-                         "mean_r", "mean_g", "mean_b"],
-            )
-
-    return media.select("media_id", "payload").mapInPandas(
-        run, schema=_PNG_FEATURES_SCHEMA
-    )
+    """REAL LZW decode + per-channel mean reduction for GIF payloads
+    (shared reducer: _image_mean_features)."""
+    return _image_mean_features(media, decode_gif)
 
 
 def documents_as_gif_media(docs: DataFrame) -> DataFrame:

@@ -134,8 +134,12 @@ class ParsedQuery:
     patterns: list[tuple[str, str, str]] = field(default_factory=list)
     select: list[str] | None = None
     distinct: bool = False
-    optional_patterns: list[list[tuple[str, str, str]]] = field(default_factory=list)
-    filters: list[tuple[str, str, object]] = field(default_factory=list)
+    # each entry: a plain pattern list, or the compiler's sub-group
+    # mapping {"patterns", "optional", "filters"} (nested OPTIONAL)
+    optional_patterns: list[object] = field(default_factory=list)
+    # each entry: a (var, op, value) leaf or an ("and"/"or", [nodes])
+    # boolean combinator (operators/bgp.py:_filter_col)
+    filters: list[object] = field(default_factory=list)
     not_exists: list[list[tuple[str, str, str]]] = field(default_factory=list)
     graph: str | None = None
     values: list[dict[str, str]] = field(default_factory=list)

@@ -762,3 +762,29 @@ def test_subqueries(quads):
     for text, msg in cases:
         with pytest.raises(SparqlParseError, match=msg):
             parse_sparql(text)
+
+
+def test_numeric_filter_type_error_drops_not_aborts(spark):
+    """SPARQL type-error semantics under Spark 4's default ANSI mode:
+    a numeric FILTER ('=', '!=', IN, NOT IN) over a non-numeric
+    binding must DROP the row (try_cast -> NULL), never abort the job
+    with CAST_INVALID_INPUT (a raw comparison/isin against a number
+    implicitly casts the string column)."""
+    t = spark.createDataFrame(
+        [("a", "age", "30"), ("b", "age", "forty"), ("c", "age", "40")],
+        "subj string, pred string, obj_value string",
+    )
+    q = 'SELECT ?x WHERE { ?x <age> ?n . FILTER(%s) }'
+    assert sorted(
+        r.x for r in sparql_query(t, q % "?n IN (30, 40)").collect()
+    ) == ["a", "c"]
+    assert sorted(
+        r.x for r in sparql_query(t, q % "?n = 30").collect()
+    ) == ["a"]
+    assert sorted(
+        r.x for r in sparql_query(t, q % "?n != 30").collect()
+    ) == ["c"]  # 'forty' is a type error, not "different from 30"
+    # mixed-type list: numeric arm via try_cast, string arm lexical
+    assert sorted(
+        r.x for r in sparql_query(t, q % '?n NOT IN (30, "forty")').collect()
+    ) == ["c"]
