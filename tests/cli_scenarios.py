@@ -508,6 +508,36 @@ def query_cli(spark, base: Path) -> dict:
 
 
 @scenario
+def query_cli_sparql(spark, base: Path) -> dict:
+    """SPARQL text through jobs/query.py --sparql, exercising the
+    round-5 surface in ONE query: a grouped subquery joined back on
+    ?c, a boolean FILTER (|| over the subquery alias), and an OPTIONAL
+    with a group-scoped IN filter."""
+    rows = [
+        ("p:1", "rel:member", "c:a", "g1"), ("p:2", "rel:member", "c:a", "g1"),
+        ("p:3", "rel:member", "c:b", "g2"),
+        ("p:1", "m:owner", "alice", "g1"), ("p:2", "m:owner", "bob", "g1"),
+    ]
+    tdir = str(base / "triples")
+    spark.createDataFrame(
+        rows, "subj string, pred string, obj_value string, graph string"
+    ).write.parquet(tdir)
+    text = (
+        "SELECT ?x ?c ?n ?o WHERE { "
+        "?x <rel:member> ?c . "
+        "{ SELECT ?c (COUNT(*) AS ?n) WHERE { ?y <rel:member> ?c } "
+        "GROUP BY ?c } "
+        'OPTIONAL { ?x <m:owner> ?o . FILTER(?o IN ("alice", "carol")) } '
+        'FILTER(?n >= 2 || ?c = "c:b") '
+        "} ORDER BY ASC(?x)"
+    )
+    run = _run_job("query.py", [
+        "--triples", tdir, "--sparql", text, "--local", "2",
+    ])
+    return {"run": run}
+
+
+@scenario
 def extract_then_query(spark, base: Path) -> dict:
     """The full product journey: bulk-extract the reference's 7 fixture
     objects with jobs/extract.py, then BGP-query the materialized

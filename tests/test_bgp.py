@@ -333,6 +333,26 @@ def test_query_cli(spark, cli_results):
         "graph": "g2"}
 
 
+def test_query_cli_sparql(spark, cli_results):
+    """jobs/query.py --sparql end-to-end with the round-5 surface:
+    subquery + boolean FILTER + optional-scoped IN in one text query.
+    p:2's owner bob is filtered INSIDE the optional (solution survives
+    with NULL); the ?n >= 2 || ?c = "c:b" disjunction keeps all
+    memberships."""
+    from conftest import cli_art
+
+    art = cli_art(cli_results, "query_cli_sparql")
+    run = art["run"]
+    assert run["rc"] == 0, run["stderr"][-2000:]
+    lines = [json.loads(x) for x in run["stdout"].strip().splitlines()]
+    assert lines[-1]["n_rows"] == 3
+    assert lines[:-1] == [
+        {"x": "p:1", "c": "c:a", "n": 2, "o": "alice"},
+        {"x": "p:2", "c": "c:a", "n": 2, "o": None},
+        {"x": "p:3", "c": "c:b", "n": 1, "o": None},
+    ]
+
+
 def test_bgp_union_branches(triples):
     """UNION concatenates branch bindings; a variable unbound in one
     branch comes back NULL there; distinct dedups across branches."""
