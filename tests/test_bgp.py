@@ -1065,3 +1065,110 @@ def test_describe_constant_variable_and_plan(quads):
     assert "LeftSemi" in plan, plan
     with pytest.raises(ValueError, match="WHERE patterns"):
         bgp_describe(quads, "?y")
+
+
+def test_bgp_filter_differential_random(spark):
+    """Differential fuzz for the FILTER expression compiler: random
+    boolean trees (=, !=, contains, IN, NOT IN under and/or, depth 2)
+    over seeded-random BGPs, bgp_query vs a naive Python evaluator,
+    compared as bags. All bindings are non-NULL strings here, so
+    Python's boolean semantics and Spark's three-valued logic agree
+    exactly — the fuzz isolates the expression-tree compilation."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(31337)
+    subs = [f"s{i}" for i in range(4)]
+    preds = [f"p{i}" for i in range(3)]
+    objs = [f"o{i}" for i in range(3)] + subs
+    consts = subs + objs
+
+    def naive_patterns(triples, patterns):
+        sols = [dict()]
+        for pat in patterns:
+            nxt = []
+            for s in sols:
+                for t in triples:
+                    b = dict(s)
+                    ok = True
+                    for term, val in zip(pat, t):
+                        if term.startswith("?"):
+                            if b.get(term, val) != val:
+                                ok = False
+                                break
+                            b[term] = val
+                        elif term != val:
+                            ok = False
+                            break
+                    if ok:
+                        nxt.append(b)
+            sols = nxt
+        return sols
+
+    def naive_filter(node, b):
+        if (isinstance(node, tuple) and len(node) == 2
+                and node[0] in ("and", "or")):
+            vals = [naive_filter(c, b) for c in node[1]]
+            return all(vals) if node[0] == "and" else any(vals)
+        var, op, val = node
+        x = b[var]
+        if op == "=":
+            return x == val
+        if op == "!=":
+            return x != val
+        if op == "contains":
+            return val in x
+        if op == "in":
+            return x in val
+        return x not in val  # not_in
+
+    def gen_filter(bvars, depth):
+        if depth == 0 or rng.random() < 0.5:
+            var = rng.choice(bvars)
+            op = rng.choice(["=", "!=", "contains", "in", "not_in"])
+            if op in ("in", "not_in"):
+                return (var, op,
+                        tuple(rng.sample(consts, k=rng.randint(1, 3))))
+            if op == "contains":
+                return (var, op, rng.choice(["s", "o", "1", "2"]))
+            return (var, op, rng.choice(consts))
+        return (rng.choice(["and", "or"]),
+                [gen_filter(bvars, depth - 1) for _ in range(2)])
+
+    checked = 0
+    for _case in range(60):
+        triples = list({
+            (rng.choice(subs), rng.choice(preds), rng.choice(objs))
+            for _ in range(rng.randint(4, 10))
+        })
+        n_pat = rng.randint(1, 2)
+        patterns = []
+        for _ in range(n_pat):
+            mk = lambda pool: (
+                rng.choice(["?a", "?b", "?c"]) if rng.random() < 0.5
+                else rng.choice(pool)
+            )
+            patterns.append((mk(subs), mk(preds), mk(objs)))
+        bvars = sorted({v for p in patterns for v in p if v.startswith("?")})
+        if not bvars or not all(
+            any(t.startswith("?") for t in p) for p in patterns
+        ):
+            continue
+        filt = gen_filter(bvars, 2)
+        df = spark.createDataFrame(
+            triples, "subj string, pred string, obj_value string"
+        )
+        try:
+            got = bgp_query(df, patterns, select=bvars,
+                            filters=[filt]).collect()
+        except ValueError:
+            continue  # disconnected
+        want = [b for b in naive_patterns(triples, patterns)
+                if naive_filter(filt, b)]
+        got_bag = Counter(
+            tuple(r[v.lstrip("?")] for v in bvars) for r in got
+        )
+        want_bag = Counter(tuple(b[v] for v in bvars) for b in want)
+        assert got_bag == want_bag, (triples, patterns, filt)
+        checked += 1
+    assert checked >= 25
