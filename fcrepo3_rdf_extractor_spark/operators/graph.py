@@ -389,12 +389,12 @@ def label_propagation(
         .select("node", F.col("node").alias("label"))
         .localCheckpoint()
     )
-    for _ in range(n_rounds):
+    for r in range(n_rounds):
         neigh = und.join(
             labels.withColumnRenamed("node", "b"), "b"
         ).select(F.col("a").alias("node"), "label")
         cnt = neigh.groupBy("node", "label").agg(F.count("*").alias("c"))
-        labels = (
+        nxt = (
             cnt.groupBy("node")
             .agg(
                 F.min(
@@ -405,8 +405,12 @@ def label_propagation(
                 ).alias("w")
             )
             .select("node", F.col("w.l").alias("label"))
-            .localCheckpoint()
         )
+        # intermediate rounds checkpoint (lineage doubling); the FINAL
+        # round stays lazy so callers see — and tests pin — the round's
+        # real plan, and a consumer that only counts never materializes
+        # an extra copy
+        labels = nxt if r == n_rounds - 1 else nxt.localCheckpoint()
     return labels
 
 

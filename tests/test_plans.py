@@ -488,3 +488,80 @@ def test_chunk_windows_scan_side_no_shuffle(spark):
     phys = out._jdf.queryExecution().executedPlan().toString()
     for node in ("Exchange", "MapInPandas", "BatchEvalPython"):
         assert node not in phys, node
+
+
+def test_sparql_subquery_plan_shape(spark):
+    """The subquery join compiles to hash joins end-to-end: the inner
+    aggregate partially aggregates before its exchange, and nothing in
+    the plan is a CartesianProduct or (non-scalar)
+    BroadcastNestedLoopJoin — the correlated-re-scan shape can never
+    appear because the subquery compiles ONCE, bottom-up."""
+    from fcrepo3_rdf_extractor_spark.operators.sparql import sparql_query
+
+    rows = [(f"p{i}", "rel:member", f"c{i % 3}") for i in range(30)]
+    t = spark.createDataFrame(
+        rows, "subj string, pred string, obj_value string"
+    )
+    df = sparql_query(
+        t,
+        "SELECT ?x ?c ?n WHERE { ?x <rel:member> ?c . "
+        "{ SELECT ?c (COUNT(*) AS ?n) WHERE { ?y <rel:member> ?c } "
+        "GROUP BY ?c } }",
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    fmt = _formatted(df)
+    assert "partial_count" in fmt  # map-side partial agg in the subquery
+
+    # the SCALAR subquery is the one sanctioned BNLJ shape: 1-row
+    # broadcast (the CLAUDE.md documented-fine class)
+    scal = sparql_query(
+        t,
+        "SELECT ?x ?total WHERE { ?x <rel:member> ?c . "
+        "{ SELECT (COUNT(*) AS ?total) WHERE { ?y <rel:member> ?c } } }",
+    )
+    splan = scal._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in splan  # exactly the scalar attach
+
+
+def test_sparql_filter_expr_pushdown(spark, tmp_path):
+    """A single-variable OR inside FILTER still reaches the pattern
+    scan as a PushedFilter Or(...) — boolean FILTER trees are
+    row-local predicates, never join conditions."""
+    from fcrepo3_rdf_extractor_spark.operators.bgp import bgp_query
+
+    rows = [(f"s{i}", "m:state", ["Active", "Inactive", "Deleted"][i % 3])
+            for i in range(90)]
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        rows, "subj string, pred string, obj_value string"
+    ).write.parquet(path)
+    t = spark.read.parquet(path)
+    df = bgp_query(
+        t,
+        [("?x", "m:state", "?st"), ("?x", "m:state", "?st2")],
+        select=["x", "st"],
+        filters=[("or", [("?st", "=", "Active"), ("?st", "=", "Inactive")])],
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the PushedFilters list may be truncated with '...' in the plan
+    # string — assert the Or(...) prefix
+    assert "Or(EqualTo(obj_value,Active),EqualTo(obj_value,Inactive)" \
+        in plan.replace(" ", ""), plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_label_propagation_no_window(spark):
+    """The per-round argmax is a struct-min hash aggregate with
+    map-side partials, never a per-node window sort."""
+    from fcrepo3_rdf_extractor_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(f"a{i}", f"b{i % 4}") for i in range(20)],
+        "src string, dst string",
+    )
+    df = label_propagation(edges, n_rounds=1)
+    fmt = _formatted(df)
+    assert "Window" not in fmt
+    assert "partial_min" in fmt or "partial_count" in fmt
