@@ -723,12 +723,22 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes:
     raise ValueError("GIF LZW stream missing end-of-information")
 
 
+def _gif_interlace_order(height: int) -> list[int]:
+    """Display-row order of the stored scanlines of an interlaced GIF
+    (GIF89a appendix E's four passes)."""
+    return [
+        r
+        for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+        for r in range(start, height, step)
+    ]
+
+
 def decode_gif(payload: bytes) -> tuple[int, int, int, bytes]:
     """REAL LZW decode for GIF87a/89a, pure Python: parse the logical
     screen + color table, skip extensions, decompress the FIRST image's
-    index stream, and apply the palette. Returns (width, height, 3,
-    rgb_bytes) for the first frame (its own descriptor dimensions).
-    Interlaced images and missing color tables raise ValueError
+    index stream, de-interlace if flagged, and apply the palette.
+    Returns (width, height, 3, rgb_bytes) for the first frame (its own
+    descriptor dimensions). Missing color tables raise ValueError
     (callers map to NULL feature rows). Animated GIFs decode frame 1 —
     count frames with media_dimensions if needed."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
@@ -763,8 +773,7 @@ def decode_gif(payload: bytes) -> tuple[int, int, int, bytes]:
         h = int.from_bytes(payload[pos + 6 : pos + 8], "little")
         ipacked = payload[pos + 8]
         pos += 9
-        if ipacked & 0x40:
-            raise ValueError("interlaced GIF not supported")
+        interlaced = bool(ipacked & 0x40)
         table = global_table
         if ipacked & 0x80:
             n = 2 ** ((ipacked & 0x07) + 1) * 3
@@ -795,12 +804,23 @@ def decode_gif(payload: bytes) -> tuple[int, int, int, bytes]:
         idx = np.frombuffer(indices, dtype=np.uint8)
         if int(idx.max(initial=0)) >= n_colors:
             raise ValueError("palette index out of range")
+        if interlaced:
+            # GIF89a appendix E: rows are stored in four passes (every
+            # 8th from 0, every 8th from 4, every 4th from 2, every 2nd
+            # from 1) — stored scanline s is display row _gif_rows[s]
+            rows = idx.reshape(h, w)
+            out_rows = np.empty_like(rows)
+            out_rows[_gif_interlace_order(h)] = rows
+            idx = out_rows.reshape(-1)
         pal = np.frombuffer(table, dtype=np.uint8).reshape(-1, 3)
         return w, h, 3, pal[idx].tobytes()
     raise ValueError("GIF contains no image block")
 
 
-def encode_gif(width: int, height: int, indices: bytes, palette: bytes) -> bytes:
+def encode_gif(
+    width: int, height: int, indices: bytes, palette: bytes,
+    interlace: bool = False,
+) -> bytes:
     """Minimal GIF89a encoder (fixture synthesis + the write side of
     the round-trip proof): 256-entry palette, LZW with a CLEAR before
     every run of 253 literal codes — the classic fixed-9-bit
@@ -809,12 +829,18 @@ def encode_gif(width: int, height: int, indices: bytes, palette: bytes) -> bytes
     FULL growing-dictionary LZW; a unit test also feeds it a
     dictionary-growing stream to prove the general path."""
     assert len(palette) == 256 * 3 and len(indices) == width * height
+    if interlace:
+        import numpy as np
+
+        rows = np.frombuffer(indices, dtype=np.uint8).reshape(height, width)
+        indices = rows[_gif_interlace_order(height)].tobytes()
     out = bytearray(b"GIF89a")
     out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
     out += bytes([0x80 | 0x07, 0, 0])  # global table, 256 entries
     out += palette
     out += b"\x2c" + bytes(4) + width.to_bytes(2, "little")
-    out += height.to_bytes(2, "little") + b"\x00"
+    out += height.to_bytes(2, "little")
+    out.append(0x40 if interlace else 0x00)
     out.append(8)  # LZW minimum code size
     clear, eoi, cwidth = 256, 257, 9
     codes: list[int] = []

@@ -2736,3 +2736,30 @@ def test_gif_features_error_isolation(spark):
     assert got[1].mean_r == round(float(idx.mean()), 6)
     assert got[1].mean_g == round(float(((2 * idx.astype(int)) % 256).mean()), 6)
     assert got[2].width is None and got[2].mean_b is None
+
+
+def test_gif_interlaced_roundtrip():
+    """GIF89a appendix E interlacing: the four-pass row order written
+    by the encoder is inverted by the decoder — interlaced and plain
+    encodings of the same pixels decode identically."""
+    import numpy as np
+
+    from fcrepo3_rdf_extractor_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(5)
+    j = np.arange(256, dtype=np.int64)
+    pal = (
+        np.stack([j, (2 * j) % 256, (3 * j) % 256], axis=1)
+        .astype(np.uint8)
+        .tobytes()
+    )
+    for w, h in [(4, 3), (20, 17), (1, 1), (8, 9), (3, 16)]:
+        idx = rng.integers(0, 256, size=w * h, dtype=np.uint8).tobytes()
+        plain = decode_gif(encode_gif(w, h, idx, pal))
+        inter = decode_gif(encode_gif(w, h, idx, pal, interlace=True))
+        assert plain == inter == (
+            w, h, 3, b"".join(pal[i * 3 : i * 3 + 3] for i in idx)
+        )
