@@ -11,10 +11,11 @@ end-to-end with no codec library: binary PPM (P6) raw RGB
 (:func:`decode_ppm` / :func:`extract_ppm_features`, JVM-synthesized
 payloads); COMPRESSED PNG — :func:`decode_png` CRC-verifies the
 chunk stream, inflates IDAT with stdlib ``zlib``, and inverts all five
-scanline filters (8-bit grey/RGB/grey+alpha/RGBA, non-interlaced);
-and COMPRESSED GIF — :func:`decode_gif` runs a full variable-width
-LZW decompressor (growing dictionary, early-change width bumps, KwKwK)
-and applies the color table. :func:`encode_png` / :func:`encode_gif`
+scanline filters (8-bit grey/RGB/grey+alpha/RGBA, sequential AND
+Adam7-interlaced); and COMPRESSED GIF — :func:`decode_gif` runs a
+full variable-width
+LZW decompressor (growing dictionary, early-change width bumps, KwKwK),
+de-interlaces, and applies the color table. :func:`encode_png` / :func:`encode_gif`
 are the write sides, and the ``mm_png_decode`` / ``mm_gif_decode``
 oracles prove the round trips from pixel arithmetic alone. JPEG/video
 decode genuinely needs libraries (libjpeg/ffmpeg) this container
@@ -481,14 +482,22 @@ def _png_unfilter(raw: bytes, height: int, rowbytes: int, bpp: int):
     return out
 
 
+# Adam7 pass grid (PNG spec §8.2): x_start, y_start, x_step, y_step
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
 def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     """REAL compressed-image decode, stdlib-only: parse the chunk
     stream (CRC-verified), inflate the IDAT deflate stream with
     ``zlib``, and invert the five scanline filters. Returns (width,
     height, channels, pixel_bytes row-major). Supported subset: 8-bit
     depth, colortypes 0/2/4/6 (grey, RGB, grey+alpha, RGBA),
-    non-interlaced — the dominant training-data case. Palette
-    (colortype 3), 16-bit, and Adam7 raise ValueError, as does any
+    sequential AND Adam7-interlaced — the full 8-bit truecolor/grey
+    surface. Palette
+    (colortype 3) and 16-bit raise ValueError, as does any
     malformed chunk/CRC/raster (callers map that to NULL feature rows,
     E1-style). JPEG/video stay documented environment limits — their
     decode genuinely needs codec libraries this container lacks."""
@@ -522,8 +531,9 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
                 raise ValueError(f"unsupported color type {colortype}")
             if comp or filt:
                 raise ValueError("bad compression/filter method")
-            if interlace:
-                raise ValueError("interlaced PNG not supported")
+            if interlace not in (0, 1):
+                raise ValueError(f"unknown interlace method {interlace}")
+            adam7 = bool(interlace)
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -536,32 +546,40 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
         raw = zlib.decompress(idat)
     except zlib.error as exc:
         raise ValueError(f"bad IDAT deflate stream: {exc}") from exc
-    px = _png_unfilter(raw, height, width * channels, channels)
-    return width, height, channels, px.tobytes()
-
-
-def encode_png(
-    width: int, height: int, pixels: bytes, channels: int = 3,
-    filter_mode: str = "cycle",
-) -> bytes:
-    """Minimal PNG encoder (fixture synthesis + the write side of the
-    round-trip proof). ``filter_mode='cycle'`` applies filter type
-    ``row % 5`` so a decode of the result exercises every unfilter
-    branch — if decode_png faked any filter, the pixel round-trip (and
-    the mm_png_decode oracle) would not match. Encoding direction has
-    no sequential dependency, so all five filters vectorize."""
-    import zlib
-
+    if not adam7:
+        px = _png_unfilter(raw, height, width * channels, channels)
+        return width, height, channels, px.tobytes()
+    # Adam7 (PNG §8.2): seven sub-images, each filtered independently,
+    # scattered onto the pass grid
     import numpy as np
 
-    rowbytes = width * channels
-    px = (
-        np.frombuffer(pixels, dtype=np.uint8)
-        .reshape(height, rowbytes)
-        .astype(np.int32)
-    )
+    out = np.zeros((height, width, channels), dtype=np.uint8)
+    pos = 0
+    for x0, y0, xs, ys in _ADAM7:
+        pw = (width - x0 + xs - 1) // xs
+        ph = (height - y0 + ys - 1) // ys
+        if pw <= 0 or ph <= 0:
+            continue
+        nbytes = ph * (1 + pw * channels)
+        sub = _png_unfilter(raw[pos : pos + nbytes], ph, pw * channels,
+                            channels)
+        pos += nbytes
+        out[y0::ys, x0::xs] = sub.reshape(ph, pw, channels)
+    if pos != len(raw):
+        raise ValueError("PNG raster size mismatch")
+    return width, height, channels, out.tobytes()
+
+
+def _png_filter_image(px, channels: int, filter_mode: str) -> bytearray:
+    """Forward-filter one (sub)image — px is an int32 array of shape
+    (rows, rowbytes). ``filter_mode='cycle'`` applies filter ``row % 5``
+    so a decode exercises every unfilter branch. Encoding direction has
+    no sequential dependency, so all five filters vectorize."""
+    import numpy as np
+
+    rows, rowbytes = px.shape
     raw = bytearray()
-    for r in range(height):
+    for r in range(rows):
         ftype = r % 5 if filter_mode == "cycle" else 0
         cur = px[r]
         prev = px[r - 1] if r else np.zeros(rowbytes, np.int32)
@@ -584,6 +602,45 @@ def encode_png(
             out = cur - pred
         raw.append(ftype)
         raw.extend((out & 0xFF).astype(np.uint8).tobytes())
+    return raw
+
+
+def encode_png(
+    width: int, height: int, pixels: bytes, channels: int = 3,
+    filter_mode: str = "cycle", interlace: bool = False,
+) -> bytes:
+    """Minimal PNG encoder (fixture synthesis + the write side of the
+    round-trip proof). ``filter_mode='cycle'`` applies filter type
+    ``row % 5`` per (sub)image so a decode of the result exercises
+    every unfilter branch — if decode_png faked any filter, the pixel
+    round-trip (and the mm_png_decode oracle) would not match.
+    ``interlace=True`` writes the Adam7 pass sequence (each pass its
+    own independently-filtered sub-image, PNG §8.2)."""
+    import zlib
+
+    import numpy as np
+
+    if interlace:
+        img = (
+            np.frombuffer(pixels, dtype=np.uint8)
+            .reshape(height, width, channels)
+            .astype(np.int32)
+        )
+        raw = bytearray()
+        for x0, y0, xs, ys in _ADAM7:
+            sub = img[y0::ys, x0::xs]
+            if sub.size == 0:
+                continue
+            raw += _png_filter_image(
+                sub.reshape(sub.shape[0], -1), channels, filter_mode
+            )
+    else:
+        px = (
+            np.frombuffer(pixels, dtype=np.uint8)
+            .reshape(height, width * channels)
+            .astype(np.int32)
+        )
+        raw = _png_filter_image(px, channels, filter_mode)
     comp = zlib.compress(bytes(raw), 6)
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
@@ -598,7 +655,7 @@ def encode_png(
     ihdr = (
         width.to_bytes(4, "big")
         + height.to_bytes(4, "big")
-        + bytes([8, colortype, 0, 0, 0])
+        + bytes([8, colortype, 0, 0, int(interlace)])
     )
     return (
         _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", comp)

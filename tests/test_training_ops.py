@@ -2763,3 +2763,26 @@ def test_gif_interlaced_roundtrip():
         assert plain == inter == (
             w, h, 3, b"".join(pal[i * 3 : i * 3 + 3] for i in idx)
         )
+
+
+def test_png_adam7_roundtrip():
+    """Adam7 interlacing (PNG §8.2): seven independently-filtered
+    sub-images, scattered back onto the pass grid — interlaced and
+    sequential encodings of the same pixels decode identically across
+    all colortypes, including dimensions where late passes are empty."""
+    import numpy as np
+
+    from fcrepo3_rdf_extractor_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(9)
+    for w, h, ch in [(4, 3, 3), (7, 6, 1), (5, 5, 4), (3, 9, 2),
+                     (1, 1, 3), (16, 16, 3), (9, 2, 1)]:
+        pix = rng.integers(0, 256, size=w * h * ch, dtype=np.uint8).tobytes()
+        plain = decode_png(encode_png(w, h, pix, channels=ch))
+        inter = decode_png(
+            encode_png(w, h, pix, channels=ch, interlace=True)
+        )
+        assert plain == inter == (w, h, ch, pix)
