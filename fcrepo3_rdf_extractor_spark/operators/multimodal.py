@@ -11,8 +11,9 @@ end-to-end with no codec library: binary PPM (P6) raw RGB
 (:func:`decode_ppm` / :func:`extract_ppm_features`, JVM-synthesized
 payloads); COMPRESSED PNG — :func:`decode_png` CRC-verifies the
 chunk stream, inflates IDAT with stdlib ``zlib``, and inverts all five
-scanline filters (8-bit grey/RGB/grey+alpha/RGBA, sequential AND
-Adam7-interlaced); and COMPRESSED GIF — :func:`decode_gif` runs a
+scanline filters (8-bit grey/RGB/palette/grey+alpha/RGBA, sequential
+AND Adam7-interlaced — the full 8-bit PNG surface); and COMPRESSED
+GIF — :func:`decode_gif` runs a
 full variable-width
 LZW decompressor (growing dictionary, early-change width bumps, KwKwK),
 de-interlaces, and applies the color table. :func:`encode_png` / :func:`encode_gif`
@@ -433,8 +434,9 @@ def extract_ppm_features(media: DataFrame) -> DataFrame:
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-# colortype -> sample count (8-bit depth): grey, RGB, grey+alpha, RGBA
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+# colortype -> sample count (8-bit depth): grey, RGB, palette
+# (1 index byte/pixel, mapped through PLTE on return), grey+alpha, RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def _png_unfilter(raw: bytes, height: int, rowbytes: int, bpp: int):
@@ -494,10 +496,10 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     stream (CRC-verified), inflate the IDAT deflate stream with
     ``zlib``, and invert the five scanline filters. Returns (width,
     height, channels, pixel_bytes row-major). Supported subset: 8-bit
-    depth, colortypes 0/2/4/6 (grey, RGB, grey+alpha, RGBA),
-    sequential AND Adam7-interlaced — the full 8-bit truecolor/grey
-    surface. Palette
-    (colortype 3) and 16-bit raise ValueError, as does any
+    depth, colortypes 0/2/3/4/6 (grey, RGB, palette via PLTE — mapped
+    to RGB on return — grey+alpha, RGBA),
+    sequential AND Adam7-interlaced — the full 8-bit PNG surface.
+    16-bit depth raises ValueError, as does any
     malformed chunk/CRC/raster (callers map that to NULL feature rows,
     E1-style). JPEG/video stay documented environment limits — their
     decode genuinely needs codec libraries this container lacks."""
@@ -506,7 +508,7 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     if not payload.startswith(_PNG_SIG):
         raise ValueError("not a PNG")
     pos, width, height, channels = 8, None, None, None
-    idat = b""
+    idat, plte, palette_mode = b"", None, False
     while pos + 12 <= len(payload):
         length = int.from_bytes(payload[pos : pos + 4], "big")
         ctype = payload[pos + 4 : pos + 8]
@@ -534,6 +536,11 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
             if interlace not in (0, 1):
                 raise ValueError(f"unknown interlace method {interlace}")
             adam7 = bool(interlace)
+            palette_mode = colortype == 3
+        elif ctype == b"PLTE":
+            if length == 0 or length % 3 or length > 256 * 3:
+                raise ValueError(f"bad PLTE length {length}")
+            plte = data
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -546,13 +553,24 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
         raw = zlib.decompress(idat)
     except zlib.error as exc:
         raise ValueError(f"bad IDAT deflate stream: {exc}") from exc
-    if not adam7:
-        px = _png_unfilter(raw, height, width * channels, channels)
-        return width, height, channels, px.tobytes()
-    # Adam7 (PNG §8.2): seven sub-images, each filtered independently,
-    # scattered onto the pass grid
     import numpy as np
 
+    def _apply_plte(pix: bytes) -> tuple[int, int, int, bytes]:
+        if not palette_mode:
+            return width, height, channels, pix
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        idx = np.frombuffer(pix, dtype=np.uint8)
+        if int(idx.max(initial=0)) >= len(plte) // 3:
+            raise ValueError("palette index out of range")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        return width, height, 3, pal[idx].tobytes()
+
+    if not adam7:
+        px = _png_unfilter(raw, height, width * channels, channels)
+        return _apply_plte(px.tobytes())
+    # Adam7 (PNG §8.2): seven sub-images, each filtered independently,
+    # scattered onto the pass grid
     out = np.zeros((height, width, channels), dtype=np.uint8)
     pos = 0
     for x0, y0, xs, ys in _ADAM7:
@@ -567,7 +585,7 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
         out[y0::ys, x0::xs] = sub.reshape(ph, pw, channels)
     if pos != len(raw):
         raise ValueError("PNG raster size mismatch")
-    return width, height, channels, out.tobytes()
+    return _apply_plte(out.tobytes())
 
 
 def _png_filter_image(px, channels: int, filter_mode: str) -> bytearray:

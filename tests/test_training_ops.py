@@ -2786,3 +2786,53 @@ def test_png_adam7_roundtrip():
             encode_png(w, h, pix, channels=ch, interlace=True)
         )
         assert plain == inter == (w, h, ch, pix)
+
+
+def test_png_palette_decode():
+    """Colortype 3 (palette) PNG: 1 index byte per pixel unfiltered
+    like greyscale, then mapped through PLTE to RGB on return — the
+    full 8-bit PNG colortype surface. A palette image missing its PLTE
+    chunk raises."""
+    import zlib
+
+    import numpy as np
+
+    from fcrepo3_rdf_extractor_spark.operators.multimodal import (
+        _PNG_SIG,
+        decode_png,
+    )
+
+    def chunk(ctype, data):
+        return (
+            len(data).to_bytes(4, "big") + ctype + data
+            + zlib.crc32(ctype + data).to_bytes(4, "big")
+        )
+
+    rng = np.random.default_rng(2)
+    w, h = 6, 5
+    idx = rng.integers(0, 256, size=w * h, dtype=np.uint8)
+    j = np.arange(256, dtype=np.int64)
+    pal = (
+        np.stack([j, (5 * j) % 256, (11 * j) % 256], axis=1)
+        .astype(np.uint8)
+        .tobytes()
+    )
+    raw = b"".join(
+        b"\x00" + idx[r * w : (r + 1) * w].tobytes() for r in range(h)
+    )
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 3, 0, 0, 0])
+    )
+    png = (
+        _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"PLTE", pal)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+    exp = b"".join(pal[i * 3 : i * 3 + 3] for i in idx)
+    assert decode_png(png) == (w, h, 3, exp)
+
+    no_plte = (
+        _PNG_SIG + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="missing PLTE"):
+        decode_png(no_plte)
