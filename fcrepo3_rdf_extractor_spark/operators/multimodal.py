@@ -985,7 +985,10 @@ def documents_as_gif_media(docs: DataFrame) -> DataFrame:
                 w, h = 4 + d % 5, 3 + d % 4
                 i = np.arange(w * h, dtype=np.int64)
                 idx = ((d * 7 + i * 13) % 256).astype(np.uint8).tobytes()
-                payload = encode_gif(w, h, idx, palette)
+                # odd doc_ids interlace: the oracle is decode-
+                # invariant, so the driver check covers both layouts
+                payload = encode_gif(w, h, idx, palette,
+                                     interlace=bool(d % 2))
                 rows.append((d, "image", "image/gif", payload, len(payload)))
             yield pd.DataFrame(
                 rows, columns=["media_id", "kind", "mime", "payload", "n_bytes"]
@@ -1024,7 +1027,10 @@ def documents_as_png_media(docs: DataFrame) -> DataFrame:
                 w, h = 4 + d % 5, 3 + d % 4
                 i = np.arange(w * h * 3, dtype=np.int64)
                 pix = ((d * 7 + i * 13) % 256).astype(np.uint8).tobytes()
-                payload = encode_png(w, h, pix, channels=3)
+                # odd doc_ids Adam7-interlace: decode-invariant,
+                # so the oracle covers both layouts
+                payload = encode_png(w, h, pix, channels=3,
+                                     interlace=bool(d % 2))
                 rows.append((d, "image", "image/png", payload, len(payload)))
             yield pd.DataFrame(
                 rows, columns=["media_id", "kind", "mime", "payload", "n_bytes"]
