@@ -371,10 +371,11 @@ def label_propagation(
     riding the first's exchange, never a per-node window sort, and the
     struct-min keeps count and label from different rows out of the
     answer (the frankenrow rule). A hub node receives k partial
-    counts, not k rows. Label state localCheckpoints per round —
-    each round references the previous frame once per join side and
-    an un-truncated plan doubles per round (the connected_components
-    lesson)."""
+    counts, not k rows. INTERMEDIATE label state localCheckpoints per
+    round (an un-truncated plan doubles per round — the
+    connected_components lesson); the FINAL round is returned LAZY so
+    callers and plan pins see the round's real plan — persist the
+    result yourself if you consume it more than once."""
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
         F.col("a") != F.col("b")
     )

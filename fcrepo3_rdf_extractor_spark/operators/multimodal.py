@@ -882,7 +882,8 @@ def decode_gif(payload: bytes) -> tuple[int, int, int, bytes]:
         if interlaced:
             # GIF89a appendix E: rows are stored in four passes (every
             # 8th from 0, every 8th from 4, every 4th from 2, every 2nd
-            # from 1) — stored scanline s is display row _gif_rows[s]
+            # from 1) — stored scanline s is display row
+            # _gif_interlace_order(h)[s]
             rows = idx.reshape(h, w)
             out_rows = np.empty_like(rows)
             out_rows[_gif_interlace_order(h)] = rows
