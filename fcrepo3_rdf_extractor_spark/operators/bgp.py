@@ -853,13 +853,17 @@ def bgp_query(
 
 def bgp_union(
     triples: DataFrame,
-    branches: Sequence[Sequence[tuple[str, str, str]]],
+    branches: Sequence[object],
     select: Sequence[str],
     distinct: bool = False,
     allow_cartesian: bool = False,
 ) -> DataFrame:
     """SPARQL UNION: evaluate each branch as its own BGP and concatenate
-    the binding sets. ``select`` is required (it defines the shared
+    the binding sets. A branch is a plain pattern list, or the same
+    sub-group mapping OPTIONAL groups take (``{"patterns", "optional",
+    "filters"}``) — so a branch may carry its own FILTERs and OPTIONAL
+    groups, each compiled inside that branch only. ``select`` is
+    required (it defines the shared
     output shape); a branch that does not bind one of the selected
     variables contributes NULL there — SPARQL's unbound semantics.
     Bag semantics by default (UNION ALL); ``distinct=True`` dedups.
@@ -873,9 +877,14 @@ def bgp_union(
         raise ValueError("empty UNION")
     sel = [s.lstrip("?") for s in select]
     outs = []
-    for patterns in branches:
+    for branch in branches:
+        g = _norm_opt_group(branch)
         sub = bgp_query(
-            triples, patterns, allow_cartesian=allow_cartesian
+            triples,
+            g["patterns"],
+            optional_patterns=g["optional"] or None,
+            filters=g["filters"] or None,
+            allow_cartesian=allow_cartesian,
         )
         cols = [
             F.col(v).cast("string").alias(v)

@@ -55,8 +55,9 @@ comparison/IN/CONTAINS/REGEX (no function calls or arithmetic inside
 FILTER), a group filter referencing a variable its OPTIONAL group does
 not bind (outer-variable filter scope), MINUS/VALUES/BIND/EXISTS
 inside OPTIONAL, UNION combined with
-OPTIONAL/aggregates in the same query (bgp_union takes plain branch
-patterns), and bare alternation without a path modifier. These mirror
+TOP-LEVEL OPTIONAL/FILTER/aggregates in the same query (branches DO
+take their own FILTERs and OPTIONAL groups — each scoped to its
+branch), and bare alternation without a path modifier. These mirror
 the compiler's own surface —
 the parser never accepts syntax the engine would silently mis-run.
 
@@ -147,7 +148,9 @@ class ParsedQuery:
     limit: int | None = None
     offset: int | None = None  # None = absent (so 'OFFSET 0 OFFSET 5'
     # still trips the duplicate guard); consumers read `q.offset or 0`
-    union_branches: list[list[tuple[str, str, str]]] = field(default_factory=list)
+    # each branch: a plain pattern list or the sub-group mapping
+    # (branch-scoped FILTERs / nested OPTIONAL), like optional_patterns
+    union_branches: list[object] = field(default_factory=list)
     binds: list[tuple[str, object]] = field(default_factory=list)
     exists: list[list[tuple[str, str, str]]] = field(default_factory=list)
     group_by: list[str] | None = None
@@ -497,20 +500,26 @@ class _Parser:
         self._group_items(q)
 
     def _group_body_open(self, q: ParsedQuery) -> None:
-        # first alternative: UNION of plain groups ('{ SELECT' is a
-        # subquery, not a branch — _group_items handles it)
+        # first alternative: UNION of groups ('{ SELECT' is a
+        # subquery, not a branch — _group_items handles it). A branch
+        # has the same content grammar as an OPTIONAL group: patterns,
+        # FILTERs, nested OPTIONAL — each scoped to its branch.
         nt = self.peek(1)
         if self.peek().text == "{" and not (
             nt.kind == "KEYWORD" and nt.text.upper() == "SELECT"
         ):
             save = self.i
             self.next()
-            branch = self._triples_block()
-            if self.punct("}") and self.kw("UNION"):
+            try:
+                branch = self._optional_group()
+                closed = self.punct("}")
+            except SparqlParseError:
+                branch, closed = None, False
+            if closed and self.kw("UNION"):
                 q.union_branches.append(branch)
                 while True:
                     self.expect_punct("{")
-                    q.union_branches.append(self._triples_block())
+                    q.union_branches.append(self._optional_group())
                     self.expect_punct("}")
                     if not self.kw("UNION"):
                         break

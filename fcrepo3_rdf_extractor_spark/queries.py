@@ -5141,6 +5141,47 @@ def kg_bgp_filter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "kg_sparql_union_filter_query",
+    f"""SELECT {_U} AS obj, 'cust:' || o_custkey AS v FROM orders
+        WHERE o_orderstatus = 'O'
+          AND 'cust:' || o_custkey <> 'cust:5'
+        UNION ALL
+        SELECT {_U}, o_orderpriority FROM orders
+        WHERE o_orderstatus NOT IN ('O', 'F')
+          AND contains(o_orderpriority, 'URGENT')""",
+)
+def kg_sparql_union_filter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION branches with branch-scoped FILTERs through the text
+    front-end: Active objects' owners (minus one customer) unioned
+    with Deleted objects' urgent labels. Each branch compiles as its
+    own BGP — its filter pushes into ITS pattern scans only — and the
+    Union concatenates partitions with no shuffle
+    (operators/bgp.py:bgp_union, branches normalized through the same
+    sub-group form as OPTIONAL)."""
+    from .operators.sparql import sparql_query
+
+    source = synthesize_foxml_from_orders(spark, sf_dir)
+    triples = (
+        triples_only(extract_triples(source))
+        .select("subj", "pred", "obj_value")
+        .persist()
+    )
+    return sparql_query(
+        triples,
+        """
+        PREFIX m: <info:fedora/fedora-system:def/model#>
+        SELECT ?obj ?v WHERE {
+          { ?obj m:state m:Active . ?obj m:ownerId ?v .
+            FILTER(?v != "cust:5") }
+          UNION
+          { ?obj m:state m:Deleted . ?obj m:label ?v .
+            FILTER(CONTAINS(?v, "URGENT")) }
+        }
+        """,
+    )
+
+
+@_q(
     "kg_sparql_subquery_query",
     """WITH members AS (SELECT 'info:fedora/order:' || o_orderkey AS obj,
                                'info:fedora/collection:' || (o_custkey % 100)

@@ -788,3 +788,38 @@ def test_numeric_filter_type_error_drops_not_aborts(spark):
     assert sorted(
         r.x for r in sparql_query(t, q % '?n NOT IN (30, "forty")').collect()
     ) == ["c"]
+
+
+def test_union_branch_filters_and_optional(quads):
+    """UNION branches are sub-groups: each may carry its own FILTERs
+    and OPTIONAL groups, scoped to that branch; plain pattern-list
+    branches keep their original parsed form."""
+    q = parse_sparql(
+        'SELECT ?x ?v WHERE { { ?x <knows> ?v . FILTER(?v = "b") } UNION '
+        '{ ?x <type> ?v . OPTIONAL { ?x <knows> ?k } '
+        'FILTER(?v != "Robot") } }'
+    )
+    assert q.union_branches[0] == {
+        "patterns": [("?x", "<knows>", "?v")],
+        "optional": [],
+        "filters": [("?v", "=", "b")],
+    }
+    assert q.union_branches[1]["optional"] == [[("?x", "<knows>", "?k")]]
+
+    got = sorted(
+        (r.x, r.v)
+        for r in sparql_query(
+            quads,
+            'SELECT ?x ?v WHERE { { ?x <knows> ?v . FILTER(?v = "b") } '
+            'UNION { ?x <type> ?v . FILTER(?v != "Robot") } }',
+        ).collect()
+    )
+    assert got == [("a", "Person"), ("a", "b"), ("b", "Person"), ("c", "b")]
+
+    # plain branches still parse to bare pattern lists (pins intact)
+    q2 = parse_sparql(
+        "SELECT ?x ?c WHERE { { ?x <knows> ?c } UNION { ?x <type> ?c } }"
+    )
+    assert q2.union_branches == [
+        [("?x", "<knows>", "?c")], [("?x", "<type>", "?c")]
+    ]
