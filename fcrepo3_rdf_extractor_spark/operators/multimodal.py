@@ -11,8 +11,9 @@ end-to-end with no codec library: binary PPM (P6) raw RGB
 (:func:`decode_ppm` / :func:`extract_ppm_features`, JVM-synthesized
 payloads); COMPRESSED PNG — :func:`decode_png` CRC-verifies the
 chunk stream, inflates IDAT with stdlib ``zlib``, and inverts all five
-scanline filters (8-bit grey/RGB/palette/grey+alpha/RGBA, sequential
-AND Adam7-interlaced — the full 8-bit PNG surface); and COMPRESSED
+scanline filters (8/16-bit grey/RGB/palette/grey+alpha/RGBA,
+sequential AND Adam7-interlaced — the full PNG baseline above
+sub-byte depths; 16-bit reduces to the high byte); and COMPRESSED
 GIF — :func:`decode_gif` runs a
 full variable-width
 LZW decompressor (growing dictionary, early-change width bumps, KwKwK),
@@ -495,11 +496,14 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     """REAL compressed-image decode, stdlib-only: parse the chunk
     stream (CRC-verified), inflate the IDAT deflate stream with
     ``zlib``, and invert the five scanline filters. Returns (width,
-    height, channels, pixel_bytes row-major). Supported subset: 8-bit
-    depth, colortypes 0/2/3/4/6 (grey, RGB, palette via PLTE — mapped
+    height, channels, pixel_bytes row-major). Supported: 8- and 16-bit
+    depths, colortypes 0/2/3/4/6 (grey, RGB, palette via PLTE — mapped
     to RGB on return — grey+alpha, RGBA),
-    sequential AND Adam7-interlaced — the full 8-bit PNG surface.
-    16-bit depth raises ValueError, as does any
+    sequential AND Adam7-interlaced — the full PNG baseline above
+    sub-byte depths. 16-bit samples unfilter at their true bpp and
+    reduce to the high byte on return (the standard 16->8 reduction
+    for feature extraction). Sub-byte (1/2/4-bit) depths raise
+    ValueError, as does any
     malformed chunk/CRC/raster (callers map that to NULL feature rows,
     E1-style). JPEG/video stay documented environment limits — their
     decode genuinely needs codec libraries this container lacks."""
@@ -526,11 +530,14 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
             height = int.from_bytes(data[4:8], "big")
             bitdepth, colortype = data[8], data[9]
             comp, filt, interlace = data[10], data[11], data[12]
-            if bitdepth != 8:
+            if bitdepth not in (8, 16):
                 raise ValueError(f"unsupported bit depth {bitdepth}")
+            if bitdepth == 16 and colortype == 3:
+                raise ValueError("16-bit palette PNG is not in the spec")
             channels = _PNG_CHANNELS.get(colortype)
             if channels is None:
                 raise ValueError(f"unsupported color type {colortype}")
+            sample_bytes = bitdepth // 8
             if comp or filt:
                 raise ValueError("bad compression/filter method")
             if interlace not in (0, 1):
@@ -566,9 +573,20 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
         return width, height, 3, pal[idx].tobytes()
 
+    def _to8(arr, rows, px_per_row):
+        """16-bit samples reduce to their high byte (big-endian first
+        byte) — the standard 16->8 depth reduction; exact for the
+        8-bit case (sample_bytes == 1)."""
+        if sample_bytes == 1:
+            return arr
+        return arr.reshape(rows, px_per_row * channels, 2)[:, :, 0]
+
     if not adam7:
-        px = _png_unfilter(raw, height, width * channels, channels)
-        return _apply_plte(px.tobytes())
+        px = _png_unfilter(
+            raw, height, width * channels * sample_bytes,
+            channels * sample_bytes,
+        )
+        return _apply_plte(_to8(px, height, width).tobytes())
     # Adam7 (PNG §8.2): seven sub-images, each filtered independently,
     # scattered onto the pass grid
     out = np.zeros((height, width, channels), dtype=np.uint8)
@@ -578,11 +596,13 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
         ph = (height - y0 + ys - 1) // ys
         if pw <= 0 or ph <= 0:
             continue
-        nbytes = ph * (1 + pw * channels)
-        sub = _png_unfilter(raw[pos : pos + nbytes], ph, pw * channels,
-                            channels)
+        nbytes = ph * (1 + pw * channels * sample_bytes)
+        sub = _png_unfilter(
+            raw[pos : pos + nbytes], ph, pw * channels * sample_bytes,
+            channels * sample_bytes,
+        )
         pos += nbytes
-        out[y0::ys, x0::xs] = sub.reshape(ph, pw, channels)
+        out[y0::ys, x0::xs] = _to8(sub, ph, pw).reshape(ph, pw, channels)
     if pos != len(raw):
         raise ValueError("PNG raster size mismatch")
     return _apply_plte(out.tobytes())

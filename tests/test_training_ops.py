@@ -2836,3 +2836,59 @@ def test_png_palette_decode():
     )
     with pytest.raises(ValueError, match="missing PLTE"):
         decode_png(no_plte)
+
+
+def test_png_16bit_decode_high_byte():
+    """16-bit PNG: filters unfilter at the true bytes-per-pixel (2*ch,
+    PNG §9), then samples reduce to their big-endian high byte — the
+    standard 16->8 depth reduction for feature extraction. Exercises
+    None and Up filters over hand-built raw scanlines."""
+    import zlib
+
+    import numpy as np
+
+    from fcrepo3_rdf_extractor_spark.operators.multimodal import (
+        _PNG_SIG,
+        decode_png,
+    )
+
+    def chunk(c, d):
+        return (
+            len(d).to_bytes(4, "big") + c + d
+            + zlib.crc32(c + d).to_bytes(4, "big")
+        )
+
+    rng = np.random.default_rng(4)
+    w, h, ch = 5, 4, 3
+    samples = rng.integers(0, 65536, size=w * h * ch, dtype=np.uint16)
+    be = samples.astype(">u2").tobytes()
+    rowbytes = w * ch * 2
+    rows = [be[r * rowbytes : (r + 1) * rowbytes] for r in range(h)]
+    raw = bytearray()
+    for r, row in enumerate(rows):
+        if r % 2 == 0:
+            raw += b"\x00" + row
+        else:
+            prev = np.frombuffer(rows[r - 1], np.uint8).astype(int)
+            cur = np.frombuffer(row, np.uint8).astype(int)
+            raw += b"\x02" + ((cur - prev) & 0xFF).astype(np.uint8).tobytes()
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([16, 2, 0, 0, 0])
+    )
+    png = (
+        _PNG_SIG + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    )
+    exp = (samples >> 8).astype(np.uint8).tobytes()
+    assert decode_png(png) == (w, h, ch, exp)
+
+    # sub-byte depths stay a clear rejection
+    bad_ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([4, 0, 0, 0, 0])
+    )
+    bad = (
+        _PNG_SIG + chunk(b"IHDR", bad_ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 10)) + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="unsupported bit depth"):
+        decode_png(bad)
