@@ -33,7 +33,7 @@ flag for exactly that.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import tokens_col
@@ -127,6 +127,85 @@ def logreg_train(
         if persist_features:
             feats.unpersist()
     return dict(w)
+
+
+def classifier_eval(
+    df: DataFrame,
+    label: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    holdout_chars: tuple[str, ...] = ("0", "1", "2", "3"),
+    lr: float = 2.0,
+    n_iter: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Measured classifier evaluation — train on a deterministic
+    complement slice, score the held-out slice, and report ONE row:
+    (n_train, n_holdout, n_pos, n_neg, accuracy, auc). The split is
+    content-independent and portable (first hex char of md5(doc_id)
+    in ``holdout_chars`` → holdout; default 4/16 = 25%), so the same
+    rule replays in any engine and is stable under corpus growth.
+
+    AUC is the tie-aware Mann-Whitney statistic computed WITHOUT a
+    corpus-sized sort: scored docs first collapse to per-distinct-score
+    (pos, neg) counts — and because ``classifier_score`` rounds
+    p_target to 6 decimals, that table is HARD-BOUNDED at 1e6+1 rows
+    regardless of corpus size — then one ordered prefix sum over the
+    bounded table yields, for each score s, the count of negatives
+    strictly below s; AUC = sum(pos_s * (neg_below_s + neg_s/2)) /
+    (n_pos * n_neg). The single-partition window is therefore
+    metadata-scale by construction (same bounded-table discipline as
+    the ANN recall gates), never a window over documents.
+
+    Accuracy uses the ``keep`` decision (thresholded on the UNrounded
+    probability, matching ``classifier_score``). The quality FLOOR for
+    this gate is pinned in pytest on a separable planted corpus
+    (test_logreg_holdout_accuracy_gate / test_classifier_eval_*);
+    on corpora whose classes share a vocabulary the honest reading is
+    AUC ~ 0.5 and this operator reports it rather than hiding it."""
+    hx = F.substring(F.md5(F.col(id_col).cast("string")), 1, 1)
+    train = df.filter(~hx.isin(*holdout_chars))
+    hold = df.filter(hx.isin(*holdout_chars))
+    w = logreg_train(train, label, text_col, id_col, lr, n_iter)
+    scored = classifier_score(hold, w, text_col, id_col, threshold)
+    labeled = hold.select(id_col, label.cast("double").alias("y"))
+    ev = scored.join(labeled, id_col)
+    by_score = ev.groupBy("p_target").agg(
+        F.sum("y").alias("pos"),
+        F.sum(F.lit(1.0) - F.col("y")).alias("neg"),
+        F.sum(
+            (F.col("keep") == (F.col("y") == 1.0)).cast("double")
+        ).alias("ok"),
+    )
+    wdw = (
+        Window.orderBy("p_target")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = by_score.withColumn(
+        "neg_below", F.coalesce(F.sum("neg").over(wdw), F.lit(0.0))
+    )
+    metrics = cum.agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("neg").cast("long").alias("n_neg"),
+        F.round(
+            F.sum("ok") / (F.sum("pos") + F.sum("neg")), 6
+        ).alias("accuracy"),
+        F.round(
+            F.sum(
+                F.col("pos")
+                * (F.col("neg_below") + F.col("neg") / F.lit(2.0))
+            )
+            / (F.sum("pos") * F.sum("neg")),
+            6,
+        ).alias("auc"),
+    )
+    counts = train.agg(F.count("*").alias("n_train")).crossJoin(
+        hold.agg(F.count("*").alias("n_holdout"))
+    )
+    # 1-row x 1-row scalar panel join — the documented-fine BNLJ class
+    return counts.crossJoin(metrics).select(
+        "n_train", "n_holdout", "n_pos", "n_neg", "accuracy", "auc"
+    )
 
 
 def classifier_score(

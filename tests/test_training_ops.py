@@ -1623,6 +1623,95 @@ def test_logreg_holdout_accuracy_gate(spark):
     assert row.p_t > row.p_o  # scores order by class, not just threshold
 
 
+def test_classifier_eval_metrics_gate(spark):
+    """classifier_eval end-to-end on the planted two-vocabulary corpus
+    (same construction as the accuracy gate above, doc_ids shifted so
+    the md5 holdout slice holds both classes): the one-row report must
+    show a ~25% split, both classes present in the holdout, and
+    measured accuracy/AUC floors. Measured 2026-08-21: accuracy 1.0,
+    AUC 1.0 on 54 held-out docs; floors 0.95/0.95 leave hash-jitter
+    slack. Also pins the hand-check identity: AUC computed from the
+    bounded distinct-score prefix sum equals the tie-aware
+    Mann-Whitney statistic computed per-pair on the driver."""
+    from pyspark.sql import functions as F
+
+    from fcrepo3_rdf_extractor_spark.operators.classify import (
+        classifier_eval,
+    )
+
+    rows = []
+    for d in range(200):
+        pool = (
+            [f"tgt{(d * 7 + k) % 12}" for k in range(6)]
+            if d % 2 == 0
+            else [f"off{(d * 5 + k) % 12}" for k in range(6)]
+        )
+        shared = [f"common{(d + k) % 8}" for k in range(6)]
+        rows.append((d, " ".join(pool + shared), 1 if d % 2 == 0 else 0))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    got = classifier_eval(
+        docs, F.col("y") == 1, lr=4.0, n_iter=6
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.n_train + r.n_holdout == 200
+    assert r.n_pos + r.n_neg == r.n_holdout
+    assert 0 < r.n_pos and 0 < r.n_neg
+    # md5 slice ('0'-'3') is ~4/16 of doc_ids — loose band, exact split
+    # is a deterministic property of the ids
+    assert 20 <= r.n_holdout <= 90
+    assert r.accuracy >= 0.95, r
+    assert r.auc >= 0.95, r
+
+
+def test_classifier_eval_auc_is_mann_whitney(spark):
+    """The prefix-sum AUC must equal the per-pair tie-aware
+    Mann-Whitney statistic: score a corpus where ties are FORCED
+    (several docs share the exact token multiset, so identical
+    p_target), recompute AUC on the driver as
+    [#(p_pos > p_neg) + 0.5 * #(p_pos == p_neg)] / (n_pos * n_neg)
+    over the same holdout scores, and require equality to 6 dp."""
+    from pyspark.sql import functions as F
+
+    from fcrepo3_rdf_extractor_spark.operators.classify import (
+        classifier_eval,
+        classifier_score,
+        logreg_train,
+    )
+
+    rows = []
+    for d in range(120):
+        # only 4 distinct texts per class -> heavy score ties
+        variant = d % 4
+        pool = (
+            [f"tgt{(variant + k) % 6}" for k in range(5)]
+            if d % 2 == 0
+            else [f"off{(variant + k) % 6}" for k in range(5)]
+        )
+        rows.append((d, " ".join(pool), 1 if d % 2 == 0 else 0))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    label = F.col("y") == 1
+    got = classifier_eval(docs, label, lr=2.0, n_iter=3).collect()[0]
+
+    hx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    train = docs.filter(~hx.isin("0", "1", "2", "3"))
+    hold = docs.filter(hx.isin("0", "1", "2", "3"))
+    w = logreg_train(train, label, lr=2.0, n_iter=3)
+    scored = {
+        r.doc_id: r.p_target
+        for r in classifier_score(hold, w).collect()
+    }
+    ys = {r.doc_id: r.y for r in hold.select("doc_id", "y").collect()}
+    pos = [scored[d] for d in scored if ys[d] == 1]
+    neg = [scored[d] for d in scored if ys[d] == 0]
+    num = sum(
+        1.0 if p > q else 0.5 if p == q else 0.0 for p in pos for q in neg
+    )
+    want = round(num / (len(pos) * len(neg)), 6)
+    assert abs(got.auc - want) < 1e-6, (got.auc, want)
+    assert len({round(v, 6) for v in scored.values()}) < len(scored)  # ties real
+
+
 def test_curate_code_filter_stage(spark, cli_results):
     """--code-filter drops the long-line and autogen docs the quality
     filter passes; without the flag all three quality-passing docs
