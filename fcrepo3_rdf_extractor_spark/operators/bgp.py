@@ -101,6 +101,41 @@ def _filter_col(expr: object, bound_vars: set[str]) -> "F.Column":
         for c in cols[1:]:
             out = (out & c) if kind == "and" else (out | c)
         return out
+    if isinstance(expr, tuple) and expr[0] == "not" and len(expr) == 2:
+        # SPARQL '!expr'. NOT of a NULL comparison stays NULL (both
+        # engines' three-valued logic), so a row whose inner test is a
+        # type error still drops — exactly SPARQL's error-propagation
+        # through '!'.
+        return ~_filter_col(expr[1], bound_vars)
+    if isinstance(expr, tuple) and expr[0] == "cmp" and len(expr) == 4:
+        # general comparison: both sides are expression ASTs
+        # (_bind_expr_col grammar) — covers ?a op ?b, arithmetic, and
+        # string-function operands. Numeric path iff either side is
+        # numeric-TYPED (numeric literal, arithmetic, STRLEN): the
+        # string-typed side goes through try_cast('double') (non-
+        # numeric bindings drop as SPARQL type errors, never an ANSI
+        # abort). With both sides string-typed the comparison is
+        # lexical — SPARQL's codepoint string ordering.
+        _, op, lhs, rhs = expr
+        if op not in _OPS or op in ("contains", "regex"):
+            raise ValueError(f"unknown comparison op {op!r}")
+        lc = _bind_expr_col(lhs, bound_vars)
+        rc = _bind_expr_col(rhs, bound_vars)
+        if _expr_is_numeric(lhs) or _expr_is_numeric(rhs):
+            lc = lc if _expr_is_numeric(lhs) else lc.try_cast("double")
+            rc = rc if _expr_is_numeric(rhs) else rc.try_cast("double")
+            lc, rc = lc.cast("double"), rc.cast("double")
+        return _OPS[op](lc, rc)
+    if isinstance(expr, tuple) and expr[0] == "bool" and len(expr) == 2:
+        # a boolean-valued expression used directly as the constraint
+        # (STRSTARTS/STRENDS/CONTAINS/BOUND)
+        if not (
+            isinstance(expr[1], tuple) and expr[1][0] in _BOOLEAN_NODES
+        ):
+            raise ValueError(
+                f"FILTER expression is not boolean-valued: {expr[1]!r}"
+            )
+        return _bind_expr_col(expr[1], bound_vars)
     var, op, value = expr
     name = var.lstrip("?")
     if name not in bound_vars:
@@ -186,6 +221,12 @@ def _filter_vars(expr: object) -> set[str]:
         for child in expr[1]:
             out |= _filter_vars(child)
         return out
+    if isinstance(expr, tuple) and expr[0] == "not" and len(expr) == 2:
+        return _filter_vars(expr[1])
+    if isinstance(expr, tuple) and expr[0] == "cmp" and len(expr) == 4:
+        return _expr_vars(expr[2]) | _expr_vars(expr[3])
+    if isinstance(expr, tuple) and expr[0] == "bool" and len(expr) == 2:
+        return _expr_vars(expr[1])
     return {expr[0].lstrip("?")}
 
 
@@ -211,7 +252,9 @@ def _bind_expr_col(expr, available: set[str]) -> F.Column:
     if kind == "var":
         name = expr[1].lstrip("?")
         if name not in available:
-            raise ValueError(f"BIND references unbound variable ?{name}")
+            raise ValueError(
+                f"expression references unbound variable ?{name}"
+            )
         return F.col(name)
     if kind == "const":
         return F.lit(expr[1])
@@ -234,7 +277,82 @@ def _bind_expr_col(expr, available: set[str]) -> F.Column:
         if op == "/":
             return lc / rc
         raise ValueError(f"unknown BIND arithmetic op {op!r}")
+    if kind == "strlen":
+        # SPARQL STRLEN: character count of the lexical form
+        return F.length(_bind_expr_col(expr[1], available).cast("string"))
+    if kind == "lcase":
+        return F.lower(_bind_expr_col(expr[1], available).cast("string"))
+    if kind == "ucase":
+        return F.upper(_bind_expr_col(expr[1], available).cast("string"))
+    if kind == "substr":
+        # SPARQL SUBSTR is 1-based like Spark's substring; start/length
+        # are parse-time integer constants in this subset
+        src = _bind_expr_col(expr[1], available).cast("string")
+        start = int(expr[2])
+        if len(expr) > 3 and expr[3] is not None:
+            return F.substring(src, start, int(expr[3]))
+        return F.substring(src, start, 0x7FFFFFFF)
+    if kind == "strstarts":
+        return _bind_expr_col(expr[1], available).cast("string").startswith(
+            _bind_expr_col(expr[2], available).cast("string")
+        )
+    if kind == "strends":
+        return _bind_expr_col(expr[1], available).cast("string").endswith(
+            _bind_expr_col(expr[2], available).cast("string")
+        )
+    if kind == "contains_f":
+        return _bind_expr_col(expr[1], available).cast("string").contains(
+            _bind_expr_col(expr[2], available).cast("string")
+        )
+    if kind == "bound":
+        # SPARQL BOUND(?v): in this engine an unbound binding IS a
+        # NULL column (OPTIONAL left joins produce them), so BOUND is
+        # exactly isNotNull. Inside a group-scoped filter the group's
+        # own variables are always bound — BOUND is only interesting
+        # at the top-level filter scope, after the left joins.
+        name = expr[1].lstrip("?")
+        if name not in available:
+            raise ValueError(f"BOUND references unknown variable ?{name}")
+        return F.col(name).isNotNull()
     raise ValueError(f"unknown BIND expression node {expr!r}")
+
+
+#: expression nodes whose RESULT is numeric — a comparison touching one
+#: of these takes the numeric path (try_cast the string-typed side)
+_NUMERIC_NODES = frozenset({"arith", "strlen"})
+#: expression nodes whose result is boolean — usable as a bare FILTER
+#: constraint via the ("bool", expr) node
+_BOOLEAN_NODES = frozenset({"strstarts", "strends", "contains_f", "bound"})
+
+
+def _expr_is_numeric(expr: object) -> bool:
+    if not isinstance(expr, tuple):
+        return False
+    if expr[0] == "const":
+        return isinstance(expr[1], (int, float)) and not isinstance(
+            expr[1], bool
+        )
+    return expr[0] in _NUMERIC_NODES
+
+
+def _expr_vars(expr: object) -> set[str]:
+    """Variables (without '?') referenced in a BIND/FILTER expression
+    AST node."""
+    if not isinstance(expr, tuple):
+        return set()
+    kind = expr[0]
+    if kind in ("var", "bound"):
+        return {expr[1].lstrip("?")}
+    if kind == "const":
+        return set()
+    out: set[str] = set()
+    for part in expr[1:]:
+        if isinstance(part, tuple):
+            out |= _expr_vars(part)
+        elif isinstance(part, list):
+            for p in part:
+                out |= _expr_vars(p)
+    return out
 
 
 def bgp_query(
@@ -273,7 +391,14 @@ def bgp_query(
     'regex', 'in', 'not_in'} ('in'/'not_in' take a sequence of values,
     SPARQL 1.1 IN — equality on lexical forms). An entry may also be a
     boolean combinator node ``("and", [nodes...])`` / ``("or",
-    [nodes...])`` nesting further entries (SPARQL ``&&``/``||``); the
+    [nodes...])`` nesting further entries (SPARQL ``&&``/``||``), a
+    negation ``("not", node)``, a general comparison ``("cmp", op,
+    lhs_ast, rhs_ast)`` whose sides are BIND-grammar expression ASTs
+    (_bind_expr_col — variables, literals, arithmetic, STRLEN/LCASE/
+    UCASE/SUBSTR/CONCAT/STR; the numeric try_cast path engages when
+    either side is numeric-typed), or a bare boolean expression
+    ``("bool", ast)`` (STRSTARTS/STRENDS/CONTAINS/BOUND — BOUND(?v)
+    is isNotNull over OPTIONAL's NULLs); the
     whole node compiles to ONE row-local predicate.
     Declared once over the joined bindings and applied AFTER
     the joins — Catalyst then pushes each predicate down through the

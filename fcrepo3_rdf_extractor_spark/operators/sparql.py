@@ -18,11 +18,18 @@ Supported grammar (SPARQL 1.1 syntax, the compiler's semantic subset):
   ``ASK``, ``CONSTRUCT { template }``, ``DESCRIBE (?v | <uri>)``
 - WHERE group: triple patterns ('.'-separated), ``OPTIONAL { ... }``
   (nestable; may contain its own FILTERs, scoped to whether the group
-  matches), ``FILTER(...)`` (comparisons, CONTAINS, REGEX, ``?v [NOT]
-  IN (v1, v2, ...)``, combined with ``&&`` / ``||`` and parentheses —
-  one row-local predicate per FILTER; a top-level filter may reference
-  OPTIONAL-bound variables, deferred to after the left join per
-  §18.2.2.2), ``FILTER EXISTS
+  matches), ``FILTER(...)`` (comparisons — either side a full
+  expression: variables, literals, arithmetic, ``STRLEN``/``LCASE``/
+  ``UCASE``/``SUBSTR``/``CONCAT``/``STR`` — plus bare boolean
+  functions ``STRSTARTS``/``STRENDS``/``CONTAINS``/``BOUND``,
+  ``REGEX``, ``?v [NOT] IN (v1, v2, ...)``, combined with ``&&`` /
+  ``||`` / ``!`` and parentheses — one row-local predicate per FILTER;
+  a comparison touching a numeric-TYPED side — numeric literal,
+  arithmetic, STRLEN — try_casts the string side to double, so
+  non-numeric bindings drop as SPARQL type errors; a top-level filter
+  may reference OPTIONAL-bound variables, deferred to after the left
+  join per §18.2.2.2, which makes ``!BOUND(?v)`` the find-the-absent
+  idiom), ``FILTER EXISTS
   { ... }`` (group-level positive existence -> LEFT SEMI join),
   ``FILTER NOT EXISTS { ... }`` / ``MINUS { ... }``, ``VALUES``
   (single- and multi-var, UNDEF), ``GRAPH g { ... }`` as the group
@@ -50,9 +57,10 @@ SELECT expressions ``(expr AS ?v)`` are accepted as sugar for
 grammar, same rebind rules).
 
 Deliberate subset limits (each raises a clear SparqlParseError):
-FILTER leaves beyond
-comparison/IN/CONTAINS/REGEX (no function calls or arithmetic inside
-FILTER), a group filter referencing a variable its OPTIONAL group does
+FILTER functions beyond the expression set above (no LANG/DATATYPE —
+the store keeps lexical forms only — and EXISTS is a group-level
+construct, not an expression operand),
+a group filter referencing a variable its OPTIONAL group does
 not bind (outer-variable filter scope), MINUS/VALUES/BIND/EXISTS
 inside OPTIONAL, UNION combined with
 TOP-LEVEL OPTIONAL/FILTER/aggregates in the same query (branches DO
@@ -775,9 +783,66 @@ class _Parser:
             inner = self._bind_expr()
             self.expect_punct(")")
             return ("str", inner)
+        up = t.text.upper() if t.kind == "KEYWORD" else ""
+        if up in ("STRLEN", "LCASE", "UCASE"):
+            self.next()
+            self.expect_punct("(")
+            inner = self._bind_expr()
+            self.expect_punct(")")
+            return (up.lower(), inner)
+        if up == "SUBSTR":
+            # SPARQL SUBSTR(source, start[, length]) — 1-based;
+            # start/length are integer literals in this subset
+            self.next()
+            self.expect_punct("(")
+            src = self._bind_expr()
+            self.expect_punct(",")
+            st = self.next()
+            if st.kind != "NUMBER":
+                raise SparqlParseError(
+                    f"SUBSTR start must be a number at {st.pos}"
+                )
+            length = None
+            if self.punct(","):
+                lt = self.next()
+                if lt.kind != "NUMBER":
+                    raise SparqlParseError(
+                        f"SUBSTR length must be a number at {lt.pos}"
+                    )
+                length = int(float(lt.text))
+            self.expect_punct(")")
+            return ("substr", src, int(float(st.text)), length)
+        if up in ("STRSTARTS", "STRENDS"):
+            self.next()
+            self.expect_punct("(")
+            a = self._bind_expr()
+            self.expect_punct(",")
+            b = self._bind_expr()
+            self.expect_punct(")")
+            return (
+                "strstarts" if up == "STRSTARTS" else "strends", a, b
+            )
+        if up == "BOUND":
+            self.next()
+            self.expect_punct("(")
+            v = self.next()
+            if v.kind != "VAR":
+                raise SparqlParseError(f"BOUND takes a ?var at {v.pos}")
+            self.expect_punct(")")
+            return ("bound", "?" + v.text[1:])
+        if t.kind == "IRI":
+            # IRIs/prefixed names are constants in expression position
+            # (the FILTER '?p = <iri>' form): lexical-form strings,
+            # brackets stripped like pattern terms
+            self.next()
+            return ("const", t.text[1:-1])
+        if t.kind == "PNAME":
+            self.next()
+            return ("const", self._expand_pname(t.text, t.pos))
         raise SparqlParseError(
-            f"BIND supports ?var, literals, CONCAT, STR, and + - * / — "
-            f"got {t.text!r} at {t.pos}"
+            f"expression supports ?var, literals, IRIs, CONCAT, STR, "
+            f"STRLEN, LCASE, UCASE, SUBSTR, STRSTARTS, STRENDS, BOUND, "
+            f"and + - * / — got {t.text!r} at {t.pos}"
         )
 
     def _filter_constraint(self) -> object:
@@ -815,6 +880,11 @@ class _Parser:
             node = self._filter_or()
             self.expect_punct(")")
             return node
+        if t.kind == "PUNCT" and t.text == "!":
+            # SPARQL '!expr' (most commonly !BOUND(?v)); '!=' lexes as
+            # one token, so a bare '!' here is always negation
+            self.next()
+            return ("not", self._filter_prim())
         return self._filter_leaf()
 
     def _filter_value(self) -> object:
@@ -829,10 +899,12 @@ class _Parser:
             return self._expand_pname(vt.text, vt.pos)
         raise SparqlParseError(f"expected a FILTER value at {vt.pos}")
 
-    def _filter_leaf(self) -> tuple[str, str, object]:
+    _BOOL_FN_NODES = ("strstarts", "strends", "contains_f", "bound")
+
+    def _filter_leaf(self) -> object:
         t = self.peek()
-        if t.kind == "KEYWORD" and t.text.upper() in ("CONTAINS", "REGEX"):
-            op = t.text.lower()
+        if t.kind == "KEYWORD" and t.text.upper() == "REGEX":
+            # REGEX keeps its dedicated leaf form: (?var, 'regex', str)
             self.next()
             self.expect_punct("(")
             v = self.next()
@@ -843,16 +915,47 @@ class _Parser:
             if s.kind != "STRING":
                 raise SparqlParseError(f"expected a string at {s.pos}")
             self.expect_punct(")")
-            return ("?" + v.text[1:], op, _unescape(s.text[1:-1]))
-        if t.kind != "VAR":
-            raise SparqlParseError(
-                f"FILTER supports '?var op value', IN, CONTAINS, REGEX, "
-                f"'&&'/'||' — got {t.text!r} at {t.pos}"
-            )
-        self.next()
-        var = "?" + t.text[1:]
+            return ("?" + v.text[1:], "regex", _unescape(s.text[1:-1]))
+        if (
+            t.kind == "KEYWORD"
+            and t.text.upper() == "CONTAINS"
+            and self.peek(1).text == "("
+            and self.peek(2).kind == "VAR"
+            and self.peek(3).text == ","
+            and self.peek(4).kind == "STRING"
+            and self.peek(5).text == ")"
+        ):
+            # the original (?var, 'contains', str) leaf — kept when the
+            # args match it exactly; general operands fall through to
+            # the expression form below
+            self.next()
+            self.expect_punct("(")
+            v = self.next()
+            self.expect_punct(",")
+            s = self.next()
+            self.expect_punct(")")
+            return ("?" + v.text[1:], "contains", _unescape(s.text[1:-1]))
+        if t.kind == "KEYWORD" and t.text.upper() == "CONTAINS":
+            self.next()
+            self.expect_punct("(")
+            a = self._bind_expr()
+            self.expect_punct(",")
+            b = self._bind_expr()
+            self.expect_punct(")")
+            return ("bool", ("contains_f", a, b))
+        # general constraint: expression [op expression] — covers the
+        # legacy '?var op value' (emitted in its original flat-tuple
+        # form so programmatic plans and plan pins are unchanged),
+        # ?a op ?b, arithmetic, string functions, and bare boolean
+        # functions (STRSTARTS/STRENDS/BOUND)
+        lhs = self._bind_expr()
         nt = self.peek()
         if nt.kind == "KEYWORD" and nt.text.upper() in ("IN", "NOT"):
+            if not (isinstance(lhs, tuple) and lhs[0] == "var"):
+                raise SparqlParseError(
+                    f"IN/NOT IN takes a plain ?var at {nt.pos}"
+                )
+            var = lhs[1]
             # SPARQL 1.1 §17.4.1.9 IN / NOT IN: sugar for a chain of
             # '='/'!=' tests — values compare on lexical forms like '='.
             negated = nt.text.upper() == "NOT"
@@ -865,10 +968,23 @@ class _Parser:
                 vals.append(self._filter_value())
             self.expect_punct(")")
             return (var, "not_in" if negated else "in", tuple(vals))
-        opt = self.next()
-        if opt.kind != "PUNCT" or opt.text not in ("=", "!=", "<", "<=", ">", ">="):
-            raise SparqlParseError(f"unsupported FILTER op {opt.text!r} at {opt.pos}")
-        return (var, opt.text, self._filter_value())
+        if nt.kind == "PUNCT" and nt.text in ("=", "!=", "<", "<=", ">", ">="):
+            self.next()
+            rhs = self._bind_expr()
+            if (
+                isinstance(lhs, tuple)
+                and lhs[0] == "var"
+                and isinstance(rhs, tuple)
+                and rhs[0] == "const"
+            ):
+                return (lhs[1], nt.text, rhs[1])
+            return ("cmp", nt.text, lhs, rhs)
+        if isinstance(lhs, tuple) and lhs[0] in self._BOOL_FN_NODES:
+            return ("bool", lhs)
+        raise SparqlParseError(
+            f"expected a comparison operator, IN, or a boolean function "
+            f"at {nt.pos}, got {nt.text!r}"
+        )
 
     def _values_block(self) -> list[dict[str, str]]:
         t = self.peek()

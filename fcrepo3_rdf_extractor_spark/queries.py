@@ -6520,6 +6520,83 @@ def kg_bgp_bind_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "kg_sparql_filter_fn_query",
+    """SELECT 'info:fedora/order:' || o_orderkey AS obj,
+              'cust:' || o_custkey AS owner,
+              'info:fedora/collection:' || (o_custkey % 100) AS coll
+       FROM orders
+       WHERE (o_custkey >= 50
+              AND length('info:fedora/collection:' || (o_custkey % 100)) = 25)
+          OR contains(upper('cust:' || o_custkey), 'CUST:19')""",
+)
+def kg_sparql_filter_fn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL FILTER expression surface end-to-end: arithmetic over a
+    SUBSTR slice (numeric path — the string side goes through
+    try_cast(double), so a non-numeric binding would drop as a SPARQL
+    type error, never an ANSI abort), STRLEN equality, CONTAINS over
+    UCASE, composed with &&/|| precedence. Everything compiles into ONE
+    row-local predicate on the joined bindings
+    (operators/bgp.py:_filter_col 'cmp'/'bool' nodes), which Catalyst
+    then splits and pushes into the pattern scans."""
+    from .operators.sparql import sparql_query
+
+    source = synthesize_foxml_from_orders(spark, sf_dir)
+    triples = (
+        triples_only(extract_triples(source))
+        .select("subj", "pred", "obj_value")
+        .persist()
+    )
+    return sparql_query(
+        triples,
+        """
+        PREFIX rel: <info:fedora/fedora-system:def/relations-external#>
+        PREFIX m: <info:fedora/fedora-system:def/model#>
+        SELECT ?obj ?owner ?coll WHERE {
+          ?obj m:ownerId ?owner .
+          ?obj rel:isMemberOfCollection ?coll .
+          FILTER(SUBSTR(?owner, 6) + 0 >= 50 && STRLEN(?coll) = 25
+                 || CONTAINS(UCASE(?owner), "CUST:19"))
+        }
+        """,
+    )
+
+
+@_q(
+    "kg_bgp_filter_bound_query",
+    """SELECT 'info:fedora/order:' || o_orderkey AS obj,
+              'info:fedora/collection:' || (o_custkey % 100) AS coll
+       FROM orders WHERE o_orderstatus <> 'O'""",
+)
+def kg_bgp_filter_bound_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``FILTER(!BOUND(?v))`` — the find-the-absent idiom (SPARQL
+    §17.4.1.1): OPTIONAL binds ?owner only where the object is Active,
+    and the top-level filter keeps the solutions where the group did
+    NOT match. BOUND compiles to isNotNull over the left join's NULLs
+    ('!' negates through three-valued logic), deferred until after the
+    OPTIONAL join — the top-level filter scope."""
+    from .operators.sparql import sparql_query
+
+    source = synthesize_foxml_from_orders(spark, sf_dir)
+    triples = (
+        triples_only(extract_triples(source))
+        .select("subj", "pred", "obj_value")
+        .persist()
+    )
+    return sparql_query(
+        triples,
+        """
+        PREFIX rel: <info:fedora/fedora-system:def/relations-external#>
+        PREFIX m: <info:fedora/fedora-system:def/model#>
+        SELECT ?obj ?coll WHERE {
+          ?obj rel:isMemberOfCollection ?coll .
+          OPTIONAL { ?obj m:state m:Active . ?obj m:ownerId ?owner }
+          FILTER(!BOUND(?owner))
+        }
+        """,
+    )
+
+
+@_q(
     "kg_bgp_negated_set_query",
     f"""WITH act AS (SELECT * FROM orders WHERE o_orderstatus = 'O')
         SELECT {_U} AS obj, o_orderpriority AS other FROM act

@@ -361,7 +361,7 @@ def test_parse_bind_rejections():
          "BIND(STR(?x) AS ?s) }", "BIND with aggregates"),
         ("ASK { ?x <p> ?y . BIND(STR(?x) AS ?s) }", "SELECT queries only"),
         ("SELECT * WHERE { ?x <p> ?y . BIND(NOW() AS ?t) }",
-         "BIND supports"),
+         "expression supports"),
     ]
     for text, msg in cases:
         with pytest.raises(SparqlParseError, match=msg):
@@ -537,6 +537,151 @@ def test_filter_boolean_execution_and_plan(quads):
     join_pos = optimized.find("Join")
     or_pos = optimized.find("Robot")
     assert join_pos != -1 and or_pos > join_pos
+
+
+def test_parse_filter_expressions():
+    """FILTER expression surface: var-var comparison, arithmetic,
+    string functions, bare boolean functions, and '!' — the parser
+    emits ('cmp', op, lhs, rhs) / ('bool', ast) / ('not', node) while
+    a plain '?var op literal' leaf STAYS the flat 3-tuple (including
+    IRI/PNAME values — backwards compatible with every pinned query)."""
+    q = parse_sparql(
+        """
+        PREFIX m: <m#>
+        SELECT ?s WHERE {
+          ?s <a> ?a . ?s <b> ?b .
+          FILTER(?a < ?b)
+          FILTER(?a + 1 > 10)
+          FILTER(STRLEN(?a) >= 3)
+          FILTER(!BOUND(?b))
+          FILTER(STRSTARTS(?a, "info:") && SUBSTR(?a, 2, 3) = "bcd")
+          FILTER(CONTAINS(LCASE(?a), "x"))
+          FILTER(CONTAINS(?a, "x"))
+          FILTER(?a = m:b)
+        }
+        """
+    )
+    assert q.filters == [
+        ("cmp", "<", ("var", "?a"), ("var", "?b")),
+        ("cmp", ">", ("arith", "+", ("var", "?a"), ("const", 1.0)),
+         ("const", 10.0)),
+        ("cmp", ">=", ("strlen", ("var", "?a")), ("const", 3.0)),
+        ("not", ("bool", ("bound", "?b"))),
+        ("and", [
+            ("bool", ("strstarts", ("var", "?a"), ("const", "info:"))),
+            ("cmp", "=", ("substr", ("var", "?a"), 2, 3),
+             ("const", "bcd")),
+        ]),
+        ("bool", ("contains_f", ("lcase", ("var", "?a")),
+                  ("const", "x"))),
+        ("?a", "contains", "x"),  # legacy leaf preserved
+        ("?a", "=", "m#b"),  # legacy leaf, PNAME value
+    ]
+
+
+def test_parse_filter_expression_rejections():
+    cases = [
+        ('SELECT ?x WHERE { ?x <v> ?n . FILTER(LANG(?n) = "en") }',
+         "expression supports"),
+        ("SELECT ?x WHERE { ?x <v> ?n . FILTER(STRLEN(?n)) }",
+         "comparison operator"),
+        ("SELECT ?x WHERE { ?x <v> ?n . FILTER(BOUND(STRLEN(?n))) }",
+         "BOUND takes"),
+        ("SELECT ?x WHERE { ?x <v> ?n . FILTER(STRLEN(?n) IN (1)) }",
+         "plain .var"),
+        ("SELECT ?x WHERE { ?x <v> ?n . FILTER(SUBSTR(?n, ?n) = \"a\") }",
+         "SUBSTR start"),
+    ]
+    for text, msg in cases:
+        with pytest.raises(SparqlParseError, match=msg):
+            parse_sparql(text)
+
+
+def test_filter_expression_execution(spark):
+    """Semantics of expression FILTERs: var-var ordering is LEXICAL
+    when both sides are string-typed; any numeric-typed side (literal,
+    arithmetic, STRLEN) flips the comparison to try_cast(double) and a
+    non-numeric binding DROPS (SPARQL type error), never aborts under
+    ANSI; SUBSTR is 1-based; '!' negates through three-valued logic."""
+    rows = [
+        ("s1", "p:a", "5"), ("s1", "p:b", "7"),
+        ("s2", "p:a", "9"), ("s2", "p:b", "3"),
+        ("s3", "p:a", "abc"), ("s3", "p:b", "2"),
+        ("s4", "p:a", "info:fedora/x"),
+    ]
+    t = spark.createDataFrame(
+        rows, "subj string, pred string, obj_value string"
+    )
+
+    def run(q):
+        return sorted(r.s for r in sparql_query(t, q).collect())
+
+    # lexical var-var: '5'<'7' only
+    assert run(
+        "SELECT ?s WHERE { ?s <p:a> ?a . ?s <p:b> ?b . FILTER(?a < ?b) }"
+    ) == ["s1"]
+    # numeric via arithmetic: 'abc' drops instead of aborting
+    assert run(
+        "SELECT ?s WHERE { ?s <p:a> ?a . FILTER(?a + 0 > 4) }"
+    ) == ["s1", "s2"]
+    # var-var arithmetic: 9-3 > 1
+    assert run(
+        "SELECT ?s WHERE { ?s <p:a> ?a . ?s <p:b> ?b . "
+        "FILTER(?a - ?b > 1) }"
+    ) == ["s2"]
+    assert run(
+        "SELECT ?s WHERE { ?s <p:a> ?a . FILTER(STRLEN(?a) >= 3) }"
+    ) == ["s3", "s4"]
+    assert run(
+        "SELECT ?s WHERE { ?s <p:a> ?a . FILTER(SUBSTR(?a, 1, 4) = \"info\") }"
+    ) == ["s4"]
+    assert run(
+        "SELECT ?s WHERE { ?s <p:a> ?a . "
+        "FILTER(STRSTARTS(?a, \"info:\") || CONTAINS(LCASE(?a), \"bc\")) }"
+    ) == ["s3", "s4"]
+    assert run(
+        "SELECT ?s WHERE { ?s <p:a> ?a . FILTER(UCASE(?a) != ?a) }"
+    ) == ["s3", "s4"]
+    assert run(
+        "SELECT ?s WHERE { ?s <p:a> ?a . FILTER(!STRSTARTS(?a, \"info:\")) }"
+    ) == ["s1", "s2", "s3"]
+
+
+def test_filter_bound_optional_and_pushdown(quads):
+    """!BOUND(?t) over an OPTIONAL binding keeps exactly the solutions
+    whose group did not match (find-the-absent); BOUND(?t) keeps the
+    complement. A single-variable expression filter (STRSTARTS on the
+    required pattern's own variable) still pushes below the join into
+    the scan that binds it."""
+    got = sorted(
+        r.x
+        for r in sparql_query(
+            quads,
+            "SELECT ?x WHERE { ?x <knows> ?y . "
+            "OPTIONAL { ?x <type> ?t } FILTER(!BOUND(?t)) }",
+        ).collect()
+    )
+    assert got == ["c"]  # a and b have types; c does not
+    got_pos = sorted(
+        r.x
+        for r in sparql_query(
+            quads,
+            "SELECT ?x WHERE { ?x <knows> ?y . "
+            "OPTIONAL { ?x <type> ?t } FILTER(BOUND(?t)) }",
+        ).collect()
+    )
+    # bag semantics: b matches its OPTIONAL twice (Person + Robot)
+    assert got_pos == ["a", "b", "b"]
+
+    df = sparql_query(
+        quads,
+        "SELECT ?x ?t WHERE { ?x <knows> ?y . ?x <type> ?t . "
+        "FILTER(STRSTARTS(?t, \"Pers\")) }",
+    )
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    join_pos = optimized.find("Join")
+    pred_pos = optimized.find("Pers")
+    assert join_pos != -1 and pred_pos > join_pos
 
 
 def test_filter_not_in_and_empty_or_compiler(quads):
