@@ -89,7 +89,25 @@ class CodeKgConfig:
     vendored: bool = False      # emit code:vendored (corpus-global agg)
     license: bool = False       # emit code:license / code:permissive
     clone_keys: bool = False    # emit code:cloneKey (type-2 clone hash)
-    dedup: bool = True          # collapse duplicate quads at the output
+    #: output dedup mode. True (default): the trust-nothing global
+    #: dedup_exact exchange — safe on ANY input, including versioned
+    #: corpora (several commits of one path emit identical constant
+    #: quads) and duplicate identity rows. "local": distinct-by-
+    #: construction — row-local array_distinct at the scan plus subset
+    #: dedups for the one family that can still duplicate on a
+    #: single-version corpus (imports/dependsOn, where `import foo` +
+    #: `from foo import x` collapse to one quad); every other family is
+    #: unique because subjects embed (repo, path). NO full-output
+    #: exchange — measured 37% of the 8-core wall time and the
+    #: worst-scaling stage of the plan (pure exchange reads 0.47 on
+    #: 2->8, tools/bandwidth_ceiling.py) — but it REQUIRES the
+    #: snapshot-table contract that (repo, path) is unique per row
+    #: (run latest_snapshot first on versioned tables; assert
+    #: count == countDistinct(repo, path) when in doubt — violations
+    #: surface as duplicate constant quads). False: no output dedup at
+    #: all (extraction bag semantics — the per-document layer that
+    #: resumable/incremental maintenance stores).
+    dedup: bool | str = True
     max_def: int = 100          # call-edge ambiguity / fan-out bound
     num_chunks: int = 64        # resumable-run granularity
     chunks_per_wave: int = 16
@@ -269,6 +287,14 @@ def code_kg_state(files: DataFrame, config: CodeKgConfig) -> DataFrame:
         )
         arr = F.concat(arr, ments)
     arr = F.filter(arr, lambda s: s["obj_value"].isNotNull())
+    if config.dedup:
+        # row-local dedup at the scan: duplicate def headers, repeated
+        # identical imports, etc. collapse INSIDE the projection array
+        # — no exchange. Under dedup="local" this is one of the two
+        # pillars of distinct-by-construction (see code_kg_from_state);
+        # under dedup=True it only shrinks the global exchange's input.
+        # dedup=False keeps extraction bag semantics untouched.
+        arr = F.array_distinct(arr)
     exploded = staged.select(*LINEAGE, F.explode(arr).alias("_e"))
     return exploded.select(
         F.lit(config.graph).alias("graph"),
@@ -316,8 +342,29 @@ def code_kg_from_state(
     row-identical to ``code_kg_plan(files, c)`` (pytest-pinned), so the
     incremental path can never drift from the one-shot plan."""
     basis_ids = corpus_ids if corpus_ids is not None else cur_ids
+    local = config.dedup == "local"
     quads = state.filter(F.col("pred") != STAGING_PRED).drop("kind")
     imports = state.filter(F.col("pred") == "code:imports")
+    if local:
+        # distinct-by-construction, with the ONLY two families that can
+        # still duplicate on a unique-(repo,path) corpus routed through
+        # ONE subset dedup (collected in `dup_risk`, deduped once at
+        # the end): `import foo` + `from foo import x` are distinct
+        # STATE rows (kind differs — resolution needs both) but
+        # identical `code:imports` quads once kind drops, and their
+        # resolved `code:dependsOn` edges can land on one target. Every
+        # other family cannot duplicate: subjects embed (repo, path) —
+        # unique per source row under the input contract — and
+        # array_distinct in code_kg_state removed row-local repeats.
+        # One combined exchange, not one per family: at bench scale the
+        # plan's cost is stage-boundary-dominated (two subset exchanges
+        # measured as slow as the full-output one), and at 100 TB the
+        # single exchange still carries only the ~2-4 import-derived
+        # rows of the ~13 rows/file. Both reads of the imports split
+        # come from the persisted state cache (the filter+union
+        # re-run trap does not apply to a cache).
+        dup_risk = imports.drop("kind")
+        quads = quads.filter(F.col("pred") != "code:imports")
     out = quads
     if config.resolve:
         linked = _with_def_path(
@@ -343,7 +390,13 @@ def code_kg_from_state(
             F.lit(None).cast("string").alias("obj_lang"),
             *LINEAGE,
         )
-        out = out.unionByName(depends)
+        if local:
+            # multi-kind imports of one module can resolve to the SAME
+            # target (py_import + py_from foo) — dependsOn joins the
+            # imports quads in the one combined subset dedup
+            dup_risk = dup_risk.unionByName(depends)
+        else:
+            out = out.unionByName(depends)
     if config.calls:
         defsreg = (
             defs_registry
@@ -404,13 +457,21 @@ def code_kg_from_state(
             *LINEAGE,
         )
         out = out.unionByName(vend)
+    if local:
+        # the one subset exchange of 'local' mode (see above)
+        out = out.unionByName(
+            dedup_exact(dup_risk, key=[c for c in TRIPLE_KEY])
+        )
     # match code_kg_plan's column order so stored one-shot/incremental
     # tables are interchangeable
     out = out.select(
         "graph", "subj", "pred", "obj_value", "obj_is_literal",
         "obj_datatype", "obj_lang", *LINEAGE,
     )
-    if config.dedup:
+    if config.dedup and not local:
+        # dedup=True: the trust-nothing global exchange (safe under
+        # duplicate source identities). dedup="local" already collapsed
+        # every duplicate class above without shuffling the full output.
         out = dedup_exact(out, key=TRIPLE_KEY)
     return out
 

@@ -69,6 +69,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="optional N-Quads text output path")
     ap.add_argument("--graph", default="#code")
     ap.add_argument("--no-dedup", action="store_true")
+    ap.add_argument("--local-dedup", action="store_true",
+                    help="distinct-by-construction output dedup: skips "
+                         "the full-output exchange (37%% of 8-core wall "
+                         "time) by deduping only the import-derived "
+                         "subsets. REQUIRES a snapshot-table source "
+                         "with unique (repo, path) per row — combine "
+                         "with --latest-only on versioned tables")
     ap.add_argument("--no-resolve", action="store_true",
                     help="skip entity linking (no code:dependsOn edges)")
     ap.add_argument("--calls", action="store_true",
@@ -142,7 +149,8 @@ def main(argv: list[str] | None = None) -> int:
         vendored=args.vendored,
         license=args.license,
         clone_keys=args.clone_keys,
-        dedup=not args.no_dedup,
+        dedup=(False if args.no_dedup
+               else "local" if args.local_dedup else True),
         num_chunks=args.num_chunks,
         subject_buckets=args.buckets,
     )
@@ -234,9 +242,16 @@ def main(argv: list[str] | None = None) -> int:
         write_layout_marker(args.out, "code_resumable")
         summary["layout"] = "code_resumable"
         stored = spark.read.parquet(args.out)
-        # per-wave dedup leaves cross-wave duplicates; counts and export
-        # apply global set semantics here, matching the one-shot run
-        triples = dedup_exact(stored, key=TRIPLE_KEY) if config.dedup else stored
+        # cross-wave duplicates cannot exist for the code KG (every
+        # subject embeds its file's (repo, path) and waves are
+        # file-disjoint), so 'local' needs no export pass; only the
+        # trust-nothing --global-dedup mode re-applies global set
+        # semantics over the stored union, matching its one-shot run
+        triples = (
+            dedup_exact(stored, key=TRIPLE_KEY)
+            if config.dedup is True
+            else stored
+        )
     else:
         triples = code_kg_plan(source, config)
         materialize_graph(

@@ -623,6 +623,12 @@ def code_kg_end_to_end(spark, base: Path) -> dict:
     ]
     fresh = _run_job("code_kg.py", run_args)
     resume = _run_job("code_kg.py", run_args)
+    # --local-dedup on this contract-valid (unique repo/path) table
+    # must land the identical triple count with no full-output exchange
+    local_dedup = _run_job("code_kg.py", [
+        "--source", src, "--out", str(base / "triples_local"),
+        "--local", "2", "--calls", "--vendored", "--local-dedup",
+    ])
     query = _run_job("query.py", [
         "--triples", out,
         "--pattern", "?f code:defines ?s",
@@ -647,6 +653,7 @@ def code_kg_end_to_end(spark, base: Path) -> dict:
         "--source", src2, "--out", st2, "--previous", st1, "--local", "2",
     ])
     return {"fresh": fresh, "resume": resume, "query": query,
+            "local_dedup": local_dedup,
             "inc1": inc1, "inc2": inc2, "nquads_out": nq, "out": out}
 
 

@@ -478,7 +478,10 @@ def test_code_kg_from_state_equals_plan(spark):
         "commit",
         F.sha2(F.col("content"), 256).alias("content_sha256"),
     )
-    for dedup, deep in ((True, False), (False, False), (True, True)):
+    for dedup, deep in (
+        (True, False), (False, False), (True, True),
+        ("local", False), ("local", True),
+    ):
         cfg = CodeKgConfig(
             calls=True, vendored=True, license=True, clone_keys=True,
             dedup=dedup, deep_resolve=deep,
@@ -490,6 +493,71 @@ def test_code_kg_from_state_equals_plan(spark):
         assert sorted(map(tuple, assembled.collect())) == sorted(
             map(tuple, plan.collect())
         ), f"dedup={dedup} deep={deep}"
+
+
+def test_code_kg_local_dedup_equals_global(spark):
+    """dedup='local' (distinct-by-construction, no full-output
+    exchange) must emit the exact set dedup=True produces, on a corpus
+    PLANTING every duplicate class: repeated identical imports,
+    `import foo` + `from foo import x` (distinct state rows, identical
+    quads), `class Foo` + `def Foo(` (same sym URI from two def kinds),
+    a repeated def header, and a multi-kind dependsOn collision
+    resolving to one target. Also pins the plan property that pays for
+    the mode: the local plan carries exactly the two subset aggregates
+    (imports quads + dependsOn) where global carries one
+    aggregate over the FULL output — and the planted corpus proves the
+    subsets are the only families that needed one."""
+    dup_py = (
+        "import util\n"
+        "import util\n"           # identical line: row-local repeat
+        "from util import helper\n"  # same module, different kind
+        "class Foo:\n    pass\n"
+        "def Foo(x):\n    return x\n"  # same sym as the class
+        "def bar(y):\n    return y\n"
+        "def bar(y):\n    return y\n"  # repeated def header
+        "Foo(1)\nbar(2)\n"
+    )
+    files = spark.createDataFrame(
+        [
+            ("r1", "dup.py", "c1", "py", dup_py),
+            ("r1", "util.py", "c1", "py", "def helper(v):\n    return v\n"),
+        ],
+        FILES_SCHEMA,
+    )
+    cfg_local = CodeKgConfig(calls=True, vendored=True, dedup="local")
+    cfg_global = CodeKgConfig(calls=True, vendored=True, dedup=True)
+    local = code_kg_plan(files, cfg_local)
+    glob = code_kg_plan(files, cfg_global)
+    lrows = sorted(map(tuple, local.collect()))
+    grows = sorted(map(tuple, glob.collect()))
+    assert lrows == grows
+    # the planted corpus really exercised the dup classes: bag mode
+    # (dedup=False, no array_distinct) has strictly more rows
+    bag = code_kg_plan(
+        files, CodeKgConfig(calls=True, vendored=True, dedup=False)
+    )
+    assert bag.count() > len(lrows)
+    # plan shape: local never aggregates the full output — its final
+    # operator is the union, not a dedup aggregate; global's is the
+    # TRIPLE_KEY aggregate
+    def top_op(df):
+        # first structural operator above the union/aggregate layer
+        # (skipping the output-projection wrappers)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        return next(
+            l for l in plan.splitlines()
+            if any(k in l for k in ("Aggregate", "Union", "Join"))
+        )
+
+    assert "Union" in top_op(local), top_op(local)   # no full-output agg
+    assert "Aggregate" in top_op(glob), top_op(glob)  # the global dedup
+    # and local still collapses the import-family duplicates: exactly
+    # one imports quad and one dependsOn edge for module 'util'
+    imp = [r for r in lrows if r[2] == "code:imports"
+           and r[1] == "src:r1/dup.py"]
+    dep = [r for r in lrows if r[2] == "code:dependsOn"
+           and r[1] == "src:r1/dup.py"]
+    assert len(imp) == 1 and len(dep) == 1, (imp, dep)
 
 
 def test_code_kg_incremental_refresh(spark):
@@ -565,6 +633,11 @@ def test_code_kg_cli_end_to_end(spark, cli_results):
     assert resume["rc"] == 0
     s2 = resume["summary"]
     assert s2["chunks_run"] == 0 and s2["n_triples"] == s1["n_triples"]
+    ld = art["local_dedup"]
+    assert ld["rc"] == 0, ld["stderr"][-2000:]
+    # distinct-by-construction mode ≡ global dedup on the contract-
+    # valid (unique repo/path) table — same triple count end-to-end
+    assert ld["summary"]["n_triples"] == s1["n_triples"]
     nq = pathlib.Path(art["nquads_out"])
     lines = [
         l
