@@ -1029,7 +1029,7 @@ def bgp_aggregate(
     patterns: Sequence[tuple[str, str, str]],
     group_by: Sequence[str],
     aggs: Sequence[tuple[str, str, str]],
-    having: Sequence[tuple[str, str, object]] | None = None,
+    having: Sequence[object] | None = None,  # leaves or filter nodes
     allow_cartesian: bool = False,
     optional_patterns: Sequence[object] | None = None,  # pattern lists or sub-group mappings
     filters: Sequence[object] | None = None,  # leaves or and/or nodes (_filter_col)
@@ -1069,8 +1069,11 @@ def bgp_aggregate(
       pins ``min`` — a valid SAMPLE under the spec, and the same value
       on every engine and every partitioning.
 
-    ``having``: (alias, op, value) constraints over the aggregated
-    columns (SPARQL HAVING), same op set as FILTER.
+    ``having``: constraints over the aggregated columns (SPARQL
+    HAVING) — (alias, op, value) leaves with the same op set as
+    FILTER, or full FILTER boolean/expression nodes (``("and"/"or",
+    [...])``, ``("not", node)``, ``("cmp", ...)``, ``("bool", ...)``)
+    scoped to aggregate aliases and group keys.
 
     Plan shape: the BGP join chain from :func:`bgp_query`, then ONE
     hash aggregate with a map-side partial phase (sum/count/min/max
@@ -1143,7 +1146,25 @@ def bgp_aggregate(
     out = bindings.groupBy(*keys).agg(*exprs) if keys else bindings.agg(*exprs)
 
     aliases = {a for _f, _v, a in aggs}
-    for alias, op, value in having or []:
+    for entry in having or []:
+        if not (
+            isinstance(entry, tuple)
+            and len(entry) == 3
+            and isinstance(entry[0], str)
+        ):
+            # boolean combinator / expression node over alias columns —
+            # the FILTER node grammar, scoped to aggregate aliases and
+            # group keys (SPARQL allows full expressions in HAVING; the
+            # same one-row-local-predicate compilation applies)
+            scope = aliases | set(keys)
+            for v in _filter_vars(entry):
+                if v not in scope:
+                    raise ValueError(
+                        f"HAVING on unknown aggregate alias {v!r}"
+                    )
+            out = out.filter(_filter_col(entry, scope))
+            continue
+        alias, op, value = entry
         if alias not in aliases:
             raise ValueError(f"HAVING on unknown aggregate alias {alias!r}")
         if op not in _OPS:

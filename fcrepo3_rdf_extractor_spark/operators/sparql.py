@@ -48,7 +48,9 @@ Supported grammar (SPARQL 1.1 syntax, the compiler's semantic subset):
   SELECT and ORDER BY; rebinding a pattern variable is rejected
 - aggregates: COUNT([DISTINCT] ?v | *), SUM, AVG, MIN, MAX,
   GROUP_CONCAT([DISTINCT] ?v [; SEPARATOR = "s"]), SAMPLE, with
-  ``GROUP BY`` and ``HAVING(?alias op value)`` over projection aliases
+  ``GROUP BY`` and ``HAVING(...)`` over projection aliases — a single
+  ``?alias op value`` leaf or a full boolean expression (the FILTER
+  grammar: ``&&``/``||``/``!``, IN, arithmetic/function operands)
 - solution modifiers: ``ORDER BY [ASC|DESC](?v)...``, ``LIMIT``,
   ``OFFSET``
 
@@ -163,7 +165,7 @@ class ParsedQuery:
     exists: list[list[tuple[str, str, str]]] = field(default_factory=list)
     group_by: list[str] | None = None
     aggs: list[tuple[str, str, str]] = field(default_factory=list)
-    having: list[tuple[str, str, object]] = field(default_factory=list)
+    having: list[object] = field(default_factory=list)
     template: list[tuple[str, str, str]] = field(default_factory=list)
     describe: str | None = None
     subselects: list["ParsedQuery"] = field(default_factory=list)
@@ -1046,19 +1048,24 @@ class _Parser:
                 q.group_by.append(self.next().text[1:])
         if self.kw("HAVING"):
             node = self._filter_constraint()
-            if not (isinstance(node, tuple) and len(node) == 3
-                    and isinstance(node[0], str) and node[0].startswith("?")
+            if (isinstance(node, tuple) and len(node) == 3
+                    and isinstance(node[0], str)
+                    and node[0].startswith("?")
                     and node[1] not in ("in", "not_in")):
-                raise SparqlParseError(
-                    "HAVING supports a single '?alias op value' comparison"
-                )
-            alias, op, value = node
-            if isinstance(value, str):
-                try:
-                    value = float(value)
-                except ValueError:
-                    pass
-            q.having.append((alias.lstrip("?"), op, value))
+                # single '?alias op value' leaf: keep the historical
+                # numeric coercion (HAVING(?n > "1") compares 1.0)
+                alias, op, value = node
+                if isinstance(value, str):
+                    try:
+                        value = float(value)
+                    except ValueError:
+                        pass
+                q.having.append((alias.lstrip("?"), op, value))
+            else:
+                # full boolean expression over alias columns — the
+                # FILTER node grammar, compiled by bgp_aggregate with
+                # alias/group-key scope
+                q.having.append(node)
         if self.kw("ORDER"):
             self.expect_kw("BY")
             while True:

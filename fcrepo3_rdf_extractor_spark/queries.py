@@ -6520,6 +6520,45 @@ def kg_bgp_bind_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "kg_bgp_having_expr_query",
+    """SELECT 'info:fedora/collection:' || (o_custkey % 100) AS coll,
+              COUNT(*) AS n
+       FROM orders WHERE o_orderstatus = 'O'
+       GROUP BY 1
+       HAVING (COUNT(*) >= 48 AND COUNT(*) < 52)
+           OR ends_with('info:fedora/collection:' || (o_custkey % 100),
+                        ':7')""",
+)
+def kg_bgp_having_expr_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING as a full boolean expression (SPARQL §11.5 allows any
+    constraint): a count-band conjunction OR'd with a string function
+    over the GROUP KEY — the FILTER node grammar compiled against
+    aggregate aliases + group keys (operators/bgp.py:bgp_aggregate).
+    Still ONE hash aggregate + one row-local predicate above it; the
+    single-leaf HAVING path is unchanged."""
+    from .operators.sparql import sparql_query
+
+    source = synthesize_foxml_from_orders(spark, sf_dir)
+    triples = (
+        triples_only(extract_triples(source))
+        .select("subj", "pred", "obj_value")
+        .persist()
+    )
+    return sparql_query(
+        triples,
+        """
+        PREFIX rel: <info:fedora/fedora-system:def/relations-external#>
+        PREFIX m: <info:fedora/fedora-system:def/model#>
+        SELECT ?coll (COUNT(*) AS ?n) WHERE {
+          ?obj m:state m:Active .
+          ?obj rel:isMemberOfCollection ?coll .
+        } GROUP BY ?coll
+        HAVING(?n >= 48 && ?n < 52 || STRENDS(?coll, ":7"))
+        """,
+    )
+
+
+@_q(
     "kg_sparql_filter_fn_query",
     """SELECT 'info:fedora/order:' || o_orderkey AS obj,
               'cust:' || o_custkey AS owner,

@@ -486,12 +486,6 @@ def test_parse_filter_boolean_rejections():
          "expected a FILTER value"),
         ("SELECT ?x WHERE { ?x <v> ?n . FILTER(?x NOT ?n) }",
          "expected IN"),
-        ("SELECT (COUNT(*) AS ?n) WHERE { ?x <v> ?y } GROUP BY ?x "
-         "HAVING(?n > 1 || ?n < 0)",
-         "HAVING supports a single"),
-        ("SELECT (COUNT(*) AS ?n) WHERE { ?x <v> ?y } GROUP BY ?x "
-         'HAVING(?n IN (1, 2))',
-         "HAVING supports a single"),
     ]
     for text, msg in cases:
         with pytest.raises(SparqlParseError, match=msg):
@@ -682,6 +676,59 @@ def test_filter_bound_optional_and_pushdown(quads):
     join_pos = optimized.find("Join")
     pred_pos = optimized.find("Pers")
     assert join_pos != -1 and pred_pos > join_pos
+
+
+def test_having_boolean_expressions(spark):
+    """HAVING accepts the full FILTER boolean grammar over aggregate
+    aliases AND group keys; the single-leaf form (with its historical
+    quoted-number coercion) still parses to the flat 3-tuple."""
+    rows = [("a", "knows", "b"), ("a", "knows", "c"), ("a", "knows", "d"),
+            ("b", "knows", "c"), ("c", "knows", "a"), ("c", "knows", "b")]
+    t = spark.createDataFrame(
+        rows, "subj string, pred string, obj_value string"
+    )
+    q = parse_sparql(
+        'SELECT ?x (COUNT(*) AS ?n) WHERE { ?x <knows> ?y } '
+        'GROUP BY ?x HAVING(?n >= 2 && ?n < 3 || ?x = "a")'
+    )
+    assert q.having == [
+        ("or", [("and", [("?n", ">=", 2.0), ("?n", "<", 3.0)]),
+                ("?x", "=", "a")])
+    ]
+    got = sorted(
+        (r.x, r.n)
+        for r in sparql_query(
+            t,
+            'SELECT ?x (COUNT(*) AS ?n) WHERE { ?x <knows> ?y } '
+            'GROUP BY ?x HAVING(?n >= 2 && ?n < 3 || ?x = "a")',
+        ).collect()
+    )
+    assert got == [("a", 3), ("c", 2)]
+    got2 = sorted(
+        (r.x, r.n)
+        for r in sparql_query(
+            t,
+            'SELECT ?x (COUNT(*) AS ?n) WHERE { ?x <knows> ?y } '
+            'GROUP BY ?x HAVING(!(?n = 1) && ?n + 0 < 3)',
+        ).collect()
+    )
+    assert got2 == [("c", 2)]
+    # single-leaf path unchanged (quoted number coerces)
+    q2 = parse_sparql(
+        'SELECT (COUNT(*) AS ?n) WHERE { ?x <knows> ?y } '
+        'GROUP BY ?x HAVING(?n > "1")'
+    )
+    assert q2.having == [("n", ">", 1.0)]
+    # unknown alias in an expression node still rejected at compile
+    import pytest as _pytest
+
+    from fcrepo3_rdf_extractor_spark.operators.bgp import bgp_aggregate
+    with _pytest.raises(ValueError, match="unknown aggregate alias"):
+        bgp_aggregate(
+            t, [("?x", "<knows>", "?y")], group_by=["x"],
+            aggs=[("count", "*", "n")],
+            having=[("and", [("?n", ">", 1.0), ("?zz", "<", 2.0)])],
+        ).collect()
 
 
 def test_filter_not_in_and_empty_or_compiler(quads):
