@@ -160,11 +160,15 @@ def run_headline(sf_dir: str, cores: int) -> dict:
     )
     from fcrepo3_rdf_extractor_spark.queries import _src_files
 
-    code_cfg = CodeKgConfig(calls=True, vendored=True, dedup="local")
-    code_src = _snapshot_unique(
-        _src_files(spark, sf_dir, calls=True)
-    ).persist()
-    code_src.count()  # setup-time: contract dedup + cache, never timed
+    # headline code_kg_sec stays the cross-round-comparable shape: the
+    # raw synthesized corpus through the DEFAULT (global-dedup) config.
+    # The dedup='local' snapshot-contract protocol lives in
+    # --code-throughput/--code-scaling, where its uniqued corpus is
+    # large enough to pay off; at sf0.1 (5k files) a cached/uniqued
+    # source measured 2.2s SLOWER than the raw projection regardless of
+    # dedup mode (cache/partition overheads dwarf the tiny exchange).
+    code_cfg = CodeKgConfig(calls=True, vendored=True)
+    code_src = _src_files(spark, sf_dir, calls=True)
     code_df = code_kg_plan(code_src, code_cfg)
     _materialize(code_df)  # untimed codegen pass
     code_best = None
@@ -173,8 +177,6 @@ def run_headline(sf_dir: str, cores: int) -> dict:
         # fused state, so a reused DataFrame would time only the
         # content-free assembly from rep 2 on (see run_code_throughput)
         spark.catalog.clearCache()
-        code_src.persist()
-        code_src.count()  # re-pin the input (clearCache dropped it)
         code_df = code_kg_plan(code_src, code_cfg)
         t0 = time.perf_counter()
         _materialize(code_df)
