@@ -1165,7 +1165,8 @@ def bgp_aggregate(
             out = out.filter(_filter_col(entry, scope))
             continue
         alias, op, value = entry
-        if alias not in aliases:
+        if alias not in aliases and alias not in keys:
+            # same scope as the expression path: aliases + group keys
             raise ValueError(f"HAVING on unknown aggregate alias {alias!r}")
         if op not in _OPS:
             raise ValueError(f"unknown HAVING op {op!r}")

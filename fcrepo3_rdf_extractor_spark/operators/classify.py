@@ -191,13 +191,18 @@ def classifier_eval(
             F.sum("ok") / (F.sum("pos") + F.sum("neg")), 6
         ).alias("accuracy"),
         F.round(
-            F.sum(
-                F.col("pos")
-                * (F.col("neg_below") + F.col("neg") / F.lit(2.0))
-            )
-            / (F.sum("pos") * F.sum("neg")),
+            F.try_divide(
+                F.sum(
+                    F.col("pos")
+                    * (F.col("neg_below") + F.col("neg") / F.lit(2.0))
+                ),
+                F.sum("pos") * F.sum("neg"),
+            ),
             6,
         ).alias("auc"),
+        # try_divide: a single-class holdout (n_pos or n_neg = 0) has
+        # an UNDEFINED AUC — report NULL, never an ANSI DIVIDE_BY_ZERO
+        # job abort (the oracle's CASE WHEN mirrors this)
     )
     counts = train.agg(F.count("*").alias("n_train")).crossJoin(
         hold.agg(F.count("*").alias("n_holdout"))

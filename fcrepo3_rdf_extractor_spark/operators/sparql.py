@@ -742,6 +742,16 @@ class _Parser:
             if t.kind == "PUNCT" and t.text in ("+", "-"):
                 self.next()
                 left = ("arith", t.text, left, self._bind_mul())
+            elif t.kind == "NUMBER" and t.text[0] in "+-":
+                # unspaced arithmetic: the lexer's signed-NUMBER rule
+                # eats the operator of '?a+1' / '?n-1' into the literal
+                # — re-read the sign as the binary operator and leave
+                # the magnitude for _bind_mul (so '?a+1*2' keeps *
+                # precedence). A NUMBER can never legitimately FOLLOW a
+                # complete operand inside an expression.
+                op = t.text[0]
+                t.text = t.text[1:]
+                left = ("arith", op, left, self._bind_mul())
             else:
                 return left
 
@@ -800,20 +810,26 @@ class _Parser:
             src = self._bind_expr()
             self.expect_punct(",")
             st = self.next()
-            if st.kind != "NUMBER":
+            # fn:substring semantics diverge from Spark's substring for
+            # non-positive starts (SPARQL -1 = whole string, Spark -1 =
+            # last char), so only the region where the two agree is
+            # accepted: integer start >= 1, integer length >= 0
+            if st.kind != "NUMBER" or "." in st.text or int(st.text) < 1:
                 raise SparqlParseError(
-                    f"SUBSTR start must be a number at {st.pos}"
+                    f"SUBSTR start must be an integer >= 1 at {st.pos}"
                 )
             length = None
             if self.punct(","):
                 lt = self.next()
-                if lt.kind != "NUMBER":
+                if (lt.kind != "NUMBER" or "." in lt.text
+                        or int(lt.text) < 0):
                     raise SparqlParseError(
-                        f"SUBSTR length must be a number at {lt.pos}"
+                        f"SUBSTR length must be an integer >= 0 at "
+                        f"{lt.pos}"
                     )
-                length = int(float(lt.text))
+                length = int(lt.text)
             self.expect_punct(")")
-            return ("substr", src, int(float(st.text)), length)
+            return ("substr", src, int(st.text), length)
         if up in ("STRSTARTS", "STRENDS"):
             self.next()
             self.expect_punct("(")

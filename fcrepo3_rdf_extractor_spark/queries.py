@@ -4908,8 +4908,10 @@ def _classifier_eval_oracle(
                CAST(sum(pos) AS BIGINT) AS n_pos,
                CAST(sum(neg) AS BIGINT) AS n_neg,
                round(sum(ok) / (sum(pos) + sum(neg)), 6) AS accuracy,
-               round(sum(pos * (neg_below + neg / 2.0))
-                     / (sum(pos) * sum(neg)), 6) AS auc
+               CASE WHEN sum(pos) * sum(neg) = 0 THEN NULL
+                    ELSE round(sum(pos * (neg_below + neg / 2.0))
+                               / (sum(pos) * sum(neg)), 6)
+               END AS auc
         FROM cum"""
 
 

@@ -155,17 +155,17 @@ def main(argv: list[str] | None = None) -> int:
         subject_buckets=args.buckets,
     )
 
-    def write_layout_marker(out_dir: str, layout: str) -> None:
+    def write_layout_marker(out_dir: str, layout: str, **extra) -> None:
         try:
             with open(os.path.join(out_dir, "_LAYOUT.json"), "w") as fh:
-                json.dump({"layout": layout}, fh)
+                json.dump({"layout": layout, **extra}, fh)
         except OSError:
             pass
 
-    def read_layout_marker(out_dir: str) -> str | None:
+    def read_layout_marker(out_dir: str) -> dict | None:
         try:
             with open(os.path.join(out_dir, "_LAYOUT.json")) as fh:
-                return json.load(fh).get("layout")
+                return json.load(fh)
         except (OSError, ValueError):
             return None
 
@@ -183,13 +183,30 @@ def main(argv: list[str] | None = None) -> int:
             code_kg_state,
         )
 
-        prev_layout = read_layout_marker(args.previous)
+        prev_marker = read_layout_marker(args.previous)
+        prev_layout = prev_marker.get("layout") if prev_marker else None
         if prev_layout is not None and prev_layout != "code_state":
             print(
                 f"error: --previous table has layout '{prev_layout}'; "
                 "code-KG incremental refresh requires a code_state table "
                 "(a prior incremental run's --out) — plan outputs lack "
                 "the kind column and call-mention staging rows",
+                file=sys.stderr,
+            )
+            spark.stop()
+            return 2
+        if (config.dedup == "local" and prev_marker is not None
+                and not prev_marker.get("row_local_dedup")):
+            # a state written with --no-dedup (or by an older build)
+            # carries row-local repeats the 'local' assembly would pass
+            # through silently — distinct-by-construction only holds
+            # for state rows that went through the scan-side
+            # array_distinct
+            print(
+                "error: --local-dedup needs a --previous state written "
+                "with row-local dedup (not --no-dedup / a pre-feature "
+                "state); rerun without --local-dedup or rebuild the "
+                "state",
                 file=sys.stderr,
             )
             spark.stop()
@@ -212,7 +229,10 @@ def main(argv: list[str] | None = None) -> int:
         # materialize the STATE (the only valid --previous for the next
         # refresh); the assembled output is derived for counts/export
         plan.state.write.mode("overwrite").parquet(args.out)
-        write_layout_marker(args.out, "code_state")
+        write_layout_marker(
+            args.out, "code_state",
+            row_local_dedup=bool(config.dedup),
+        )
         summary["layout"] = "code_state"
         stored = spark.read.parquet(args.out)
         cur_ids = source.select(

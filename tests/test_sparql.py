@@ -678,6 +678,55 @@ def test_filter_bound_optional_and_pushdown(quads):
     assert join_pos != -1 and pred_pos > join_pos
 
 
+def test_unspaced_arithmetic_and_substr_validation():
+    """Review fixes: the lexer's signed-NUMBER rule must not eat the
+    operator of unspaced arithmetic ('?a+1'), * keeps precedence over
+    a re-read '+', and SUBSTR only accepts the (start >= 1, length >=
+    0) integer region where Spark substring == fn:substring."""
+    q = parse_sparql("SELECT ?s WHERE { ?s <v> ?a . FILTER(?a+1 > 2) }")
+    assert q.filters == [
+        ("cmp", ">", ("arith", "+", ("var", "?a"), ("const", 1.0)),
+         ("const", 2.0))
+    ]
+    q2 = parse_sparql(
+        "SELECT ?s WHERE { ?s <v> ?a . FILTER(?a+1*2 > 2) }"
+    )
+    assert q2.filters == [
+        ("cmp", ">",
+         ("arith", "+", ("var", "?a"),
+          ("arith", "*", ("const", 1.0), ("const", 2.0))),
+         ("const", 2.0))
+    ]
+    q3 = parse_sparql("SELECT ?s WHERE { ?s <v> ?a . FILTER(?a-1 < 0) }")
+    assert q3.filters[0][2] == ("arith", "-", ("var", "?a"), ("const", 1.0))
+    for bad, msg in [
+        ('FILTER(SUBSTR(?a, -1) = "x")', "SUBSTR start"),
+        ('FILTER(SUBSTR(?a, 0) = "x")', "SUBSTR start"),
+        ('FILTER(SUBSTR(?a, 2.5) = "x")', "SUBSTR start"),
+        ('FILTER(SUBSTR(?a, 1, -2) = "x")', "SUBSTR length"),
+    ]:
+        with pytest.raises(SparqlParseError, match=msg):
+            parse_sparql("SELECT ?s WHERE { ?s <v> ?a . " + bad + " }")
+
+
+def test_having_on_group_key_leaf(spark):
+    """A single-leaf HAVING over a GROUP KEY (not an aggregate alias)
+    must work like its compound-expression form — both are in scope."""
+    rows = [("a", "knows", "b"), ("a", "knows", "c"), ("b", "knows", "c")]
+    t = spark.createDataFrame(
+        rows, "subj string, pred string, obj_value string"
+    )
+    got = sorted(
+        (r.x, r.n)
+        for r in sparql_query(
+            t,
+            'SELECT ?x (COUNT(*) AS ?n) WHERE { ?x <knows> ?y } '
+            'GROUP BY ?x HAVING(?x = "a")',
+        ).collect()
+    )
+    assert got == [("a", 2)]
+
+
 def test_having_boolean_expressions(spark):
     """HAVING accepts the full FILTER boolean grammar over aggregate
     aliases AND group keys; the single-leaf form (with its historical

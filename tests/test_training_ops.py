@@ -1664,6 +1664,24 @@ def test_classifier_eval_metrics_gate(spark):
     assert r.auc >= 0.95, r
 
 
+def test_classifier_eval_single_class_holdout_null_auc(spark):
+    """A holdout slice containing only one class has an UNDEFINED AUC:
+    the report must carry NULL there (try_divide), never abort the job
+    with an ANSI DIVIDE_BY_ZERO; accuracy stays defined."""
+    from pyspark.sql import functions as F
+
+    from fcrepo3_rdf_extractor_spark.operators.classify import (
+        classifier_eval,
+    )
+
+    rows = [(d, f"tok{d % 7} common", 1) for d in range(80)]  # all positive
+    docs = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    r = classifier_eval(docs, F.col("y") == 1, lr=2.0, n_iter=2).collect()[0]
+    assert r.n_neg == 0 and r.n_pos == r.n_holdout > 0
+    assert r.auc is None
+    assert r.accuracy is not None
+
+
 def test_classifier_eval_auc_is_mann_whitney(spark):
     """The prefix-sum AUC must equal the per-pair tie-aware
     Mann-Whitney statistic: score a corpus where ties are FORCED
