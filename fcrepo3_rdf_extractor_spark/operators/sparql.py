@@ -52,7 +52,10 @@ Supported grammar (SPARQL 1.1 syntax, the compiler's semantic subset):
   ``?alias op value`` leaf or a full boolean expression (the FILTER
   grammar: ``&&``/``||``/``!``, IN, arithmetic/function operands)
 - solution modifiers: ``ORDER BY [ASC|DESC](?v)...``, ``LIMIT``,
-  ``OFFSET``
+  ``OFFSET`` — including over aggregate queries (sort keys = group
+  keys / aggregate aliases; ``GROUP BY .. ORDER BY DESC(?n) LIMIT k``
+  is the top-k idiom and plans as TakeOrderedAndProject) and over
+  UNION results
 
 SELECT expressions ``(expr AS ?v)`` are accepted as sugar for
 ``BIND(expr AS ?v)`` projected under the alias (same expression
@@ -1149,11 +1152,17 @@ class _Parser:
                 raise SparqlParseError(
                     f"non-grouped variables in an aggregate SELECT: {extra}"
                 )
-            if q.order_by or q.limit is not None or q.offset:
-                raise SparqlParseError(
-                    "ORDER BY/LIMIT/OFFSET with aggregates is not in the "
-                    "subset — order/limit the returned DataFrame"
-                )
+            # ORDER BY/LIMIT/OFFSET over the aggregated frame (the
+            # SPARQL top-k idiom: GROUP BY .. ORDER BY DESC(?n) LIMIT
+            # k — plans as TakeOrderedAndProject); sort keys must be
+            # group keys or aggregate aliases
+            scope = set(q.group_by or []) | {a for _f, _v, a in q.aggs}
+            for var, _d in q.order_by:
+                if var not in scope:
+                    raise SparqlParseError(
+                        f"ORDER BY ?{var} is not a group key or "
+                        f"aggregate alias"
+                    )
         if q.union_branches:
             if (
                 q.patterns
@@ -1226,6 +1235,32 @@ class _Parser:
                 if var[1:] not in ordered:
                     ordered.append(var[1:])
             q.select = ordered
+
+
+def _apply_modifiers(df: DataFrame, q: "ParsedQuery") -> DataFrame:
+    """ORDER BY / OFFSET / LIMIT over an already-projected frame — the
+    aggregate and union results, whose output columns are group keys /
+    aggregate aliases / branch variables. ORDER BY DESC(?n) LIMIT k
+    over an aggregate plans as TakeOrderedAndProject (no global sort
+    materialization) — the SPARQL top-k idiom."""
+    if q.order_by:
+        from pyspark.sql import functions as F
+
+        cols = []
+        for var, direction in q.order_by:
+            name = var.lstrip("?")
+            if name not in df.columns:
+                raise ValueError(
+                    f"ORDER BY ?{name}: not a selected variable"
+                )
+            c = F.col(name)
+            cols.append(c.desc() if direction == "desc" else c.asc())
+        df = df.orderBy(*cols)
+    if q.offset:
+        df = df.offset(q.offset)
+    if q.limit is not None:
+        df = df.limit(q.limit)
+    return df
 
 
 def _group_pats(group: object):
@@ -1323,30 +1358,15 @@ def sparql_query(triples: DataFrame, text: str) -> DataFrame:
             values=q.values or None,
         )
     if q.union_branches:
-        out = bgp_union(
-            triples, q.union_branches, select=q.select, distinct=q.distinct
-        )
         # solution modifiers apply to the union result (SPARQL evaluates
         # them over the combined solution sequence)
-        if q.order_by:
-            from pyspark.sql import functions as F
-
-            sel = [s.lstrip("?") for s in q.select]
-            cols = []
-            for var, direction in q.order_by:
-                name = var.lstrip("?")
-                if name not in sel:
-                    raise ValueError(
-                        f"ORDER BY ?{name}: not a selected variable"
-                    )
-                c = F.col(name)
-                cols.append(c.desc() if direction == "desc" else c.asc())
-            out = out.orderBy(*cols)
-        if q.offset:
-            out = out.offset(q.offset)
-        if q.limit is not None:
-            out = out.limit(q.limit)
-        return out
+        return _apply_modifiers(
+            bgp_union(
+                triples, q.union_branches, select=q.select,
+                distinct=q.distinct,
+            ),
+            q,
+        )
     subs = []
     for sub in q.subselects:
         # SPARQL §12 bottom-up semantics: each subquery evaluates once,
@@ -1366,7 +1386,10 @@ def sparql_query(triples: DataFrame, text: str) -> DataFrame:
                 exists=sub.exists or None,
                 values=sub.values or None,
             )
-            subs.append({"df": sdf, "scalar": not (sub.group_by or [])})
+            subs.append({
+                "df": _apply_modifiers(sdf, sub),
+                "scalar": not (sub.group_by or []),
+            })
         else:
             sdf = bgp_query(
                 triples,
@@ -1385,19 +1408,22 @@ def sparql_query(triples: DataFrame, text: str) -> DataFrame:
             )
             subs.append({"df": sdf, "scalar": False})
     if q.aggs:
-        return bgp_aggregate(
-            triples,
-            q.patterns,
-            group_by=q.group_by or [],
-            aggs=q.aggs,
-            having=q.having or None,
-            optional_patterns=q.optional_patterns or None,
-            filters=q.filters or None,
-            not_exists=q.not_exists or None,
-            exists=q.exists or None,
-            graph=q.graph,
-            values=q.values or None,
-            sub_solutions=subs or None,
+        return _apply_modifiers(
+            bgp_aggregate(
+                triples,
+                q.patterns,
+                group_by=q.group_by or [],
+                aggs=q.aggs,
+                having=q.having or None,
+                optional_patterns=q.optional_patterns or None,
+                filters=q.filters or None,
+                not_exists=q.not_exists or None,
+                exists=q.exists or None,
+                graph=q.graph,
+                values=q.values or None,
+                sub_solutions=subs or None,
+            ),
+            q,
         )
     return bgp_query(
         triples,

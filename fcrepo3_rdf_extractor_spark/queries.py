@@ -6561,6 +6561,45 @@ def kg_bgp_having_expr_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "kg_bgp_agg_topk_query",
+    """SELECT 'info:fedora/collection:' || (o_custkey % 100) AS coll,
+              COUNT(*) AS n
+       FROM orders WHERE o_orderstatus = 'O'
+       GROUP BY 1
+       ORDER BY n DESC, coll
+       LIMIT 5""",
+)
+def kg_bgp_agg_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SPARQL top-k idiom — GROUP BY .. ORDER BY DESC(?n) LIMIT k —
+    previously rejected, now a first-class modifier over the aggregated
+    frame (operators/sparql.py:_apply_modifiers). Plans as
+    TakeOrderedAndProject above the one hash aggregate: no global sort
+    materialization, the k winners ship from each partition. Ties break
+    on the ascending group key so both engines return identical rows."""
+    from .operators.sparql import sparql_query
+
+    source = synthesize_foxml_from_orders(spark, sf_dir)
+    triples = (
+        triples_only(extract_triples(source))
+        .select("subj", "pred", "obj_value")
+        .persist()
+    )
+    return sparql_query(
+        triples,
+        """
+        PREFIX rel: <info:fedora/fedora-system:def/relations-external#>
+        PREFIX m: <info:fedora/fedora-system:def/model#>
+        SELECT ?coll (COUNT(*) AS ?n) WHERE {
+          ?obj m:state m:Active .
+          ?obj rel:isMemberOfCollection ?coll .
+        } GROUP BY ?coll
+        ORDER BY DESC(?n) ?coll
+        LIMIT 5
+        """,
+    )
+
+
+@_q(
     "kg_sparql_filter_fn_query",
     """SELECT 'info:fedora/order:' || o_orderkey AS obj,
               'cust:' || o_custkey AS owner,

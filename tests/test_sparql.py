@@ -113,7 +113,7 @@ def test_parse_rejections():
         ("SELECT ?x WHERE { ?x <p> ?y . GRAPH <g> { ?x <q> ?z } }",
          "wrapper of the whole"),
         ("SELECT ?y (COUNT(*) AS ?n) WHERE { ?x <p> ?y } "
-         "GROUP BY ?y ORDER BY ?y", "ORDER BY/LIMIT"),
+         "GROUP BY ?y ORDER BY ?x", "not a group key"),
         ("ASK { ?x <p> ?y } trailing", "trailing input"),
         ("FOO { ?x <p> ?y }", "expected SELECT"),
     ]
@@ -725,6 +725,34 @@ def test_having_on_group_key_leaf(spark):
         ).collect()
     )
     assert got == [("a", 2)]
+
+
+def test_aggregate_order_limit_topk(spark):
+    """GROUP BY .. ORDER BY DESC(?n) LIMIT k executes (top-k idiom),
+    sorts on group keys too, applies OFFSET, and plans as
+    TakeOrderedAndProject — no global sort materialization."""
+    rows = [("a", "knows", x) for x in "bcd"] + \
+           [("b", "knows", x) for x in "cd"] + [("c", "knows", "a")]
+    t = spark.createDataFrame(
+        rows, "subj string, pred string, obj_value string"
+    )
+    df = sparql_query(
+        t,
+        "SELECT ?x (COUNT(*) AS ?n) WHERE { ?x <knows> ?y } "
+        "GROUP BY ?x ORDER BY DESC(?n) ?x LIMIT 2",
+    )
+    assert [(r.x, r.n) for r in df.collect()] == [("a", 3), ("b", 2)]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    got_off = [
+        (r.x, r.n)
+        for r in sparql_query(
+            t,
+            "SELECT ?x (COUNT(*) AS ?n) WHERE { ?x <knows> ?y } "
+            "GROUP BY ?x ORDER BY DESC(?n) ?x LIMIT 2 OFFSET 1",
+        ).collect()
+    ]
+    assert got_off == [("b", 2), ("c", 1)]
 
 
 def test_having_boolean_expressions(spark):
